@@ -1,0 +1,430 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational-core coverage queries on the TPC-H-ish star schema
+  * (SURVEY.md §2.2-2.8): every join type, aggregate variants incl.
+  * rollup/cube/pivot, window functions, top-k, set ops, scalar
+  * string/date/conditional functions. Each has an exact DuckDB oracle.
+  *
+  * Scale notes (100 TB): fact-fact joins (lineitem ⋈ orders) shuffle on the
+  * join key and are AQE-coalesced; dim joins (nation, region, customer at
+  * small SF) are broadcast — Catalyst auto-broadcasts under the threshold,
+  * and `broadcast()` hints pin the plan where determinism matters. Filters
+  * and projections sit directly on the parquet scan so pushdown/pruning
+  * reach the reader (verified via .explain in RelationalSpec).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- aggregation -------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: hash agg with partial aggregation,
+    * several aggregate kinds at once. Money sums are rounded to 2 dp
+    * (absolute magnitudes ~1e8 at sf0.01; double reorder error ~1e-4). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Global aggregate + exact distinct aggregate (Expand + 2-phase). */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      count(lit(1)).as("n_rows"))
+
+  /** ROLLUP multi-level totals; explicit NULLS FIRST ordering on both sides
+    * (Spark defaults nulls-first ASC, DuckDB defaults nulls-last). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE with grouping() markers (no NULL-vs-missing ambiguity). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(col("g_status"), col("g_prio"),
+        col("o_orderstatus"), col("o_orderpriority"), col("n"), col("sum_price"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Pivot: order count per status × priority (explicit value list so the
+    * output schema is static; oracle uses FILTER aggregates). */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus"))
+
+  // ---- joins -------------------------------------------------------------
+
+  /** Broadcast star join: customer ⋈ nation ⋈ region, count + balance per
+    * region. Both dims pinned broadcast. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** Big-big equi join (sort-merge / AQE shuffled-hash): revenue per order
+    * priority through lineitem ⋈ orders. */
+  def joinBigBig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Left outer join keeping customers with zero orders. */
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** Left semi = EXISTS: customers having at least one open ('O') order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    t(s, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left anti = NOT EXISTS: customers with no orders at all. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Cross join (tiny dims only): region × nation grid. */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(col("r_name"))
+      .crossJoin(t(s, dir, "nation").select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Range/theta join WITH an equi conjunct (so the planner keeps a hash
+    * join, not BNLJ — SURVEY §2.3): lineitems shipped within 90 days of
+    * their order date. */
+  def joinRange(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_shipped_90d"))
+      .orderBy(col("o_orderstatus"))
+
+  // ---- windows / sort / top-k -------------------------------------------
+
+  /** Per-group top-k: top 3 orders per customer by price, row_number with
+    * full tie-break. */
+  def windowTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** rank / dense_rank / ntile / percent_rank over customer balances. */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Running sum + lag/lead: cumulative spend and inter-order gap per
+    * customer over order time. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // o_orderdate is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+    // unix_micros requires TIMESTAMP — identity cast under UTC session tz.
+    val orderUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        orderUs.as("order_us"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("cum_spend"),
+        (orderUs - lag(orderUs, 1).over(w)).as("gap_us"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Global top-k without full sort (TakeOrderedAndProject). */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ---- set operations ----------------------------------------------------
+
+  /** UNION distinct vs INTERSECT vs EXCEPT, one query: classify customers
+    * by having open/finished orders. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val open = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val fin = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val both = open.intersect(fin).withColumn("bucket", lit("both"))
+    val onlyOpen = open.distinct.except(fin).withColumn("bucket", lit("open_only"))
+    val onlyFin = fin.distinct.except(open).withColumn("bucket", lit("fin_only"))
+    both.unionByName(onlyOpen).unionByName(onlyFin)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---- scalar functions --------------------------------------------------
+
+  /** String functions: split/substring/regexp/lower/length/concat on part. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        size(split(col("p_name"), " ")).as("name_words"))
+      .filter(col("p_name").rlike("^[a-z]"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions: year/month bucketing of orders. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** Conditional logic: CASE/COALESCE/NULLIF bucketing of order values. */
+  def caseWhen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") >= 200000, "large")
+          .when(col("o_totalprice") >= 100000, "medium")
+          .otherwise("small").as("size_bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("NOT_P")).as("status_np"))
+      .groupBy(col("size_bucket"), col("status_np"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("size_bucket"), col("status_np"))
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_distinct_agg" -> (distinctAgg _),
+    "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
+    "q_pivot" -> (pivotAgg _),
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q_join_bigbig" -> (joinBigBig _),
+    "q_join_left" -> (joinLeftOuter _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_join_cross" -> (joinCross _),
+    "q_join_range" -> (joinRange _),
+    "q_window_topk_group" -> (windowTopkPerGroup _),
+    "q_window_ranks" -> (windowRanks _),
+    "q_window_running" -> (windowRunning _),
+    "q_topk_orders" -> (topkOrders _),
+    "q_set_ops" -> (setOps _),
+    "q_string_funcs" -> (stringFuncs _),
+    "q_date_funcs" -> (dateFuncs _),
+    "q_case_when" -> (caseWhen _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio,
+        |       o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_bigbig" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT o_orderstatus, count(*) AS n_shipped_90d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_window_topk_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+        |  epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH open AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     fin AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     tagged AS (
+        |       SELECT custkey, 'both' AS bucket FROM (SELECT custkey FROM open INTERSECT SELECT custkey FROM fin)
+        |       UNION ALL
+        |       SELECT custkey, 'open_only' FROM (SELECT custkey FROM open EXCEPT SELECT custkey FROM fin)
+        |       UNION ALL
+        |       SELECT custkey, 'fin_only' FROM (SELECT custkey FROM fin EXCEPT SELECT custkey FROM open))
+        |SELECT bucket, count(*) AS n FROM tagged GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lower,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS name_words
+        |FROM part WHERE regexp_matches(p_name, '^[a-z]')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT CASE WHEN o_totalprice >= 200000 THEN 'large'
+        |            WHEN o_totalprice >= 100000 THEN 'medium'
+        |            ELSE 'small' END AS size_bucket,
+        |       coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY size_bucket, status_np""".stripMargin,
+  )
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Flagship query set — the reference's four processing goals
+  * (/root/reference/README.md:9-16) run on the driver's `events` table
+  * (`user_id` plays client IP, `event_type` plays URL, TESTDATA.md).
+  * Every query has an exact DuckDB oracle twin.
+  */
+object SessionQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** Goal 1 (R:9-10): the full sessions relation, 15-min inactivity gap. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("session_end_us"), col("hit_count"), col("unique_item_count"),
+        col("duration_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Goal 2 (R:12): average session time, seconds. Single-hit sessions
+    * count with duration 0 (SURVEY §1.3.2). Rounded to 6 dp for
+    * float-summation-order parity with the oracle. */
+  def avgSessionTime(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .agg(round(avg(col("duration_sec")), 6).as("avg_session_sec"),
+           count(lit(1)).as("n_sessions"))
+
+  /** Goal 3 (R:14): unique URL (event_type) visits per session. */
+  def uniquePerSession(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("session_id"),
+        col("unique_item_count").as("unique_urls"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Goal 4 (R:16): most engaged — IPs with the longest sessions.
+    * Top 20 by duration; deterministic tie-break on (user_id, session_id). */
+  def topEngaged(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("session_id"), col("duration_sec"),
+        col("hit_count"))
+      .orderBy(col("duration_sec").desc, col("user_id"), col("session_id"))
+      .limit(20)
+
+  /** Per-IP engagement features (R:21/23 feature prep): session count, mean
+    * duration, mean unique URLs — the regression input for the MLE goals. */
+  def ipFeatures(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("duration_sec")), 6).as("mean_duration_sec"),
+        round(avg(col("unique_item_count")), 6).as("mean_unique_urls"),
+        sum(col("hit_count")).as("total_hits"))
+      .orderBy(col("user_id"))
+
+  /** Streaming-ready twin of Goal 1 via Spark's native session_window
+    * (SURVEY §2.5): identical gap semantics except the window is
+    * half-open [start, last+gap), so a hit at EXACTLY gap distance starts
+    * a new session (>= vs the lag-form's >) — oracle mirrors that. */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "15 minutes").as("sw"))
+      .agg(count(lit(1)).as("hit_count"),
+        countDistinct(col("event_type")).as("unique_urls"),
+        min(unix_micros(col("ts"))).as("first_hit_us"),
+        max(unix_micros(col("ts"))).as("last_hit_us"))
+      .select(col("user_id"), col("first_hit_us"), col("last_hit_us"),
+        col("hit_count"), col("unique_urls"))
+      .orderBy(col("user_id"), col("first_hit_us"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize _),
+    "q_avg_session_time" -> (avgSessionTime _),
+    "q_unique_urls_per_session" -> (uniquePerSession _),
+    "q_top_engaged" -> (topEngaged _),
+    "q_ip_features" -> (ipFeatures _),
+    "q_session_window" -> (sessionWindow _),
+  )
+
+  private val cte = Sessionize.oracleSessionsCte()
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""$cte
+         |SELECT user_id, session_id, session_start_us, session_end_us,
+         |       hit_count, unique_item_count, duration_sec
+         |FROM sessions ORDER BY user_id, session_id""".stripMargin,
+
+    "q_avg_session_time" ->
+      s"""$cte
+         |SELECT round(avg(duration_sec), 6) AS avg_session_sec,
+         |       count(*) AS n_sessions
+         |FROM sessions""".stripMargin,
+
+    "q_unique_urls_per_session" ->
+      s"""$cte
+         |SELECT user_id, session_id, unique_item_count AS unique_urls
+         |FROM sessions ORDER BY user_id, session_id""".stripMargin,
+
+    "q_top_engaged" ->
+      s"""$cte
+         |SELECT user_id, session_id, duration_sec, hit_count
+         |FROM sessions
+         |ORDER BY duration_sec DESC, user_id, session_id LIMIT 20""".stripMargin,
+
+    "q_ip_features" ->
+      s"""$cte
+         |SELECT user_id, count(*) AS n_sessions,
+         |       round(avg(duration_sec), 6) AS mean_duration_sec,
+         |       round(avg(unique_item_count), 6) AS mean_unique_urls,
+         |       CAST(sum(hit_count) AS BIGINT) AS total_hits
+         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // session_window's half-open interval: new session when gap >= 15 min.
+    "q_session_window" ->
+      """WITH hits AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 900000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM hits
+        |), numbered AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts_us) AS first_hit_us, max(ts_us) AS last_hit_us,
+        |       count(*) AS hit_count, count(DISTINCT event_type) AS unique_urls
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, first_hit_us""".stripMargin,
+  )
+}
