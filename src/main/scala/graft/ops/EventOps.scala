@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream relational coverage beyond sessionization: JSON props,
+  * per-minute load series (the reference's MLE Goal 1 feature/label table,
+  * /root/reference/README.md:19), moving averages, as-of joins, and
+  * per-user behavioral stats.
+  */
+object EventOps {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** JSON extraction from `props` (TESTDATA: `{"k": 87}`) — per-event-type
+    * stats over the extracted value. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling 1-minute load series: requests per minute + req/sec — the
+    * label series for "predict the expected load in the next minute"
+    * (R:19). Minute boundary = date_trunc, emitted as epoch µs. */
+  def loadPerMinute(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(count(lit(1)) / lit(60.0), 6).as("req_per_sec"))
+      .orderBy(col("minute_us"))
+
+  /** 5-minute moving average over the per-minute series (rows frame —
+    * R:19 smoothing; lag-feature prep for the regression lives in
+    * ml/Predict). */
+  def slidingLoad(s: SparkSession, dir: String): DataFrame = {
+    val perMin = events(s, dir)
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"))
+    val w = Window.orderBy(col("minute_us")).rowsBetween(-4, 0)
+    perMin
+      .select(col("minute_us"), col("requests"),
+        round(avg(col("requests")).over(w), 6).as("ma5"))
+      .orderBy(col("minute_us"))
+  }
+
+  /** As-of join (SURVEY §2.3): each purchase event paired with the user's
+    * most recent prior-or-same-time signup — the union-window trick
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame), which
+    * needs no native as-of operator and keeps one hash-by-user shuffle. */
+  def asofSignup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("last_signup_us",
+        last(when(col("event_type") === "signup", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_signup_us"),
+        (col("ts_us") - col("last_signup_us")).as("since_signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-user behavioral profile: event counts by kind (conditional agg),
+    * value stats. */
+  def userStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        round(sum(col("value")), 4).as("total_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (jsonExtract _),
+    "q_load_per_minute" -> (loadPerMinute _),
+    "q_sliding_load" -> (slidingLoad _),
+    "q_asof_signup" -> (asofSignup _),
+    "q_user_stats" -> (userStats _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_load_per_minute" ->
+      """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+        |  count(*) AS requests,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(count(*) / 60.0, 6) AS req_per_sec
+        |FROM events GROUP BY 1 ORDER BY minute_us""".stripMargin,
+
+    "q_sliding_load" ->
+      """WITH pm AS (
+        |  SELECT epoch_us(date_trunc('minute', ts)) AS minute_us, count(*) AS requests
+        |  FROM events GROUP BY 1)
+        |SELECT minute_us, requests,
+        |  round(avg(requests) OVER (ORDER BY minute_us
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+        |FROM pm ORDER BY minute_us""".stripMargin,
+
+    "q_asof_signup" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us, last_signup_us,
+        |       ts_us - last_signup_us AS since_signup_us
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        |  round(sum(value), 4) AS total_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-data-pipeline text operators over `documents` (driver north star,
+  * SURVEY.md §2.11): exact dedup, fingerprinting, token statistics,
+  * term frequency, quality scoring, and near-duplicate detection (exact
+  * shingle-Jaccard with metadata blocking; MinHash-LSH as the 100 TB
+  * candidate-generation path).
+  *
+  * Scale notes: every operator is a shuffle-partitioned groupBy/join on a
+  * key with bounded per-key cardinality — no driver-side collection. The
+  * exact-Jaccard pair join is blocked on (lang, source) so candidate pairs
+  * stay O(block²) with constant block size; at 100 TB the MinHash-LSH
+  * banding query generates candidates instead (same shape: groupBy band
+  * bucket), which is the standard sub-quadratic path.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** Tokens + distinct word-bigram shingles (positional, 0-based Spark
+    * array indexing; the oracle uses DuckDB's 1-based indexing — both
+    * produce the n-1 consecutive bigrams). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))")))
+
+  /** Exact dedup by full text content: one group per distinct text,
+    * keep-lowest-id representative. (Content-hash groupBy — at scale,
+    * group on xxhash64(text) instead of text to shrink shuffle keys;
+    * text groupBy keeps the oracle twin trivial and is semantically
+    * identical absent hash collisions.) */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col("text")).as("fingerprint"))
+      .orderBy(col("keep_id"))
+
+  /** Per-document fingerprint (md5 — identical builtin in DuckDB, so the
+    * whole fingerprint column is oracle-checkable). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"),
+        length(col("text")).as("text_len"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting + type-token ratio per document. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_unique"),
+        round(size(array_distinct(col("tokens"))).cast("double") / size(col("tokens")), 6)
+          .as("ttr"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language corpus stats (the language-ID *consumer* side; lang here
+    * is ground truth from the table). */
+  def langStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  /** Corpus term frequency: explode tokens, count, top 30. */
+  def termFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(30)
+
+  /** Heuristic quality score: stopword ratio + mean word length + length
+    * band, the classic cheap pre-filter for training-data curation. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    docs(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_stop",
+        size(filter_exp(col("tokens"), t => t.isInCollection(stop))))
+      .select(col("doc_id"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stopword_ratio"),
+        round((col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"), 6)
+          .as("mean_word_len"),
+        when(col("n_tokens") < 20, "short")
+          .when(col("n_tokens") <= 60, "medium")
+          .otherwise("long").as("len_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Spark's `filter` function name clashes with Dataset.filter in scope.
+  private def filter_exp(c: org.apache.spark.sql.Column,
+                         f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.filter(c, f)
+
+  /** Exact near-duplicate pairs: bigram-shingle Jaccard >= 0.25 within a
+    * (lang, source) block. Explode distinct shingles, self-join on shingle
+    * within the block (pair generation bounded by block size), count
+    * intersections, Jaccard = |∩| / (|A|+|B|-|∩|). */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = withShingles(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("shingles")).as("n_sh"), col("shingles"))
+    val ex = base.select(col("doc_id"), col("lang"), col("source"), col("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val a = ex.select(col("lang"), col("source"), col("sh"),
+      col("doc_id").as("id1"), col("n_sh").as("n1"))
+    val b = ex.select(col("lang"), col("source"), col("sh"),
+      col("doc_id").as("id2"), col("n_sh").as("n2"))
+    a.join(b, Seq("lang", "source", "sh"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.25)
+      .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates — the sub-quadratic scale
+    * path (SURVEY §2.11). 32 hash functions h_i(s) = xxhash64(i || s),
+    * signature = per-i min over shingles; 8 bands × 4 rows; docs sharing a
+    * band bucket are candidates; candidates are verified by signature
+    * agreement >= 0.5 (estimates Jaccard). Deterministic but xxhash64 has
+    * no DuckDB twin → no oracle entry (rows-only driver check); accuracy
+    * vs exact Jaccard is pinned in TextOpsSpec. */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val nHash = 32
+    val bands = 8
+    val rowsPerBand = nHash / bands
+    val sig = withShingles(docs(s, dir))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${nHash - 1}),
+           |  i -> array_min(transform(shingles, s -> xxhash64(concat(cast(i as string), ':', s)))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand))) as bucket))"""
+          .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2")).distinct()
+      .withColumn("est_jaccard", round(expr(
+        s"aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($nHash as double)"), 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_fingerprint" -> (fingerprint _),
+    "q_token_stats" -> (tokenStats _),
+    "q_lang_stats" -> (langStats _),
+    "q_term_freq" -> (termFreq _),
+    "q_quality_score" -> (qualityScore _),
+    "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_minhash_candidates" -> (minhashCandidates _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       md5(text) AS fingerprint
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fingerprint,
+        |       CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 6) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_term_freq" ->
+      """SELECT term, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY n DESC, term LIMIT 30""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents)
+        |SELECT doc_id,
+        |  round(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+        |        / len(tokens), 6) AS stopword_ratio,
+        |  round((n_chars - (len(tokens) - 1)) * 1.0 / len(tokens), 6) AS mean_word_len,
+        |  CASE WHEN len(tokens) < 20 THEN 'short'
+        |       WHEN len(tokens) <= 60 THEN 'medium'
+        |       ELSE 'long' END AS len_band
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |         count(*) AS inter
+        |  FROM ex a JOIN ex b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT id1, id2, inter,
+        |       round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+        |FROM pairs WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
+        |ORDER BY id1, id2""".stripMargin,
+    // q_minhash_candidates: no oracle (xxhash64 has no DuckDB equivalent);
+    // driver records rows-only; accuracy pinned in TextOpsSpec.
+  )
+}
