@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.elb.ElbQueries
-import graft.ops.{EventOps, Relational, SessionQueries, TextOps, VectorOps}
+import graft.ops.{EventOps, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SessionQueries.queries ++ Relational.queries ++ EventOps.queries ++
-      TextOps.queries ++ VectorOps.queries ++ ElbQueries.queries
+      TextOps.queries ++ VectorOps.queries ++ ElbQueries.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     SessionQueries.oracleSql ++ Relational.oracleSql ++ EventOps.oracleSql ++
-      TextOps.oracleSql ++ VectorOps.oracleSql
+      TextOps.oracleSql ++ VectorOps.oracleSql ++ Multimodal.oracleSql
 }

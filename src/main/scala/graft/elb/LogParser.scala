@@ -43,12 +43,12 @@ object LogParser {
   }
 
   private def addrIp(c: Column): Column = {
-    val ip = split(c, ":").getItem(0)
+    val ip = get(split(c, ":"), lit(0))
     when(ip.rlike("^[0-9.]+$"), ip)
   }
 
   private def addrPort(c: Column): Column =
-    split(c, ":").getItem(1).try_cast("int")
+    get(split(c, ":"), lit(1)).try_cast("int")
 
   /** Parse a DataFrame of raw lines (column `value`, as from
     * spark.read.text) into the typed requests relation plus bookkeeping:
@@ -73,9 +73,9 @@ object LogParser {
       .withColumn("backend_status", nullSentinel(col("backend_status_code")).try_cast("int"))
       .withColumn("received_bytes", col("received_bytes").try_cast("long"))
       .withColumn("sent_bytes", col("sent_bytes").try_cast("long"))
-      .withColumn("method", split(col("request"), " ").getItem(0))
-      .withColumn("url", split(col("request"), " ").getItem(1))
-      .withColumn("http_version", split(col("request"), " ").getItem(2))
+      .withColumn("method", get(split(col("request"), " "), lit(0)))
+      .withColumn("url", get(split(col("request"), " "), lit(1)))
+      .withColumn("http_version", get(split(col("request"), " "), lit(2)))
       .withColumn("ssl_cipher", nullSentinel(col("ssl_cipher")))
       .withColumn("ssl_protocol", nullSentinel(col("ssl_protocol")))
       // a line is corrupt when the essential trio (timestamp, client ip,

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.11): media payloads are opaque
+  * `binary` columns with a typed metadata struct riding alongside the
+  * relational columns; Parquet round-trips them natively.
+  *
+  * The actual codec (image/audio decode) is STUBBED — the container ships
+  * no media libraries — behind `decodeStub`, a deterministic fake that maps
+  * payload bytes → (width, height, n_frames). Everything Spark-side is
+  * real and tested: the binary column, the metadata struct schema, the
+  * per-partition batch processing shape (`mapPartitions` over a typed
+  * Dataset — the Scala analogue of arrow-batched mapInPandas), and the
+  * partitioning. Swapping `decodeStub` for a real JNI/codec call changes
+  * no plan shape.
+  *
+  * Scale note: payloads stay columnar until the decode stage; decode is a
+  * narrow per-partition map (no shuffle), so it parallelizes per input
+  * split and can be pipelined after a repartition sized to codec memory.
+  */
+object Multimodal {
+
+  /** Typed decode-stage row. */
+  case class Media(doc_id: Long, format: String, payload: Array[Byte])
+  case class Decoded(doc_id: Long, format: String, n_bytes: Int,
+                     width: Int, height: Int, n_frames: Int)
+
+  /** Deterministic fake decode: derives dimensions from payload length.
+    * Replace with a real codec behind the same signature. */
+  def decodeStub(m: Media): Decoded = {
+    val n = m.payload.length
+    Decoded(m.doc_id, m.format, n,
+      width = 64 + n % 512,
+      height = 64 + (n * 7) % 512,
+      n_frames = 1 + n % 24)
+  }
+
+  /** documents.text bytes masquerade as media payloads: binary column +
+    * metadata struct. This is the ingest shape a real pipeline would have
+    * after reading (path, bytes) pairs. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("txt").as("format"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          col("source").as("origin")).as("meta"))
+
+  /** Decode stage: typed Dataset → mapPartitions (per-partition imperative
+    * batch, the genuine escape hatch of SURVEY §2.9) → typed result. */
+  def decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("meta.format").as("format"), col("payload"))
+      .as[Media]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+  }
+
+  /** Oracle-checkable query over the decode output: the stub arithmetic is
+    * reproducible in SQL from octet_length(text). */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    decode(s, dir)
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** Binary-column relational ops without decode: checksums + prefix bytes
+    * straight on the payload (stays in codegen). */
+  def mediaChecksums(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        hex(expr("substring(payload, 1, 4)")).as("head_hex"))
+      .orderBy(col("doc_id"))
+
+  /** "Frame sampling" on the opaque payload: every 16th byte, first 8
+    * samples — demonstrates byte-level slicing staying columnar. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, least(7, cast(floor((octet_length(payload) - 1) / 16) as int))),
+          |  i -> ascii(cast(substring(payload, i * 16 + 1, 1) as string)))""".stripMargin)
+        .as("samples"))
+      .select(col("doc_id"),
+        concat_ws(",", expr("transform(samples, x -> cast(x as string))")).as("sample_csv"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_decode" -> (mediaFeatures _),
+    "q_media_checksums" -> (mediaChecksums _),
+    "q_media_frame_sample" -> (frameSample _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // mirrors decodeStub's arithmetic on strlen (byte length; ASCII corpus)
+    "q_media_decode" ->
+      """SELECT doc_id, 'txt' AS format,
+        |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+        |  CAST(64 + (strlen(text) * 7) % 512 AS INTEGER) AS height,
+        |  CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_checksums" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  upper(hex(substring(text, 1, 4))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_frame_sample" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    range(0, least(8, CAST(floor((strlen(text) - 1) / 16) AS INTEGER) + 1)),
+        |    i -> CAST(ord(substring(text, CAST(i * 16 + 1 AS INTEGER), 1)) AS VARCHAR)), ',')
+        |    AS sample_csv
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.stream.StreamSessions
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String)
+
+/** Batch ≡ streaming equivalence on replayed fixtures (SURVEY §5.3 /
+  * §7.5.5): the same session_window aggregation must produce the same
+  * sessions whether the events arrive as a table or as a stream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(): Seq[Ev] = {
+    // 3 users x 3 sessions x 4 hits, gaps well clear of the boundary
+    val base = ts("2015-07-22 09:00:00").getTime
+    (for {
+      u <- 0 until 3
+      s <- 0 until 3
+      h <- 0 until 4
+    } yield {
+      val t = base + u * 1000L + s * 40 * 60 * 1000L + h * 60 * 1000L
+      Ev(u * 100L + s * 10 + h, new java.sql.Timestamp(t), u.toLong,
+        if (h % 2 == 0) "view" else "click")
+    }) :+
+      // watermark pusher: a far-future event so every real session closes
+      Ev(9999L, new java.sql.Timestamp(base + 7L * 24 * 3600 * 1000), 999L, "view")
+  }
+
+  test("streaming session_window equals batch session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = StreamSessions.sessionize(ms.toDF())
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append).start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("stream_sessions")
+      .filter(col("user_id") =!= 999L)
+      .select("user_id", "first_hit_us", "last_hit_us", "hit_count")
+      .orderBy("user_id", "first_hit_us").collect()
+
+    val batch = events.toDF()
+      .filter(col("user_id") =!= 999L)
+      .groupBy(col("user_id"), session_window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("hit_count"),
+        min(unix_micros(col("ts"))).as("first_hit_us"),
+        max(unix_micros(col("ts"))).as("last_hit_us"))
+      .select("user_id", "first_hit_us", "last_hit_us", "hit_count")
+      .orderBy("user_id", "first_hit_us").collect()
+
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.length === 9, "3 users x 3 sessions")
+  }
+
+  test("late data beyond watermark is dropped from streaming per-minute load") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2015-07-22 09:00:00").getTime
+    val ms = MemoryStream[Ev]
+    val q = StreamSessions.loadPerMinute(ms.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("stream_load")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(Ev(1, new java.sql.Timestamp(base), 1, "view"))
+      q.processAllAvailable()
+      // advance watermark far past base
+      ms.addData(Ev(2, new java.sql.Timestamp(base + 3600 * 1000), 1, "view"))
+      q.processAllAvailable()
+      // straggler: 1h late, beyond the 10-min watermark → dropped
+      ms.addData(Ev(3, new java.sql.Timestamp(base + 1000), 1, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("stream_load").collect()
+    val firstMinute = out.filter(_.getLong(0) === base * 1000L)
+    assert(firstMinute.length === 1 && firstMinute.head.getLong(1) === 1L,
+      s"late row must not re-open the closed minute: ${out.mkString(",")}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2015-07-22 09:00:00").getTime
+    val ms = MemoryStream[Ev]
+    val q = StreamSessions.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(
+        Ev(1, new java.sql.Timestamp(base), 1, "view"),
+        Ev(1, new java.sql.Timestamp(base + 5), 1, "view"), // replay
+        Ev(2, new java.sql.Timestamp(base + 10), 1, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("stream_dedup").count() === 2)
+  }
+}

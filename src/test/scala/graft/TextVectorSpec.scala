@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, VectorOps}
+
+class TextVectorSpec extends SparkSpec {
+
+  test("minhash estimate tracks exact jaccard on real near-dup pairs") {
+    // exact bigram-shingle jaccard across ALL pairs (no blocking) at sf0.001
+    val docs = Tables(spark, sf001, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))")))
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh"))
+    val a = docs.select(col("sh"), col("doc_id").as("id1"), col("n_sh").as("n1"))
+    val b = docs.select(col("sh"), col("doc_id").as("id2"), col("n_sh").as("n2"))
+    val exact = a.join(b, "sh").filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("j") >= 0.7)
+      .select("id1", "id2", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val est = TextOps.minhashCandidates(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // every high-jaccard pair must be found by LSH (recall at j>=0.7 with
+    // 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8 >= 0.97)
+    val missed = exact.keySet -- est.keySet
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+    // and estimates on those pairs are close
+    exact.foreach { case (k, j) =>
+      assert(math.abs(est(k) - j) < 0.3, s"pair $k est=${est(k)} exact=$j")
+    }
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val d = TextOps.dedupExact(spark, sf001)
+    val total = Tables(spark, sf001, "documents").count()
+    val distinctTexts = Tables(spark, sf001, "documents")
+      .select("text").distinct().count()
+    assert(d.count() === distinctTexts)
+    assert(d.agg(sum(col("n_copies"))).head().getLong(0) === total)
+  }
+
+  test("cosine topk is symmetric-sane: self excluded, scores in [-1,1], k<=5") {
+    val out = VectorOps.cosineTopK(spark, sf001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(r.fieldIndex("query_id"))
+      != r.getLong(r.fieldIndex("cand_id"))))
+    assert(out.forall(r => math.abs(r.getDouble(r.fieldIndex("cos"))) <= 1.0))
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 5))
+    // ranks descend in cos within each query
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(rows.head.fieldIndex("rk")))
+      val cs = byRank.map(_.getDouble(byRank.head.fieldIndex("cos")))
+      assert(cs.zip(cs.drop(1)).forall { case (x, y) => x >= y })
+    }
+  }
+}
