@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line of per-query wall seconds at
+  * SPARK_GRAFT_SF_DIR. An untimed warmup pass (count of a 1-row slice of
+  * each table + one full run of a cheap query) first faults in the JVM,
+  * codegen, and parquet footers so the timed numbers measure the queries,
+  * not first-touch JIT (first cold query otherwise pays ~20-30 s).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +15,35 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup (untimed): JIT + codegen + parquet footer cache
+    Tables.names.foreach { t =>
+      try Tables(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => }
+    }
+    // one representative per execution family: hash agg, window, join,
+    // higher-order lambdas, from_csv/regex, json — warms JIT + codegen paths
+    Seq("q_pricing_summary", "q_window_running", "q_token_stats",
+        "q_elb_parse_stats", "q_json_extract").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case _: Throwable => }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

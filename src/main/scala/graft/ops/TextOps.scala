@@ -22,13 +22,17 @@ object TextOps {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
-  /** Tokens + distinct word-bigram shingles (positional, 0-based Spark
-    * array indexing; the oracle uses DuckDB's 1-based indexing — both
-    * produce the n-1 consecutive bigrams). */
-  private def withShingles(df: DataFrame): DataFrame =
+  /** Tokens + distinct word-bigram shingles via the native BigramShingles
+    * expression (graft.functions) — semantically identical to
+    * array_distinct(transform(sequence(0, n-2), i -> tokens[i]||' '||tokens[i+1]))
+    * and to the oracle's DuckDB list_distinct(list_transform(...)), but one
+    * JVM loop per doc instead of interpreted per-element lambdas. */
+  private def withShingles(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("tokens", split(col("text"), " "))
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))")))
+      .withColumn("shingles",
+        graft.functions.GraftFunctions.bigramShingles(col("tokens")))
+  }
 
   /** Exact dedup by full text content: one group per distinct text,
     * keep-lowest-id representative. (Content-hash groupBy — at scale,
@@ -110,21 +114,30 @@ object TextOps {
   /** Exact near-duplicate pairs: bigram-shingle Jaccard >= 0.25 within a
     * (lang, source) block. Explode distinct shingles, self-join on shingle
     * within the block (pair generation bounded by block size), count
-    * intersections, Jaccard = |∩| / (|A|+|B|-|∩|). */
+    * intersections, Jaccard = |∩| / (|A|+|B|-|∩|).
+    *
+    * CRITICAL plan shape: the explode select references `shingles` exactly
+    * once. Referencing it alongside (e.g. `size(shingles)`) lets Catalyst
+    * collapse the expensive shingle expression into the Generate, where the
+    * sibling column is re-evaluated per EXPLODED row (~600× slowdown
+    * measured). Shingle counts are re-derived from the exploded rows and
+    * broadcast-joined back instead. */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = withShingles(docs(s, dir))
+    // persisted: referenced 4× below (both join sides + counts twice) —
+    // one explode pass instead of four
+    val ex = withShingles(docs(s, dir))
       .select(col("doc_id"), col("lang"), col("source"),
-        size(col("shingles")).as("n_sh"), col("shingles"))
-    val ex = base.select(col("doc_id"), col("lang"), col("source"), col("n_sh"),
-      explode(col("shingles")).as("sh"))
-    val a = ex.select(col("lang"), col("source"), col("sh"),
-      col("doc_id").as("id1"), col("n_sh").as("n1"))
-    val b = ex.select(col("lang"), col("source"), col("sh"),
-      col("doc_id").as("id2"), col("n_sh").as("n2"))
+        explode(col("shingles")).as("sh"))
+      .persist()
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id1"))
+    val b = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id2"))
     a.join(b, Seq("lang", "source", "sh"))
       .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts.select(col("doc_id").as("id1"), col("n_sh").as("n1"))), "id1")
+      .join(broadcast(counts.select(col("doc_id").as("id2"), col("n_sh").as("n2"))), "id2")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jaccard") >= 0.25)
@@ -140,29 +153,33 @@ object TextOps {
     * no DuckDB twin → no oracle entry (rows-only driver check); accuracy
     * vs exact Jaccard is pinned in TextOpsSpec. */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val nHash = 32
     val bands = 8
     val rowsPerBand = nHash / bands
+    // signature via the native MinHashSig expression: xxhash64(s, seed=i),
+    // whole numHashes × |shingles| loop in one eval (graft.functions)
     val sig = withShingles(docs(s, dir))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${nHash - 1}),
-           |  i -> array_min(transform(shingles, s -> xxhash64(concat(cast(i as string), ':', s)))))"""
-          .stripMargin))
-      .select(col("doc_id"), col("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(expr(
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(col("shingles"), nHash).as("sig"))
+    // band key = the 4-long slice itself (arrays join/hash fine) — no extra
+    // hashing pass; `sig` referenced only inside the generator
+    val banded = sig.select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
-           |  b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand))) as bucket))"""
+           |  b -> struct(b as band, slice(sig, b * $rowsPerBand + 1, $rowsPerBand) as bucket))"""
           .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2")).distinct()
-      .withColumn("est_jaccard", round(expr(
-        s"aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($nHash as double)"), 6))
+      .select(col("id1"), col("id2")).distinct()
+    pairs
+      .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+      .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+      .withColumn("est_jaccard",
+        round(graft.functions.GraftFunctions.sigAgreement(col("sig1"), col("sig2")), 6))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .orderBy(col("id1"), col("id2"))

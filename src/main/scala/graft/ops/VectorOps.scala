@@ -5,53 +5,54 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Vector similarity over `embeddings` (`embedding: array<float>[64]`) —
   * the driver north star's similarity-search surface (SURVEY.md §2.11).
   *
-  * All arithmetic is double (floats cast element-wise first — float→double
-  * is exact) and folds arrays left-to-right, which the oracle mirrors with
-  * DuckDB's list_dot_product over DOUBLE[] — identical IEEE sequential
-  * sums, so results round-trip bit-stably at round(…, 6).
+  * Dot products run through the native codegen'd DotProduct expression
+  * (graft.functions) — float elements widened to double per element, summed
+  * left-to-right, exactly like the DuckDB oracle's list_dot_product over
+  * CAST(embedding AS DOUBLE[]) — so scores are bit-stable at round(…, 6).
+  * Norms are computed once per vector BEFORE pair joins (not per pair).
   *
-  * Scale path: the brute-force top-k here is the correctness baseline
-  * (restricted query set × full candidates = O(Q·N·d), shuffle-free map
-  * side after a broadcast of the Q query vectors). For N where Q·N·d is
-  * prohibitive, candidates come from LSH bucketing instead (same
-  * broadcast-join shape on bucket id); MinHash-LSH for text shows the
-  * banding pattern in TextOps.
+  * Scale path: brute-force top-k = broadcast the Q query vectors, score
+  * map-side, per-query top-k — O(Q·N·d) with no shuffle until the final
+  * rank. Pair search blocks on label (O(block²) bounded). For unbounded N,
+  * swap the blocking key for an LSH bucket id — same join shape; the
+  * banding pattern is shown in TextOps.minhashCandidates.
   */
 object VectorOps {
 
-  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables(s, dir, "embeddings")
+  }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
-  /** Sequential-fold dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** vectors with their L2 norm precomputed (one dot per row). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
 
   /** L2 norms + label, per vector. */
   def norms(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
-      .withColumn("v", asDouble(col("embedding")))
-      .select(col("vec_id"), col("label"),
-        round(sqrt(dot(col("v"), col("v"))), 6).as("l2_norm"))
+    withNorm(emb(s, dir))
+      .select(col("vec_id"), col("label"), round(col("norm"), 6).as("l2_norm"))
       .orderBy(col("vec_id"))
 
   /** Brute-force cosine top-k: for each query vector (vec_id < 10), the 5
-    * nearest neighbors by cosine similarity (self excluded). Query side is
-    * tiny → broadcast; candidates never shuffle until the final per-query
-    * top-k (TakeOrdered per group via row_number). */
+    * nearest neighbors by cosine similarity (self excluded). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("v", asDouble(col("embedding")))
+    val e = withNorm(emb(s, dir))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val cand = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("norm").as("cnorm"))
     val scored = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", round(
-        dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored
@@ -62,17 +63,17 @@ object VectorOps {
   }
 
   /** Exact cosine near-dup pairs within a label block (embedding-cosine
-    * near-dup of SURVEY §2.11): same blocking idea as the text Jaccard
-    * pairs — O(block²) bounded. */
+    * near-dup of SURVEY §2.11). */
   def cosinePairs(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("v", asDouble(col("embedding")))
-    val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
-    val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+    val e = withNorm(emb(s, dir))
+    val a = e.select(col("label"), col("vec_id").as("id1"),
+      col("embedding").as("v1"), col("norm").as("n1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"),
+      col("embedding").as("v2"), col("norm").as("n2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", round(
-        dot(col("v1"), col("v2")) /
-          (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))), 6))
+      .withColumn("cos",
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= 0.35)
       .select(col("label"), col("id1"), col("id2"), col("cos"))
       .orderBy(col("label"), col("id1"), col("id2"))
@@ -83,7 +84,9 @@ object VectorOps {
     * vectors (no driver collect). */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
-      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "x")))
       .withColumn("dim", col("pos") + 1)
       .filter(col("dim") <= 8)
       .groupBy(col("label"), col("dim"))
@@ -105,11 +108,13 @@ object VectorOps {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                        CAST(embedding AS DOUBLE[]))) AS norm
+        |           FROM embeddings),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    round(list_dot_product(q.v, c.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
         |), ranked AS (
         |  SELECT query_id, cand_id, cos,
@@ -119,13 +124,14 @@ object VectorOps {
         |ORDER BY query_id, rk""".stripMargin,
 
     "q_cosine_pairs" ->
-      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                        CAST(embedding AS DOUBLE[]))) AS norm
+        |           FROM embeddings)
         |SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+        |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.35
         |ORDER BY a.label, id1, id2""".stripMargin,
 
     "q_label_centroids" ->

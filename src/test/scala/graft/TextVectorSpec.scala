@@ -8,16 +8,18 @@ class TextVectorSpec extends SparkSpec {
 
   test("minhash estimate tracks exact jaccard on real near-dup pairs") {
     // exact bigram-shingle jaccard across ALL pairs (no blocking) at sf0.001
-    val docs = Tables(spark, sf001, "documents")
+    val ex = Tables(spark, sf001, "documents")
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))")))
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("sh"))
-    val a = docs.select(col("sh"), col("doc_id").as("id1"), col("n_sh").as("n1"))
-    val b = docs.select(col("sh"), col("doc_id").as("id2"), col("n_sh").as("n2"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("sh"), col("doc_id").as("id1"))
+    val b = ex.select(col("sh"), col("doc_id").as("id2"))
     val exact = a.join(b, "sh").filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("inter"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
       .withColumn("j", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("j") >= 0.7)
       .select("id1", "id2", "j").collect()
