@@ -252,6 +252,48 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("size_bucket"), col("status_np"))
 
+  /** SQL-string API surface (the reference allows "Spark SQL" outright,
+    * R:26): GROUPING SETS over a temp view — multi-level totals in one
+    * pass, same Expand-based plan as rollup/cube. */
+  def sqlGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Paging: ORDER BY ... OFFSET/LIMIT (deterministic keyset order). */
+  def limitOffset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10).limit(5)
+
+  /** HLL++ approximate distinct — the 100 TB path for Goal 3's unique
+    * counting (SURVEY §2.4): no expand+double shuffle like exact
+    * countDistinct. Not exact ⇒ excluded from the hash oracle (driver
+    * records rows-only); accuracy asserted in RelationalSpec-style test. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Custom typed UDAF (Aggregator) — sum of squares per group; exact,
+    * order-independent, so fully oracle-checkable. */
+  def udafSumSq(s: SparkSession, dir: String): DataFrame = {
+    val sumsq = udaf(graft.functions.SumSq)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sumsq(col("l_quantity")), 2).as("sum_sq_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,6 +317,10 @@ object Relational {
     "q_string_funcs" -> (stringFuncs _),
     "q_date_funcs" -> (dateFuncs _),
     "q_case_when" -> (caseWhen _),
+    "q_sql_grouping_sets" -> (sqlGroupingSets _),
+    "q_limit_offset" -> (limitOffset _),
+    "q_approx_distinct" -> (approxDistinct _),
+    "q_udaf_sumsq" -> (udafSumSq _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,5 +472,24 @@ object Relational {
         |       coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np,
         |       count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY size_bucket, status_np""".stripMargin,
+
+    "q_sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10""".stripMargin,
+
+    // q_approx_distinct: HLL estimate ≠ exact — intentionally no oracle.
+
+    "q_udaf_sumsq" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity * l_quantity), 2) AS sum_sq_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
