@@ -147,6 +147,79 @@ case class SigAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** simhash64(array<string>) → long: classic SimHash — per input string a
+  * 64-bit xxhash; bit j of the result is the sign of Σ(±1) votes across
+  * strings. Near-duplicate docs differ in few bits (compare via
+  * bit_count(a ^ b)). One JVM loop per doc. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** srp_sig(array<float|double>, nBits) → int: sign-random-projection
+  * signature for cosine-similarity LSH. Hyperplane i's component for dim d
+  * is ±1 derived from xxhash64(i * 8191 + d) parity (deterministic, no
+  * stored planes); bit i = [dot(v, plane_i) > 0]. Vectors with high cosine
+  * similarity agree on most bits. */
+case class SrpSig(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0
+    var i = 0
+    while (i < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        val h = XxHash64Function.hash(i.toLong * 8191L + d, LongType, 42L)
+        acc += (if ((h & 1L) == 1L) x else -x)
+        d += 1
+      }
+      if (acc > 0) sig |= (1 << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; call before using the wrappers. */
   def register(spark: SparkSession): Unit = {
@@ -160,6 +233,11 @@ object GraftFunctions {
       exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_shingles",
       exprs => BigramShingles(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_srp_sig",
+      exprs => SrpSig(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -173,4 +251,11 @@ object GraftFunctions {
 
   def bigramShingles(tokens: Column): Column =
     call_function("graft_bigram_shingles", tokens)
+
+  def simhash64(shingles: Column): Column =
+    call_function("graft_simhash64", shingles)
+
+  def srpSig(vec: Column, nBits: Int): Column =
+    call_function("graft_srp_sig", vec,
+      org.apache.spark.sql.functions.lit(nBits))
 }

@@ -185,6 +185,30 @@ object TextOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** SimHash near-dup pairs (SURVEY §2.11): one 64-bit signature per doc
+    * (native SimHash64 over bigram shingles), candidate pairs within a
+    * (lang, source) block at Hamming distance <= 12 (bit_count(xor)).
+    * Hash-based → no DuckDB oracle (rows-only); agreement with
+    * MinHash/exact-Jaccard pinned in TextVectorSpec. At scale, block on
+    * rotated signature prefixes instead of metadata (same join shape). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = withShingles(docs(s, dir))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.GraftFunctions.simhash64(col("shingles")).as("sig"))
+    val a = sigs.select(col("lang"), col("source"),
+      col("doc_id").as("id1"), col("sig").as("sig1"))
+    val b = sigs.select(col("lang"), col("source"),
+      col("doc_id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(expr("sig1 ^ sig2")))
+      .filter(col("hamming") <= 12)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_fingerprint" -> (fingerprint _),
@@ -194,6 +218,7 @@ object TextOps {
     "q_quality_score" -> (qualityScore _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_minhash_candidates" -> (minhashCandidates _),
+    "q_simhash_pairs" -> (simhashPairs _),
   )
 
   val oracleSql: Map[String, String] = Map(

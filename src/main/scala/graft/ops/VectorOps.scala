@@ -93,11 +93,56 @@ object VectorOps {
       .agg(round(avg(col("x")), 6).as("mean_x"), count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))
 
+  /** Self-evaluating ANN: sign-random-projection LSH (16-bit signature,
+    * 8 bands × 2 bits) generates candidates; exact cosine re-ranks them;
+    * the query reports recall@5 against the exact top-5 per query vector.
+    * At 100 TB only the LSH+re-rank side runs (the exact baseline here
+    * exists to measure recall on test data); candidate generation is a
+    * band-key equi join — the same sub-quadratic shape as MinHash banding.
+    * Hash-based → rows-only for the oracle; recall pinned in
+    * TextVectorSpec. */
+  def annSrpRecall(s: SparkSession, dir: String): DataFrame = {
+    val nBits = 16
+    val bandBits = 2
+    val e = withNorm(emb(s, dir))
+      .withColumn("sig", GraftFunctions.srpSig(col("embedding"), nBits))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"), col("sig").as("qsig"))
+    // exact top-5 (the evaluation baseline)
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("norm").as("cnorm"), col("sig").as("csig"))
+    val scored = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exactTop = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    // LSH candidates: any shared 2-bit band
+    val bandMatch = (0 until nBits / bandBits).map { b =>
+      val mask = ((1 << bandBits) - 1) << (b * bandBits)
+      (col("qsig").bitwiseAND(lit(mask))) === (col("csig").bitwiseAND(lit(mask)))
+    }.reduce(_ || _)
+    val annTop = scored.filter(bandMatch)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id").as("ann_id"))
+    exactTop
+      .join(annTop, exactTop("query_id") === annTop("query_id") &&
+        col("cand_id") === col("ann_id"), "left")
+      .groupBy(exactTop("query_id").as("query_id"))
+      .agg((count(col("ann_id")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_norms" -> (norms _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_label_centroids" -> (labelCentroids _),
+    "q_ann_srp_recall" -> (annSrpRecall _),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -82,6 +82,43 @@ class StreamingSpec extends SparkSpec {
       s"late row must not re-open the closed minute: ${out.mkString(",")}")
   }
 
+  test("dynamic-gap flatMapGroupsWithState sessionizer closes sessions correctly") {
+    import graft.stream.DynamicSessions
+    import graft.stream.DynamicSessions.Hit
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2015-07-22 09:00:00").getTime * 1000L // µs
+    val min = 60L * 1000000
+    def hit(u: Long, tUs: Long) = Hit(u, tUs, new java.sql.Timestamp(tUs / 1000))
+    val ms = MemoryStream[Hit]
+    // user 1 (gap 15 min): hits at 0,10min → one session; then 40min → second
+    // user 10 (gap 5 min via defaultGapUs): hits at 0,10min → TWO sessions
+    val hitsDf = ms.toDF().withWatermark("ts", "1 minute").as[Hit]
+    val q = DynamicSessions.sessionize(hitsDf)
+      .writeStream.format("memory").queryName("dyn_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(
+        hit(1, base), hit(1, base + 10 * min), hit(1, base + 40 * min),
+        hit(10, base), hit(10, base + 10 * min))
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark → all sessions close
+      ms.addData(hit(999, base + 100L * 24 * 60 * min))
+      q.processAllAvailable()
+      ms.addData(hit(998, base + 200L * 24 * 60 * min))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dyn_sessions")
+      .filter(org.apache.spark.sql.functions.col("user_id") < 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      (1L, base, base + 10 * min, 2L),            // 10-min gap < 15-min gap
+      (1L, base + 40 * min, base + 40 * min, 1L), // 30-min gap splits
+      (10L, base, base, 1L),                      // fast user: 5-min gap
+      (10L, base + 10 * min, base + 10 * min, 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime

@@ -38,6 +38,24 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("simhash agrees with minhash on near-dup pairs (blocked universe)") {
+    val sim = TextOps.simhashPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextOps.jaccardPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact-Jaccard near-dup within a block must be close in simhash
+    assert(exact.subsetOf(sim),
+      s"simhash missed exact near-dups: ${exact -- sim}")
+  }
+
+  test("srp-ann recall@5 is high on the fixed dataset") {
+    val recalls = VectorOps.annSrpRecall(spark, sf001).collect()
+      .map(_.getDouble(1))
+    assert(recalls.nonEmpty)
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.5, s"avg recall@5 = $avg")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = TextOps.dedupExact(spark, sf001)
     val total = Tables(spark, sf001, "documents").count()
