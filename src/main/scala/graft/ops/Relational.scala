@@ -294,6 +294,68 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** TPC-H Q3-shaped: shipping priority — 3-way join, filter both sides,
+    * aggregate, top-k. The fact-fact join shuffles on the key; customer is
+    * under the broadcast threshold at test SF and planner-broadcast. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: local-supplier revenue per nation — 6-way star join
+    * (two broadcast dims, supplier-nation co-location condition). */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+
+  /** Typed Dataset[T] row for the typed-API coverage query. */
+  case class Li(l_returnflag: String, l_discount: Double)
+
+  /** Typed Dataset[T] path (SURVEY §1.6): case-class encoder, typed filter
+    * + groupByKey — compiles to the same Tungsten plan, with compile-time
+    * field checks. Same oracle as the equivalent SQL aggregate. */
+  def typedCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_discount"))
+      .as[Li]
+      .filter(_.l_discount > 0.02)
+      .groupByKey(_.l_returnflag)
+      .count()
+      .toDF("l_returnflag", "n")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Salted exact-distinct (ops.Skew): hot-key-safe distinct URL counting —
+    * identical results to plain countDistinct (oracle-checked), spread over
+    * 16 value-buckets. */
+  def saltedDistinct(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedDistinctCount(
+        Tables(s, dir, "events"), col("event_type"), col("user_id"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type"))
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -321,6 +383,10 @@ object Relational {
     "q_limit_offset" -> (limitOffset _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_udaf_sumsq" -> (udafSumSq _),
+    "q_shipping_priority" -> (shippingPriority _),
+    "q_local_supplier_volume" -> (localSupplierVolume _),
+    "q_typed_counts" -> (typedCounts _),
+    "q_salted_distinct" -> (saltedDistinct _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -491,5 +557,40 @@ object Relational {
         |  round(sum(l_quantity * l_quantity), 2) AS sum_sq_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_local_supplier_volume" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, revenue DESC, n_name""".stripMargin,
+
+    "q_typed_counts" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_discount > 0.02
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_salted_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
