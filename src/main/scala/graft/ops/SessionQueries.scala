@@ -77,6 +77,17 @@ object SessionQueries {
         col("hit_count"), col("unique_urls"))
       .orderBy(col("user_id"), col("first_hit_us"))
 
+  /** Sessions with the URL set materialized (SURVEY §1.3 `urls array`):
+    * collect_set per session, sorted and CSV-joined so the oracle compare
+    * is container-representation-free. */
+  def sessionUrls(s: SparkSession, dir: String): DataFrame =
+    Sessionize.withSessionIds(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("hit_count"),
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("urls_csv"))
+      .orderBy(col("user_id"), col("session_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_avg_session_time" -> (avgSessionTime _),
@@ -84,6 +95,7 @@ object SessionQueries {
     "q_top_engaged" -> (topEngaged _),
     "q_ip_features" -> (ipFeatures _),
     "q_session_window" -> (sessionWindow _),
+    "q_session_urls" -> (sessionUrls _),
   )
 
   private val cte = Sessionize.oracleSessionsCte()
@@ -111,6 +123,13 @@ object SessionQueries {
          |SELECT user_id, session_id, duration_sec, hit_count
          |FROM sessions
          |ORDER BY duration_sec DESC, user_id, session_id LIMIT 20""".stripMargin,
+
+    "q_session_urls" ->
+      s"""$cte
+         |SELECT user_id, session_id, count(*) AS hit_count,
+         |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS urls_csv
+         |FROM numbered GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
 
     "q_ip_features" ->
       s"""$cte
