@@ -46,9 +46,16 @@ object EventOps {
       .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
       .agg(count(lit(1)).as("requests"))
     val w = Window.orderBy(col("minute_us")).rowsBetween(-4, 0)
+    // RANGE frame over event-time µs: all minutes within the trailing 5
+    // minutes of VALUE distance (robust to gaps, unlike the rows frame)
+    val wr = Window.orderBy(col("minute_us"))
+      .rangeBetween(-4L * 60 * 1000000, 0)
     perMin
       .select(col("minute_us"), col("requests"),
-        round(avg(col("requests")).over(w), 6).as("ma5"))
+        round(avg(col("requests")).over(w), 6).as("ma5"),
+        round(avg(col("requests")).over(wr), 6).as("ma5_range"),
+        lead(col("requests"), 1).over(Window.orderBy(col("minute_us")))
+          .as("next_requests"))
       .orderBy(col("minute_us"))
   }
 
@@ -83,12 +90,37 @@ object EventOps {
         round(avg(col("value")), 6).as("avg_value"))
       .orderBy(col("user_id"))
 
+  /** Distribution stats per event type: stddev + exact interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  def statsSummary(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("value")), 6).as("sd_value"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** from_json with an explicit schema (vs get_json_object string paths):
+    * typed struct access on the parsed column. */
+  def jsonSchema(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .groupBy(pmod(col("p.k"), lit(10)).as("k_mod10"))
+      .agg(count(lit(1)).as("n"), sum(col("p.k")).as("sum_k"))
+      .orderBy(col("k_mod10"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (jsonExtract _),
     "q_load_per_minute" -> (loadPerMinute _),
     "q_sliding_load" -> (slidingLoad _),
     "q_asof_signup" -> (asofSignup _),
     "q_user_stats" -> (userStats _),
+    "q_stats_summary" -> (statsSummary _),
+    "q_json_schema" -> (jsonSchema _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -112,7 +144,10 @@ object EventOps {
         |  FROM events GROUP BY 1)
         |SELECT minute_us, requests,
         |  round(avg(requests) OVER (ORDER BY minute_us
-        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
+        |  round(avg(requests) OVER (ORDER BY minute_us
+        |    RANGE BETWEEN 240000000 PRECEDING AND CURRENT ROW), 6) AS ma5_range,
+        |  lead(requests, 1) OVER (ORDER BY minute_us) AS next_requests
         |FROM pm ORDER BY minute_us""".stripMargin,
 
     "q_asof_signup" ->
@@ -125,6 +160,19 @@ object EventOps {
         |SELECT event_id, user_id, ts_us, last_signup_us,
         |       ts_us - last_signup_us AS since_signup_us
         |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_stats_summary" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_schema" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY k_mod10""".stripMargin,
 
     "q_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
