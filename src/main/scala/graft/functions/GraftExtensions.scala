@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injection point (the (c)-tier registration path
+  * of SURVEY §7.4 / the north star): lets a session built with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * resolve the engine's native functions from SQL text without any per-query
+  * registration call. `GraftFunctions.register` remains the imperative
+  * equivalent for sessions created elsewhere (the driver's own builders).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_sig_agreement"), info("graft_sig_agreement"),
+      (exprs: Seq[Expression]) => SigAgreement(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_bigram_shingles"), info("graft_bigram_shingles"),
+      (exprs: Seq[Expression]) => BigramShingles(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_srp_sig"), info("graft_srp_sig"),
+      (exprs: Seq[Expression]) =>
+        SrpSig(exprs(0), exprs(1).eval(null).asInstanceOf[Int])))
+  }
+}

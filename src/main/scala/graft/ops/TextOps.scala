@@ -209,6 +209,56 @@ object TextOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** n-gram language-ID heuristic (north star "language-ID"): scores each
+    * doc against per-language profiles of frequent character trigrams and
+    * stopwords, picks the argmax. Profiles here are tiny hand-rolled ones
+    * for the latin-script languages the corpus labels claim; on THIS
+    * synthetic corpus text is language-independent (same vocabulary for
+    * every lang label), so accuracy against the label is meaningless —
+    * the operator's behavior is pinned on real multilingual strings in
+    * TextVectorSpec instead. Rows-only for the oracle. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", "ing ", " to "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", "ción"),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", "sch"),
+    "fr" -> Seq(" le ", " et ", " les ", " des ", " une "),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Adds `predicted_lang`/`lang_score` from n-gram occurrence counts —
+    * occurrences of gram g = (len(text) - len(replace(text, g, ''))) / len(g),
+    * argmax over languages via struct-lexicographic greatest (score, then
+    * lang as deterministic tie-break). */
+  def languageIdOn(df: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = langProfiles.map { case (lang, grams) =>
+      val hits = grams.map(g =>
+        (length(padded) - length(regexp_replace(padded, lit(g), lit("")))) / length(lit(g)))
+        .reduce(_ + _)
+      struct(hits.cast("double").as("score"), lit(lang).as("lang"))
+    }
+    df.withColumn("best", greatest(scores: _*))
+      .withColumn("predicted_lang", col("best.lang"))
+      .withColumn("lang_score", round(col("best.score"), 2))
+      .drop("best")
+  }
+
+  def languageId(s: SparkSession, dir: String): DataFrame =
+    languageIdOn(docs(s, dir))
+      .select(col("doc_id"), col("lang").as("label_lang"),
+        col("predicted_lang"), col("lang_score"))
+      .orderBy(col("doc_id"))
+
+  /** BPE-ish token counting (north star): whitespace tokens vs a
+    * subword-flavored regex segmentation (runs of letters, digits, or
+    * single punctuation — the pre-tokenization step of BPE pipelines). */
+  def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_fingerprint" -> (fingerprint _),
@@ -219,6 +269,8 @@ object TextOps {
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_minhash_candidates" -> (minhashCandidates _),
     "q_simhash_pairs" -> (simhashPairs _),
+    "q_language_id" -> (languageId _),
+    "q_token_count_bpe" -> (tokenCountBpe _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -284,7 +336,13 @@ object TextOps {
         |       round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
         |FROM pairs WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
         |ORDER BY id1, id2""".stripMargin,
-    // q_minhash_candidates: no oracle (xxhash64 has no DuckDB equivalent);
-    // driver records rows-only; accuracy pinned in TextOpsSpec.
+    "q_token_count_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
+    // DuckDB equivalent); q_language_id: rows-only (profile-scoring
+    // heuristic pinned in TextVectorSpec instead). Driver records rows-only.
   )
 }

@@ -56,6 +56,21 @@ class TextVectorSpec extends SparkSpec {
     assert(avg >= 0.5, s"avg recall@5 = $avg")
   }
 
+  test("language-id heuristic identifies real multilingual text") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("the cat sat on the mat and looked to the window", "en"),
+      ("el perro que corre en la calle es de madrid", "es"),
+      ("der hund ist schnell und die katze ist schön", "de"),
+      ("le chat et les souris mangent des fromages dans une maison", "fr"),
+      ("我是学生的朋友在北京了", "zh")).toDF("text", "expected")
+    val out = TextOps.languageIdOn(fixture).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("predicted_lang") === r.getAs[String]("expected"),
+        s"text='${r.getAs[String]("text")}'")
+    }
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = TextOps.dedupExact(spark, sf001)
     val total = Tables(spark, sf001, "documents").count()
