@@ -220,6 +220,65 @@ case class SrpSig(child: Expression, nBits: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** winnow_fingerprint(string, k, w) → array<long>: document fingerprinting
+  * by winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003, public
+  * algorithm): Rabin-Karp rolling hash over character k-grams; from each
+  * window of w consecutive hashes keep the minimum (rightmost on ties),
+  * recording each selected position once. Guarantees any shared substring
+  * of length >= k + w - 1 contributes a shared fingerprint — the standard
+  * copy-detection primitive. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val B = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // rolling k-gram hashes
+    val nh = n - k + 1
+    val hs = new Array[Long](nh)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nh) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    // winnow: min of each window of w hashes, dedup by selected position
+    val out = new java.util.ArrayList[Any]()
+    var lastPos = -1
+    val windows = math.max(1, nh - w + 1)
+    var start = 0
+    while (start < windows) {
+      var minPos = start
+      var j = start
+      val end = math.min(start + w, nh)
+      while (j < end) {
+        if (hs(j) <= hs(minPos)) minPos = j // rightmost minimum
+        j += 1
+      }
+      if (minPos != lastPos) {
+        out.add(java.lang.Long.valueOf(hs(minPos)))
+        lastPos = minPos
+      }
+      start += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; call before using the wrappers. */
   def register(spark: SparkSession): Unit = {
@@ -238,6 +297,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_srp_sig",
       exprs => SrpSig(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowFingerprint(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -251,6 +314,11 @@ object GraftFunctions {
 
   def bigramShingles(tokens: Column): Column =
     call_function("graft_bigram_shingles", tokens)
+
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 
   def simhash64(shingles: Column): Column =
     call_function("graft_simhash64", shingles)

@@ -259,6 +259,20 @@ object TextOps {
           .as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (north star "document fingerprinting (rolling
+    * hash)"): per-doc stats over the selected k-gram hashes — set size and
+    * an order-independent checksum. Hash values are engine-internal →
+    * rows-only oracle; the winnowing guarantee (shared substrings ⇒ shared
+    * fingerprints) is pinned in TextVectorSpec. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowFingerprint(col("text"), 8, 4).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_fingerprint" -> (fingerprint _),
@@ -271,6 +285,7 @@ object TextOps {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_language_id" -> (languageId _),
     "q_token_count_bpe" -> (tokenCountBpe _),
+    "q_winnow_fingerprints" -> (winnowFingerprints _),
   )
 
   val oracleSql: Map[String, String] = Map(

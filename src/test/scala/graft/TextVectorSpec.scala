@@ -71,6 +71,25 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("winnowing fingerprints: edit-robust overlap, shared-substring guarantee") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single evening"
+    val edited = base.replace("jumps", "leaps") // one-word edit mid-text
+    val other = "completely different content about distributed query engines and shuffle partitioning strategies at scale"
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("id", "text")
+      .select(col("id"),
+        graft.functions.GraftFunctions.winnowFingerprint(col("text"), 8, 4).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def jac(a: Set[Long], b: Set[Long]) =
+      a.intersect(b).size.toDouble / a.union(b).size
+    assert(fps(1).nonEmpty && fps(1).size < base.length, "winnowing must subsample")
+    assert(jac(fps(1), fps(2)) > 0.5,
+      s"one-word edit should keep most fingerprints: ${jac(fps(1), fps(2))}")
+    assert(jac(fps(1), fps(3)) < 0.1,
+      s"unrelated docs should share almost none: ${jac(fps(1), fps(3))}")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = TextOps.dedupExact(spark, sf001)
     val total = Tables(spark, sf001, "documents").count()
