@@ -137,12 +137,78 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** IVF-flavored ANN (the "IVF or LSH-bucketed variant" of the north
+    * star): k-means coarse quantizer (MLlib, fixed seed) buckets vectors by
+    * nearest centroid; each query searches its nProbe nearest cells
+    * (multiprobe) and exact-cosine re-ranks. Self-evaluating like the SRP variant —
+    * reports recall@5 vs the exact top-5. At 100 TB the centroid table is
+    * a broadcast dim and per-cell candidate lists are the partition key;
+    * only the tiny centroid model ever reaches the driver. */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nCells = 16
+    val nProbe = 4
+    val e = withNorm(emb(s, dir))
+    val withVec = e.withColumn("features",
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(10)
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("prediction").as("cell"))
+    // centroid relation (k × dim — tiny, driver-side by construction)
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"))
+    // multiprobe: nProbe nearest cells per query by centroid dot distance
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        -dot(transform(col("qv"), x => x.cast("double")), col("centroid")) /
+          col("qnorm"))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cell"))
+    // exact top-5 baseline (evaluation only)
+    val cand = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("norm").as("cnorm"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exactTop = cand.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    // IVF path: candidates only from probed cells
+    val ivfTop = cand.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id").as("ivf_id"))
+    exactTop
+      .join(ivfTop, exactTop("query_id") === ivfTop("query_id") &&
+        col("cand_id") === col("ivf_id"), "left")
+      .groupBy(exactTop("query_id").as("query_id"))
+      .agg((count(col("ivf_id")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_norms" -> (norms _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_srp_recall" -> (annSrpRecall _),
+    "q_ann_ivf_recall" -> (annIvfRecall _),
   )
 
   val oracleSql: Map[String, String] = Map(
