@@ -119,6 +119,36 @@ class StreamingSpec extends SparkSpec {
       (10L, base + 10 * min, base + 10 * min, 1L)))
   }
 
+  test("transformWithState keeps running per-user totals across micro-batches") {
+    import graft.stream.ActivityProcessor
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Double)]
+      val q = ActivityProcessor.runningTotals(ms.toDS())
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode(OutputMode.Update).start()
+      try {
+        ms.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+        q.processAllAvailable()
+        ms.addData((1L, 2.5), (2L, 1.0)) // state must carry over
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("tws_totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(last(1L) === (1L, 3L, 17.5))
+      assert(last(2L) === (2L, 2L, 2.0))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime
