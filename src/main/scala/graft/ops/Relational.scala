@@ -356,6 +356,29 @@ object Relational {
       .withColumnRenamed("key", "event_type")
       .orderBy(col("event_type"))
 
+  /** Correlated scalar subquery (SURVEY §4 "subquery decorrelation"):
+    * customers spending above their nation's average order value. Catalyst
+    * rewrites the correlated aggregate into a join
+    * (RewriteCorrelatedScalarSubquery); expressed via the SQL API since
+    * the DataFrame API has no subquery syntax. */
+  def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, round(total_spend, 2) AS total_spend
+        |FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |         (SELECT sum(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS total_spend
+        |  FROM customer_v)
+        |WHERE total_spend > (
+        |  SELECT avg(t) FROM (
+        |    SELECT c2.c_nationkey AS nk, sum(o2.o_totalprice) AS t
+        |    FROM customer_v c2 JOIN orders_v o2 ON o2.o_custkey = c2.c_custkey
+        |    GROUP BY c2.c_custkey, c2.c_nationkey) x
+        |  WHERE x.nk = c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -387,6 +410,7 @@ object Relational {
     "q_local_supplier_volume" -> (localSupplierVolume _),
     "q_typed_counts" -> (typedCounts _),
     "q_salted_distinct" -> (saltedDistinct _),
+    "q_correlated_subquery" -> (correlatedSubquery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -592,5 +616,19 @@ object Relational {
     "q_salted_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, round(total_spend, 2) AS total_spend
+        |FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |         (SELECT sum(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS total_spend
+        |  FROM customer)
+        |WHERE total_spend > (
+        |  SELECT avg(t) FROM (
+        |    SELECT c2.c_nationkey AS nk, sum(o2.o_totalprice) AS t
+        |    FROM customer c2 JOIN orders o2 ON o2.o_custkey = c2.c_custkey
+        |    GROUP BY c2.c_custkey, c2.c_nationkey) x
+        |  WHERE x.nk = c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -88,6 +88,40 @@ object SessionQueries {
         concat_ws(",", sort_array(collect_set(col("event_type")))).as("urls_csv"))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Dynamic-gap sessionization in batch (the oracle-checkable twin of
+    * stream.DynamicSessions): 5-min gap for user_id % 10 == 0 ("fast"
+    * segment), 15-min otherwise. */
+  def sessionizeDynamic(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = when(col("user_id") % 10 === 0, lit(5L * 60 * 1000000))
+      .otherwise(lit(15L * 60 * 1000000))
+    Sessionize.withSessionIdsDynamic(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), gapUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("hit_count"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Per-minute load with lag features — the exact relational feature prep
+    * of ml.Predict.loadForecast, exposed as an oracle-checked query
+    * (R:19: the engine's contribution is the feature pipeline). */
+  def loadFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perMin = events(s, dir)
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"))
+    val w = Window.orderBy(col("minute_us"))
+    perMin
+      .select(col("minute_us"), col("requests"),
+        lag(col("requests"), 1).over(w).as("lag1"),
+        lag(col("requests"), 2).over(w).as("lag2"),
+        lag(col("requests"), 3).over(w).as("lag3"),
+        round(avg(col("requests")).over(w.rowsBetween(-5, -1)), 6).as("ma5"),
+        round(col("requests") / lit(60.0), 6).as("label_req_per_sec"))
+      .orderBy(col("minute_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_avg_session_time" -> (avgSessionTime _),
@@ -96,6 +130,8 @@ object SessionQueries {
     "q_ip_features" -> (ipFeatures _),
     "q_session_window" -> (sessionWindow _),
     "q_session_urls" -> (sessionUrls _),
+    "q_sessionize_dynamic" -> (sessionizeDynamic _),
+    "q_load_features" -> (loadFeatures _),
   )
 
   private val cte = Sessionize.oracleSessionsCte()
@@ -123,6 +159,37 @@ object SessionQueries {
          |SELECT user_id, session_id, duration_sec, hit_count
          |FROM sessions
          |ORDER BY duration_sec DESC, user_id, session_id LIMIT 20""".stripMargin,
+
+    "q_sessionize_dynamic" ->
+      """WITH hits AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN user_id % 10 = 0 THEN 300000000 ELSE 900000000 END AS gap_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > gap_us THEN 1 ELSE 0 END AS new_sess
+        |  FROM hits
+        |), numbered AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, min(ts_us) AS session_start_us,
+        |       max(ts_us) AS session_end_us, count(*) AS hit_count
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_load_features" ->
+      """WITH pm AS (
+        |  SELECT epoch_us(date_trunc('minute', ts)) AS minute_us, count(*) AS requests
+        |  FROM events GROUP BY 1)
+        |SELECT minute_us, requests,
+        |  lag(requests, 1) OVER w AS lag1,
+        |  lag(requests, 2) OVER w AS lag2,
+        |  lag(requests, 3) OVER w AS lag3,
+        |  round(avg(requests) OVER (ORDER BY minute_us ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS ma5,
+        |  round(requests / 60.0, 6) AS label_req_per_sec
+        |FROM pm WINDOW w AS (ORDER BY minute_us)
+        |ORDER BY minute_us""".stripMargin,
 
     "q_session_urls" ->
       s"""$cte

@@ -53,6 +53,20 @@ object Sessionize {
         sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Dynamic-gap variant: the inactivity gap is a per-row Column (e.g. a
+    * per-segment policy — bots shorter, logged-in users longer), the batch
+    * twin of stream.DynamicSessions. Same single hash-by-user shuffle. */
+  def withSessionIdsDynamic(df: DataFrame, user: Column, ts: Column,
+                            tieBreak: Column, gapUs: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, tieBreak)
+    val tsUs = unix_micros(ts)
+    val prevUs = lag(tsUs, 1).over(w)
+    val newSess = when(prevUs.isNull || tsUs - prevUs > gapUs, 1L).otherwise(0L)
+    df.withColumn("ts_us", tsUs)
+      .withColumn("session_id",
+        sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Per-(user, session) aggregate — the `sessions` relation of SURVEY §1.3:
     * start/end (epoch µs), duration seconds, hit count, distinct-item count
     * (Goal 3's "count a hit to a unique URL only once per session",

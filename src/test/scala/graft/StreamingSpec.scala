@@ -119,6 +119,40 @@ class StreamingSpec extends SparkSpec {
       (10L, base + 10 * min, base + 10 * min, 1L)))
   }
 
+  test("dynamic-gap sessionizer: batch and streaming agree on real events") {
+    import graft.stream.DynamicSessions
+    import graft.stream.DynamicSessions.Hit
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables(spark, sf001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => Hit(r.getLong(0), r.getLong(1),
+        new java.sql.Timestamp(r.getLong(1) / 1000)))
+    val ms = MemoryStream[Hit]
+    val q = DynamicSessions.sessionize(
+        ms.toDF().withWatermark("ts", "1 minute").as[Hit])
+      .writeStream.format("memory").queryName("dyn_events")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(ev.toSeq)
+      q.processAllAvailable()
+      val far = ev.map(_.ts_us).max + 365L * 24 * 3600 * 1000000
+      ms.addData(Hit(999999L, far, new java.sql.Timestamp(far / 1000)))
+      q.processAllAvailable()
+      ms.addData(Hit(999998L, far + 1000000, new java.sql.Timestamp(far / 1000 + 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dyn_events")
+      .filter(col("user_id") < 999000L)
+      .select("user_id", "session_start_us", "session_end_us", "hit_count")
+      .orderBy("user_id", "session_start_us").collect()
+    val batch = graft.ops.SessionQueries.sessionizeDynamic(spark, sf001)
+      .select("user_id", "session_start_us", "session_end_us", "hit_count")
+      .orderBy("user_id", "session_start_us").collect()
+    assert(streamed.length === batch.length,
+      s"stream=${streamed.length} batch=${batch.length}")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("transformWithState keeps running per-user totals across micro-batches") {
     import graft.stream.ActivityProcessor
     implicit val sqlCtx = spark.sqlContext
