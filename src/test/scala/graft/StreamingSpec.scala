@@ -183,6 +183,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file-based streaming source: readStream over parquet equals batch") {
+    // the production shape: a directory of parquet files consumed as a
+    // stream (new files picked up per micro-batch)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batchDf = Tables(spark, sf001, "events").select("event_id", "ts", "user_id")
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = graft.stream.StreamSessions.loadPerMinute(streamDf, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("file_stream_load")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_stream_load")
+      .orderBy("minute_us").collect()
+    val batch = batchDf
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"))
+      .orderBy("minute_us").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime
