@@ -113,6 +113,21 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(col("p.k")).as("sum_k"))
       .orderBy(col("k_mod10"))
 
+  /** MapType surface: props parsed as map<string,long> → map_keys /
+    * element_at / explode-of-map (SURVEY §2.8 map family). */
+  def jsonMap(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)))
+      .select(col("event_id"), explode(col("m")).as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy(col("key"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (jsonExtract _),
     "q_load_per_minute" -> (loadPerMinute _),
@@ -121,6 +136,7 @@ object EventOps {
     "q_user_stats" -> (userStats _),
     "q_stats_summary" -> (statsSummary _),
     "q_json_schema" -> (jsonSchema _),
+    "q_json_map" -> (jsonMap _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -173,6 +189,16 @@ object EventOps {
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY k_mod10""".stripMargin,
+
+    // json_each (table fn) is absent in the oracle's DuckDB build;
+    // json_keys + dynamic-path extraction is equivalent
+    "q_json_map" ->
+      """WITH keys AS (
+        |  SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+        |SELECT key, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_v,
+        |  max(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_v
+        |FROM keys GROUP BY key ORDER BY key""".stripMargin,
 
     "q_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
