@@ -63,10 +63,28 @@ object ElbQueries {
       .orderBy(col("_corrupt"))
   }
 
+  /** Classic LB operations metrics on the parsed log: per-minute request
+    * count, error rate (5xx), null-safe latency aggregates and exact p95
+    * backend latency — timeout lines (-1 sentinels → null) excluded from
+    * latency but counted in traffic, exactly the messy-data posture R:61
+    * demands. */
+  def elbOpsMetrics(s: SparkSession, dir: String): DataFrame =
+    parsedRequests(s)
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"),
+        round(avg(when(col("elb_status") >= 500, 1.0).otherwise(0.0)), 6)
+          .as("error_rate"),
+        count(col("backend_time_sec")).as("n_with_latency"),
+        round(avg(col("backend_time_sec")), 6).as("avg_backend_sec"),
+        round(expr("percentile(backend_time_sec, 0.95)"), 6).as("p95_backend_sec"),
+        sum(col("sent_bytes")).as("bytes_out"))
+      .orderBy(col("minute_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_elb_sessionize" -> (elbSessionize _),
     "q_elb_goals" -> (elbGoals _),
     "q_elb_parse_stats" -> (elbParseStats _),
+    "q_elb_ops_metrics" -> (elbOpsMetrics _),
   )
 
   /** No oracle entries: inputs are generated in-memory, not driver tables. */

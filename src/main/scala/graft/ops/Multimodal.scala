@@ -92,10 +92,31 @@ object Multimodal {
         concat_ws(",", expr("transform(samples, x -> cast(x as string))")).as("sample_csv"))
       .orderBy(col("doc_id"))
 
+  /** "Resize" on the opaque payload: stride-sample bytes down to a target
+    * budget (the byte-level stand-in for image downscaling — swap the
+    * per-row function for a codec call; the columnar plumbing and the
+    * deterministic-size output contract are the real part). */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    val target = 64
+    val strideSql = s"greatest(1, cast(floor(octet_length(payload) / $target) as int))"
+    val nOutSql =
+      s"least($target, cast(floor((octet_length(payload) - 1) / $strideSql) as int) + 1)"
+    val resizedSql =
+      s"""transform(sequence(0, $nOutSql - 1),
+         |  i -> ascii(cast(substring(payload, i * $strideSql + 1, 1) as string)))""".stripMargin
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        expr(resizedSql).as("resized"), expr(strideSql).as("stride"))
+      .select(col("doc_id"), col("n_bytes"),
+        size(col("resized")).as("resized_len"), col("stride"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_decode" -> (mediaFeatures _),
     "q_media_checksums" -> (mediaChecksums _),
     "q_media_frame_sample" -> (frameSample _),
+    "q_media_resize" -> (resize _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -112,6 +133,14 @@ object Multimodal {
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS checksum,
         |  upper(hex(substring(text, 1, 4))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_resize" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  CAST(least(64, CAST(floor((strlen(text) - 1) /
+        |    greatest(1, CAST(floor(strlen(text) / 64) AS INTEGER))) AS INTEGER) + 1) AS INTEGER)
+        |    AS resized_len,
+        |  CAST(greatest(1, CAST(floor(strlen(text) / 64) AS INTEGER)) AS INTEGER) AS stride
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_media_frame_sample" ->

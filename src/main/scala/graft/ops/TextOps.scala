@@ -100,6 +100,8 @@ object TextOps {
         round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stopword_ratio"),
         round((col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"), 6)
           .as("mean_word_len"),
+        round(size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("double") / col("n_chars"), 6).as("punct_ratio"),
         when(col("n_tokens") < 20, "short")
           .when(col("n_tokens") <= 60, "medium")
           .otherwise("long").as("len_band"))
@@ -326,6 +328,7 @@ object TextOps {
         |  round(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
         |        / len(tokens), 6) AS stopword_ratio,
         |  round((n_chars - (len(tokens) - 1)) * 1.0 / len(tokens), 6) AS mean_word_len,
+        |  round(len(regexp_extract_all(array_to_string(tokens, ' '), '[^a-zA-Z0-9\s]')) * 1.0 / n_chars, 6) AS punct_ratio,
         |  CASE WHEN len(tokens) < 20 THEN 'short'
         |       WHEN len(tokens) <= 60 THEN 'medium'
         |       ELSE 'long' END AS len_band
