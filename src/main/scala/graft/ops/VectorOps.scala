@@ -152,7 +152,7 @@ object VectorOps {
     val e = withNorm(emb(s, dir))
     val withVec = e.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(10)
+    val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(5)
       .fit(withVec)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("norm"),
