@@ -39,7 +39,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop any blocks a query persisted (dedup signature caches) so no
+      // cached RDDs leak into subsequent timed queries — outside the timer
+      spark.catalog.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

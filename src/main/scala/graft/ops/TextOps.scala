@@ -123,7 +123,9 @@ object TextOps {
     * collapse the expensive shingle expression into the Generate, where the
     * sibling column is re-evaluated per EXPLODED row (~600× slowdown
     * measured). Shingle counts are re-derived from the exploded rows and
-    * broadcast-joined back instead. */
+    * joined back on id — plain equi joins, NOT broadcast hints: `counts` is
+    * O(N docs), a corpus-sized broadcast at scale; AQE still broadcasts it
+    * at runtime when genuinely small. */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // persisted: referenced 4× below (both join sides + counts twice) —
     // one explode pass instead of four
@@ -138,8 +140,8 @@ object TextOps {
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(counts.select(col("doc_id").as("id1"), col("n_sh").as("n1"))), "id1")
-      .join(broadcast(counts.select(col("doc_id").as("id2"), col("n_sh").as("n2"))), "id2")
+      .join(counts.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jaccard") >= 0.25)
@@ -153,18 +155,24 @@ object TextOps {
     * band bucket are candidates; candidates are verified by signature
     * agreement >= 0.5 (estimates Jaccard). Deterministic but xxhash64 has
     * no DuckDB twin → no oracle entry (rows-only driver check); accuracy
-    * vs exact Jaccard is pinned in TextOpsSpec. */
+    * vs exact Jaccard is pinned in TextVectorSpec. */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val nHash = 32
     val bands = 8
     val rowsPerBand = nHash / bands
     // signature via the native MinHashSig expression: xxhash64(s, seed=i),
-    // whole numHashes × |shingles| loop in one eval (graft.functions)
+    // whole numHashes × |shingles| loop in one eval (graft.functions).
+    // persisted: referenced 3× below (banding + both verification joins) —
+    // 32 hash passes over every shingle run once, not three times. The
+    // verification joins are plain equi joins on id, NOT broadcast hints:
+    // sig is O(N docs) and a corpus-sized broadcast kills the driver at
+    // scale (AQE still broadcasts when genuinely small).
     val sig = withShingles(docs(s, dir))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(col("shingles"), nHash).as("sig"))
+      .persist()
     // band key = the 4-long slice itself (arrays join/hash fine) — no extra
     // hashing pass; `sig` referenced only inside the generator
     val banded = sig.select(col("doc_id"), explode(expr(
@@ -178,8 +186,8 @@ object TextOps {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
     pairs
-      .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
-      .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+      .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est_jaccard",
         round(graft.functions.GraftFunctions.sigAgreement(col("sig1"), col("sig2")), 6))
       .filter(col("est_jaccard") >= 0.5)
@@ -188,26 +196,48 @@ object TextOps {
   }
 
   /** SimHash near-dup pairs (SURVEY §2.11): one 64-bit signature per doc
-    * (native SimHash64 over bigram shingles), candidate pairs within a
-    * (lang, source) block at Hamming distance <= 12 (bit_count(xor)).
-    * Hash-based → no DuckDB oracle (rows-only); agreement with
-    * MinHash/exact-Jaccard pinned in TextVectorSpec. At scale, block on
-    * rotated signature prefixes instead of metadata (same join shape). */
+    * (native SimHash64 over bigram shingles); candidate pairs come from
+    * rotated-prefix blocking (the Manku et al., WWW'07 permute-and-prefix
+    * shape): the signature is rotated left 8× in 8-bit steps and bucketed
+    * on the top 16 bits of each rotation; docs sharing any (rotation,
+    * prefix) bucket are candidates, kept at Hamming distance <= 12
+    * (bit_count(xor)). Unlike metadata blocking, buckets are bounded
+    * (2^16 keys per rotation, near-uniform under the hash) and candidate
+    * generation is a plain equi join — sub-quadratic at corpus scale. A
+    * pair is caught iff some 8-bit-aligned circular 16-bit window of
+    * sig1^sig2 is zero; recall vs exact Jaccard near-dups is pinned in
+    * TextVectorSpec. Hash-based → no DuckDB oracle (rows-only). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val nRot = 8        // rotations, 64/nRot = 8-bit steps
+    val prefixBits = 16 // bucket key width per rotation
+    // persisted: the shingle+SimHash pipeline feeds both join sides below
     val sigs = withShingles(docs(s, dir))
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(col("shingles")).as("sig"))
-    val a = sigs.select(col("lang"), col("source"),
+      .persist()
+    // (rotation, prefix) bucket keys; sig rides along so the self-join
+    // yields both signatures without a join-back. Java shift semantics
+    // (shift amounts mod 64) make r=0 degenerate to sig|sig = sig.
+    val step = 64 / nRot
+    val banded = sigs.select(col("doc_id"), col("sig"), expr(
+        s"""explode(transform(sequence(0, ${nRot - 1}), r -> named_struct(
+           |  'rot', r,
+           |  'prefix', shiftrightunsigned(
+           |     shiftleft(sig, r * $step) | shiftrightunsigned(sig, 64 - r * $step),
+           |     ${64 - prefixBits}))))""".stripMargin).as("rp"))
+      .select(col("doc_id"), col("sig"), col("rp.rot"), col("rp.prefix"))
+    val a = banded.select(col("rot"), col("prefix"),
       col("doc_id").as("id1"), col("sig").as("sig1"))
-    val b = sigs.select(col("lang"), col("source"),
+    val b = banded.select(col("rot"), col("prefix"),
       col("doc_id").as("id2"), col("sig").as("sig2"))
-    a.join(b, Seq("lang", "source"))
+    a.join(b, Seq("rot", "prefix"))
       .filter(col("id1") < col("id2"))
-      .withColumn("hamming", bit_count(expr("sig1 ^ sig2")))
+      .select(col("id1"), col("id2"),
+        bit_count(expr("sig1 ^ sig2")).as("hamming"))
       .filter(col("hamming") <= 12)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -42,6 +42,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p.take(2000))
   }
 
+  test("dedup pipelines force no broadcast (O(N) relations; AQE decides)") {
+    // the signature/count relations are corpus-sized — a broadcast() hint
+    // on them is a driver-killer at 100 TB; joins must be plain equi joins
+    // (AQE may still broadcast at runtime when genuinely small)
+    Seq("q_jaccard_pairs", "q_minhash_candidates", "q_simhash_pairs").foreach { q =>
+      val opt = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.optimizedPlan.toString
+      assert(!opt.contains("strategy=broadcast"), s"$q forces broadcast:\n${opt.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("range join keeps the equi conjunct (hash join, not BNLJ)") {
     val p = plan("q_join_range")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
