@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses `runMain graft.Bench`'s stdout as JSON. Two sbt default
+// behaviors break that (BENCH_r01/r02 both recorded "parsed": null): the
+// forked process's output is routed through the logger, prefixing the JSON
+// line with "[info] ", and a "[success] Total time: ..." footer lands after
+// it. Pass output through verbatim and suppress the footer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,14 +41,21 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // drop any blocks a query persisted (dedup signature caches) so no
-      // cached RDDs leak into subsequent timed queries — outside the timer
+      // cached RDDs leak into subsequent timed queries — outside the timer.
+      // NOTE: clearCache drops ALL cached plans; this assumes no shared
+      // input cache exists (Tables does not persist). If one is ever added,
+      // switch to unpersisting only the query's own caches.
       spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop() BEFORE the println so the JSON is the last stdout line (the
+    // driver parses it; build.sbt sets showSuccess := false for the same
+    // reason — sbt's "[success]" footer otherwise trails it)
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -28,5 +28,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     SessionQueries.oracleSql ++ Relational.oracleSql ++ EventOps.oracleSql ++
-      TextOps.oracleSql ++ VectorOps.oracleSql ++ Multimodal.oracleSql
+      TextOps.oracleSql ++ VectorOps.oracleSql ++ ElbQueries.oracleSql ++
+      Multimodal.oracleSql
 }

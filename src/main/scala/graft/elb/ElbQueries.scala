@@ -80,13 +80,70 @@ object ElbQueries {
         sum(col("sent_bytes")).as("bytes_out"))
       .orderBy(col("minute_us"))
 
+  /** Events→ELB-text→parse→sessionize round trip with a true DuckDB
+    * oracle: each `events` row is formatted as a well-formed ELB line using
+    * only SQL-expressible derivations — client IP is an injective dotted
+    * quad of user_id (valid for user_id < 2^24; fixture max is far below),
+    * the URL path carries event_type, the client port carries event_id as
+    * the deterministic tie-break. LogParser inverts the formatting exactly,
+    * so the sessionized result must equal 15-min-gap sessionization of
+    * `events` itself, which DuckDB computes directly — any parser drift
+    * (quoting, sentinels, timestamp format) breaks the hash. This gives the
+    * flagship parse→sessionize path (reference Goals 1, README.md:9-10) a
+    * full rows+schema+hash correctness gate; the synthetic-input queries
+    * above stay rows-only and are pinned by ElbSpec instead. */
+  def elbRoundtripSessions(s: SparkSession, dir: String): DataFrame = {
+    val lines = graft.Tables(s, dir, "events").select(format_string(
+      "%s marketpalce-shop 10.%d.%d.%d:%d 10.0.4.7:80 0.000022 0.026109 " +
+        "0.000020 200 200 0 %d \"GET https://example.shop:443/%s HTTP/1.1\" " +
+        "\"Mozilla/5.0 (round trip)\" - -",
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+      expr("user_id div 65536 % 256"), expr("user_id div 256 % 256"),
+      expr("user_id % 256"), expr("1024 + event_id % 60000"),
+      col("event_id"), col("event_type")).as("value"))
+    Sessionize.sessions(LogParser.requests(lines),
+        col("client_ip"), col("ts"), col("client_port"), col("url"))
+      .select(col("user_id").as("client_ip"), col("session_id"),
+        col("session_start_us"), col("session_end_us"),
+        col("hit_count"), col("unique_item_count").as("unique_urls"),
+        col("duration_sec"))
+      .orderBy(col("client_ip"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_elb_sessionize" -> (elbSessionize _),
     "q_elb_goals" -> (elbGoals _),
     "q_elb_parse_stats" -> (elbParseStats _),
     "q_elb_ops_metrics" -> (elbOpsMetrics _),
+    "q_elb_roundtrip" -> (elbRoundtripSessions _),
   )
 
-  /** No oracle entries: inputs are generated in-memory, not driver tables. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Synthetic-input queries have no driver-table oracle (rows-only, pinned
+    * by ElbSpec); the events round trip is fully oracle-checked. */
+  val oracleSql: Map[String, String] = Map(
+    "q_elb_roundtrip" ->
+      """WITH hits AS (
+        |  SELECT printf('10.%d.%d.%d', user_id // 65536 % 256,
+        |                user_id // 256 % 256, user_id % 256) AS client_ip,
+        |         epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events
+        |), lagged AS (
+        |  SELECT *, lag(ts_us) OVER (PARTITION BY client_ip ORDER BY ts_us, event_id) AS prev_us
+        |  FROM hits
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 900000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged
+        |), numbered AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY client_ip ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT client_ip, session_id,
+        |       min(ts_us) AS session_start_us,
+        |       max(ts_us) AS session_end_us,
+        |       count(*) AS hit_count,
+        |       count(DISTINCT event_type) AS unique_urls,
+        |       (max(ts_us) - min(ts_us)) / 1000000.0 AS duration_sec
+        |FROM numbered GROUP BY client_ip, session_id
+        |ORDER BY client_ip, session_id""".stripMargin,
+  )
 }

@@ -161,17 +161,22 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** rank / dense_rank / ntile / percent_rank over customer balances. */
-  def windowRanks(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    t(s, dir, "customer")
+  /** rank / dense_rank / ntile / percent_rank over customer balances —
+    * via ScaledRank's two-phase range-partitioned ranking, NOT a global
+    * `Window.orderBy` (which funnels the whole relation through one task;
+    * VERDICT r1 "What's wrong" #3). Result is identical to the window
+    * form (oracle-checked); ScaledRankSpec pins the equivalence including
+    * tie handling. */
+  def windowRanks(s: SparkSession, dir: String): DataFrame =
+    ScaledRank.withGlobalRanks(t(s, dir, "customer"),
+        orderCols = Seq(col("c_acctbal").desc, col("c_custkey")),
+        keyCols = Seq(col("c_acctbal"), col("c_custkey")), ntileN = 4)
       .select(col("c_custkey"), col("c_acctbal"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+        col("rnk").cast("int").as("rnk"),
+        col("drnk").cast("int").as("drnk"),
+        col("ntile_bucket").cast("int").as("quartile"),
+        round(col("pct_rank"), 6).as("pct_rank"))
       .orderBy(col("c_custkey"))
-  }
 
   /** Running sum + lag/lead: cumulative spend and inter-order gap per
     * customer over order time. */
@@ -209,10 +214,30 @@ object Relational {
     val fin = orders.filter(col("o_orderstatus") === "F")
       .select(col("o_custkey").as("custkey"))
     val both = open.intersect(fin).withColumn("bucket", lit("both"))
-    val onlyOpen = open.distinct.except(fin).withColumn("bucket", lit("open_only"))
-    val onlyFin = fin.distinct.except(open).withColumn("bucket", lit("fin_only"))
+    // except is already set-semantics — no .distinct first (wasted shuffle)
+    val onlyOpen = open.except(fin).withColumn("bucket", lit("open_only"))
+    val onlyFin = fin.except(open).withColumn("bucket", lit("fin_only"))
     both.unionByName(onlyOpen).unionByName(onlyFin)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Bag-semantics set ops (SURVEY §2.7's other half): INTERSECT ALL /
+    * EXCEPT ALL keep multiplicities — per-customer order-status
+    * multiplicity overlap. Both compile to aggregate+join plans (no
+    * row-by-row anti semantics), so they scale like any keyed agg. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val open = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val fin = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val ia = open.intersectAll(fin).withColumn("bucket", lit("intersect_all"))
+    val ea = open.exceptAll(fin).withColumn("bucket", lit("except_all"))
+    ia.unionByName(ea)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("custkey")).as("n_custkeys"))
       .orderBy(col("bucket"))
   }
 
@@ -275,7 +300,7 @@ object Relational {
   /** HLL++ approximate distinct — the 100 TB path for Goal 3's unique
     * counting (SURVEY §2.4): no expand+double shuffle like exact
     * countDistinct. Not exact ⇒ excluded from the hash oracle (driver
-    * records rows-only); accuracy asserted in RelationalSpec-style test. */
+    * records rows-only); ±2 % accuracy vs exact asserted in AccuracySpec. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -399,6 +424,7 @@ object Relational {
     "q_window_running" -> (windowRunning _),
     "q_topk_orders" -> (topkOrders _),
     "q_set_ops" -> (setOps _),
+    "q_set_ops_all" -> (setOpsAll _),
     "q_string_funcs" -> (stringFuncs _),
     "q_date_funcs" -> (dateFuncs _),
     "q_case_when" -> (caseWhen _),
@@ -536,6 +562,19 @@ object Relational {
         |       UNION ALL
         |       SELECT custkey, 'fin_only' FROM (SELECT custkey FROM fin EXCEPT SELECT custkey FROM open))
         |SELECT bucket, count(*) AS n FROM tagged GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH open AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     fin AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     tagged AS (
+        |       SELECT custkey, 'intersect_all' AS bucket
+        |       FROM (SELECT custkey FROM open INTERSECT ALL SELECT custkey FROM fin)
+        |       UNION ALL
+        |       SELECT custkey, 'except_all'
+        |       FROM (SELECT custkey FROM open EXCEPT ALL SELECT custkey FROM fin))
+        |SELECT bucket, count(*) AS n_rows,
+        |       count(DISTINCT custkey) AS n_custkeys
+        |FROM tagged GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey,

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.elb.{ElbQueries, LogParser, Synthetic}
+import graft.ops.Sessionize
+
+/** Goal-level verification of the flagship ELB pipeline (reference Goals
+  * 1-4, /root/reference/README.md:9-16) against an INDEPENDENT
+  * implementation: a regex mini-parser + plain-Scala fold sessionizer over
+  * the same raw lines. Nothing here shares code with LogParser (from_csv)
+  * or Sessionize (window functions), so agreement pins both.
+  *
+  * The generator's contract (Synthetic.scala: intra-session gaps 10-120 s,
+  * inter-session gaps 16-60 min, at most one malformed replacement per
+  * 6-hit session) guarantees EXACTLY nClients * sessionsPerClient sessions
+  * under a 15-minute-gap sessionizer — asserted, not assumed.
+  */
+class ElbSpec extends SparkSpec {
+
+  private val nClients = 60
+  private val sessionsPerClient = 4
+  private val hitsPerSession = 6
+  private val malformedEvery = 50
+  private val gapUs = 15L * 60 * 1000000
+
+  private lazy val rawLines = Synthetic.generate(seed = 42L,
+    nClients = nClients, sessionsPerClient = sessionsPerClient,
+    hitsPerSession = hitsPerSession, malformedEvery = malformedEvery)
+
+  /** Independent mini-parse: (ts epoch-µs, client ip, client port, url) for
+    * well-formed lines, None for corrupt — mirrors LogParser's corrupt rule
+    * (essential trio ts/ip/url must materialize) without sharing any code. */
+  private def miniParse(line: String): Option[(Long, String, Int, String)] = {
+    val re = """^(\S+) \S+ ([0-9.]+):(\d+) .*"(?:GET|POST) (\S+) HTTP""".r
+    re.findFirstMatchIn(line).flatMap { m =>
+      try {
+        val inst = java.time.Instant.parse(m.group(1))
+        val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        Some((us, m.group(2), m.group(3).toInt, m.group(4)))
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  }
+
+  private case class Sess(ip: String, sid: Long, startUs: Long, endUs: Long,
+                          hits: Long, uniqueUrls: Long) {
+    def durationSec: Double = (endUs - startUs) / 1000000.0
+  }
+
+  /** Plain-Scala fold sessionizer: strictly-greater-than-gap starts a new
+    * session; 1-based ids per ip in (ts, port) order. */
+  private def foldSessionize(
+      hits: Seq[(Long, String, Int, String)]): Seq[Sess] =
+    hits.groupBy(_._2).toSeq.flatMap { case (ip, hs) =>
+      val sorted = hs.sortBy(h => (h._1, h._3))
+      val sids = sorted.scanLeft((0L, Option.empty[Long])) {
+        case ((sid, prev), h) =>
+          (if (prev.forall(p => h._1 - p > gapUs)) sid + 1 else sid, Some(h._1))
+      }.drop(1).map(_._1)
+      sorted.zip(sids).groupBy(_._2).map { case (sid, rows) =>
+        val ts = rows.map(_._1._1)
+        Sess(ip, sid, ts.min, ts.max, rows.size.toLong,
+          rows.map(_._1._4).distinct.size.toLong)
+      }
+    }
+
+  private lazy val expectedHits = rawLines.flatMap(miniParse)
+  private lazy val expectedSessions = foldSessionize(expectedHits)
+
+  test("generator contract: exactly nClients * sessionsPerClient sessions") {
+    assert(expectedSessions.size === nClients * sessionsPerClient)
+  }
+
+  test("elbSessionize matches the independent fold sessionizer row-for-row") {
+    val got = ElbQueries.elbSessionize(spark, sf001).collect().map { r =>
+      Sess(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)) -> r.getDouble(6)
+    }
+    val want = expectedSessions
+      .sortBy(s => (s.ip, s.sid)).map(s => s -> s.durationSec)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((gs, gd), (ws, wd)) =>
+      assert(gs === ws)
+      assert(gd === wd)
+    }
+  }
+
+  test("elbGoals aggregates match independent computation") {
+    val r = ElbQueries.elbGoals(spark, sf001).head()
+    val durs = expectedSessions.map(_.durationSec)
+    val expAvg = BigDecimal(durs.sum / durs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expMax = BigDecimal(durs.max)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // max_by(ip, struct(duration, ip)): longest session, ties to larger ip
+    val expIp = expectedSessions.maxBy(s => (s.durationSec, s.ip)).ip
+    assert(r.getDouble(r.fieldIndex("avg_session_sec")) === expAvg)
+    assert(r.getLong(r.fieldIndex("n_sessions")) === expectedSessions.size.toLong)
+    assert(r.getDouble(r.fieldIndex("max_session_sec")) === expMax)
+    assert(r.getString(r.fieldIndex("most_engaged_ip")) === expIp)
+  }
+
+  test("quarantine accounting: floor(n/malformedEvery) lines rejected") {
+    val total = nClients * sessionsPerClient * hitsPerSession
+    val expCorrupt = total / malformedEvery
+    assert(rawLines.size === total)
+    assert(expectedHits.size === total - expCorrupt)
+    val stats = ElbQueries.elbParseStats(spark, sf001).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(stats(false) === (total - expCorrupt).toLong)
+    assert(stats(true) === expCorrupt.toLong)
+  }
+
+  test("events round trip: format→parse→sessionize equals direct sessionization") {
+    val ev = Tables(spark, sf001, "events")
+    // zero lines may be lost in the text round trip
+    val parsed = LogParser.requests(ev.select(format_string(
+      "%s marketpalce-shop 10.%d.%d.%d:%d 10.0.4.7:80 0.000022 0.026109 " +
+        "0.000020 200 200 0 %d \"GET https://example.shop:443/%s HTTP/1.1\" " +
+        "\"Mozilla/5.0 (round trip)\" - -",
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+      expr("user_id div 65536 % 256"), expr("user_id div 256 % 256"),
+      expr("user_id % 256"), expr("1024 + event_id % 60000"),
+      col("event_id"), col("event_type")).as("value")))
+    assert(parsed.count() === ev.count())
+
+    val direct = Sessionize.sessions(
+        ev.withColumn("client_ip", format_string("10.%d.%d.%d",
+          expr("user_id div 65536 % 256"), expr("user_id div 256 % 256"),
+          expr("user_id % 256"))),
+        col("client_ip"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id").as("client_ip"), col("session_id"),
+        col("session_start_us"), col("session_end_us"),
+        col("hit_count"), col("unique_item_count").as("unique_urls"),
+        col("duration_sec"))
+      .orderBy(col("client_ip"), col("session_id"))
+    val rt = ElbQueries.elbRoundtripSessions(spark, sf001).collect().toSeq
+    assert(rt === direct.collect().toSeq)
+  }
+}
