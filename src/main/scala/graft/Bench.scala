@@ -34,7 +34,13 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Verify-only queries excluded from the timed loop: q_elb_roundtrip is a
+    // correctness gate (format→parse→sessionize round trip over the full
+    // events table, ~90 s at sf0.1) — not a perf-representative workload; it
+    // still runs in Verify/CORRECTNESS every round (ADVICE r3).
+    val benchSkip = Set("q_elb_roundtrip")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(kv => benchSkip(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -48,14 +54,17 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // stop() BEFORE the println so the JSON is the last stdout line (the
-    // driver parses it; build.sbt sets showSuccess := false for the same
-    // reason — sbt's "[success]" footer otherwise trails it)
+    // stop() BEFORE the printlns so the JSON is the last stdout (the driver
+    // parses the FINAL line and its capture window is a bounded tail —
+    // BENCH_r03 lost the metric because one 2.5 KB line overflowed it). The
+    // per-query map gets its own earlier line; the final line stays < 120 B.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

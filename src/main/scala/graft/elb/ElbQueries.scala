@@ -80,6 +80,23 @@ object ElbQueries {
         sum(col("sent_bytes")).as("bytes_out"))
       .orderBy(col("minute_us"))
 
+  /** Formats each `events` row as one well-formed ELB log line (`value`
+    * column) using only SQL-expressible derivations: client IP is an
+    * injective dotted quad of user_id (valid for user_id < 2^24; fixture max
+    * is far below), the URL path carries event_type, the client port carries
+    * event_id as the deterministic tie-break. Shared by
+    * `elbRoundtripSessions` and ElbSpec's round-trip test so the query and
+    * its goal-level assertion can never drift apart. */
+  def eventsAsElbLines(events: DataFrame): DataFrame =
+    events.select(format_string(
+      "%s marketpalce-shop 10.%d.%d.%d:%d 10.0.4.7:80 0.000022 0.026109 " +
+        "0.000020 200 200 0 %d \"GET https://example.shop:443/%s HTTP/1.1\" " +
+        "\"Mozilla/5.0 (round trip)\" - -",
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+      expr("user_id div 65536 % 256"), expr("user_id div 256 % 256"),
+      expr("user_id % 256"), expr("1024 + event_id % 60000"),
+      col("event_id"), col("event_type")).as("value"))
+
   /** Events→ELB-text→parse→sessionize round trip with a true DuckDB
     * oracle: each `events` row is formatted as a well-formed ELB line using
     * only SQL-expressible derivations — client IP is an injective dotted
@@ -93,14 +110,7 @@ object ElbQueries {
     * full rows+schema+hash correctness gate; the synthetic-input queries
     * above stay rows-only and are pinned by ElbSpec instead. */
   def elbRoundtripSessions(s: SparkSession, dir: String): DataFrame = {
-    val lines = graft.Tables(s, dir, "events").select(format_string(
-      "%s marketpalce-shop 10.%d.%d.%d:%d 10.0.4.7:80 0.000022 0.026109 " +
-        "0.000020 200 200 0 %d \"GET https://example.shop:443/%s HTTP/1.1\" " +
-        "\"Mozilla/5.0 (round trip)\" - -",
-      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
-      expr("user_id div 65536 % 256"), expr("user_id div 256 % 256"),
-      expr("user_id % 256"), expr("1024 + event_id % 60000"),
-      col("event_id"), col("event_type")).as("value"))
+    val lines = eventsAsElbLines(graft.Tables(s, dir, "events"))
     Sessionize.sessions(LogParser.requests(lines),
         col("client_ip"), col("ts"), col("client_port"), col("url"))
       .select(col("user_id").as("client_ip"), col("session_id"),

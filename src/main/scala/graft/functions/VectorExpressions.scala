@@ -49,13 +49,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (isFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val getB = if (isFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName, NOT literal locals: several DotProducts land in ONE
+      // generated function (cosine = dot(a,b)/sqrt(dot(a,a)*dot(b,b))) and
+      // literal `i`/`n`/`acc` collide — janino "Redefinition of local
+      // variable" makes the WHOLE projection fall back to interpreted mode.
+      val n = ctx.freshName("dpN")
+      val i = ctx.freshName("dpI")
+      val acc = ctx.freshName("dpAcc")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) { acc += $getA * $getB; }
-         |${ev.value} = acc;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $getA * $getB; }
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -28,6 +28,18 @@ import org.apache.spark.sql.types.LongType
   */
 object ScaledRank {
 
+  /** Column names this operator appends to the OUTPUT: `rn` (row_number),
+    * `rnk` (rank), `drnk` (dense_rank), `pct_rank` (percent_rank) and, when
+    * `ntileN` > 0, `ntile_bucket`. Scratch names used INTERNALLY (dropped
+    * before return): `_key`, `_rn`, `_rnk`, `_drnk`, `_pid`, `_row_off`,
+    * `_key_off`. The input schema must be disjoint from both sets —
+    * enforced below, because a silent clash would either throw an ambiguous
+    * -column error mid-plan or drop user data on the final `.drop`. */
+  private val outputCols =
+    Seq("rn", "rnk", "drnk", "pct_rank", "ntile_bucket")
+  private val scratchCols =
+    Seq("_key", "_rn", "_rnk", "_drnk", "_pid", "_row_off", "_key_off")
+
   /** Appends global `rn` (row_number), `rnk` (rank), `drnk` (dense_rank),
     * `pct_rank` (percent_rank) and, when `ntileN` > 0, `ntile_bucket` —
     * all as if computed by `Window.orderBy(orderCols)`, without a
@@ -38,9 +50,16 @@ object ScaledRank {
     * @param keyCols   the underlying key expressions without sort direction
     *                  (used for tie comparison; must be the same
     *                  expressions orderCols sorts by)
+    * @throws IllegalArgumentException if the input schema contains any
+    *                  reserved output/scratch column name (see above)
     */
   def withGlobalRanks(df: DataFrame, orderCols: Seq[Column],
                       keyCols: Seq[Column], ntileN: Int = 0): DataFrame = {
+    val clashes = df.schema.fieldNames.toSet
+      .intersect((outputCols ++ scratchCols).toSet)
+    require(clashes.isEmpty,
+      s"ScaledRank.withGlobalRanks reserves column names ${clashes.mkString(", ")}; " +
+        "rename or drop them on the input first")
     val spark = df.sparkSession
     val ranged = df
       .withColumn("_key", struct(keyCols: _*))

@@ -113,15 +113,10 @@ class ElbSpec extends SparkSpec {
 
   test("events round trip: format→parse→sessionize equals direct sessionization") {
     val ev = Tables(spark, sf001, "events")
-    // zero lines may be lost in the text round trip
-    val parsed = LogParser.requests(ev.select(format_string(
-      "%s marketpalce-shop 10.%d.%d.%d:%d 10.0.4.7:80 0.000022 0.026109 " +
-        "0.000020 200 200 0 %d \"GET https://example.shop:443/%s HTTP/1.1\" " +
-        "\"Mozilla/5.0 (round trip)\" - -",
-      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
-      expr("user_id div 65536 % 256"), expr("user_id div 256 % 256"),
-      expr("user_id % 256"), expr("1024 + event_id % 60000"),
-      col("event_id"), col("event_type")).as("value")))
+    // zero lines may be lost in the text round trip; the formatter is the
+    // SAME helper the production query uses (ElbQueries.eventsAsElbLines),
+    // so this test exercises exactly what q_elb_roundtrip runs
+    val parsed = LogParser.requests(ElbQueries.eventsAsElbLines(ev))
     assert(parsed.count() === ev.count())
 
     val direct = Sessionize.sessions(

@@ -42,6 +42,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p.take(2000))
   }
 
+  test("several DotProducts in ONE projection compile (no interpreted fallback)") {
+    // regression: doGenCode used literal Java locals (i/n/acc); two dots in
+    // one generated function collided ("Redefinition of local variable i")
+    // and the whole projection silently fell back to interpreted eval —
+    // exactly the cosine shape dot(a,b)/sqrt(dot(a,a)*dot(b,b))
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.DotProduct
+    val v = BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = false)
+    // three dots in one generated function — compiling directly (not via
+    // UnsafeProjection.create) THROWS on a janino collision instead of
+    // silently de-optimizing
+    GenerateUnsafeProjection.generate(Seq(
+      Alias(DotProduct(v, v), "ab")(),
+      Alias(DotProduct(v, v), "aa")(),
+      Alias(DotProduct(v, v), "bb")()))
+    // end-to-end through the SQL surface: cos(v, v) == 1
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = spark.range(4).select(
+      expr("transform(sequence(0, 7), x -> cast(x + id as double))").as("v"))
+    val proj = df.select(
+      (GraftFunctions.dot(col("v"), col("v")) /
+        sqrt(GraftFunctions.dot(col("v"), col("v")) * GraftFunctions.dot(col("v"), col("v"))))
+        .as("cos_self"))
+    proj.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("dedup pipelines force no broadcast (O(N) relations; AQE decides)") {
     // the signature/count relations are corpus-sized — a broadcast() hint
     // on them is a driver-killer at 100 TB; joins must be plain equi joins
