@@ -23,30 +23,50 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    import graft.elb.{LogParser, Synthetic}
-    import spark.implicits._
 
     // warm
-    graft.Tables(spark, sfDir, "lineitem").count()
+    graft.Tables(spark, sfDir, "documents").count()
+    graft.functions.GraftFunctions.register(spark)
 
-    // --- new jaccard breakdown
-    val d2 = graft.Tables(spark, sfDir, "documents")
+    // --- simhash bucket-skew diagnosis
+    val nRot = 8
+    val prefixBits = 16
+    val step = 64 / nRot
+    val docs = graft.Tables(spark, sfDir, "documents")
+    println("[profile] docs = " + docs.count())
+    val sigs = docs
       .withColumn("tokens", split(col("text"), " "))
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))")))
-    val ex2 = d2.select(col("doc_id"), col("lang"), col("source"),
-      explode(col("shingles")).as("sh"))
-    time("ex2.count") { ex2.count() }
-    val counts2 = ex2.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    time("counts2.count") { counts2.count() }
-    val a2 = ex2.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id1"))
-    val b2 = ex2.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id2"))
-    val joined = a2.join(b2, Seq("lang", "source", "sh")).filter(col("id1") < col("id2"))
-    time("join raw count") { println("join rows: " + joined.count()) }
-    val agg2 = joined.groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    time("join+agg count") { agg2.count() }
-    time("jaccard full new") { graft.ops.TextOps.jaccardPairs(spark, sfDir).count() }
-    graft.ops.TextOps.jaccardPairs(spark, sfDir).explain("formatted")
+      .withColumn("shingles", graft.functions.GraftFunctions.bigramShingles(col("tokens")))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("shingles")).as("sig"))
+      .persist()
+    time("sigs.count") { println("sigs: " + sigs.count()) }
+    val banded = sigs.select(col("doc_id"), col("sig"), expr(
+        s"""explode(transform(sequence(0, ${nRot - 1}), r -> named_struct(
+           |  'rot', r,
+           |  'prefix', shiftrightunsigned(
+           |     shiftleft(sig, r * $step) | shiftrightunsigned(sig, 64 - r * $step),
+           |     ${64 - prefixBits}))))""".stripMargin).as("rp"))
+      .select(col("doc_id"), col("sig"), col("rp.rot"), col("rp.prefix"))
+    val hist = banded.groupBy(col("rot"), col("prefix")).count()
+      .agg(count(lit(1)).as("n_buckets"), max(col("count")).as("max_bucket"),
+        avg(col("count")).as("avg_bucket"),
+        sum(col("count") * (col("count") - 1) / 2).as("candidate_pairs"))
+    time("bucket histogram") { hist.show(false) }
+    // top-10 biggest buckets
+    time("top buckets") {
+      banded.groupBy(col("rot"), col("prefix")).count()
+        .orderBy(col("count").desc).show(10, false)
+    }
+    time("simhash full") { graft.ops.TextOps.simhashPairs(spark, sfDir).count() }
+    spark.catalog.clearCache()
+
+    // --- jaccard at sf0.1
+    time("jaccard full") { graft.ops.TextOps.jaccardPairs(spark, sfDir).count() }
+    spark.catalog.clearCache()
+
+    // --- set_ops_all
+    time("set_ops_all") { graft.ops.Relational.queries("q_set_ops_all")(spark, sfDir).count() }
     spark.stop()
   }
 }

@@ -22,6 +22,53 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(salted("hot") === 500L)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    // one hot key owning ~99% of the probe side, landed in ONE shuffle
+    // partition; with the skew thresholds scaled down to test size, AQE's
+    // OptimizeSkewedJoin must split that partition instead of letting a
+    // single task drag the stage — the runtime half of the Skew.scala story
+    // (salting covers exact-distinct; AQE covers joins).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      // payload must be INCOMPRESSIBLE: AQE's partition-size stats are
+      // compressed shuffle bytes, and a repeated-character pad deflates
+      // below the skew threshold no matter how many rows the hot key has
+      val rnd = new scala.util.Random(42)
+      val hot = (0 until 120000).map(_ => ("hot", rnd.alphanumeric.take(100).mkString))
+      val cold = (0 until 1000).map(i => (s"cold$i", s"v$i"))
+      val probe = (hot ++ cold).toDF("key", "payload")
+      val dim = ((0 until 1000).map(i => (s"cold$i", i)) :+ (("hot", -1)))
+        .toDF("key", "attr")
+      val joined = probe.join(dim, "key")
+      // materialize THROUGH this Dataset's own QueryExecution — count()
+      // builds a separate one, leaving this plan un-executed
+      // (isFinalPlan=false) with no AQE re-planning to inspect
+      assert(joined.collect().length === 121000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n${finalPlan.take(3000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("csv and json sources round-trip the events slice") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
     val src = Tables(spark, sf001, "events")

@@ -48,12 +48,12 @@ class TextVectorSpec extends SparkSpec {
       s"simhash missed exact near-dups: ${exact -- sim}")
   }
 
-  test("ivf-ann recall@5 clears the floor while searching 25% of cells") {
+  test("ivf-ann recall@5 >= 0.8 while searching 6/16 cells") {
     val recalls = VectorOps.annIvfRecall(spark, sf001).collect()
       .map(_.getDouble(1))
     assert(recalls.nonEmpty)
     val avg = recalls.sum / recalls.length
-    assert(avg >= 0.4, s"avg ivf recall@5 = $avg")
+    assert(avg >= 0.8, s"avg ivf recall@5 = $avg")
   }
 
   test("srp-ann recall@5 is high on the fixed dataset") {
