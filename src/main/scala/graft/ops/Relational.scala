@@ -308,6 +308,32 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance, sample variance — streaming co-moment aggregates (one
+    * pass, map-side partial merge like any algebraic agg). Definitions
+    * match DuckDB's corr/covar_samp/var_samp exactly; rounding absorbs
+    * the last-ulp difference between merge orders. */
+  def statsCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(var_samp(col("l_discount")), 6).as("var_discount"))
+      .orderBy(col("l_returnflag"))
+
+  /** approx_percentile — the 100 TB path for quantiles (KLL-style sketch,
+    * mergeable, no per-group sort like exact percentile). Approximate ⇒
+    * rows-only for the oracle; accuracy vs exact percentile is asserted
+    * in AccuracySpec. */
+  def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+        .as("approx_quartiles"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Custom typed UDAF (Aggregator) — sum of squares per group; exact,
     * order-independent, so fully oracle-checkable. */
   def udafSumSq(s: SparkSession, dir: String): DataFrame = {
@@ -431,6 +457,8 @@ object Relational {
     "q_sql_grouping_sets" -> (sqlGroupingSets _),
     "q_limit_offset" -> (limitOffset _),
     "q_approx_distinct" -> (approxDistinct _),
+    "q_stats_corr" -> (statsCorr _),
+    "q_approx_percentile" -> (approxPercentile _),
     "q_udaf_sumsq" -> (udafSumSq _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_local_supplier_volume" -> (localSupplierVolume _),
@@ -613,7 +641,15 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10""".stripMargin,
 
-    // q_approx_distinct: HLL estimate ≠ exact — intentionally no oracle.
+    // q_approx_distinct / q_approx_percentile: sketch estimates ≠ exact —
+    // intentionally no oracle; ±tolerance vs exact asserted in AccuracySpec.
+
+    "q_stats_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(var_samp(l_discount), 6) AS var_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_udaf_sumsq" ->
       """SELECT l_returnflag,

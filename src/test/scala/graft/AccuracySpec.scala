@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Accuracy gates for the sketch-based aggregates (the 100 TB variants the
+  * exact-oracle path can't hash-compare): approx_count_distinct (HLL++) and
+  * approx_percentile (KLL-style). Each is asserted against its exact twin
+  * on the same data at the tolerance the query claims.
+  */
+class AccuracySpec extends SparkSpec {
+
+  test("approx_count_distinct within ±2% of exact countDistinct per group") {
+    val approx = Relational.queries("q_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k) - ex).toDouble / ex
+      assert(err <= 0.02, s"group $k: approx=${approx(k)} exact=$ex err=$err")
+    }
+  }
+
+  test("approx_percentile quartiles within 1% of exact percentile per group") {
+    val approx = Relational.queries("q_approx_percentile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = Tables(spark, sf001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      approx(k).zip(ex).zipWithIndex.foreach { case ((a, e), i) =>
+        val err = math.abs(a - e) / e
+        assert(err <= 0.01, s"group $k quartile $i: approx=$a exact=$e err=$err")
+      }
+    }
+  }
+}
