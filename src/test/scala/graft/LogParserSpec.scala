@@ -60,6 +60,29 @@ class LogParserSpec extends SparkSpec {
     assert(LogParser.parse(lines).count() === bad.size + good.size)
   }
 
+  test("real .gz file arrives as ONE partition; repartition restores parallelism") {
+    // gzip is non-splittable: however large the file, spark.read.text gives
+    // a single input partition — the 100 TB path MUST repartition right
+    // after the scan (SURVEY §7.5.3). Observed here on a real gzipped file,
+    // not just claimed in scaladoc.
+    import java.util.zip.GZIPOutputStream
+    val lines = Synthetic.generate(seed = 3, nClients = 20,
+      sessionsPerClient = 2, hitsPerSession = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz")
+    val gz = dir.resolve("sample.log.gz")
+    val out = new GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write(lines.mkString("\n").getBytes("UTF-8"))
+    out.close()
+
+    val df = spark.read.text(gz.toString)
+    assert(df.rdd.getNumPartitions === 1, "gz must be read as one partition")
+    assert(df.count() === lines.size)
+    val re = df.repartition(4)
+    assert(re.rdd.getNumPartitions === 4)
+    // and the parse still yields every well-formed line
+    assert(LogParser.requests(re).count() === lines.size)
+  }
+
   test("generator yields exactly nClients * sessionsPerClient sessions") {
     import org.apache.spark.sql.functions._
     val lines = Synthetic.generate(seed = 5, nClients = 7,
