@@ -46,6 +46,21 @@ object TextOps {
       .select(col("keep_id"), col("n_copies"), md5(col("text")).as("fingerprint"))
       .orderBy(col("keep_id"))
 
+  /** Exact dedup, 100 TB shuffle-key variant: group on xxhash64(text)
+    * instead of the text itself — the shuffle key shrinks from full
+    * document bytes to 8 bytes, which is what makes content dedup viable
+    * when documents are megabytes. Result is identical to dedupExact
+    * absent 64-bit collisions (~N²/2⁶⁵), so it shares the SAME DuckDB
+    * oracle (group-by-text) — the hash is only the shuffle key, never the
+    * output. */
+  def dedupHashKey(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(xxhash64(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        first(col("text")).as("_text"))
+      .select(col("keep_id"), col("n_copies"), md5(col("_text")).as("fingerprint"))
+      .orderBy(col("keep_id"))
+
   /** Per-document fingerprint (md5 — identical builtin in DuckDB, so the
     * whole fingerprint column is oracle-checkable). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -307,6 +322,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_hashkey" -> (dedupHashKey _),
     "q_fingerprint" -> (fingerprint _),
     "q_token_stats" -> (tokenStats _),
     "q_lang_stats" -> (langStats _),
@@ -322,6 +338,13 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       md5(text) AS fingerprint
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // q_dedup_hashkey: hash is only the SHUFFLE key — the result is the
+    // same relation, so the oracle is the same group-by-text SQL
+    "q_dedup_hashkey" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |       md5(text) AS fingerprint
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
