@@ -196,6 +196,27 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Analytic-function coverage beyond ranking: cume_dist, nth_value, and
+    * first/last_value with an explicit ROWS frame, per customer over order
+    * time. The ordering includes o_orderkey as a unique tie-break so
+    * RANGE≡ROWS and the result is deterministic on both engines; frames
+    * are stated explicitly (ROWS UNBOUNDED PRECEDING..CURRENT ROW) because
+    * nth_value's ANSI default frame is what both Spark and DuckDB use —
+    * stating it guards against dialect drift. Partitioned window: shuffles
+    * once on o_custkey, no global single-partition sort. */
+  def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(nth_value(col("o_totalprice"), 2).over(frame), 2).as("second_price"),
+        round(first(col("o_totalprice")).over(frame), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(frame), 2).as("latest_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Global top-k without full sort (TakeOrderedAndProject). */
   def topkOrders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -448,6 +469,7 @@ object Relational {
     "q_window_topk_group" -> (windowTopkPerGroup _),
     "q_window_ranks" -> (windowRanks _),
     "q_window_running" -> (windowRunning _),
+    "q_window_analytics" -> (windowAnalytics _),
     "q_topk_orders" -> (topkOrders _),
     "q_set_ops" -> (setOps _),
     "q_set_ops_all" -> (setOpsAll _),
@@ -575,6 +597,22 @@ object Relational {
         |  epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  round(nth_value(o_totalprice, 2) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_price,
+        |  round(first_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price,
+        |  round(last_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS latest_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -320,6 +320,94 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction (training-data curation): scrub emails, NANP phone
+    * numbers, and IPv4 addresses to typed placeholder tokens via chained
+    * regexp_replace — all three patterns are backtracking-free, so the Java
+    * (Spark) and RE2 (DuckDB oracle) dialects agree. The test corpus has no
+    * real PII, so the query first plants deterministic PII derived from
+    * doc_id (same expression in the oracle) and then proves the scrub
+    * removes it; match counts ride along as evidence. Narrow per-row op —
+    * no shuffle, codegen'd regexes — so it scales as a pure map stage. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val ipv4Re  = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("content", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("content"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipv4Re, "<IP>")
+          .as("redacted"),
+        size(regexp_extract_all(col("content"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("content"), lit(phoneRe), lit(0))).as("n_phones"))
+      .orderBy(col("doc_id"))
+
+  /** Fixed-width document chunking (training-data prep: context-window
+    * packing): explode chunk indices 0..ceil(len/W)-1, cut each chunk with
+    * substring. Narrow generate + project — no shuffle; at 100 TB this is
+    * a pure map stage whose output partitioning follows the input. */
+  def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = 120
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          ceil(length(col("text")) / w.toDouble).cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, chunk_idx * $w + 1, $w)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Edit-distance near-dup pairs: levenshtein within (lang, source) blocks,
+    * pre-filtered by |len difference| <= 30 (levenshtein(a,b) >= |len(a) -
+    * len(b)|, so the length gate is a sound O(1) lower-bound prune that
+    * skips the O(len²) DP for most pairs). Relative distance = dist /
+    * max(len) <= 0.3 keeps true near-dups only. Same blocking-bounded join
+    * shape as jaccardPairs — candidate pairs stay O(block²) with bounded
+    * blocks; at corpus scale the length gate rides the same join. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("id1"),
+      col("text").as("t1"), col("n_chars").as("len1"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("id2"),
+      col("text").as("t2"), col("n_chars").as("len2"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id1") < col("id2") &&
+        abs(col("len1") - col("len2")) <= 30)
+      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")))
+      .withColumn("rel_dist",
+        round(col("edit_dist") / greatest(col("len1"), col("len2")), 6))
+      .filter(col("rel_dist") <= 0.3)
+      .select(col("id1"), col("id2"), col("edit_dist"), col("rel_dist"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Repetition ratio (Gopher-style quality filter): fraction of all word
+    * bigrams taken by the most frequent one — high values flag boilerplate /
+    * degenerate repetition. Non-distinct bigrams (unlike the dedup
+    * shingles), exploded once then two hash aggregations; shuffle key is
+    * (doc_id, bigram) then doc_id — both well-distributed. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        max(col("n")).as("top_bigram_n"),
+        round(max(col("n")) / sum(col("n")), 6).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_hashkey" -> (dedupHashKey _),
@@ -334,6 +422,10 @@ object TextOps {
     "q_language_id" -> (languageId _),
     "q_token_count_bpe" -> (tokenCountBpe _),
     "q_winnow_fingerprints" -> (winnowFingerprints _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_doc_chunks" -> (docChunks _),
+    "q_edit_distance_pairs" -> (editDistancePairs _),
+    "q_repetition_ratio" -> (repetitionRatio _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -412,6 +504,58 @@ object TextOps {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com or +1 555-867-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 7) % 256 AS VARCHAR) AS content
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(content,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(content,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(content,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(length(text)/120.0) AS BIGINT))) AS ci
+        |  FROM documents)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |       substring(text, CAST(ci*120+1 AS INTEGER), 120) AS chunk,
+        |       CAST(length(substring(text, CAST(ci*120+1 AS INTEGER), 120)) AS INTEGER) AS chunk_len
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_edit_distance_pairs" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+        |  round(levenshtein(a.text, b.text) * 1.0
+        |        / greatest(a.n_chars, b.n_chars), 6) AS rel_dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 30
+        |WHERE levenshtein(a.text, b.text) * 1.0
+        |      / greatest(a.n_chars, b.n_chars) <= 0.3
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+        |         i -> tok[i] || ' ' || tok[i+1])) AS bg FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |  round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
     // DuckDB equivalent); q_language_id: rows-only (profile-scoring
     // heuristic pinned in TextVectorSpec instead). Driver records rows-only.
