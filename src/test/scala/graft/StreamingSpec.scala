@@ -205,6 +205,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream view->click attribution equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2015-07-22 09:00:00").getTime
+    def ev(id: Long, offsetSec: Long, user: Long, typ: String) =
+      Ev(id, new java.sql.Timestamp(base + offsetSec * 1000), user, typ)
+    val views = Seq(
+      ev(1, 0, 1, "view"), ev(2, 600, 1, "view"),   // u1: two views, 10 min apart
+      ev(3, 0, 2, "view"),                          // u2: one view
+      ev(4, 0, 3, "view"),                          // u3: view, click too late
+      // watermark pusher closes all windows
+      ev(99, 7200, 999, "view"))
+    val clicks = Seq(
+      ev(11, 120, 1, "click"),  // joins view 1 only (within 5 min)
+      ev(12, 660, 1, "click"),  // joins view 2 only (11 min after view 1)
+      ev(13, 299, 2, "click"),  // boundary: 4:59 after view 3 — joins
+      ev(14, 301, 3, "click"),  // boundary: 5:01 after view 4 — no join
+      ev(98, 7200, 998, "click"))
+    val msV = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = graft.stream.StreamJoins
+      .viewClickAttribution(msV.toDF(), msC.toDF())
+      .writeStream.format("memory").queryName("stream_attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      msV.addData(views)
+      msC.addData(clicks)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cols = Seq("user_id", "view_id", "click_id", "lag_us")
+    val streamed = spark.table("stream_attr")
+      .select(cols.head, cols.tail: _*)
+      .orderBy(cols.map(col): _*).collect()
+    // identical code path on batch inputs (watermark is a no-op in batch)
+    val batch = graft.stream.StreamJoins
+      .viewClickAttribution(views.toDF(), clicks.toDF())
+      .select(cols.head, cols.tail: _*)
+      .orderBy(cols.map(col): _*).collect()
+
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 11L), (2L, 12L), (3L, 13L)),
+      "boundary: click at +4:59 attributes, +5:01 does not")
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime
