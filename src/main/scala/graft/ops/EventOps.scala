@@ -128,6 +128,31 @@ object EventOps {
         max(col("value")).as("max_v"))
       .orderBy(col("key"))
 
+  /** Gap-filled per-minute load (time-series resample): a minute spine
+    * spans [min(ts), max(ts)] via sequence+explode, left-joined to the
+    * observed per-minute counts, missing minutes coalesced to 0 — the
+    * standard densify step before windowed/lag features (a lag over a
+    * series with holes silently reads the wrong minute). The spine is
+    * generated from a 1-row bounds aggregate (no driver collect) and the
+    * join is minute-keyed — at scale the spine is tiny relative to events
+    * and broadcasts; the expensive side stays a single hash aggregation. */
+  def loadGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val bounds = ev.agg(
+      date_trunc("minute", min(col("ts"))).as("t0"),
+      date_trunc("minute", max(col("ts"))).as("t1"))
+    val spine = bounds.select(
+      explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 MINUTE")))
+        .as("minute"))
+    val counts = ev
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("minute"), "left")
+      .select(unix_micros(col("minute")).as("minute_us"),
+        coalesce(col("n"), lit(0L)).as("requests"))
+      .orderBy(col("minute_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (jsonExtract _),
     "q_load_per_minute" -> (loadPerMinute _),
@@ -137,6 +162,7 @@ object EventOps {
     "q_stats_summary" -> (statsSummary _),
     "q_json_schema" -> (jsonSchema _),
     "q_json_map" -> (jsonMap _),
+    "q_load_gapfill" -> (loadGapfill _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -146,6 +172,18 @@ object EventOps {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_load_gapfill" ->
+      """WITH b AS (SELECT date_trunc('minute', min(ts)) AS t0,
+        |                  date_trunc('minute', max(ts)) AS t1 FROM events),
+        |spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute
+        |          FROM b),
+        |c AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+        |      FROM events GROUP BY 1)
+        |SELECT epoch_us(spine.minute) AS minute_us,
+        |       CAST(COALESCE(c.n, 0) AS BIGINT) AS requests
+        |FROM spine LEFT JOIN c ON spine.minute = c.minute
+        |ORDER BY minute_us""".stripMargin,
 
     "q_load_per_minute" ->
       """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,

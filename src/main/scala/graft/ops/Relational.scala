@@ -217,6 +217,31 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** FULL OUTER join as the merge/upsert shape (closes the one §2.3 join
+    * type not yet on the query surface): two per-customer order summaries
+    * split at 1998-01-01 are merged — customers present on either side
+    * survive, with null-side counts coalesced to 0 and the latest order
+    * taken from whichever side has it. At scale this is the standard
+    * snapshot-merge: both sides shuffle on the key once (sort-merge full
+    * outer), no broadcast (both sides are corpus-sized in a real merge). */
+  def joinFullMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val early = o.filter(col("o_orderdate") < cut)
+      .groupBy(col("o_custkey").as("ck_e"))
+      .agg(count(lit(1)).as("n_early"), max(col("o_orderdate")).as("last_early"))
+    val late = o.filter(col("o_orderdate") >= cut)
+      .groupBy(col("o_custkey").as("ck_l"))
+      .agg(count(lit(1)).as("n_late"), max(col("o_orderdate")).as("last_late"))
+    early.join(late, col("ck_e") === col("ck_l"), "full")
+      .select(coalesce(col("ck_e"), col("ck_l")).as("custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        unix_micros(coalesce(col("last_late"), col("last_early"))
+          .cast("timestamp")).as("last_order_us"))
+      .orderBy(col("custkey"))
+  }
+
   /** Global top-k without full sort (TakeOrderedAndProject). */
   def topkOrders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -466,6 +491,7 @@ object Relational {
     "q_join_anti" -> (joinAnti _),
     "q_join_cross" -> (joinCross _),
     "q_join_range" -> (joinRange _),
+    "q_join_full_merge" -> (joinFullMerge _),
     "q_window_topk_group" -> (windowTopkPerGroup _),
     "q_window_ranks" -> (windowRanks _),
     "q_window_running" -> (windowRunning _),
@@ -597,6 +623,22 @@ object Relational {
         |  epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_join_full_merge" ->
+      """WITH early AS (
+        |  SELECT o_custkey, count(*) AS n_early, max(o_orderdate) AS last_early
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey),
+        |late AS (
+        |  SELECT o_custkey, count(*) AS n_late, max(o_orderdate) AS last_late
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(e.o_custkey, l.o_custkey) AS custkey,
+        |  CAST(COALESCE(n_early, 0) AS BIGINT) AS n_early,
+        |  CAST(COALESCE(n_late, 0) AS BIGINT) AS n_late,
+        |  epoch_us(COALESCE(last_late, last_early)) AS last_order_us
+        |FROM early e FULL JOIN late l ON e.o_custkey = l.o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -408,6 +409,30 @@ object TextOps {
         round(max(col("n")) / sum(col("n")), 6).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf·ln((N+1)/(df+1)). Term frequency and document frequency are two
+    * hash aggregations over the exploded tokens; the corpus size N rides
+    * in as a 1-row aggregate cross-joined onto the scores (broadcast NL of
+    * a single row — never a driver-side count stuffed into a literal).
+    * Per-doc top-3 via row_number partitioned by doc_id — the bounded
+    * per-group-top-k shape, no global sort. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tfc = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val score = col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+    tfc.join(dfc, "term").crossJoin(n)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(score, 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_hashkey" -> (dedupHashKey _),
@@ -426,6 +451,7 @@ object TextOps {
     "q_doc_chunks" -> (docChunks _),
     "q_edit_distance_pairs" -> (editDistancePairs _),
     "q_repetition_ratio" -> (repetitionRatio _),
+    "q_tfidf" -> (tfidf _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -556,6 +582,21 @@ object TextOps {
         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
         |  round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |        WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfc AS (SELECT term AS dterm, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC, term) AS rk
+        |  FROM tfc JOIN dfc ON tfc.term = dfc.dterm CROSS JOIN n)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+        |FROM scored WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
     // DuckDB equivalent); q_language_id: rows-only (profile-scoring
     // heuristic pinned in TextVectorSpec instead). Driver records rows-only.

@@ -89,4 +89,22 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(sig(csv) === sig(src))
     assert(sig(json) === sig(src))
   }
+
+  test("orc source round-trips the events slice with predicate pushdown") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Tables(spark, sf001, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.write.mode("overwrite").orc(s"$tmp/orc")
+
+    val orc = spark.read.orc(s"$tmp/orc")
+    assert(orc.count() === src.count())
+    def sig(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("event_id"), col("user_id"), col("event_type")))).head().getLong(0)
+    assert(sig(orc) === sig(src))
+    // filters reach the ORC scan like parquet (columnar pushdown parity)
+    val plan = orc.filter(col("event_type") === "view")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]"),
+      plan.take(2000))
+  }
 }

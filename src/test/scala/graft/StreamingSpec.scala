@@ -250,6 +250,31 @@ class StreamingSpec extends SparkSpec {
       "boundary: click at +4:59 attributes, +5:01 does not")
   }
 
+  test("stream-static join enriches a stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2015-07-22 09:00:00").getTime
+    // static dim: event_type -> weight (broadcast per micro-batch; no
+    // watermark needed on the static side)
+    val dim = Seq(("view", 1), ("click", 5)).toDF("event_type", "weight")
+    val ms = MemoryStream[Ev]
+    val enriched = ms.toDF().join(dim, Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("weight")).as("score"))
+    val q = enriched.writeStream.format("memory").queryName("stream_enriched")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      ms.addData(
+        Ev(1, new java.sql.Timestamp(base), 1, "view"),
+        Ev(2, new java.sql.Timestamp(base + 1000), 1, "click"),
+        Ev(3, new java.sql.Timestamp(base + 2000), 2, "view"),
+        Ev(4, new java.sql.Timestamp(base + 3000), 2, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_enriched")
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 6L), (2L, 2L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime
