@@ -433,6 +433,40 @@ object TextOps {
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 
+  /** Stratified downsampling with per-stratum rates (corpus rebalancing:
+    * keep 1/2 of English, 1/5 of everything else). Deterministic modulus
+    * on the stable doc_id rather than rand() — reproducible across runs
+    * and engines, and the predicate is pure scan-column arithmetic, so the
+    * sample is a zero-shuffle filter pushed to the scan; no window, no
+    * per-stratum sort, nothing that funnels a stratum through one task. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(when(col("lang") === "en", col("doc_id") % 2 === 0)
+        .otherwise(col("doc_id") % 5 === 0))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Source-interleaved training order (data mixing): round-robin over
+    * sources — position i of every source's per-source sequence comes
+    * before position i+1 of any source, so a sequential reader sees
+    * sources evenly interleaved instead of source-clumped (the order
+    * training pipelines want after a source-partitioned ingest). Per-source
+    * sequence numbers are a partitioned window (shuffle on source); the
+    * GLOBAL position comes from ScaledRank's two-phase range-partitioned
+    * ranking, not a single-partition Window.orderBy. */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val strat = docs(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("srn", row_number().over(w))
+    ScaledRank.withGlobalRanks(strat,
+        orderCols = Seq(col("srn"), col("source"), col("doc_id")),
+        keyCols = Seq(col("srn"), col("source"), col("doc_id")))
+      .select(col("rn").cast("long").as("global_pos"),
+        col("doc_id"), col("source"), col("srn"))
+      .orderBy(col("global_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_hashkey" -> (dedupHashKey _),
@@ -452,6 +486,8 @@ object TextOps {
     "q_edit_distance_pairs" -> (editDistancePairs _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_tfidf" -> (tfidf _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_source_mix" -> (sourceMix _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -597,6 +633,22 @@ object TextOps {
         |  FROM tfc JOIN dfc ON tfc.term = dfc.dterm CROSS JOIN n)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
         |FROM scored WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN doc_id % 2 = 0
+        |           ELSE doc_id % 5 = 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |         AS INTEGER) AS srn
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY srn, source, doc_id)
+        |            AS BIGINT) AS global_pos,
+        |       doc_id, source, srn
+        |FROM r ORDER BY global_pos""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
     // DuckDB equivalent); q_language_id: rows-only (profile-scoring
     // heuristic pinned in TextVectorSpec instead). Driver records rows-only.
