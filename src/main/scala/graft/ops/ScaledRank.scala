@@ -118,4 +118,68 @@ object ScaledRank {
     }
     withNtile.drop("_key", "_rn", "_rnk", "_drnk", "_pid", "_row_off", "_key_off")
   }
+
+  private val groupedOutputCols = Seq("grn")
+  private val groupedScratchCols = Seq("_g", "_grn", "_pid", "_n", "_goff")
+
+  /** Appends per-GROUP global `grn` — exactly
+    * `row_number().over(Window.partitionBy(groupCols).orderBy(orderCols))` —
+    * without the one-task-per-group bottleneck.
+    *
+    * `Window.partitionBy(g)` hashes each group to ONE task; with few, huge
+    * groups (per-language corpus order, per-tenant sequences) a single
+    * group is the whole skew story. Here the relation is RANGE-partitioned
+    * on (group, order) so one group spans MANY partitions; a local pass
+    * numbers rows within (partition, group); per-(partition, group) counts
+    * (one tiny row each) get cumulative offsets via a window over that
+    * stats relation — partitioned by group over #partitions rows, so no
+    * driver-side collection AT ALL (unlike the global variant's
+    * O(#partitions) collect) — and a broadcast join on (_pid, group)
+    * shifts local numbers to per-group global ones.
+    *
+    * Intended for few-large-groups skew; with millions of tiny groups the
+    * stats relation grows to O(#groups) and a plain window (which is fine
+    * there — groups fit in a task) should be used instead.
+    *
+    * @param orderCols total order WITHIN a group incl. direction; must be
+    *                  tie-free (include a unique key) for a deterministic
+    *                  row_number, same as the window form
+    */
+  def withGroupedRowNumbers(df: DataFrame, groupCols: Seq[Column],
+                            orderCols: Seq[Column]): DataFrame = {
+    val clashes = df.schema.fieldNames.toSet
+      .intersect((groupedOutputCols ++ groupedScratchCols).toSet)
+    require(clashes.isEmpty,
+      s"ScaledRank.withGroupedRowNumbers reserves column names ${clashes.mkString(", ")}; " +
+        "rename or drop them on the input first")
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .withColumn("_g", struct(groupCols: _*))
+      .repartitionByRange((groupCols ++ orderCols): _*)
+      .sortWithinPartitions((groupCols ++ orderCols): _*)
+    val gIdx = ranged.schema.fieldIndex("_g")
+    val outSchema = ranged.schema.add("_grn", LongType)
+    val local = ranged.mapPartitions { it =>
+      var grn = 0L
+      var prevG: Row = null
+      it.map { r =>
+        val g = r.getStruct(gIdx)
+        if (prevG == null || g != prevG) { grn = 0L; prevG = g }
+        grn += 1
+        Row.fromSeq(r.toSeq :+ grn)
+      }
+    }(Encoders.row(outSchema))
+      .withColumn("_pid", spark_partition_id())
+      .persist() // stats + final join below; caller clearCache()s
+    val stats = local.groupBy(col("_pid"), col("_g"))
+      .agg(max(col("_grn")).as("_n"))
+    val wOff = Window.partitionBy(col("_g")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stats
+      .withColumn("_goff", sum(col("_n")).over(wOff))
+      .drop("_n")
+    local.join(broadcast(offsets), Seq("_pid", "_g"))
+      .withColumn("grn", col("_grn") + coalesce(col("_goff"), lit(0L)))
+      .drop("_g", "_grn", "_pid", "_goff")
+  }
 }

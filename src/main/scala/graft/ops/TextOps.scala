@@ -451,14 +451,17 @@ object TextOps {
     * before position i+1 of any source, so a sequential reader sees
     * sources evenly interleaved instead of source-clumped (the order
     * training pipelines want after a source-partitioned ingest). Per-source
-    * sequence numbers are a partitioned window (shuffle on source); the
-    * GLOBAL position comes from ScaledRank's two-phase range-partitioned
+    * sequence numbers come from ScaledRank.withGroupedRowNumbers — a
+    * Window.partitionBy(source) would funnel each source through ONE task,
+    * and sources are exactly the few-huge-groups shape at corpus scale —
+    * and the GLOBAL position from ScaledRank's two-phase range-partitioned
     * ranking, not a single-partition Window.orderBy. */
   def sourceMix(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val strat = docs(s, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("srn", row_number().over(w))
+    val strat = ScaledRank.withGroupedRowNumbers(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        groupCols = Seq(col("source")), orderCols = Seq(col("doc_id")))
+      .withColumn("srn", col("grn").cast("int"))
+      .drop("grn")
     ScaledRank.withGlobalRanks(strat,
         orderCols = Seq(col("srn"), col("source"), col("doc_id")),
         keyCols = Seq(col("srn"), col("source"), col("doc_id")))
