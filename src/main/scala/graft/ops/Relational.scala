@@ -371,13 +371,20 @@ object Relational {
   /** approx_percentile — the 100 TB path for quantiles (KLL-style sketch,
     * mergeable, no per-group sort like exact percentile). Approximate ⇒
     * rows-only for the oracle; accuracy vs exact percentile is asserted
-    * in AccuracySpec. */
+    * in AccuracySpec. Quartiles are emitted as SCALAR columns, not an
+    * array: the driver's rows-only reader sorts the result with pandas,
+    * which cannot sort array cells (CORRECTNESS_r04 err on this query). */
   def approxPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-        .as("approx_quartiles"),
+        .as("q"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("n_rows"))
       .orderBy(col("l_returnflag"))
 
   /** Custom typed UDAF (Aggregator) — sum of squares per group; exact,

@@ -27,7 +27,9 @@ class AccuracySpec extends SparkSpec {
 
   test("approx_percentile quartiles within 1% of exact percentile per group") {
     val approx = Relational.queries("q_approx_percentile")(spark, sf001)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     val exact = Tables(spark, sf001, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
