@@ -119,6 +119,55 @@ object ScaledRank {
     withNtile.drop("_key", "_rn", "_rnk", "_drnk", "_pid", "_row_off", "_key_off")
   }
 
+  private val cumOutputCols = Seq("cumsum")
+  private val cumScratchCols = Seq("_v", "_cs", "_pid", "_cs_off")
+
+  /** Appends global running total `cumsum` of `valueCol` in `orderCols`
+    * order — exactly `sum(v).over(Window.orderBy(orderCols).rowsBetween(
+    * unboundedPreceding, currentRow))` — without the single-partition
+    * window stage (same two-phase shape as [[withGlobalRanks]]: range
+    * exchange + local forward pass + O(#partitions) offset join).
+    *
+    * `orderCols` must be tie-free (include a unique key): running totals,
+    * like row_number, are only well-defined under a total order.
+    */
+  def withGlobalCumSum(df: DataFrame, orderCols: Seq[Column],
+                       valueCol: Column): DataFrame = {
+    val clashes = df.schema.fieldNames.toSet
+      .intersect((cumOutputCols ++ cumScratchCols).toSet)
+    require(clashes.isEmpty,
+      s"ScaledRank.withGlobalCumSum reserves column names ${clashes.mkString(", ")}; " +
+        "rename or drop them on the input first")
+    val spark = df.sparkSession
+    val ranged = df
+      .withColumn("_v", valueCol.cast("long"))
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = ranged.schema.fieldIndex("_v")
+    val outSchema = ranged.schema.add("_cs", LongType)
+    val local = ranged.mapPartitions { it =>
+      var cs = 0L
+      it.map { r =>
+        cs += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ cs)
+      }
+    }(Encoders.row(outSchema))
+      .withColumn("_pid", spark_partition_id())
+      .persist() // stats + final join below; caller clearCache()s
+    val stats = local.groupBy(col("_pid"))
+      .agg(max(col("_cs")).as("part_sum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = stats.scanLeft((0, 0L)) { case ((_, off), (pid, s)) =>
+      (pid, off + s)
+    }.init.zip(stats).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("_pid", "_cs_off")
+    local.join(broadcast(offsetDf), "_pid")
+      .withColumn("cumsum", col("_cs") + col("_cs_off"))
+      .drop("_v", "_cs", "_pid", "_cs_off")
+  }
+
   private val groupedOutputCols = Seq("grn")
   private val groupedScratchCols = Seq("_g", "_grn", "_pid", "_n", "_goff")
 

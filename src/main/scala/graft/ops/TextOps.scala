@@ -28,7 +28,7 @@ object TextOps {
     * array_distinct(transform(sequence(0, n-2), i -> tokens[i]||' '||tokens[i+1]))
     * and to the oracle's DuckDB list_distinct(list_transform(...)), but one
     * JVM loop per doc instead of interpreted per-element lambdas. */
-  private def withShingles(df: DataFrame): DataFrame = {
+  private[ops] def withShingles(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("tokens", split(col("text"), " "))
       .withColumn("shingles",

@@ -225,8 +225,39 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step that makes billion-vector ANN serving affordable (4× smaller
+    * than float32, SIMD-friendly distance kernels). Per-DIMENSION min/max
+    * over the corpus (posexplode → groupBy dim — an aggregation over 64
+    * keys, not a driver collect) define the affine code q = ⌊(x−mn)/(mx−mn)
+    * ·255 + 0.5⌋; the query reports per-vector reconstruction RMSE and the
+    * code range actually used. The dim-stats join is a broadcast of 64
+    * rows — the genuinely-small-side case. floor(x+0.5) spells half-up
+    * rounding identically in Spark and DuckDB (round() itself differs in
+    * half-even vs half-away tie policy across engines), which is what
+    * makes the integer codes — and so the whole query — oracle-exact. */
+  def sqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q = floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
+    val xhat = col("q") / 255.0 * (col("mx") - col("mn")) + col("mn")
+    ex.join(broadcast(stats), "dim")
+      .withColumn("q", q)
+      .withColumn("err", pow(col("x") - xhat, 2))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(avg(col("err"))), 6).as("recon_rmse"),
+        min(col("q")).cast("long").as("min_code"),
+        max(col("q")).cast("long").as("max_code"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_norms" -> (norms _),
+    "q_sq_quantize" -> (sqQuantize _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_label_centroids" -> (labelCentroids _),
@@ -274,5 +305,22 @@ object VectorOps {
         |  count(*) AS n
         |FROM embeddings, range(1, 9) t(dim)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_sq_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(dim AS INTEGER) AS dim,
+        |    CAST(embedding[CAST(dim AS INTEGER) + 1] AS DOUBLE) AS x
+        |  FROM embeddings, range(0, 64) t(dim)
+        |), st AS (
+        |  SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim
+        |), qx AS (
+        |  SELECT vec_id, label, x, mn, mx,
+        |    floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS q
+        |  FROM ex JOIN st ON ex.dim = st.dim)
+        |SELECT vec_id, label,
+        |  round(sqrt(avg(pow(x - (q / 255.0 * (mx - mn) + mn), 2))), 6) AS recon_rmse,
+        |  CAST(min(q) AS BIGINT) AS min_code,
+        |  CAST(max(q) AS BIGINT) AS max_code
+        |FROM qx GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
   )
 }

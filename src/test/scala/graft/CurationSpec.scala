@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, ScaledRank}
+
+/** Curation-operator behavior on crafted inputs: connected components on a
+  * graph whose diameter forces several propagation rounds, the two-phase
+  * global cumsum against the single-partition window it replaces, packing
+  * arithmetic invariants, and hash-split determinism + proportions.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connectedComponents: chain, pair, singleton, reversed/dup edges") {
+    // chain 0-1-…-12 (diameter 12 ⇒ >1 propagation round), pair {20,21}
+    // given REVERSED (21→20) and duplicated, singletons 30 and 31
+    val ids = (0L to 12L) ++ Seq(20L, 21L, 30L, 31L)
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val edges = chain ++ Seq((21L, 20L), (21L, 20L))
+    val got = Curation.connectedComponents(
+        ids.toDF("id"), edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 12L).foreach(i => assert(got(i) === 0L, s"chain node $i"))
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got(30L) === 30L && got(31L) === 31L)
+  }
+
+  test("connectedComponents matches brute-force transitive closure") {
+    // deterministic pseudo-random sparse graph over 60 nodes
+    val n = 60L
+    val ids = (0L until n)
+    val edges = ids.filter(i => (i * 7919) % 3 == 0)
+      .map(i => (i, (i * 31 + 7) % n)).filter { case (a, b) => a != b }
+    // driver-side union-find as the oracle
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    val got = Curation.connectedComponents(ids.toDF("id"), edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("withGlobalCumSum equals single-partition window running sum") {
+    val df = spark.range(2000)
+      .select(col("id"), ((col("id") * 37) % 101 + 1).as("v"))
+    val got = ScaledRank.withGlobalCumSum(df, Seq(col("id")), col("v"))
+      .select(col("id"), col("cumsum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cs", sum(col("v")).over(w))
+      .select(col("id"), col("cs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 2000)
+    assert(got === want)
+  }
+
+  test("seqPacking: offsets are a packing of the concatenated token stream") {
+    val rows = Curation.seqPacking(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val nTok = r.getInt(1).toLong
+      val start = r.getLong(2); val packId = r.getLong(3); val spans = r.getLong(4)
+      assert(start === expectedStart, s"doc ${r.getLong(0)}: gap/overlap in stream")
+      assert(packId === start / 512)
+      assert(spans === (start + nTok - 1) / 512 - packId + 1)
+      expectedStart = start + nTok
+    }
+  }
+
+  test("hashSplit is deterministic with ~80/10/10 proportions") {
+    val a = Curation.hashSplit(spark, sf001).collect()
+    val b = Curation.hashSplit(spark, sf001).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    val frac = a.groupBy(_.getString(2)).map { case (k, v) => k -> v.length.toDouble / a.length }
+    assert(math.abs(frac("train") - 0.80) < 0.08, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.10) < 0.06)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.06)
+  }
+
+  test("contamination containment bounded by (0, 1] and eval set disjoint") {
+    val rows = Curation.contamination(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "train side leaked an eval doc")
+      assert(r.getLong(1) % 50 == 0, "eval side contains a non-eval doc")
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+}
