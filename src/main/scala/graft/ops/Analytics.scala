@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the `events` stream (SURVEY.md §2.11
+  * extension): ordered-step conversion funnel, cohort retention, per-minute
+  * load anomaly flagging, and value histograms — the query shapes a
+  * clickstream warehouse runs daily, expressed so each rides a single
+  * hash-partition-by-user (or by-minute) exchange and nothing funnels the
+  * event log through one task.
+  */
+object Analytics {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** Ordered conversion funnel view → click → purchase at (user, day)
+    * grain: within each user-day, the first view, the first click AT OR
+    * AFTER that view, and the first purchase at or after that click
+    * (strict step ordering — a click before any view does not count). One
+    * row out: grain counts per stage + conversion rates.
+    *
+    * Shape: three chained conditional-min window passes over the SAME
+    * `partitionBy(user_id, day)` — Catalyst plans ONE hash exchange and
+    * stacked Window operators, then a per-grain aggregate collapses to
+    * users×days rows and a global aggregate to 1. At 100 TB the only
+    * corpus-wide movement is that single by-(user,day) shuffle — a finer
+    * key than plain user_id, so per-task state stays bounded even for
+    * pathologically active users. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+    val staged = events(s, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" && col("ts_us") >= col("fv"),
+          col("ts_us"))).over(w))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase" && col("ts_us") >= col("fc"),
+          col("ts_us"))).over(w))
+    staged.groupBy(col("user_id"), col("day"))
+      .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"),
+        max(col("fp")).as("fp"))
+      .agg(count(lit(1)).as("n_user_days"),
+        count(col("fv")).as("n_viewed"),
+        count(col("fc")).as("n_clicked"),
+        count(col("fp")).as("n_purchased"),
+        round(count(col("fc")) / count(col("fv")).cast("double"), 6)
+          .as("view_to_click"),
+        round(count(col("fp")) / count(col("fc")).cast("double"), 6)
+          .as("click_to_purchase"))
+  }
+
+  /** Daily cohort retention: cohort = day of a user's first event; one row
+    * per (cohort day, day offset) with the count of distinct users active
+    * that day — the classic retention triangle.
+    *
+    * The per-user cohort is a window min over the by-user exchange; the
+    * (user, cohort, day) distinct and the final groupBy are shuffles on
+    * keys whose cardinality is users × active-days — already far below the
+    * event count, and the final matrix is O(days²) regardless of corpus
+    * size. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+      .distinct()
+      .groupBy(unix_micros(col("cohort")).as("cohort_day_us"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day_us"), col("day_offset"))
+  }
+
+  /** Per-minute load anomaly flags: minutes whose request count deviates
+    * from the global mean by more than 2 sample standard deviations.
+    * The global (mu, sigma) is a 1-row aggregate broadcast back over the
+    * per-minute series — no second scan of the raw events and no driver
+    * collect; at 100 TB the series is minutes-cardinality (tiny) and the
+    * single expensive step is the per-minute count aggregation. */
+  def anomalyMinutes(s: SparkSession, dir: String): DataFrame = {
+    val perMin = events(s, dir)
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"))
+    val stats = perMin.agg(
+      avg(col("requests")).as("mu"),
+      stddev_samp(col("requests")).as("sigma"))
+    perMin.crossJoin(broadcast(stats))
+      .withColumn("z", round((col("requests") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) > 2)
+      .select(col("minute_us"), col("requests"),
+        round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+        col("z"))
+      .orderBy(col("minute_us"))
+  }
+
+  /** Fixed-width value histogram over `events.value`: 10 buckets of width
+    * 50 with the last bucket absorbing the tail — per-bucket count and
+    * corpus share. Pure per-row arithmetic into a 10-key aggregate: the
+    * textbook map-side-combine shape, one scan, no joins. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val bucket = least(floor(col("value") / 50.0), lit(9.0)).cast("long")
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), (col("bucket") * 50).as("bucket_lo"),
+        col("n"), round(col("n") / col("total").cast("double"), 6).as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel _),
+    "q_retention" -> (retention _),
+    "q_anomaly_minutes" -> (anomalyMinutes _),
+    "q_value_histogram" -> (valueHistogram _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH t AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, event_type,
+        |         epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id, day) AS fv FROM t),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= fv
+        |                     THEN ts_us END)
+        |    OVER (PARTITION BY user_id, day) AS fc FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= fc
+        |                     THEN ts_us END)
+        |    OVER (PARTITION BY user_id, day) AS fp FROM s2),
+        |u AS (SELECT user_id, day, max(fv) AS fv, max(fc) AS fc,
+        |             max(fp) AS fp
+        |      FROM s3 GROUP BY user_id, day)
+        |SELECT count(*) AS n_user_days, count(fv) AS n_viewed,
+        |  count(fc) AS n_clicked, count(fp) AS n_purchased,
+        |  round(count(fc) * 1.0 / count(fv), 6) AS view_to_click,
+        |  round(count(fp) * 1.0 / count(fc), 6) AS click_to_purchase
+        |FROM u""".stripMargin,
+
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (
+        |  SELECT DISTINCT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort
+        |  FROM d)
+        |SELECT epoch_us(cohort) AS cohort_day_us,
+        |  CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_day_us, day_offset""".stripMargin,
+
+    "q_anomaly_minutes" ->
+      """WITH pm AS (
+        |  SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+        |         count(*) AS requests
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT avg(requests) AS mu, stddev_samp(requests) AS sigma
+        |       FROM pm)
+        |SELECT minute_us, requests, round(mu, 6) AS mu,
+        |  round(sigma, 6) AS sigma,
+        |  round((requests - mu) / sigma, 6) AS z
+        |FROM pm, st
+        |WHERE abs(round((requests - mu) / sigma, 6)) > 2
+        |ORDER BY minute_us""".stripMargin,
+
+    "q_value_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket
+        |  FROM events),
+        |t AS (SELECT count(*) AS total FROM b)
+        |SELECT bucket, bucket * 50 AS bucket_lo, count(*) AS n,
+        |  round(count(*) * 1.0 / max(total), 6) AS share
+        |FROM b, t GROUP BY bucket ORDER BY bucket""".stripMargin,
+  )
+}

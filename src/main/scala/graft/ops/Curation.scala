@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -169,11 +170,74 @@ object Curation {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Boilerplate detection: per document, the fraction of its (distinct)
+    * bigram shingles that are corpus-common — appearing in at least 6 % of
+    * all documents (a FRACTIONAL document-frequency threshold, so the
+    * definition is scale-invariant: the same shingle population qualifies
+    * whether the corpus is 500 docs or 500 M). High-ratio docs are
+    * template/boilerplate-heavy and get down-weighted or dropped in
+    * pretraining curation.
+    *
+    * Shape: one shingle explode (persisted, reused by both sides), a
+    * by-shingle aggregate to find the common set (the corpus doc count
+    * joins in as a broadcast 1-row aggregate — no driver collect), and a
+    * shuffle equi-join back on the shingle key. All keys are
+    * content-derived (shingle text) so cardinality grows sublinearly with
+    * the corpus and no corpus-sized relation is broadcast — the same scale
+    * posture as [[TextOps.jaccardPairs]]. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val ex = TextOps.withShingles(d)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .persist()
+    val common = ex.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("n_docs") * 0.06)
+      .select(col("sh"))
+    val perDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val commonPerDoc = ex.join(common, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+    perDoc.join(commonPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) / col("n_sh").cast("double"),
+          6).as("boilerplate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source token-budget sampling: within each source, documents are
+    * taken in deterministic content-hash order (md5 of the doc id — stable
+    * across runs and engines, unlike rand()) until the source's running
+    * token total exceeds a fixed budget. The standard "cap each source's
+    * contribution to the training mix" step.
+    *
+    * The running total is a window sum PARTITIONED BY source — sources
+    * shard the corpus, so no single task sees more than one source's docs;
+    * at 100 TB a pathologically large source would be the skew concern,
+    * handled the same way as any hot key (salt the cumsum per the
+    * [[ScaledRank.withGlobalCumSum]] construction, then offset). */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000
+    val t = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      md5(concat(lit("graft-budget:"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (dupClusters _),
     "q_hash_split" -> (hashSplit _),
     "q_seq_packing" -> (seqPacking _),
     "q_contamination" -> (contamination _),
+    "q_boilerplate" -> (boilerplate _),
+    "q_token_budget" -> (tokenBudget _),
   )
 
   // The shingle CTE chain below q_dup_clusters / q_contamination is the
@@ -257,5 +321,44 @@ object Curation {
         |FROM j JOIN c ON j.doc_id = c.doc_id
         |WHERE round(inter * 1.0 / n_sh, 6) >= 0.2
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), common AS (
+        |  SELECT sh FROM ex GROUP BY sh
+        |  HAVING count(DISTINCT doc_id) >=
+        |         (SELECT count(*) FROM documents) * 0.06
+        |), per_doc AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+        |), cpd AS (
+        |  SELECT ex.doc_id, count(*) AS n_common
+        |  FROM ex JOIN common ON ex.sh = common.sh GROUP BY ex.doc_id
+        |)
+        |SELECT p.doc_id, CAST(p.n_sh AS BIGINT) AS n_sh,
+        |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+        |  round(COALESCE(c.n_common, 0) * 1.0 / p.n_sh, 6) AS boilerplate_ratio
+        |FROM per_doc p LEFT JOIN cpd c ON p.doc_id = c.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    md5('graft-budget:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 1000
+        |ORDER BY source, cum_tokens""".stripMargin,
   )
 }
