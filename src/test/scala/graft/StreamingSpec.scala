@@ -291,4 +291,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table("stream_dedup").count() === 2)
   }
+
+  test("foreachBatch parquet sink is idempotent under batch redelivery") {
+    // Structured Streaming guarantees foreachBatch AT-LEAST-once delivery:
+    // after a failure the last batch is re-run with the SAME batchId. The
+    // exactly-once sink pattern is therefore "write to a path keyed by
+    // batchId in overwrite mode" — redelivery lands on the same path and
+    // replaces, never appends. The test writes every batch TWICE to
+    // simulate redelivery and asserts zero duplication.
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val base = ts("2015-07-22 09:00:00").getTime
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val path = s"$out/batch_id=$id"
+        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(path) // simulated redelivery
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Ev(1, new java.sql.Timestamp(base), 1, "view"),
+        Ev(2, new java.sql.Timestamp(base + 1000), 1, "click"))
+      q.processAllAvailable()
+      ms.addData(Ev(3, new java.sql.Timestamp(base + 2000), 2, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out) // batch_id becomes a partition column
+    assert(back.count() === 3)
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(back.select("batch_id").distinct().count() === 2, "two micro-batches")
+  }
 }
