@@ -79,39 +79,47 @@ object Analytics {
 
   /** Per-minute load anomaly flags: minutes whose request count deviates
     * from the global mean by more than 2 sample standard deviations.
-    * The global (mu, sigma) is a 1-row aggregate broadcast back over the
-    * per-minute series — no second scan of the raw events and no driver
-    * collect; at 100 TB the series is minutes-cardinality (tiny) and the
-    * single expensive step is the per-minute count aggregation. */
+    *
+    * The global (mu, sigma) comes from an UNPARTITIONED window over the
+    * per-minute series, not a second aggregation of the raw events — a
+    * `crossJoin(agg)` formulation re-scans and re-aggregates the full
+    * event log (Catalyst does not share the common aggregate), doubling
+    * the expensive step. The single-partition window is safe here because
+    * the series' cardinality is bounded by TIME, not corpus size
+    * (SURVEY §3.2's bounded-series rule: a century is ~53 M minutes). */
   def anomalyMinutes(s: SparkSession, dir: String): DataFrame = {
     val perMin = events(s, dir)
       .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
       .agg(count(lit(1)).as("requests"))
-    val stats = perMin.agg(
-      avg(col("requests")).as("mu"),
-      stddev_samp(col("requests")).as("sigma"))
-    perMin.crossJoin(broadcast(stats))
-      .withColumn("z", round((col("requests") - col("mu")) / col("sigma"), 6))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perMin
+      .withColumn("mu_raw", avg(col("requests")).over(w))
+      .withColumn("sigma_raw", stddev_samp(col("requests")).over(w))
+      .withColumn("z",
+        round((col("requests") - col("mu_raw")) / col("sigma_raw"), 6))
       .filter(abs(col("z")) > 2)
       .select(col("minute_us"), col("requests"),
-        round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
-        col("z"))
+        round(col("mu_raw"), 6).as("mu"),
+        round(col("sigma_raw"), 6).as("sigma"), col("z"))
       .orderBy(col("minute_us"))
   }
 
   /** Fixed-width value histogram over `events.value`: 10 buckets of width
     * 50 with the last bucket absorbing the tail — per-bucket count and
-    * corpus share. Pure per-row arithmetic into a 10-key aggregate: the
-    * textbook map-side-combine shape, one scan, no joins. */
+    * corpus share. Pure per-row arithmetic into a 10-key aggregate (the
+    * textbook map-side-combine shape, one scan, no joins); the share
+    * denominator is a window sum over the ≤10-row RESULT, not a second
+    * scan of the events. */
   def valueHistogram(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
     val bucket = least(floor(col("value") / 50.0), lit(9.0)).cast("long")
-    val total = ev.agg(count(lit(1)).as("total"))
-    ev.groupBy(bucket.as("bucket"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events(s, dir)
+      .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      .select(col("bucket"), (col("bucket") * 50).as("bucket_lo"),
-        col("n"), round(col("n") / col("total").cast("double"), 6).as("share"))
+      .select(col("bucket"), (col("bucket") * 50).as("bucket_lo"), col("n"),
+        round(col("n") / sum(col("n")).over(w).cast("double"), 6).as("share"))
       .orderBy(col("bucket"))
   }
 
