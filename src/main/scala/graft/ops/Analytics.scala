@@ -50,9 +50,13 @@ object Analytics {
         count(col("fv")).as("n_viewed"),
         count(col("fc")).as("n_clicked"),
         count(col("fp")).as("n_purchased"),
-        round(count(col("fc")) / count(col("fv")).cast("double"), 6)
+        // nullif: an empty upstream stage yields NULL, not an ANSI
+        // divide-by-zero (Spark 4 throws on x/0 for doubles too)
+        round(count(col("fc")) /
+          nullif(count(col("fv")), lit(0)).cast("double"), 6)
           .as("view_to_click"),
-        round(count(col("fp")) / count(col("fc")).cast("double"), 6)
+        round(count(col("fp")) /
+          nullif(count(col("fc")), lit(0)).cast("double"), 6)
           .as("click_to_purchase"))
   }
 
@@ -151,8 +155,8 @@ object Analytics {
         |      FROM s3 GROUP BY user_id, day)
         |SELECT count(*) AS n_user_days, count(fv) AS n_viewed,
         |  count(fc) AS n_clicked, count(fp) AS n_purchased,
-        |  round(count(fc) * 1.0 / count(fv), 6) AS view_to_click,
-        |  round(count(fp) * 1.0 / count(fc), 6) AS click_to_purchase
+        |  round(count(fc) * 1.0 / nullif(count(fv), 0), 6) AS view_to_click,
+        |  round(count(fp) * 1.0 / nullif(count(fc), 0), 6) AS click_to_purchase
         |FROM u""".stripMargin,
 
     "q_retention" ->

@@ -382,7 +382,17 @@ object TextOps {
     a.join(b, Seq("lang", "source"))
       .filter(col("id1") < col("id2") &&
         abs(col("len1") - col("len2")) <= 30)
-      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")))
+      // banded DP: only dist <= 0.3*maxlen survives the rel_dist filter
+      // anyway, so pass that bound as levenshtein's threshold — Spark's
+      // thresholded variant runs O(len * threshold) and returns -1 on
+      // early exit instead of O(len^2) for every candidate pair (the DP
+      // itself was the dominant cost of this query, not the join)
+      .withColumn("thresh",
+        floor(greatest(col("len1"), col("len2")) * 0.3).cast("int"))
+      // (the Scala functions wrapper only takes a literal Int threshold;
+      // the SQL surface accepts the per-row column)
+      .withColumn("edit_dist", expr("levenshtein(t1, t2, thresh)"))
+      .filter(col("edit_dist") >= 0)
       .withColumn("rel_dist",
         round(col("edit_dist") / greatest(col("len1"), col("len2")), 6))
       .filter(col("rel_dist") <= 0.3)

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Analytics
+
+/** Semantics pins for the analytics operators on crafted rows — the DuckDB
+  * oracle proves engine parity on the fixture tables; these prove the
+  * DEFINITIONS are the intended ones (step ordering in the funnel, cohort
+  * assignment, tail-bucket clamping) on inputs built to exercise each rule.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day0 = "2015-07-22"
+
+  // `Tables`' events path expects the driver fixtures' ns-precision INT64
+  // `ts` (it computes `ts div 1000` then timestamp_micros) — crafted
+  // fixtures must write the same shape: epoch-NANOSECOND longs.
+  private def evDf(rows: (Long, String, String, Long)*) =
+    rows.toDF("user_id", "time", "event_type", "event_id")
+      .select(col("event_id"),
+        (unix_micros(to_timestamp(col("time"))) * 1000).as("ts"),
+        col("user_id"), col("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+
+  test("funnel counts only strictly ordered view->click->purchase steps") {
+    // u1: full ordered funnel. u2: click BEFORE its first view — the click
+    // must not count, so u2 converts to 'viewed' only. u3: purchase before
+    // click — purchase must not count even though both event types exist.
+    val ev = evDf(
+      (1L, s"$day0 10:00:00", "view", 1L),
+      (1L, s"$day0 10:05:00", "click", 2L),
+      (1L, s"$day0 10:10:00", "purchase", 3L),
+      (2L, s"$day0 09:00:00", "click", 4L),
+      (2L, s"$day0 09:30:00", "view", 5L),
+      (3L, s"$day0 08:00:00", "view", 6L),
+      (3L, s"$day0 08:10:00", "purchase", 7L),
+      (3L, s"$day0 08:20:00", "click", 8L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    ev.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.funnel(spark, tmp).collect().head
+    assert(out.getAs[Long]("n_user_days") === 3)
+    assert(out.getAs[Long]("n_viewed") === 3)
+    assert(out.getAs[Long]("n_clicked") === 2)   // u1 + u3 (click after view)
+    assert(out.getAs[Long]("n_purchased") === 1) // u1 only
+  }
+
+  test("funnel resets at day boundaries (user-day grain)") {
+    // same user: view on day 1, click on day 2 — the day-2 click has no
+    // same-day prior view, so no user-day converts past 'viewed'
+    val ev = evDf(
+      (1L, s"$day0 23:50:00", "view", 1L),
+      (1L, "2015-07-23 00:10:00", "click", 2L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel2").toString
+    ev.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.funnel(spark, tmp).collect().head
+    assert(out.getAs[Long]("n_user_days") === 2)
+    assert(out.getAs[Long]("n_viewed") === 1)
+    assert(out.getAs[Long]("n_clicked") === 0)
+  }
+
+  test("retention assigns each user to its first-seen day's cohort") {
+    val ev = evDf(
+      (1L, s"$day0 10:00:00", "view", 1L),       // u1 cohort day0
+      (1L, "2015-07-24 10:00:00", "view", 2L),   // u1 active at offset 2
+      (2L, "2015-07-23 10:00:00", "view", 3L),   // u2 cohort day1
+      (2L, "2015-07-24 10:00:00", "view", 4L))   // u2 active at offset 1
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    ev.write.parquet(s"$tmp/events.parquet")
+    val rows = Analytics.retention(spark, tmp)
+      .select("cohort_day_us", "day_offset", "n_active")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(rows.length === 4)
+    val byCohort = rows.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toSet).toMap
+    val Seq(c0, c1) = byCohort.keys.toSeq.sorted
+    assert(byCohort(c0) === Set(0 -> 1L, 2 -> 1L), "u1: day0 cohort, active offsets 0 and 2")
+    assert(byCohort(c1) === Set(0 -> 1L, 1 -> 1L), "u2: day1 cohort, active offsets 0 and 1")
+  }
+
+  test("histogram clamps the overflow tail into the last bucket") {
+    val ev = (Seq.fill(3)(25.0) ++ Seq(75.0, 9999.0, 460.0))
+      .zipWithIndex.map { case (v, i) =>
+        (i.toLong, ts(s"$day0 10:00:00").getTime * 1000000L, 1L, "view", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    ev.write.parquet(s"$tmp/events.parquet")
+    val rows = Analytics.valueHistogram(spark, tmp)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(rows(0L) === 3)
+    assert(rows(1L) === 1)
+    assert(rows(9L) === 2, "9999.0 and 460.0 both land in the tail bucket")
+  }
+}
