@@ -84,6 +84,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance DP stays OUT of the join condition") {
+    // regression: predicate pushdown substituted the levenshtein filter
+    // into the join condition, where pushed conjuncts are ordered BEFORE
+    // the cheap id/length gates and the DP ran 3x per candidate pair
+    // (35-38 s vs 4.9 s at sf0.1) — the _pin barrier in editDistancePairs
+    // must keep it above the join
+    val opt = SparkEntry.queries("q_edit_distance_pairs")(spark, sf001)
+      .queryExecution.optimizedPlan.toString
+    val joinLines = opt.linesIterator.filter(_.contains("Join")).toList
+    assert(joinLines.nonEmpty)
+    assert(!joinLines.exists(_.contains("levenshtein")),
+      s"levenshtein leaked into the join condition:\n${joinLines.mkString("\n").take(1500)}")
+  }
+
   test("range join keeps the equi conjunct (hash join, not BNLJ)") {
     val p = plan("q_join_range")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
