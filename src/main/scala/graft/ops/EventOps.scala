@@ -153,7 +153,26 @@ object EventOps {
       .orderBy(col("minute_us"))
   }
 
+  /** CDC-style latest-record-per-key dedup: the newest event per
+    * (user_id, event_type), ties broken by event_id — the "current state
+    * from an append-only changelog" query every warehouse materializes.
+    * row_number over the composite key partition keeps exactly one row;
+    * the key partitioning is the natural shuffle (no global sort, no
+    * single-partition window), and at 100 TB this is the shape compaction
+    * jobs run per micro-batch. */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latest_per_key" -> (latestPerKey _),
     "q_json_extract" -> (jsonExtract _),
     "q_load_per_minute" -> (loadPerMinute _),
     "q_sliding_load" -> (slidingLoad _),
@@ -166,6 +185,14 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts_us, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
