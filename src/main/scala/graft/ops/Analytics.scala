@@ -127,11 +127,36 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Winsorization (outlier clipping): `value` clipped to the per-event-
+    * type [p05, p95] band, with a clipped flag — the standard robust-stats
+    * cleaning step before aggregation/model features. The quantile bounds
+    * are ROUNDED to 6 decimals before clipping/comparison on BOTH engine
+    * and oracle sides: exact interpolated percentiles agree between Spark
+    * and DuckDB only to ~1 ulp, and an unrounded bound would make the
+    * clip/flag of a borderline row engine-dependent.
+    *
+    * Shape: a 5-row bounds aggregate broadcast back onto the stream — one
+    * full scan + one hash agg; the join is the genuinely-small-side case. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val q = ev.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.05)"), 6).as("p05"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"))
+    ev.join(broadcast(q), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(least(greatest(col("value"), col("p05")), col("p95")), 6)
+          .as("value_clipped"),
+        (col("value") < col("p05") || col("value") > col("p95"))
+          .as("was_clipped"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
     "q_anomaly_minutes" -> (anomalyMinutes _),
     "q_value_histogram" -> (valueHistogram _),
+    "q_winsorize" -> (winsorize _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,6 +209,18 @@ object Analytics {
         |FROM pm, st
         |WHERE abs(round((requests - mu) / sigma, 6)) > 2
         |ORDER BY minute_us""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS p05,
+        |    round(quantile_cont(value, 0.95), 6) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round(least(greatest(e.value, q.p05), q.p95), 6) AS value_clipped,
+        |  (e.value < q.p05 OR e.value > q.p95) AS was_clipped
+        |FROM events e JOIN q USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_value_histogram" ->
       """WITH b AS (

@@ -231,7 +231,35 @@ object Curation {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** Temperature-scaled language sampling (the multilingual-mix rebalance
+    * step: sample language l with probability ∝ n_l^0.7, normalized so the
+    * largest language keeps everything — up-weights low-resource languages
+    * relative to proportional sampling). Selection is DETERMINISTIC: doc
+    * kept iff its md5-derived uniform (first 6 hex digits mod 1e6) falls
+    * under the language's rate in micro-units — reproducible across runs
+    * and engines, unlike rand(). The per-language rates are a 5-row
+    * aggregate + unpartitioned window over it (bounded by language
+    * cardinality) broadcast back; the keep test is a pure per-row map. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val rates = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        pow(col("n_docs"), 0.7) / max(pow(col("n_docs"), 0.7)).over(w))
+    d.join(broadcast(rates), "lang")
+      .withColumn("u",
+        conv(substring(md5(concat(lit("graft-temp:"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long")
+          % 1000000)
+      .filter(col("u") < round(col("rate") * 1000000).cast("long"))
+      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
     "q_hash_split" -> (hashSplit _),
     "q_seq_packing" -> (seqPacking _),
@@ -244,6 +272,19 @@ object Curation {
   // same construction as TextOps' q_jaccard_pairs oracle (bigram shingles
   // via list_transform, distinct).
   val oracleSql: Map[String, String] = Map(
+    "q_temperature_sample" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang,
+        |    pow(n_docs, 0.7) / max(pow(n_docs, 0.7)) OVER () AS rate
+        |  FROM n)
+        |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (CAST(('0x' || substring(md5('graft-temp:' || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000)
+        |      < CAST(round(r.rate * 1000000, 0) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_dup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, lang, source,
