@@ -23,10 +23,18 @@ object StreamJoins {
 
   /** Attribute each click to every view by the same user within
     * `horizon` BEFORE the click (inner join). Expects `event_id, ts,
-    * user_id, event_type` on both inputs. */
+    * user_id, event_type` on both inputs.
+    *
+    * `joinType = "leftOuter"` gives the UNCONVERTED-view variant: a view
+    * with no click inside its horizon is emitted with null click columns —
+    * but only once the click-side watermark has passed view_ts + horizon,
+    * because until then a matching click could still arrive. That
+    * watermark-gated null emission is the semantics outer stream-stream
+    * joins exist for (funnel drop-off feeds, retargeting queues). */
   def viewClickAttribution(views: DataFrame, clicks: DataFrame,
                            horizon: String = "5 minutes",
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes",
+                           joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -38,7 +46,8 @@ object StreamJoins {
     v.join(c,
         col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
           .as("lag_us"))

@@ -250,6 +250,38 @@ class StreamingSpec extends SparkSpec {
       "boundary: click at +4:59 attributes, +5:01 does not")
   }
 
+  test("left-outer stream-stream join emits unmatched views after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2015-07-22 09:00:00").getTime
+    def ev(id: Long, offsetSec: Long, user: Long, typ: String) =
+      Ev(id, new java.sql.Timestamp(base + offsetSec * 1000), user, typ)
+    val msV = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = graft.stream.StreamJoins
+      .viewClickAttribution(msV.toDF(), msC.toDF(), joinType = "leftOuter")
+      .writeStream.format("memory").queryName("stream_attr_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      msV.addData(
+        ev(1, 0, 1, "view"),   // converts: click at +2 min
+        ev(2, 0, 2, "view"))   // never clicked -> null emission
+      msC.addData(ev(11, 120, 1, "click"))
+      q.processAllAvailable()
+      // watermark pushers on BOTH sides: the null row for view 2 may only
+      // be emitted once the click watermark passes view_ts + horizon
+      msV.addData(ev(99, 7200, 999, "view"))
+      msC.addData(ev(98, 7200, 998, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_attr_outer")
+      .filter(col("user_id") < 900)
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows === Set((1L, 11L), (2L, -1L)),
+      "matched view joins its click; unmatched view emits null after watermark")
+  }
+
   test("stream-static join enriches a stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime
