@@ -258,7 +258,34 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation pipeline — the composed DAG a real pretraining
+    * ingest runs as ONE job: exact dedup (keep min doc_id per text) →
+    * quality gate (≥ 40 tokens) → deterministic train split (md5 bucket)
+    * → sequence packing over the survivors. Exists to pin that the
+    * operators COMPOSE: one Catalyst plan, dedup's by-text exchange and
+    * the packer's range exchange are the only corpus-wide shuffles, and
+    * every intermediate stays a DataFrame (nothing materializes between
+    * stages). */
+  def curationE2e(s: SparkSession, dir: String): DataFrame = {
+    val deduped = docs(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 40)
+      .withColumn("bucket", substring(
+        md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 2))
+      .filter(col("bucket") < "cc")
+      .select(col("doc_id"), col("n_tokens"))
+    ScaledRank.withGlobalCumSum(deduped, Seq(col("doc_id")), col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cumsum") - col("n_tokens")) / 512.0).cast("long")
+          .as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_e2e" -> (curationE2e _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
     "q_hash_split" -> (hashSplit _),
@@ -272,6 +299,27 @@ object Curation {
   // same construction as TextOps' q_jaccard_pairs oracle (bigram shingles
   // via list_transform, distinct).
   val oracleSql: Map[String, String] = Map(
+    "q_curation_e2e" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM dd WHERE len(string_split(text, ' ')) >= 40),
+        |tr AS (
+        |  SELECT doc_id, n_tokens FROM tk
+        |  WHERE substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tr)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_temperature_sample" ->
       """WITH n AS (
         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
