@@ -135,8 +135,10 @@ object Analytics {
     * and DuckDB only to ~1 ulp, and an unrounded bound would make the
     * clip/flag of a borderline row engine-dependent.
     *
-    * Shape: a 5-row bounds aggregate broadcast back onto the stream — one
-    * full scan + one hash agg; the join is the genuinely-small-side case. */
+    * Shape: a 5-row bounds aggregate broadcast back onto the stream — two
+    * column-pruned scans (the exact-percentile aggregate needs its own
+    * full pass; unavoidable without caching the input), and the join is
+    * the genuinely-small-side case. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val q = ev.groupBy(col("event_type")).agg(
