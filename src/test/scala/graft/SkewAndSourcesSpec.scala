@@ -107,4 +107,55 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]"),
       plan.take(2000))
   }
+
+  test("maxPartitionBytes sizes the scan's input splits") {
+    // the input-sizing lever for 100 TB reads: partitions-per-file must
+    // track spark.sql.files.maxPartitionBytes so a scan neither creates
+    // millions of tiny tasks nor single tasks too big for executor memory
+    val conf = spark.conf
+    val saved = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.minPartitionNum")
+      .map(k => k -> conf.getOption(k)).toMap
+    val path = "/root/testdata/sf0.1/lineitem.parquet" // ~11 MB on disk
+    try {
+      // minPartitionNum defaults to the cluster parallelism: the effective
+      // split is min(maxPartitionBytes, totalBytes / minPartitionNum), so
+      // maxPartitionBytes alone can't make splits BIGGER than size/cores —
+      // pin it to 1 to isolate the max-split lever
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      conf.set("spark.sql.files.maxPartitionBytes", "2MB")
+      val small = spark.read.parquet(path).rdd.getNumPartitions
+      conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+      val big = spark.read.parquet(path).rdd.getNumPartitions
+      assert(big === 1, s"11 MB file under a 128 MB split should be 1 partition, got $big")
+      assert(small >= 4, s"11 MB file under 2 MB splits should be >= 4 partitions, got $small")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // the other half of shuffle sizing: a too-large shuffle.partitions
+    // setting (the safe default at scale) must not produce thousands of
+    // near-empty tasks — AQE's coalescer merges them to the advisory size
+    val conf = spark.conf
+    val saved = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "200")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val agg = spark.range(0, 10000)
+        .selectExpr("id % 50 AS k", "id AS v")
+        .groupBy("k").sum("v")
+      agg.collect() // materialize so AQE finalizes the plan
+      val finalPartitions = agg.rdd.getNumPartitions
+      assert(finalPartitions < 200,
+        s"AQE should coalesce the 200 configured partitions, got $finalPartitions")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
