@@ -205,6 +205,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("Trigger.AvailableNow drains a backfill in rate-limited batches then stops") {
+    // the bounded-backfill mode: process everything currently in the
+    // source — throttled by maxFilesPerTrigger so one giant directory
+    // does not become one giant micro-batch — then terminate on its own.
+    // At scale this is how a streaming pipeline replays history with the
+    // same code and bounded per-batch memory, no manual stop.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avail_now").toString
+    val ev = Tables(spark, sf001, "events").select("event_id", "ts", "user_id")
+    // several files so the 1-file-per-trigger limit forces multiple batches
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    var batches = 0
+    val q = streamDf.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) batches += 1; ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+    assert(batches > 1, s"maxFilesPerTrigger=1 over 4 files should take >1 batch, got $batches")
+  }
+
   test("stream-stream view->click attribution equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime
