@@ -153,7 +153,48 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Event-transition matrix (first-order Markov counts): for each user's
+    * time-ordered event stream, count (event_type → next event_type)
+    * transitions, with each row's share among transitions leaving the same
+    * source state. One lag/lead window over the by-user exchange, then a
+    * 25-key aggregate — the same single-shuffle shape as sessionization. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("from_type"))
+    events(s, dir)
+      .withColumn("from_type", col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_from",
+        round(col("n") / sum(col("n")).over(ws).cast("double"), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Inter-arrival time distribution per event type: percentiles of the
+    * gap between a user's consecutive events of that type — the latency/
+    * cadence profile behind retention and load modeling. lag over
+    * (user, type) partitions, then a 5-key percentile aggregate. */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / 1000000.0, 6).as("avg_gap_s"),
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 6).as("p50_gap_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 6).as("p90_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (eventTransitions _),
+    "q_inter_arrival" -> (interArrival _),
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
     "q_anomaly_minutes" -> (anomalyMinutes _),
@@ -162,6 +203,33 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6)
+        |    AS share_from
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_inter_arrival" ->
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) -
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap_us) / 1000000.0, 6) AS avg_gap_s,
+        |  round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+        |  round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s
+        |FROM t WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_funnel" ->
       """WITH t AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, event_type,
