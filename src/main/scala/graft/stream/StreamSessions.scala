@@ -61,4 +61,15 @@ object StreamSessions {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming value histogram (update-mode running bucket counts) — the
+    * live twin of [[graft.ops.Analytics.valueHistogram]]'s bucketing: each
+    * micro-batch folds into at most 10 grouped states, so state size is
+    * CONSTANT regardless of stream length (the aggregation-state shape
+    * that needs no watermark to stay bounded). */
+  def valueHistogram(events: DataFrame): DataFrame =
+    events
+      .groupBy(least(floor(col("value") / 50.0), lit(9.0)).cast("long")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
 }

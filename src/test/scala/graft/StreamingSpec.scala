@@ -9,6 +9,8 @@ import graft.stream.StreamSessions
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
               event_type: String)
 
+case class EvV(event_id: Long, ts: java.sql.Timestamp, value: Double)
+
 /** Batch ≡ streaming equivalence on replayed fixtures (SURVEY §5.3 /
   * §7.5.5): the same session_window aggregation must produce the same
   * sessions whether the events arrive as a table or as a stream. */
@@ -203,6 +205,27 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("requests"))
       .orderBy("minute_us").collect()
     assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming value histogram: running bucket counts equal the batch histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2015-07-22 09:00:00")
+    val values = Seq(10.0, 25.0, 60.0, 75.0, 120.0, 9999.0, 470.0)
+    val ms = MemoryStream[EvV]
+    val q = StreamSessions.valueHistogram(ms.toDF())
+      .writeStream.format("memory").queryName("stream_hist")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // two micro-batches: counts must accumulate across them
+      ms.addData(values.take(4).zipWithIndex.map { case (v, i) => EvV(i, base, v) })
+      q.processAllAvailable()
+      ms.addData(values.drop(4).zipWithIndex.map { case (v, i) => EvV(100 + i, base, v) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_hist")
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === Seq((0L, 2L), (1L, 2L), (2L, 1L), (9L, 2L)),
+      "two width-50 buckets of 2, one of 1, and the clamped tail holding 9999 and 470")
   }
 
   test("Trigger.AvailableNow drains a backfill in rate-limited batches then stops") {
