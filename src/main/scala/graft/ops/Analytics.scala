@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,7 +192,58 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Daily and trailing-7-day active users (DAU / WAU): for each active
+    * day, the distinct users that day and over [day-6, day]. A rolling
+    * DISTINCT cannot ride a window frame (distinct doesn't decompose), so
+    * the scale shape is contribute-forward: each (user, day) distinct pair
+    * is exploded to the <=7 future days it makes that user active on — a
+    * bounded 7x expansion of the already-deduplicated (user, day) relation,
+    * NOT of the raw event log — then a count-distinct per target day.
+    * Synthetic trailing days past the last activity are dropped by the
+    * inner join back to real active days. */
+  def rollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr(
+        "sequence(day, day + interval 6 days, interval 1 day)")).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(wau, "day")
+      .select(unix_micros(col("day")).as("day_us"), col("dau"), col("wau7"))
+      .orderBy(col("day_us"))
+  }
+
+  /** Single-pass heavy hitters over a composite event key via the
+    * Misra–Gries mergeable sketch (`functions.MisraGries`) — ONE bounded
+    * map per partition, partial-aggregated map-side and merged at a single
+    * final reducer; the corpus is never shuffled by key. At 100 TB this is
+    * the frequent-items shape when the key cardinality is too large (or
+    * too skewed) for a full groupBy count and only the top of the
+    * distribution matters.
+    *
+    * Here the key space (event_type × user_id mod 20 = 100 keys) stays
+    * under the 128-counter capacity, so no decrement fires and the sketch
+    * is EXACT — which is what gives this query a real DuckDB
+    * group-by-count oracle. The approximation guarantee when keys overflow
+    * capacity (est <= true <= est + n/(cap+1), no false negatives above
+    * n/(cap+1)) is asserted separately in `SketchSpec`. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(128), Encoders.STRING)
+    events(s, dir)
+      .select(concat_ws(":", col("event_type"),
+        pmod(col("user_id"), lit(20))).as("k"))
+      .agg(mg(col("k")).as("hh"))
+      .select(explode(col("hh")).as(Seq("key", "est")))
+      .orderBy(col("est").desc, col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_rolling_active" -> (rollingActive _),
     "q_event_transitions" -> (eventTransitions _),
     "q_inter_arrival" -> (interArrival _),
     "q_funnel" -> (funnel _),
@@ -203,6 +254,26 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """SELECT event_type || ':' || CAST(user_id % 20 AS VARCHAR) AS key,
+        |  count(*) AS est
+        |FROM events GROUP BY 1 ORDER BY est DESC, key""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |contrib AS (
+        |  SELECT user_id, unnest(generate_series(day,
+        |    day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+        |  FROM ud),
+        |wau AS (
+        |  SELECT day, count(DISTINCT user_id) AS wau7 FROM contrib
+        |  GROUP BY day)
+        |SELECT epoch_us(dau.day) AS day_us, dau.dau, wau.wau7
+        |FROM dau JOIN wau USING (day) ORDER BY day_us""".stripMargin,
+
     "q_event_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type AS from_type,

@@ -491,7 +491,63 @@ object TextOps {
       .orderBy(col("global_pos"))
   }
 
+  /** Corpus-LM perplexity scoring (the CCNet-style quality filter): train a
+    * bigram language model on the corpus itself — p(w2|w1) = c(w1,w2) /
+    * Σ_w c(w1,w) — and score each document by the perplexity of its own
+    * bigram stream, exp(-avg ln p). Low-perplexity documents are
+    * predictable/common text; high perplexity flags junk for curation.
+    * No smoothing is needed: every scored bigram is in the training counts
+    * by construction, so p > 0 always.
+    *
+    * Scale shape: the per-instance bigram stream (corpus-sized) is built
+    * ONCE and persisted — it feeds the LM aggregation and the scoring join.
+    * The LM table is bounded by observed-vocab², far below corpus size; the
+    * context totals are a second aggregation OF THE LM TABLE (never a
+    * rescan of the corpus). Scoring is one shuffle equi-join on (w1, w2) —
+    * the stream × LM join a perplexity filter runs at 100 TB — followed by
+    * a per-doc aggregate that rides the same hash partitioning. Documents
+    * with fewer than 2 tokens have no bigrams and are excluded up front
+    * (mirrored in the oracle's WHERE). */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val big = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist()
+    val lm = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    big.join(lm.join(ctx, "w1"), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(log(col("c12") / col("c1")))), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frequency-ordered vocabulary build: token → contiguous id, most
+    * frequent first (ties broken lexically), the id assignment step before
+    * any count-based tokenization. Global ordering over the vocab-sized
+    * count table uses ScaledRank's two-phase range-partitioned row_number —
+    * a plain Window.orderBy would funnel the whole vocabulary through one
+    * task, and real corpora have vocabularies in the hundreds of millions
+    * (every typo and number is a token candidate). */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    ScaledRank.withGlobalRanks(counts,
+        orderCols = Seq(col("n").desc, col("term")),
+        keyCols = Seq(col("n"), col("term")))
+      .select(col("rn").cast("long").as("token_id"), col("term"), col("n"))
+      .orderBy(col("token_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_perplexity" -> (lmPerplexity _),
+    "q_vocab" -> (vocab _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_hashkey" -> (dedupHashKey _),
     "q_fingerprint" -> (fingerprint _),
@@ -515,6 +571,31 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+        |  FROM tok),
+        |lm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM lm GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(exp(-avg(ln(l.c12 / c.c1))), 6) AS ppl
+        |FROM bg b JOIN lm l USING (w1, w2) JOIN ctx c ON l.w1 = c.w1
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH c AS (
+        |  SELECT term, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE length(term) > 0 GROUP BY term)
+        |SELECT row_number() OVER (ORDER BY n DESC, term) AS token_id,
+        |  term, n
+        |FROM c ORDER BY token_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |       md5(text) AS fingerprint

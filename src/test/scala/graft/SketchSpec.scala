@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+import graft.ops.Analytics
+
+/** Pins the Misra–Gries heavy-hitters guarantees the query path relies on
+  * (see `functions.MisraGries` scaladoc):
+  *
+  *  1. Under counter overflow, estimates never overcount, undercount by at
+  *     most n/(capacity+1), and every key with true frequency above
+  *     n/(capacity+1) survives — asserted on a skewed stream aggregated
+  *     across 8 partitions (so the merge path, not just reduce, is
+  *     exercised).
+  *  2. With distinct keys <= capacity the sketch is exact — the mode
+  *     `q_heavy_hitters` runs in, cross-checked against groupBy counts.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Misra-Gries guarantee on a skewed stream across 8 partitions") {
+    val capacity = 8
+    // 1000×hot + 300×warm + 50 rare keys ×4 = n=1500; bound n/(cap+1)=166.66
+    val data = Seq.fill(1000)("hot") ++ Seq.fill(300)("warm") ++
+      (0 until 50).flatMap(i => Seq.fill(4)(s"rare_$i"))
+    val n = data.length
+    val bound = n.toDouble / (capacity + 1)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val mg = udaf(new MisraGries(capacity), Encoders.STRING)
+    val est = spark.createDataset(scala.util.Random.shuffle(data))
+      .repartition(8)
+      .agg(mg(col("value")).as("hh"))
+      .select(explode(col("hh")).as(Seq("key", "est")))
+      .as[(String, Long)].collect().toMap
+
+    assert(est.size <= capacity, s"summary exceeded capacity: ${est.size}")
+    est.foreach { case (k, e) =>
+      assert(e <= truth(k), s"$k overcounted: est=$e true=${truth(k)}")
+      assert(truth(k) - e <= bound,
+        s"$k undercounted past bound: est=$e true=${truth(k)} bound=$bound")
+    }
+    truth.filter(_._2 > bound).keys.foreach { k =>
+      assert(est.contains(k), s"frequent key $k (true=${truth(k)}) missing")
+    }
+  }
+
+  test("exact when distinct keys fit capacity; q_heavy_hitters matches groupBy") {
+    val hh = Analytics.queries("q_heavy_hitters")(spark, sf001)
+      .as[(String, Long)].collect()
+    val exact = Tables(spark, sf001, "events")
+      .groupBy(concat_ws(":", col("event_type"),
+        pmod(col("user_id"), lit(20))).as("key"))
+      .agg(count(lit(1)).as("est"))
+      .orderBy(col("est").desc, col("key"))
+      .as[(String, Long)].collect()
+    assert(hh.toSeq === exact.toSeq)
+  }
+}
