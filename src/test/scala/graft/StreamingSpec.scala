@@ -228,6 +228,36 @@ class StreamingSpec extends SparkSpec {
       "two width-50 buckets of 2, one of 1, and the clamped tail holding 9999 and 470")
   }
 
+  test("streaming Misra-Gries heavy hitters accumulate across micro-batches") {
+    // the custom mergeable sketch as a STREAMING aggregation: complete-mode
+    // state is the bounded counter map, merged across micro-batches by the
+    // Aggregator's merge path — the always-on frequent-items monitor shape.
+    // 5 distinct keys <= capacity 8, so the running summary must stay EXACT
+    // regardless of how the stream is batched.
+    implicit val sqlCtx = spark.sqlContext
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(8),
+      org.apache.spark.sql.Encoders.STRING)
+    val data = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      Seq("a", "b", "c")
+    val ms = MemoryStream[String]
+    val q = ms.toDF().select(col("value").as("k"))
+      .agg(mg(col("k")).as("hh"))
+      .select(explode(col("hh")).as(Seq("key", "est")))
+      .writeStream.format("memory").queryName("stream_hh")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      ms.addData(data.take(20))
+      q.processAllAvailable()
+      ms.addData(data.drop(20))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_hh").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(streamed === truth)
+  }
+
   test("Trigger.AvailableNow drains a backfill in rate-limited batches then stops") {
     // the bounded-backfill mode: process everything currently in the
     // source — throttled by maxFilesPerTrigger so one giant directory
