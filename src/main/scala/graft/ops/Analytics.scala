@@ -16,6 +16,7 @@ import graft.Tables
 object Analytics {
 
   private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
   /** Ordered conversion funnel view → click → purchase at (user, day)
     * grain: within each user-day, the first view, the first click AT OR
@@ -192,6 +193,75 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Lag-1 / lag-5 autocorrelation of the per-minute load series — the
+    * "is load predictable from its recent past" check that justifies the
+    * lag-feature design of the load-forecast model (ml.Predict). The
+    * corpus collapses to the per-minute grain first; the lag windows and
+    * corr run on that time-bounded series (SURVEY §3.2's bounded-series
+    * rule), so the unpartitioned window is safe at any corpus size. */
+  def loadAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("minute_us"))
+    events(s, dir)
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"))
+      .withColumn("lag1", lag(col("requests"), 1).over(w))
+      .withColumn("lag5", lag(col("requests"), 5).over(w))
+      .agg(count(lit(1)).as("n_minutes"),
+        round(corr(col("requests"), col("lag1")), 6).as("r1"),
+        round(corr(col("requests"), col("lag5")), 6).as("r5"))
+  }
+
+  /** Per-source document-length drift vs the corpus: the exact two-sample
+    * Kolmogorov–Smirnov statistic between each source's n_chars
+    * distribution and the pooled corpus distribution. For step CDFs the
+    * supremum is attained at a pooled sample point, so evaluating
+    * |F_source(x) - F_corpus(x)| at every observed x IS the exact KS —
+    * the drift monitor a training-data pipeline runs per ingest batch.
+    *
+    * Scale shape: the only corpus-wide operation is the aggregation to
+    * (source, n_chars) grain. Everything after — the sources × support
+    * grid, the cumulative sums — lives on relations bounded by
+    * |sources| × |distinct lengths|, and the per-source cumsum windows
+    * partition by source over that bounded support. */
+  def lengthDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("source"), col("n_chars").as("x"))
+    val c = d.groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+    val xs = d.select(col("x")).distinct()
+    val srcTot = c.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("x"))
+    val wG = Window.orderBy(col("x"))
+    val fAll = c.groupBy(col("x")).agg(sum(col("c")).as("gc"))
+      .withColumn("f_all",
+        sum(col("gc")).over(wG) / sum(col("gc")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("x"), col("f_all"))
+    srcTot.crossJoin(xs)
+      .join(c, Seq("source", "x"), "left")
+      .withColumn("f_s", sum(coalesce(col("c"), lit(0L))).over(wS) / col("t"))
+      .join(fAll, "x")
+      .groupBy(col("source"))
+      .agg(round(max(abs(col("f_s") - col("f_all"))), 6).as("ks"))
+      .orderBy(col("source"))
+  }
+
+  /** Within-type load percentiles: each (event_type, minute)'s request
+    * count with its cume_dist among that type's minutes — "how busy was
+    * this minute for this event type". The window partitions by type over
+    * the per-(type, minute) AGGREGATED series (time-bounded), never over
+    * raw events. */
+  def loadCumeDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("requests"))
+    events(s, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"))
+      .withColumn("load_pctl", round(cume_dist().over(w), 6))
+      .select(col("event_type"), col("minute_us"), col("requests"),
+        col("load_pctl"))
+      .orderBy(col("event_type"), col("minute_us"))
+  }
+
   /** Daily and trailing-7-day active users (DAU / WAU): for each active
     * day, the distinct users that day and over [day-6, day]. A rolling
     * DISTINCT cannot ride a window frame (distinct doesn't decompose), so
@@ -244,6 +314,9 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (heavyHitters _),
     "q_rolling_active" -> (rollingActive _),
+    "q_load_autocorr" -> (loadAutocorr _),
+    "q_length_drift" -> (lengthDrift _),
+    "q_load_cume_dist" -> (loadCumeDist _),
     "q_event_transitions" -> (eventTransitions _),
     "q_inter_arrival" -> (interArrival _),
     "q_funnel" -> (funnel _),
@@ -258,6 +331,52 @@ object Analytics {
       """SELECT event_type || ':' || CAST(user_id % 20 AS VARCHAR) AS key,
         |  count(*) AS est
         |FROM events GROUP BY 1 ORDER BY est DESC, key""".stripMargin,
+
+    "q_load_autocorr" ->
+      """WITH pm AS (
+        |  SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+        |         count(*) AS requests
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT requests,
+        |    lag(requests, 1) OVER (ORDER BY minute_us) AS lag1,
+        |    lag(requests, 5) OVER (ORDER BY minute_us) AS lag5
+        |  FROM pm)
+        |SELECT count(*) AS n_minutes,
+        |  round(corr(requests, lag1), 6) AS r1,
+        |  round(corr(requests, lag5), 6) AS r5
+        |FROM l""".stripMargin,
+
+    "q_length_drift" ->
+      """WITH c AS (
+        |  SELECT source, n_chars AS x, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |xs AS (SELECT DISTINCT n_chars AS x FROM documents),
+        |st AS (SELECT source, sum(c) AS t FROM c GROUP BY 1),
+        |fa AS (
+        |  SELECT x,
+        |    sum(gc) OVER (ORDER BY x) * 1.0 / sum(gc) OVER () AS f_all
+        |  FROM (SELECT x, sum(c) AS gc FROM c GROUP BY x)),
+        |fs AS (
+        |  SELECT st.source, xs.x,
+        |    sum(coalesce(c.c, 0)) OVER (PARTITION BY st.source
+        |      ORDER BY xs.x) * 1.0 / st.t AS f_s
+        |  FROM st CROSS JOIN xs
+        |  LEFT JOIN c ON c.source = st.source AND c.x = xs.x)
+        |SELECT fs.source, round(max(abs(fs.f_s - fa.f_all)), 6) AS ks
+        |FROM fs JOIN fa USING (x)
+        |GROUP BY fs.source ORDER BY fs.source""".stripMargin,
+
+    "q_load_cume_dist" ->
+      """WITH pm AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('minute', ts)) AS minute_us,
+        |    count(*) AS requests
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, minute_us, requests,
+        |  round(cume_dist() OVER (PARTITION BY event_type
+        |    ORDER BY requests), 6) AS load_pctl
+        |FROM pm ORDER BY event_type, minute_us""".stripMargin,
 
     "q_rolling_active" ->
       """WITH ud AS (
