@@ -570,7 +570,38 @@ object TextOps {
     "q_source_mix" -> (sourceMix _),
   )
 
+  /** DuckDB twin of `languageIdOn`, GENERATED from the same `langProfiles`
+    * so the two engines cannot drift: per language, the same
+    * replace-based occurrence count (each term an exact integer over
+    * doubles), argmax via list_sort-descending on (score, lang) structs —
+    * DuckDB sorts struct lists lexicographically, which is exactly
+    * Spark's greatest(struct(score, lang)) tie-break (largest lang wins
+    * on equal scores). */
+  private def languageIdOracle: String = {
+    val structs = langProfiles.map { case (lang, grams) =>
+      val terms = grams.map(g =>
+        s"(len(p) - len(replace(p, '$g', ''))) / ${g.length}").mkString(" + ")
+      s"{'score': CAST($terms AS DOUBLE), 'lang': '$lang'}"
+    }.mkString(",\n        |      ")
+    s"""WITH s AS (
+        |  SELECT doc_id, lang AS label_lang,
+        |         ' ' || lower(text) || ' ' AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, label_lang,
+        |    list_sort([
+        |      $structs
+        |    ], 'DESC')[1] AS best
+        |  FROM s)
+        |SELECT doc_id, label_lang,
+        |  struct_extract(best, 'lang') AS predicted_lang,
+        |  round(struct_extract(best, 'score'), 2) AS lang_score
+        |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_language_id" -> languageIdOracle,
+
     "q_lm_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
