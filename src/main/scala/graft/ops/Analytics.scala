@@ -262,6 +262,34 @@ object Analytics {
       .orderBy(col("event_type"), col("minute_us"))
   }
 
+  /** Equi-DEPTH histogram over `events.value` (complement of the
+    * fixed-width q_value_histogram): bucket edges are the exact deciles,
+    * so counts come out near-uniform and the edges themselves are the
+    * informative output. The 9 edges are ONE aggregate row cross-joined
+    * back onto the stream (broadcast NL of a single row); bucket
+    * assignment is `size(filter(edges, e -> value > e))` — pure per-row
+    * arithmetic, no sort of the corpus, unlike an ntile() formulation
+    * which would funnel every row through one unpartitioned window task.
+    * Edges are rounded to 6 decimals on both engines BEFORE comparison
+    * (interpolated percentiles agree only to ~1 ulp across engines —
+    * winsorize precedent). */
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val edges = ev.agg(expr(
+      "transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), e -> round(e, 6))")
+      .as("edges"))
+    ev.crossJoin(edges)
+      .select(expr("size(filter(edges, e -> value > e))").as("bucket"),
+        col("edges"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        first(col("edges")).as("_e"))
+      .select(col("bucket").cast("long").as("bucket"),
+        when(col("bucket") > 0, expr("_e[bucket - 1]")).as("bucket_lo"),
+        col("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Daily and trailing-7-day active users (DAU / WAU): for each active
     * day, the distinct users that day and over [day-6, day]. A rolling
     * DISTINCT cannot ride a window frame (distinct doesn't decompose), so
@@ -315,6 +343,7 @@ object Analytics {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_rolling_active" -> (rollingActive _),
     "q_load_autocorr" -> (loadAutocorr _),
+    "q_equidepth_histogram" -> (equidepthHistogram _),
     "q_length_drift" -> (lengthDrift _),
     "q_load_cume_dist" -> (loadCumeDist _),
     "q_event_transitions" -> (eventTransitions _),
@@ -331,6 +360,21 @@ object Analytics {
       """SELECT event_type || ':' || CAST(user_id % 20 AS VARCHAR) AS key,
         |  count(*) AS est
         |FROM events GROUP BY 1 ORDER BY est DESC, key""".stripMargin,
+
+    "q_equidepth_histogram" ->
+      """WITH e AS (
+        |  SELECT list_transform(
+        |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 6)) AS edges
+        |  FROM events),
+        |b AS (
+        |  SELECT len(list_filter(e.edges, x -> v.value > x)) AS bucket,
+        |         e.edges AS edges
+        |  FROM events v CROSS JOIN e)
+        |SELECT bucket,
+        |  CASE WHEN bucket > 0 THEN any_value(edges)[bucket] END AS bucket_lo,
+        |  count(*) AS n
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_load_autocorr" ->
       """WITH pm AS (

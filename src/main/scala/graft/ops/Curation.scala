@@ -284,7 +284,47 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental ingest dedup: drop arriving documents whose content
+    * already exists in the standing corpus (here: new batch = doc_id % 3
+    * == 0, corpus = the rest). The join is LEFT ANTI on xxhash64(text) —
+    * the 8-byte shuffle key that makes content anti-joins affordable when
+    * documents are megabytes (same collision argument as q_dedup_hashkey,
+    * whose oracle also compares by full text). At 100 TB the corpus side
+    * is the big one; anti-join shuffles both sides by the hash key, never
+    * broadcasts, and AQE can still pick a broadcast when a day's batch is
+    * genuinely small. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val fresh = d.filter(col("doc_id") % 3 === 0)
+      .withColumn("h", xxhash64(col("text")))
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      .select(xxhash64(col("text")).as("h")).distinct()
+    fresh.join(corpus, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-k deterministic sample per language (k = 10): rank docs within
+    * each language by md5 of a salted doc_id — a reproducible shuffle
+    * order, unlike rand() — and keep the first 10. Per-group ranking via
+    * [[ScaledRank.withGroupedRowNumbers]]: languages are exactly the
+    * few-huge-groups shape, and a Window.partitionBy(lang) would funnel
+    * each language's whole corpus slice through one task. */
+  def perLangSample(s: SparkSession, dir: String): DataFrame = {
+    val ranked = ScaledRank.withGroupedRowNumbers(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        md5(concat(lit("graft-sample:"), col("doc_id").cast("string")))
+          .as("r")),
+      groupCols = Seq(col("lang")),
+      orderCols = Seq(col("r"), col("doc_id")))
+    ranked.filter(col("grn") <= 10)
+      .select(col("lang"), col("grn").cast("long").as("pick"), col("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_dedup" -> (incrementalDedup _),
+    "q_per_lang_sample" -> (perLangSample _),
     "q_curation_e2e" -> (curationE2e _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
@@ -299,6 +339,26 @@ object Curation {
   // same construction as TextOps' q_jaccard_pairs oracle (bigram shingles
   // via list_transform, distinct).
   val oracleSql: Map[String, String] = Map(
+    // hash is only the shuffle key — the relation equals text-equality
+    // anti-join absent 64-bit collisions, so the oracle compares by text
+    "q_incremental_dedup" ->
+      """SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |WHERE d.doc_id % 3 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.doc_id % 3 <> 0 AND o.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_per_lang_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft-sample:' || CAST(doc_id AS VARCHAR)),
+        |               doc_id) AS pick
+        |  FROM documents)
+        |SELECT lang, pick, doc_id FROM r WHERE pick <= 10
+        |ORDER BY lang, pick""".stripMargin,
+
     "q_curation_e2e" ->
       """WITH dd AS (
         |  SELECT doc_id, text FROM (
