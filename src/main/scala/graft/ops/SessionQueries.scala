@@ -23,6 +23,24 @@ object SessionQueries {
         col("duration_sec"))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Goal 1 through the SQL-API surface: the SAME session-CTE text the
+    * DuckDB oracle runs, executed via `spark.sql` over a temp view — the
+    * only dialect difference is the epoch-µs spelling (`unix_micros` vs
+    * `epoch_us`), patched textually. Covers the parser→analyzer entry
+    * path; the plan Catalyst produces is the same lag+running-sum window
+    * pipeline as the DataFrame flagship, so this also pins that the two
+    * API surfaces cannot drift apart semantically. */
+  def sqlSessionize(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events")
+    val cte = Sessionize.oracleSessionsCte()
+      .replace("epoch_us(ts)", "unix_micros(ts)")
+    s.sql(
+      s"""$cte
+         |SELECT user_id, session_id, session_start_us, session_end_us,
+         |       hit_count, unique_item_count, duration_sec
+         |FROM sessions ORDER BY user_id, session_id""".stripMargin)
+  }
+
   /** Goal 2 (R:12): average session time, seconds. Single-hit sessions
     * count with duration 0 (SURVEY §1.3.2). Rounded to 6 dp for
     * float-summation-order parity with the oracle. */
@@ -124,6 +142,7 @@ object SessionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_sql_sessionize" -> (sqlSessionize _),
     "q_avg_session_time" -> (avgSessionTime _),
     "q_unique_urls_per_session" -> (uniquePerSession _),
     "q_top_engaged" -> (topEngaged _),
@@ -138,6 +157,13 @@ object SessionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_sessionize" ->
+      s"""$cte
+         |SELECT user_id, session_id, session_start_us, session_end_us,
+         |       hit_count, unique_item_count, duration_sec
+         |FROM sessions ORDER BY user_id, session_id""".stripMargin,
+
+    // SQL-API twin: literally the same text both engines run
+    "q_sql_sessionize" ->
       s"""$cte
          |SELECT user_id, session_id, session_start_us, session_end_us,
          |       hit_count, unique_item_count, duration_sec

@@ -107,7 +107,10 @@ object Sessionize {
        |         max(ts_us) AS session_end_us,
        |         count(*) AS hit_count,
        |         count(DISTINCT event_type) AS unique_item_count,
-       |         (max(ts_us) - min(ts_us)) / 1000000.0 AS duration_sec
+       |         -- 1e6 not 1000000.0: scientific notation is DOUBLE in both
+       |         -- Spark SQL and DuckDB, while an exact literal is DECIMAL
+       |         -- in Spark SQL (q_sql_sessionize runs this same text)
+       |         (max(ts_us) - min(ts_us)) / 1e6 AS duration_sec
        |  FROM numbered GROUP BY user_id, session_id
        |)""".stripMargin
   }
