@@ -98,6 +98,33 @@ class PlanSpec extends SparkSpec {
       s"levenshtein leaked into the join condition:\n${joinLines.mkString("\n").take(1500)}")
   }
 
+  test("LM perplexity scans the corpus ONCE (persisted bigram stream reused)") {
+    // the bigram explode feeds the LM build, the context totals, and the
+    // scoring join; without the persist the parquet scan + explode runs 3x
+    val qe = SparkEntry.queries("q_lm_perplexity")(spark, sf001).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // the only parquet scan lives INSIDE the cached relation; every
+    // consumer reads the cache, so "Scan parquet" appears exactly once in
+    // the de-duplicated cached-plan rendering
+    assert(qe.optimizedPlan.toString.contains("InMemoryRelation"),
+      qe.optimizedPlan.toString.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("heavy-hitters sketch partial-aggregates map-side (no corpus shuffle by key)") {
+    // the Misra-Gries udaf must plan as ObjectHashAggregate partial ->
+    // single-partition exchange of <= capacity-sized maps -> final merge;
+    // a corpus-wide hash-by-key exchange would defeat the sketch's point
+    val p = plan("q_heavy_hitters")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    val exLines = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exLines.exists(_.contains("SinglePartition")),
+      s"expected the sketch merge on a SinglePartition exchange:\n${exLines.mkString("\n")}")
+    assert(!exLines.exists(_.contains("hashpartitioning(k")),
+      s"corpus shuffled by sketch key:\n${exLines.mkString("\n")}")
+  }
+
   test("range join keeps the equi conjunct (hash join, not BNLJ)") {
     val p = plan("q_join_range")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
