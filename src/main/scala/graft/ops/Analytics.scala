@@ -298,11 +298,14 @@ object Analytics {
     * bounded 7x expansion of the already-deduplicated (user, day) relation,
     * NOT of the raw event log — then a count-distinct per target day.
     * Synthetic trailing days past the last activity are dropped by the
-    * inner join back to real active days. */
+    * inner join back to real active days. The deduped (user, day) relation
+    * is persisted — it feeds both the DAU and the WAU branch, and without
+    * the persist each branch re-scans and re-deduplicates the corpus. */
   def rollingActive(s: SparkSession, dir: String): DataFrame = {
     val ud = events(s, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
+      .persist()
     val dau = ud.groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("dau"))
     val wau = ud
