@@ -134,6 +134,43 @@ class SkewAndSourcesSpec extends SparkSpec {
     }
   }
 
+  test("maxRecordsPerFile bounds output file size at write time") {
+    // the OUTPUT-sizing lever: one task writing a huge partition must not
+    // produce one huge file (downstream readers' split unit is the file
+    // for many formats; compaction jobs rely on this cap)
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxrec").toString
+    val n = 10000L
+    spark.range(n).toDF("id")
+      .coalesce(1) // ONE write task...
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000) // ...but capped files
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files === 10, s"10k rows / 1k cap should yield 10 files, got $files")
+    assert(spark.read.parquet(dir).count() === n)
+  }
+
+  test("observe() collects pipeline health metrics without a second pass") {
+    // ingest-monitoring shape at 100 TB: row counts / null counts / sums
+    // ride the main job as accumulators (CollectMetricsExec), not as a
+    // second scan of the input
+    import org.apache.spark.sql.Observation
+    val obs = Observation("ingest")
+    val ev = Tables(spark, sf001, "events")
+    val out = ev.observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("user_id").isNull, 1).otherwise(0)).as("null_users"),
+        max(col("value")).as("max_value"))
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id")).count()
+    out.collect()
+    val m = obs.get
+    assert(m("rows_in") === ev.count())
+    assert(m("null_users") === 0L)
+    assert(m("max_value").asInstanceOf[Double] > 0.0)
+  }
+
   test("AQE coalesces over-provisioned shuffle partitions at runtime") {
     // the other half of shuffle sizing: a too-large shuffle.partitions
     // setting (the safe default at scale) must not produce thousands of
