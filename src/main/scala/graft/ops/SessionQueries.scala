@@ -41,6 +41,28 @@ object SessionQueries {
          |FROM sessions ORDER BY user_id, session_id""".stripMargin)
   }
 
+  /** The analysis behind the gap parameter (R:43 — "you can determine the
+    * best session window time on your own"): the distribution of per-user
+    * consecutive-hit gaps. The p50/p90/p99 and the fraction of gaps beyond
+    * 15 minutes quantify how sharply user activity bimodalizes around the
+    * chosen threshold. Same single hash-by-user exchange as the
+    * sessionizer, collapsing to one row. */
+  def sessionGapDist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 6).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 6).as("p90_s"),
+        round(expr("percentile(gap_us, 0.99)") / 1e6, 6).as("p99_s"),
+        round(avg(when(col("gap_us") > 900000000L, 1.0).otherwise(0.0)), 6)
+          .as("frac_over_15min"))
+  }
+
   /** Goal 2 (R:12): average session time, seconds. Single-hit sessions
     * count with duration 0 (SURVEY §1.3.2). Rounded to 6 dp for
     * float-summation-order parity with the oracle. */
@@ -143,6 +165,7 @@ object SessionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_sql_sessionize" -> (sqlSessionize _),
+    "q_session_gap_dist" -> (sessionGapDist _),
     "q_avg_session_time" -> (avgSessionTime _),
     "q_unique_urls_per_session" -> (uniquePerSession _),
     "q_top_engaged" -> (topEngaged _),
@@ -161,6 +184,19 @@ object SessionQueries {
          |SELECT user_id, session_id, session_start_us, session_end_us,
          |       hit_count, unique_item_count, duration_sec
          |FROM sessions ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_gap_dist" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT count(*) AS n_gaps,
+        |  round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+        |  round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
+        |  round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s,
+        |  round(avg(CASE WHEN gap_us > 900000000 THEN 1.0 ELSE 0.0 END), 6)
+        |    AS frac_over_15min
+        |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
 
     // SQL-API twin: literally the same text both engines run
     "q_sql_sessionize" ->

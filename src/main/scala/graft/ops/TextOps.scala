@@ -526,6 +526,23 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The corpus-scale inner step of BPE tokenizer training: count adjacent
+    * character pairs inside every word and rank merge candidates. Full BPE
+    * is a driver loop of ~30k of these rounds over a SHRINKING pair table
+    * (exactly how dupClusters drives connected components); the round
+    * itself — the part that touches the corpus — is this one
+    * explode + count, whose output is bounded by the character-pair
+    * alphabet, not the corpus. Top-20 with a deterministic tie-break. */
+  def bpeMergeCandidates(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+
   /** Frequency-ordered vocabulary build: token → contiguous id, most
     * frequent first (ties broken lexically), the id assignment step before
     * any count-based tokenization. Global ordering over the vocab-sized
@@ -548,6 +565,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_vocab" -> (vocab _),
+    "q_bpe_merge_candidates" -> (bpeMergeCandidates _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_hashkey" -> (dedupHashKey _),
     "q_fingerprint" -> (fingerprint _),
@@ -617,6 +635,16 @@ object TextOps {
         |  round(exp(-avg(ln(l.c12 / c.c1))), 6) AS ppl
         |FROM bg b JOIN lm l USING (w1, w2) JOIN ctx c ON l.w1 = c.w1
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q_bpe_merge_candidates" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i:i+1])) AS pair
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q_vocab" ->
       """WITH c AS (
