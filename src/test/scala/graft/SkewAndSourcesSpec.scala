@@ -171,6 +171,23 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(m("max_value").asInstanceOf[Double] > 0.0)
   }
 
+  test("mergeSchema unifies evolved parquet schemas across file generations") {
+    // schema evolution at the lake layer: files written before a column
+    // existed must still read alongside new files — old rows surface the
+    // added column as null, and the scan does not error or drop it
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+      .write.parquet(s"$dir/gen=1")
+    spark.range(5, 8).selectExpr("id", "id * 2 AS v", "'en' AS lang")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("gen", "id", "lang", "v"))
+    assert(merged.count() === 8)
+    assert(merged.filter(col("lang").isNull).count() === 5,
+      "pre-evolution rows must read as null for the added column")
+    assert(merged.filter(col("lang") === "en").count() === 3)
+  }
+
   test("AQE coalesces over-provisioned shuffle partitions at runtime") {
     // the other half of shuffle sizing: a too-large shuffle.partitions
     // setting (the safe default at scale) must not produce thousands of

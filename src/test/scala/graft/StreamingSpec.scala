@@ -385,6 +385,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 6L), (2L, 2L)))
   }
 
+  test("restart from checkpoint recovers aggregation state without reprocessing") {
+    // the operational contract a 24/7 pipeline stands on: after a stop
+    // (deploy, crash), a NEW query started on the same checkpoint must
+    // (a) resume from committed source offsets — batch-1 rows are NOT
+    // read again (asserted via numInputRows of the restarted query) — and
+    // (b) still carry batch-1 counts in its state store.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[String]
+    def start(name: String) = ms.toDF().groupBy(col("value")).count()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete).start()
+    val q1 = start("ckpt_run1")
+    try {
+      ms.addData("a", "a", "b")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    ms.addData("a", "c")
+    val q2 = start("ckpt_run2")
+    try {
+      q2.processAllAvailable()
+      val replayed = q2.recentProgress.map(_.numInputRows).sum
+      assert(replayed === 2,
+        s"restart must resume from committed offsets (only batch 2's 2 rows), read $replayed")
+    } finally q2.stop()
+    val counts = spark.table("ckpt_run2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 3L, "b" -> 1L, "c" -> 1L),
+      "batch-1 state must survive the restart")
+  }
+
   test("stream-static left-anti join dedups arriving docs against the corpus") {
     // the streaming twin of q_incremental_dedup: content hashes of the
     // standing corpus are the static side; arriving documents whose
