@@ -47,6 +47,37 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("property: MG guarantee holds for ANY stream, capacity, and merge tree") {
+    // pure-Scala ScalaCheck property over the Aggregator's own
+    // zero/reduce/merge — random skewed streams, random chunking into
+    // partitions, fold-merge of partials (the worst-case left-deep merge
+    // tree) — estimates never overcount, undercount is bounded by
+    // n/(cap+1), and no key above the bound goes missing
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      capacity <- Gen.choose(2, 12)
+      keys <- Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+        3 -> Gen.choose(0, 30).map(i => s"mid_$i"),
+        2 -> Gen.choose(0, 500).map(i => s"rare_$i")))
+      nChunks <- Gen.choose(1, 8)
+    } yield (capacity, keys, nChunks)
+    val prop = Prop.forAll(gen) { case (capacity, keys, nChunks) =>
+      val mg = new MisraGries(capacity)
+      val chunks = keys.grouped(math.max(1, keys.size / nChunks)).toList
+      val partials = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
+      val est = mg.finish(partials.foldLeft(mg.zero)(mg.merge))
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = keys.size.toDouble / (capacity + 1)
+      est.size <= capacity &&
+        est.forall { case (k, e) =>
+          e <= truth(k) && truth(k) - e <= bound } &&
+        truth.forall { case (k, t) => t <= bound || est.contains(k) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("exact when distinct keys fit capacity; q_heavy_hitters matches groupBy") {
     val hh = Analytics.queries("q_heavy_hitters")(spark, sf001)
       .as[(String, Long)].collect()
