@@ -125,6 +125,19 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled by sketch key:\n${exLines.mkString("\n")}")
   }
 
+  test("join strategy hints steer the planner (shuffle_hash / merge / broadcast)") {
+    // the per-query escape hatch when stats mislead the planner at scale:
+    // hint() must reach JoinSelection for each strategy
+    val c = Tables(spark, sf001, "customer")
+    val o = Tables(spark, sf001, "orders")
+    def planOf(hint: String) =
+      c.hint(hint).join(o, c("c_custkey") === o("o_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+  }
+
   test("range join keeps the equi conjunct (hash join, not BNLJ)") {
     val p = plan("q_join_range")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
