@@ -194,11 +194,15 @@ object Analytics {
   }
 
   /** Lag-1 / lag-5 autocorrelation of the per-minute load series — the
-    * "is load predictable from its recent past" check that justifies the
-    * lag-feature design of the load-forecast model (ml.Predict). The
-    * corpus collapses to the per-minute grain first; the lag windows and
-    * corr run on that time-bounded series (SURVEY §3.2's bounded-series
-    * rule), so the unpartitioned window is safe at any corpus size. */
+    * "is load predictable from its recent past" check behind the
+    * lag-feature design of the load-forecast model. The lags are ROW lags
+    * over the observed-minute series (zero-event minutes are absent) —
+    * deliberately the SAME series `q_load_features` builds its lag
+    * features from, so this measures exactly what the model consumes; for
+    * a fixed-wall-clock-horizon autocorrelation, densify first with the
+    * gap-fill transform (`q_load_gapfill`). The corpus collapses to the
+    * per-minute grain before any window; the unpartitioned window on the
+    * time-bounded series is safe at any corpus size (SURVEY §3.2). */
   def loadAutocorr(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("minute_us"))
     events(s, dir)
@@ -226,7 +230,9 @@ object Analytics {
   def lengthDrift(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("source"), col("n_chars").as("x"))
     val c = d.groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
-    val xs = d.select(col("x")).distinct()
+      .persist() // feeds the support, per-source totals, global CDF, grid
+    // pooled support from the BOUNDED aggregate, not a second corpus scan
+    val xs = c.select(col("x")).distinct()
     val srcTot = c.groupBy(col("source")).agg(sum(col("c")).as("t"))
     val wS = Window.partitionBy(col("source")).orderBy(col("x"))
     val wG = Window.orderBy(col("x"))

@@ -277,10 +277,19 @@ object TextOps {
     * argmax over languages via struct-lexicographic greatest (score, then
     * lang as deterministic tie-break). */
   def languageIdOn(df: DataFrame): DataFrame = {
+    // Pattern.quote: the grams are literal strings, and the GENERATED
+    // DuckDB oracle counts them with literal replace() — an unquoted gram
+    // containing a regex metacharacter would silently diverge the engines.
+    // Single quotes stay banned (they would break the oracle's SQL literal).
+    langProfiles.foreach { case (_, grams) =>
+      grams.foreach(g => require(!g.contains("'"),
+        s"langProfiles gram '$g' would break the generated oracle SQL"))
+    }
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
     val scores = langProfiles.map { case (lang, grams) =>
       val hits = grams.map(g =>
-        (length(padded) - length(regexp_replace(padded, lit(g), lit("")))) / length(lit(g)))
+        (length(padded) - length(regexp_replace(padded,
+          lit(java.util.regex.Pattern.quote(g)), lit("")))) / length(lit(g)))
         .reduce(_ + _)
       struct(hits.cast("double").as("score"), lit(lang).as("lang"))
     }
@@ -517,7 +526,10 @@ object TextOps {
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .persist()
+    // lm is consumed twice (scoring join + ctx aggregation) — persist so
+    // the vocab²-bounded (w1,w2) count runs once, not once per consumer
     val lm = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist()
     val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     big.join(lm.join(ctx, "w1"), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
@@ -814,7 +826,7 @@ object TextOps {
         |       doc_id, source, srn
         |FROM r ORDER BY global_pos""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
-    // DuckDB equivalent); q_language_id: rows-only (profile-scoring
-    // heuristic pinned in TextVectorSpec instead). Driver records rows-only.
+    // DuckDB equivalent; recall/superset properties pinned in
+    // TextVectorSpec instead). Driver records rows-only for those two.
   )
 }
