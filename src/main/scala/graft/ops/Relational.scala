@@ -387,6 +387,45 @@ object Relational {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** UNPIVOT / melt (wide → long): each lineitem's three charge
+    * components become (metric, value) rows — the reshape feeding
+    * metric-generic downstream aggregation. Spark's native `unpivot`
+    * (Expand under the hood, a pure map-side 3× row expansion — no
+    * shuffle); the oracle spells the same relation as a portable
+    * UNION ALL. */
+  def unpivotCharges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"), col("l_tax").as("tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): every document's depth in
+    * the synthetic binary tree doc_id → floor(doc_id / 2) → … → 1 — the
+    * iterate-to-fixpoint surface (hierarchies, reachability) expressed in
+    * pure SQL rather than a driver loop. The SAME text runs on both
+    * engines (DuckDB's recursive CTE dialect matches), so like
+    * q_sql_sessionize this pins cross-engine semantics exactly; the
+    * driver-loop twin of the same algorithmic shape is
+    * Curation.connectedComponents' pointer jumping. */
+  val recursiveDepthSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(floor(node / 2) AS BIGINT) AS node,
+      |         depth + 1 AS depth
+      |  FROM anc WHERE node > 1)
+      |SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth_to_root
+      |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def recursiveDepth(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(recursiveDepthSql)
+  }
+
   /** Custom typed UDAF (Aggregator) — sum of squares per group; exact,
     * order-independent, so fully oracle-checkable. */
   def udafSumSq(s: SparkSession, dir: String): DataFrame = {
@@ -510,6 +549,8 @@ object Relational {
     "q_date_funcs" -> (dateFuncs _),
     "q_case_when" -> (caseWhen _),
     "q_sql_grouping_sets" -> (sqlGroupingSets _),
+    "q_unpivot" -> (unpivotCharges _),
+    "q_recursive_depth" -> (recursiveDepth _),
     "q_limit_offset" -> (limitOffset _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_stats_corr" -> (statsCorr _),
@@ -727,6 +768,23 @@ object Relational {
     "q_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10""".stripMargin,
+
+    // the portable UNION ALL spelling of the same long relation
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric,
+        |         l_extendedprice AS value
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |SELECT * FROM u ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    // same WITH RECURSIVE text Spark executes (see recursiveDepthSql)
+    "q_recursive_depth" -> recursiveDepthSql,
 
     // q_approx_distinct / q_approx_percentile: sketch estimates ≠ exact —
     // intentionally no oracle; ±tolerance vs exact asserted in AccuracySpec.
