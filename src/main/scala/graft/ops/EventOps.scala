@@ -27,6 +27,25 @@ object EventOps {
         round(avg(col("k")), 6).as("avg_k"))
       .orderBy(col("event_type"))
 
+  /** Semi-structured `props` through Spark 4's VARIANT type: parse once
+    * into the binary variant encoding, extract typed paths with
+    * `variant_get` — the open-schema ingestion path when the JSON shape
+    * is not known up front (vs the fixed-schema `from_json` of
+    * q_json_schema). At 100 TB variant parses each value ONCE at ingest
+    * into a shreddable binary form instead of re-parsing JSON text per
+    * extraction. Same aggregate as q_json_extract, so the two paths
+    * cross-check each other through the shared oracle shape. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+
   /** Tumbling 1-minute load series: requests per minute + req/sec — the
     * label series for "predict the expected load in the next minute"
     * (R:19). Minute boundary = date_trunc, emitted as epoch µs. */
@@ -174,6 +193,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_latest_per_key" -> (latestPerKey _),
     "q_json_extract" -> (jsonExtract _),
+    "q_variant_extract" -> (variantExtract _),
     "q_load_per_minute" -> (loadPerMinute _),
     "q_sliding_load" -> (slidingLoad _),
     "q_asof_signup" -> (asofSignup _),
@@ -194,6 +214,13 @@ object EventOps {
         |SELECT user_id, event_type, event_id, ts_us, value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the VARIANT path must agree with plain JSON-text extraction
+    "q_variant_extract" ->
       """SELECT event_type, count(*) AS n,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,

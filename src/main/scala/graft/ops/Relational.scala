@@ -426,6 +426,25 @@ object Relational {
     s.sql(recursiveDepthSql)
   }
 
+  /** SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    * declarative UDF surface — the body is inlined by the analyzer, so
+    * unlike a JVM closure it stays inside whole-stage codegen and
+    * predicate pushdown (the §2.9 no-scalar-UDF policy is about OPAQUE
+    * functions; a SQL UDF is transparent). The TPC-H charge expression,
+    * aggregated per return flag; the oracle inlines the same body. */
+  def sqlUdfCharge(s: SparkSession, dir: String): DataFrame = {
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION charge(
+            |  price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+            |RETURN price * (1 - disc) * (1 + tax)""".stripMargin)
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT l_returnflag,
+            |  round(sum(charge(l_extendedprice, l_discount, l_tax)), 2)
+            |    AS sum_charge,
+            |  count(*) AS n
+            |FROM lineitem_v GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Custom typed UDAF (Aggregator) — sum of squares per group; exact,
     * order-independent, so fully oracle-checkable. */
   def udafSumSq(s: SparkSession, dir: String): DataFrame = {
@@ -551,6 +570,7 @@ object Relational {
     "q_sql_grouping_sets" -> (sqlGroupingSets _),
     "q_unpivot" -> (unpivotCharges _),
     "q_recursive_depth" -> (recursiveDepth _),
+    "q_sql_udf" -> (sqlUdfCharge _),
     "q_limit_offset" -> (limitOffset _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_stats_corr" -> (statsCorr _),
@@ -785,6 +805,15 @@ object Relational {
 
     // same WITH RECURSIVE text Spark executes (see recursiveDepthSql)
     "q_recursive_depth" -> recursiveDepthSql,
+
+    // the SQL UDF body, inlined (sum of TPC-H charge per return flag)
+    "q_sql_udf" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+        |    AS sum_charge,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // q_approx_distinct / q_approx_percentile: sketch estimates ≠ exact —
     // intentionally no oracle; ±tolerance vs exact asserted in AccuracySpec.
