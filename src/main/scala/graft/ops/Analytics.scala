@@ -296,6 +296,31 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Top user journeys: the most common first-5-event paths per
+    * (user, day) — the "what do users actually do" query behind funnel
+    * design. Path assembly is a collect_list over an ORDERED window frame
+    * (element order = window sort order — a bare groupBy collect_list has
+    * NO ordering guarantee), truncated to the first 5 events per
+    * user-day; both windows share one (user, day) hash exchange and the
+    * final aggregate's key space is bounded by |event_types|^5, not the
+    * corpus. */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val byDay = events(s, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDay
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .withColumn("path",
+        concat_ws(">", collect_list(col("event_type")).over(wFull)))
+      .filter(col("rn") === 1)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_user_days"))
+      .orderBy(col("n_user_days").desc, col("path")).limit(15)
+  }
+
   /** Daily and trailing-7-day active users (DAU / WAU): for each active
     * day, the distinct users that day and over [day-6, day]. A rolling
     * DISTINCT cannot ride a window frame (distinct doesn't decompose), so
@@ -355,6 +380,7 @@ object Analytics {
     "q_equidepth_histogram" -> (equidepthHistogram _),
     "q_length_drift" -> (lengthDrift _),
     "q_load_cume_dist" -> (loadCumeDist _),
+    "q_top_paths" -> (topPaths _),
     "q_event_transitions" -> (eventTransitions _),
     "q_inter_arrival" -> (interArrival _),
     "q_funnel" -> (funnel _),
@@ -430,6 +456,19 @@ object Analytics {
         |  round(cume_dist() OVER (PARTITION BY event_type
         |    ORDER BY requests), 6) AS load_pctl
         |FROM pm ORDER BY event_type, minute_us""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, day,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM e WHERE rn <= 5 GROUP BY user_id, day)
+        |SELECT path, count(*) AS n_user_days FROM p
+        |GROUP BY path ORDER BY n_user_days DESC, path LIMIT 15""".stripMargin,
 
     "q_rolling_active" ->
       """WITH ud AS (
