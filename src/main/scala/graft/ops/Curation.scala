@@ -50,6 +50,27 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-document election per duplicate cluster: keep the LONGEST
+    * member (most tokens, doc_id tie-break), not the min-id one — the
+    * "keep the best copy" policy real curation uses (the fullest variant
+    * of a near-dup group usually survives boilerplate stripping best).
+    * One row per cluster. The per-cluster window is bounded by cluster
+    * size (short near-dup chains), never corpus-wide. */
+  def clusterBest(s: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    cl.join(toks, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_doc"),
+        col("n_tokens"), col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Connected components by distributed min-label propagation — the core
     * of [[dupClusters]], exposed for direct testing on crafted graphs.
     *
@@ -328,6 +349,7 @@ object Curation {
     "q_curation_e2e" -> (curationE2e _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
+    "q_cluster_best" -> (clusterBest _),
     "q_hash_split" -> (hashSplit _),
     "q_seq_packing" -> (seqPacking _),
     "q_contamination" -> (contamination _),
@@ -337,7 +359,37 @@ object Curation {
 
   // The shingle CTE chain below q_dup_clusters / q_contamination is the
   // same construction as TextOps' q_jaccard_pairs oracle (bigram shingles
-  // via list_transform, distinct).
+  // via list_transform, distinct). Shared through `cl` (doc_id,
+  // cluster_id) by q_dup_clusters and q_cluster_best.
+  private val dupClustersCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id, lang, source, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+      |), pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+      |         count(*) AS inter
+      |  FROM ex a JOIN ex b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), edges AS (
+      |  SELECT id1, id2 FROM pairs
+      |  WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
+      |  UNION ALL
+      |  SELECT id2, id1 FROM pairs
+      |  WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
+      |), reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.id, e.id2 FROM reach r JOIN edges e ON r.lab = e.id1
+      |), cl AS (
+      |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // hash is only the shuffle key — the relation equals text-equality
     // anti-join absent 64-bit collisions, so the oracle compares by text
@@ -394,37 +446,25 @@ object Curation {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
-        |  FROM documents
-        |), ex AS (
-        |  SELECT doc_id, lang, source, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
-        |), pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
-        |         count(*) AS inter
-        |  FROM ex a JOIN ex b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
-        |   AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4
-        |), edges AS (
-        |  SELECT id1, id2 FROM pairs
-        |  WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
-        |  UNION ALL
-        |  SELECT id2, id1 FROM pairs
-        |  WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
-        |), reach(id, lab) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.id, e.id2 FROM reach r JOIN edges e ON r.lab = e.id1
-        |), cl AS (
-        |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
-        |)
+      s"""$dupClustersCte
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         |  doc_id = cluster_id AS is_canonical
         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // same recursive cluster CTE, canonical = LONGEST member not min-id
+    "q_cluster_best" ->
+      s"""$dupClustersCte,
+        |q AS (
+        |  SELECT cl.doc_id, cl.cluster_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY len(string_split(d.text, ' ')) DESC, cl.doc_id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT)
+        |      AS cluster_size
+        |  FROM cl JOIN documents d USING (doc_id))
+        |SELECT cluster_id, doc_id AS best_doc, n_tokens, cluster_size
+        |FROM q WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
     "q_hash_split" ->
       """WITH b AS (
