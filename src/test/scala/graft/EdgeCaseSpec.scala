@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+import graft.ops.{Curation, ScaledRank, Sessionize, TextOps}
+
+/** SURVEY §5's edge-case pins for the reusable DataFrame-level operators:
+  * empty relations flow through (schema intact, no crash), single-hit
+  * sessions exist with duration 0, null grouping keys form their own
+  * group (not silently dropped), and the iterative CC handles the no-edge
+  * graph. These are the inputs a 100 TB pipeline hits daily via empty
+  * partitions and dirty keys.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+    .toDF("user_id", "ts", "event_id")
+
+  test("sessionizer on an empty relation returns empty with schema intact") {
+    val out = Sessionize.withSessionIds(emptyEvents,
+      col("user_id"), col("ts"), col("event_id"))
+    assert(out.count() === 0)
+    assert(out.columns.contains("session_id") && out.columns.contains("ts_us"))
+  }
+
+  test("single-hit session has duration 0 and counts as a session") {
+    val one = Seq((7L, ts("2015-07-22 09:00:00"), "e1", "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val s = Sessionize.sessions(one, col("user_id"), col("ts"),
+      col("event_id"), col("event_type")).collect()
+    assert(s.length === 1)
+    assert(s.head.getAs[Double]("duration_sec") === 0.0)
+    assert(s.head.getAs[Long]("hit_count") === 1L)
+  }
+
+  test("null user keys sessionize as their OWN group, not dropped") {
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), ts("2015-07-22 09:00:00"), "a", "view"),
+      (null.asInstanceOf[java.lang.Long], ts("2015-07-22 09:00:00"), "b", "view"),
+      (null.asInstanceOf[java.lang.Long], ts("2015-07-22 09:05:00"), "c", "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val s = Sessionize.sessions(rows, col("user_id"), col("ts"),
+      col("event_id"), col("event_type")).collect()
+    assert(s.length === 2, "one session for user 1, one for the null user")
+    val nullSess = s.filter(_.isNullAt(0))
+    assert(nullSess.length === 1 && nullSess.head.getAs[Long]("hit_count") === 2L)
+  }
+
+  test("connected components: empty edge list yields singleton components") {
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val labs = Curation.connectedComponents(ids, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labs === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("language ID and global ranks on empty input return empty, not error") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.languageIdOn(emptyDocs).count() === 0)
+    val ranked = ScaledRank.withGlobalRanks(
+      Seq.empty[(Long, Long)].toDF("k", "n"),
+      orderCols = Seq(col("n").desc, col("k")),
+      keyCols = Seq(col("n"), col("k")))
+    assert(ranked.count() === 0)
+  }
+
+  test("Misra-Gries over an empty relation aggregates to an empty summary") {
+    val mg = udaf(new MisraGries(8), Encoders.STRING)
+    val out = Seq.empty[String].toDF("k")
+      .agg(mg(col("k")).as("hh"))
+      .select(explode(col("hh")))
+    assert(out.count() === 0)
+  }
+}
