@@ -373,6 +373,38 @@ object Analytics {
       .orderBy(col("est").desc, col("key"))
   }
 
+  /** Normalized finite-window exponentially-weighted moving average of the
+    * per-minute load series (decay 0.7, 8 taps): ewma_t =
+    * Σ_j x_{t−j}·0.7^j / Σ_j 0.7^j over the taps that exist. The infinite
+    * recursive EWMA has no shuffle-parallel SQL form (and the closed form
+    * Σ x_i·c^{−i} overflows for long series); an 8-tap truncation carries
+    * > 94 % of the total weight at decay 0.7 and is expressible as a pure
+    * lag-chain — the SAME text runs on both engines modulo the epoch
+    * function. Window is over the time-bounded per-minute series (≤ 1440
+    * rows/day after the map-side-combined count), same scale posture as
+    * q_anomaly_minutes. */
+  private def ewmaSql(table: String, epochUs: String => String): String = {
+    val taps = 0 to 7
+    val num = taps.map(j => s"coalesce(lag(x, $j) OVER w, 0) * power(0.7, $j)")
+      .mkString(" + ")
+    val den = taps.map(j =>
+        s"(CASE WHEN lag(x, $j) OVER w IS NOT NULL THEN power(0.7, $j) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH series AS (
+       |  SELECT ${epochUs("date_trunc('minute', ts)")} AS minute_us,
+       |         count(*) AS x
+       |  FROM $table GROUP BY 1)
+       |SELECT minute_us, x, round(($num) / ($den), 6) AS ewma
+       |FROM series
+       |WINDOW w AS (ORDER BY minute_us)
+       |ORDER BY minute_us""".stripMargin
+  }
+
+  def ewmaLoad(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(ewmaSql("events_v", t => s"unix_micros($t)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (heavyHitters _),
     "q_rolling_active" -> (rollingActive _),
@@ -388,9 +420,11 @@ object Analytics {
     "q_anomaly_minutes" -> (anomalyMinutes _),
     "q_value_histogram" -> (valueHistogram _),
     "q_winsorize" -> (winsorize _),
+    "q_ewma_load" -> (ewmaLoad _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ewma_load" -> ewmaSql("events", t => s"epoch_us($t)"),
     "q_heavy_hitters" ->
       """SELECT event_type || ':' || CAST(user_id % 20 AS VARCHAR) AS key,
         |  count(*) AS est

@@ -190,6 +190,79 @@ object EventOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Native ordered string aggregation (Spark 4 `listagg ... WITHIN GROUP`):
+    * per-user event path in strict (ts, event_id) order. Same semantic
+    * family as q_top_paths' ordered-window collect_list, but through the
+    * analyzer's ordered-aggregate surface — one hash aggregate, no window
+    * pass; DuckDB's `string_agg(... ORDER BY ...)` is the exact twin.
+    * Output length is bounded by events-per-user, not corpus size. */
+  def listaggPaths(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT user_id,
+        |  listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)
+        |    AS path,
+        |  count(*) AS n
+        |FROM events_v GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** Exact median + deterministic mode per group (Spark 4 `median`,
+    * `mode() WITHIN GROUP`). Ties in mode resolve to the SMALLEST value
+    * (ASC within-group order); the oracle spells the same tie-break as
+    * (count DESC, value ASC) LIMIT 1 — verified equivalent on all-tied
+    * groups. Both are single-pass aggregates; median sorts within the
+    * hash-aggregate buffer, bounded per group. */
+  def modeMedian(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type,
+        |  round(median(value), 6) AS med_value,
+        |  mode() WITHIN GROUP (ORDER BY user_id % 100) AS mode_bucket,
+        |  count(*) AS n
+        |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** URL canonicalization via native `parse_url` (host / path / single
+    * query param) — the normalization step before per-URL dedup of a web
+    * corpus. URLs are derived deterministically from event columns so the
+    * DuckDB oracle can rebuild the identical strings and extract the same
+    * components with regexes — parse_url semantics vs a regex spelling is
+    * exactly the drift this pins. Pure map stage + one bounded-key agg. */
+  def urlParse(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("url", concat(lit("https://"), col("event_type"),
+        lit(".example.com/u/"), (col("user_id") % 50).cast("string"),
+        lit("/item?ref="), (col("event_id") % 7).cast("string"),
+        lit("&v="), (col("event_id") % 3).cast("string")))
+      .select(
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+      .groupBy(col("host"), col("path"), col("ref"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("host"), col("path"), col("ref"))
+
+  /** Map higher-order functions as the per-user behavior profile:
+    * counts → map_from_entries → aggregate (map-total) → transform_values
+    * (normalize to shares) → map_filter (keep dominant slices ≥ 25 %) →
+    * explode back to rows. The oracle computes the same relation with a
+    * window sum — the HOF pipeline must agree with its relational
+    * spelling. Map width is bounded by |event_types| (5), so the per-row
+    * maps never grow with corpus size. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt"))))
+        .as("m"))
+      .withColumn("tot", expr("aggregate(map_values(m), 0L, (a, x) -> a + x)"))
+      .withColumn("shares",
+        expr("transform_values(m, (k, v) -> round(CAST(v AS DOUBLE) / tot, 6))"))
+      .withColumn("kept", expr("map_filter(shares, (k, v) -> v >= 0.25)"))
+      .select(col("user_id"), explode(col("kept")).as(Seq("event_type", "share")))
+      .orderBy(col("user_id"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_latest_per_key" -> (latestPerKey _),
     "q_json_extract" -> (jsonExtract _),
@@ -202,6 +275,10 @@ object EventOps {
     "q_json_schema" -> (jsonSchema _),
     "q_json_map" -> (jsonMap _),
     "q_load_gapfill" -> (loadGapfill _),
+    "q_listagg" -> (listaggPaths _),
+    "q_mode_median" -> (modeMedian _),
+    "q_url_parse" -> (urlParse _),
+    "q_map_funcs" -> (mapFuncs _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -299,5 +376,45 @@ object EventOps {
         |  round(sum(value), 4) AS total_value,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_mode_median" ->
+      """SELECT event_type,
+        |  round(median(value), 6) AS med_value,
+        |  (SELECT user_id % 100 FROM events i
+        |   WHERE i.event_type = o.event_type
+        |   GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1) AS mode_bucket,
+        |  count(*) AS n
+        |FROM events o GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT 'https://' || event_type || '.example.com/u/' ||
+        |    CAST(user_id % 50 AS VARCHAR) || '/item?ref=' ||
+        |    CAST(event_id % 7 AS VARCHAR) || '&v=' ||
+        |    CAST(event_id % 3 AS VARCHAR) AS url
+        |  FROM events)
+        |SELECT regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref,
+        |       count(*) AS n
+        |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |    round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY user_id), 6)
+        |      AS share
+        |  FROM c)
+        |SELECT user_id, event_type, share
+        |FROM s WHERE share >= 0.25 ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -541,6 +541,41 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** LATERAL correlated derived table (Spark 4 lateral join): per-nation
+    * top-2 customers by balance. Catalyst decorrelates the correlated
+    * ORDER BY ... LIMIT subquery into a single join + per-key rank — NOT a
+    * per-outer-row re-execution — so at 100 TB this is one shuffle on the
+    * correlation key, same cost class as q_window_topk_group. DuckDB runs
+    * the identical LATERAL text. */
+  def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation_v n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer_v
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+  }
+
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): after the §2.2
+    * sentinel-to-null normalization ('P' status → NULL), the null bucket
+    * must still join to its dim row — a plain `=` inner join silently
+    * drops the whole NULL group. Same shuffle shape as any equi join;
+    * the null key hashes like an ordinary value. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .withColumn("st", expr("nullif(o_orderstatus, 'P')"))
+    val agg = base.groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    val dim = base.select(col("st").as("st2")).distinct()
+      .withColumn("label", coalesce(col("st2"), lit("pending")))
+    agg.join(dim, agg("st") <=> dim("st2"))
+      .select(col("label"), col("n"), col("sum_price"))
+      .orderBy(col("label"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -581,6 +616,8 @@ object Relational {
     "q_typed_counts" -> (typedCounts _),
     "q_salted_distinct" -> (saltedDistinct _),
     "q_correlated_subquery" -> (correlatedSubquery _),
+    "q_join_lateral" -> (joinLateral _),
+    "q_join_nullsafe" -> (joinNullSafe _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -879,5 +916,23 @@ object Relational {
         |    GROUP BY c2.c_custkey, c2.c_nationkey) x
         |  WHERE x.nk = c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH b AS (SELECT nullif(o_orderstatus, 'P') AS st, o_totalprice
+        |           FROM orders),
+        |a AS (SELECT st, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |      FROM b GROUP BY st),
+        |d AS (SELECT DISTINCT st AS st2 FROM b)
+        |SELECT coalesce(st2, 'pending') AS label, n, sum_price
+        |FROM a JOIN d ON a.st IS NOT DISTINCT FROM d.st2
+        |ORDER BY label""".stripMargin,
   )
 }
