@@ -576,6 +576,51 @@ object Relational {
       .orderBy(col("label"))
   }
 
+  /** SCD2 dimension-history build (gaps-and-islands): collapse each
+    * customer's order-status sequence to CHANGE rows (status ≠ previous),
+    * then derive [valid_from, valid_to) intervals with lead(); the open
+    * interval (valid_to IS NULL) is the current version. This is the
+    * standard change-log → slowly-changing-dimension transform; both
+    * window passes ride ONE hash-by-custkey exchange. Every ORDER BY
+    * carries full tie-breaks (same-date orders are ordered by o_orderkey)
+    * so the interval bounds are deterministic on both engines. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"),
+        col("valid_to").asc_nulls_first)
+  }
+
+  /** EXISTS / NOT EXISTS correlated subqueries: Catalyst decorrelates them
+    * into left-semi and left-anti joins (RewritePredicateSubquery) — the
+    * declarative spelling of q_join_semi/q_join_anti, one shuffle each,
+    * never a per-row probe. Suppliers in nations that have customers with
+    * orders, excluding suppliers whose nation has no 'F' order. */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT s_suppkey, s_name
+        |FROM supplier_v s
+        |WHERE EXISTS (
+        |    SELECT 1 FROM customer_v c
+        |    WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM customer_v c JOIN orders_v o
+        |      ON o.o_custkey = c.c_custkey
+        |    WHERE c.c_nationkey = s.s_nationkey
+        |      AND o.o_orderstatus = 'F' AND o.o_totalprice > 490000)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -618,6 +663,8 @@ object Relational {
     "q_correlated_subquery" -> (correlatedSubquery _),
     "q_join_lateral" -> (joinLateral _),
     "q_join_nullsafe" -> (joinNullSafe _),
+    "q_scd2_history" -> (scd2History _),
+    "q_exists_subquery" -> (existsSubquery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -934,5 +981,36 @@ object Relational {
         |SELECT coalesce(st2, 'pending') AS label, n, sum_price
         |FROM a JOIN d ON a.st IS NOT DISTINCT FROM d.st2
         |ORDER BY label""".stripMargin,
+
+    "q_scd2_history" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM seq WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM ch
+        |ORDER BY o_custkey, valid_from, o_orderstatus,
+        |  valid_to ASC NULLS FIRST""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier s
+        |WHERE EXISTS (
+        |    SELECT 1 FROM customer c
+        |    WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM customer c JOIN orders o
+        |      ON o.o_custkey = c.c_custkey
+        |    WHERE c.c_nationkey = s.s_nationkey
+        |      AND o.o_orderstatus = 'F' AND o.o_totalprice > 490000)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }
