@@ -108,6 +108,36 @@ class SkewAndSourcesSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("_metadata hidden columns expose file provenance for lineage") {
+    // Corpus curation needs row→source-file lineage (which crawl shard did
+    // this doc come from?); the file-source `_metadata` struct provides it
+    // with zero extra I/O — constant per file, no join against a manifest.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val src = Tables(spark, sf001, "events")
+      .select(col("event_id"), col("user_id"))
+    src.repartition(2).write.mode("overwrite").parquet(s"$tmp/ev")
+
+    val withMeta = spark.read.parquet(s"$tmp/ev")
+      .select(col("event_id"),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_size").as("file_size"),
+        col("_metadata.row_index").as("row_index"))
+    assert(withMeta.select(col("file_path")).distinct().count() === 2)
+    assert(withMeta.count() === src.count())
+    // row_index restarts at 0 within each file and is dense
+    val perFile = withMeta.groupBy(col("file_path"))
+      .agg(min(col("row_index")).as("lo"), max(col("row_index")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    perFile.foreach { r =>
+      assert(r.getAs[Long]("lo") === 0L)
+      assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1)
+    }
+    // file_size is the real on-disk size, usable for shard-skew audits
+    assert(perFile.nonEmpty)
+    assert(withMeta.select(col("file_size")).head().getLong(0) > 0L)
+  }
+
   test("maxPartitionBytes sizes the scan's input splits") {
     // the input-sizing lever for 100 TB reads: partitions-per-file must
     // track spark.sql.files.maxPartitionBytes so a scan neither creates
