@@ -185,6 +185,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState keeps a bounded last-k trail per user") {
+    import graft.stream.RecentEvents
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val q = RecentEvents.lastK(ms.toDS(), k = 3)
+        .writeStream.format("memory").queryName("tws_recent")
+        .outputMode(OutputMode.Update).start()
+      try {
+        ms.addData((1L, "view"), (1L, "click"), (2L, "view"))
+        q.processAllAvailable()
+        ms.addData((1L, "purchase"), (1L, "error")) // must trim to last 3
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_recent").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // batch 1 emissions
+      assert(rows.contains((1L, "view>click")))
+      assert(rows.contains((2L, "view")))
+      // batch 2: user 1's trail is the TRIMMED last 3 across batches
+      assert(rows.contains((1L, "click>purchase>error")))
+      assert(!rows.exists(_._2.contains("view>click>purchase")),
+        "state was not trimmed to k")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-based streaming source: readStream over parquet equals batch") {
     // the production shape: a directory of parquet files consumed as a
     // stream (new files picked up per micro-batch)
