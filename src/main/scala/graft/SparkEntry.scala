@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.elb.ElbQueries
-import graft.ops.{Analytics, Curation, EventOps, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
+import graft.ops.{Analytics, Audit, Curation, EventOps, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SessionQueries.queries ++ Relational.queries ++ EventOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ ElbQueries.queries ++
-      Multimodal.queries ++ Curation.queries ++ Analytics.queries
+      Multimodal.queries ++ Curation.queries ++ Analytics.queries ++
+      Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     SessionQueries.oracleSql ++ Relational.oracleSql ++ EventOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ ElbQueries.oracleSql ++
-      Multimodal.oracleSql ++ Curation.oracleSql ++ Analytics.oracleSql
+      Multimodal.oracleSql ++ Curation.oracleSql ++ Analytics.oracleSql ++
+      Audit.oracleSql
 }

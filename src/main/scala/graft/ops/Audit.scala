@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Data-quality audit operators — the checks a 100 TB ingest runs before
+  * anything downstream trusts the data. Each query's SQL text is generated
+  * ONCE and executed verbatim on both engines (modulo the table name), so
+  * the oracle pins the exact semantics, not a re-spelling.
+  *
+  * Scale posture: every audit is a single scan with map-side-combinable
+  * aggregates; the only window functions run over per-block AGGREGATES
+  * (≤ max_id/block rows), never over the raw relation in one partition.
+  */
+object Audit {
+
+  /** Sentinel/shape audit over events: one scan, CASE-counted violation
+    * tallies, unpivoted to a (metric, n_bad, n_total) report via portable
+    * UNION ALL (the native-unpivot surface is pinned by q_unpivot). */
+  private def nullAuditSql(table: String): String =
+    s"""WITH n AS (
+       |  SELECT count(*) AS n_total,
+       |    count(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 END)
+       |      AS c_sentinel,
+       |    count(CASE WHEN value <= 0 THEN 1 END) AS c_nonpos,
+       |    count(CASE WHEN props NOT LIKE '%"k"%' THEN 1 END) AS c_badprops
+       |  FROM $table)
+       |SELECT 'event_type_sentinel' AS metric, c_sentinel AS n_bad, n_total
+       |  FROM n
+       |UNION ALL
+       |SELECT 'props_missing_k', c_badprops, n_total FROM n
+       |UNION ALL
+       |SELECT 'value_nonpositive', c_nonpos, n_total FROM n
+       |ORDER BY metric""".stripMargin
+
+  /** First-significant-digit distribution of order totals (Benford-style
+    * fraud/quality screen): bounded 9-row output, share via a window over
+    * the aggregated digits. */
+  private def benfordSql(table: String): String =
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+       |    AS STRING), 1, 1) AS INT) AS digit
+       |  FROM $table)
+       |SELECT digit, count(*) AS n,
+       |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+       |FROM d GROUP BY digit ORDER BY digit""".stripMargin
+
+  /** Sequence-gap detection (missing ids in an ordered key space) WITHOUT
+    * a global-order window: ids are blocked (1000/block); intra-block
+    * adjacency uses a PARTITIONed lag, and block-boundary adjacency a lag
+    * over the per-block min/max AGGREGATE (max_id/1000 rows) — the
+    * two-phase trick that keeps global adjacency shuffle-parallel at any
+    * scale. The audited stream drops every 97th id so the expected gap
+    * list is known by construction. */
+  private def gapsSql(table: String): String =
+    s"""WITH f AS (
+       |  SELECT event_id FROM $table WHERE event_id % 97 <> 0),
+       |blk AS (
+       |  SELECT event_id,
+       |    CAST(floor(event_id / 1000.0) AS BIGINT) AS b
+       |  FROM f),
+       |intra AS (
+       |  SELECT lag(event_id) OVER (PARTITION BY b ORDER BY event_id)
+       |    AS prev, event_id AS cur
+       |  FROM blk),
+       |bounds AS (
+       |  SELECT b, min(event_id) AS lo, max(event_id) AS hi
+       |  FROM blk GROUP BY b),
+       |boundary AS (
+       |  SELECT lag(hi) OVER (ORDER BY b) AS prev, lo AS cur FROM bounds),
+       |gaps AS (
+       |  SELECT prev, cur FROM intra
+       |  WHERE prev IS NOT NULL AND cur - prev > 1
+       |  UNION ALL
+       |  SELECT prev, cur FROM boundary
+       |  WHERE prev IS NOT NULL AND cur - prev > 1)
+       |SELECT prev + 1 AS gap_start, cur - 1 AS gap_end,
+       |  cur - prev - 1 AS n_missing
+       |FROM gaps ORDER BY gap_start""".stripMargin
+
+  def nullAudit(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("events_v")
+    s.sql(nullAuditSql("events_v"))
+  }
+
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(benfordSql("orders_v"))
+  }
+
+  def sequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("events_v")
+    s.sql(gapsSql("events_v"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_audit" -> (nullAudit _),
+    "q_benford" -> (benford _),
+    "q_sequence_gaps" -> (sequenceGaps _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_null_audit" -> nullAuditSql("events"),
+    "q_benford" -> benfordSql("orders"),
+    "q_sequence_gaps" -> gapsSql("events"),
+  )
+}
