@@ -57,4 +57,47 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), LessThan(o_totalprice,1000.0)]"),
       s"range filter not pushed to parquet scan:\n$plan")
   }
+
+  test("z-order layout bounds per-file span in BOTH dimensions; 1-D sort does not") {
+    import graft.ops.Layout
+    val dir = Files.createTempDirectory("graft_zorder").toFile
+    dir.deleteOnExit()
+
+    // bucket both keys to a 64×64 grid
+    val grid = Tables(spark, sf001, "orders")
+      .withColumn("ca", pmod(col("o_custkey"), lit(64)).cast("long"))
+      .withColumn("pb", least(floor(col("o_totalprice") / 7813.0), lit(63)).cast("long"))
+
+    def spans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("ca")) - min(col("ca")), max(col("pb")) - min(col("pb")))
+          .head()
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      (perFile.map(_._1).sum / perFile.length, perFile.map(_._2).sum / perFile.length)
+    }
+
+    // 1-D layout on price bucket: tight on pb, blind on ca
+    val oneD = s"${dir.getAbsolutePath}/oned"
+    grid.repartitionByRange(16, col("pb")).sortWithinPartitions(col("pb"))
+      .write.mode("overwrite").parquet(oneD)
+    val (oneDCa, oneDPb) = spans(oneD)
+
+    // z-order layout: bounded on BOTH
+    val zed = s"${dir.getAbsolutePath}/zed"
+    Layout.zorderBy(grid, 16, col("ca"), col("pb"), bits = 6)
+      .write.mode("overwrite").parquet(zed)
+    val (zCa, zPb) = spans(zed)
+
+    // 16 files over a 64×64 grid: a contiguous z-range of ~256 cells spans
+    // ≲ 32 per axis (+ragged boundaries); the 1-D layout leaves the
+    // off-sort dimension at full 64-wide span in every file.
+    assert(oneDCa > 55.0, s"1-D layout unexpectedly clustered ca: $oneDCa")
+    assert(zCa < 48.0, s"z-order did not bound custkey span: $zCa")
+    assert(zPb < 48.0, s"z-order did not bound price span: $zPb")
+    assert(oneDPb < 16.0, s"1-D layout should be tight on its own key: $oneDPb")
+  }
 }
