@@ -219,6 +219,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState tracks per-user type counts across batches") {
+    import graft.stream.TypeCounts
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val q = TypeCounts.dominantType(ms.toDS())
+        .writeStream.format("memory").queryName("tws_dominant")
+        .outputMode(OutputMode.Update).start()
+      try {
+        ms.addData((1L, "view"), (1L, "view"), (1L, "click"))
+        q.processAllAvailable()
+        // clicks catch up: 2-2 tie must break to 'click' (lexicographic)
+        ms.addData((1L, "click"))
+        q.processAllAvailable()
+        // and overtake
+        ms.addData((1L, "click"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_dominant").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((1L, "view", 2L)))   // batch 1
+      assert(rows.contains((1L, "click", 2L)))  // batch 2: deterministic tie
+      assert(rows.contains((1L, "click", 3L)))  // batch 3: map state carried
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-based streaming source: readStream over parquet equals batch") {
     // the production shape: a directory of parquet files consumed as a
     // stream (new files picked up per micro-batch)
