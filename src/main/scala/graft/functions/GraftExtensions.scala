@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_srp_sig"), info("graft_srp_sig"),
       (exprs: Seq[Expression]) =>
         SrpSig(exprs(0), exprs(1).eval(null).asInstanceOf[Int])))
+    // optimizer rewrite: free length-difference gates ahead of bounded
+    // levenshtein predicates (see graft.plans.LevenshteinGuard)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }
 }

@@ -33,6 +33,33 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_bigram_shingles(array('a', 'b', 'a', 'b')) AS s")
         .head().getSeq[String](0)
       assert(sh === Seq("a b", "b a"))
+
+      // injected optimizer rule: bounded-levenshtein predicates grow a free
+      // length-difference gate, and results are unchanged
+      import spark.implicits._
+      // parquet round-trip: a pure LocalRelation would be constant-folded
+      // by ConvertToLocalRelation and the filter would vanish entirely
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lev").toString
+      Seq(
+        ("kitten", "sitting"),   // lev 3, len diff 1 → kept by <= 3
+        ("kitten", "kitten"),    // lev 0 → kept
+        ("a", "abcdefgh"),       // len diff 7 → gate rejects before DP
+        ("abc", "xyzabc"))       // lev 3 (3 inserts) → kept
+        .toDF("t1", "t2")
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+      spark.read.parquet(s"$tmp/pairs").createOrReplaceTempView("pairs_v")
+      val q = spark.sql(
+        "SELECT t1, t2 FROM pairs_v WHERE levenshtein(t1, t2) <= 3")
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("abs((length(t1"),
+        s"length gate not injected:\n$optimized")
+      val rows = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows === Set(("kitten", "sitting"), ("kitten", "kitten"),
+        ("abc", "xyzabc")))
+      // idempotent under the fixpoint batch: exactly one gate, not many
+      val gateCount = "abs\\(\\(length\\(t1".r
+        .findAllIn(optimized.toLowerCase).length
+      assert(gateCount === 1, s"rule re-added gates:\n$optimized")
     } finally spark.stop() // this suite's session must not leak its catalog
   }
 }
