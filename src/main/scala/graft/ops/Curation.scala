@@ -343,7 +343,37 @@ object Curation {
       .orderBy(col("lang"), col("pick"))
   }
 
+  /** CDC MERGE/upsert semantics spelled relationally (FULL OUTER join +
+    * coalesce + action tag) — what `MERGE INTO target USING updates` does
+    * on a v2 table, expressed so it runs on plain parquet relations: the
+    * updates batch is derived deterministically from the corpus (every
+    * 10th doc re-versioned, every 50th doc's id shifted into the insert
+    * key space). One shuffle on doc_id; at 100 TB the corpus side is
+    * storage-partitioned by the same key, so the join co-locates. The
+    * SAME generated SQL text runs on both engines. */
+  private def mergeUpsertSql(table: String): String =
+    s"""WITH updates AS (
+       |  SELECT doc_id, upper(substring(text, 1, 40)) AS text
+       |  FROM $table WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    'new doc ' || CAST(doc_id AS STRING) AS text
+       |  FROM $table WHERE doc_id % 50 = 0)
+       |SELECT coalesce(u.doc_id, c.doc_id) AS doc_id,
+       |  coalesce(u.text, c.text) AS text,
+       |  CASE WHEN c.doc_id IS NULL THEN 'insert'
+       |       WHEN u.doc_id IS NULL THEN 'keep'
+       |       ELSE 'update' END AS action
+       |FROM $table c FULL JOIN updates u ON c.doc_id = u.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("documents_v")
+    s.sql(mergeUpsertSql("documents_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (mergeUpsert _),
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_per_lang_sample" -> (perLangSample _),
     "q_curation_e2e" -> (curationE2e _),
@@ -391,6 +421,7 @@ object Curation {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_merge_upsert" -> mergeUpsertSql("documents"),
     // hash is only the shuffle key — the relation equals text-equality
     // anti-join absent 64-bit collisions, so the oracle compares by text
     "q_incremental_dedup" ->
