@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 batch source (SURVEY §2.1 "custom source", the
+  * (c)-tier extension path): a deterministic synthetic event generator
+  * planned as `partitions` range-split `InputPartition`s with
+  * column pruning pushed into the reader
+  * (`SupportsPushDownRequiredColumns`) — pruned fields are never
+  * materialized, not merely dropped.
+  *
+  *   spark.read.format("graft.sources.EventsSource")
+  *     .option("rows", 100000).option("partitions", 32).load()
+  *
+  * Scale shape: generation is embarrassingly parallel (each partition owns
+  * a disjoint id range, no driver materialization, no shuffle); the same
+  * layout a 1000-executor cluster would use to synthesize load. Values are
+  * a pure function of the row id, so tests can assert exact aggregates.
+  */
+class EventsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventsSource.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new EventsTable
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object EventsSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("ts_us", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val eventTypes: Array[String] =
+    Array("view", "click", "purchase", "signup", "error")
+
+  // deterministic per-row derivations (Knuth multiplicative scatter)
+  def userId(i: Long): Long = (i * 2654435761L) % 1000L
+  def eventType(i: Long): String = eventTypes(((i * 31L) % 5L).toInt)
+  def tsUs(i: Long): Long = 1700000000000000L + i * 250000L // 4 rows/sec
+  def value(i: Long): Double = ((i * 7919L) % 10000L) / 100.0
+}
+
+class EventsTable extends Table with SupportsRead {
+  override def name(): String = "graft_events"
+  override def schema(): StructType = EventsSource.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EventsScanBuilder(
+      options.getLong("rows", 1000L),
+      options.getInt("partitions", 4))
+}
+
+class EventsScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = EventsSource.fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new EventsScan(rows, parts, required)
+}
+
+class EventsScan(rows: Long, parts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_events[rows=$rows, partitions=$parts, cols=${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val step = math.max(1L, (rows + parts - 1) / parts)
+    (0L until rows by step)
+      .map(s => EventsRange(s, math.min(s + step, rows)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsReaderFactory(required.fieldNames)
+}
+
+case class EventsRange(start: Long, end: Long) extends InputPartition
+
+class EventsReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val EventsRange(start, end) = partition.asInstanceOf[EventsRange]
+    new PartitionReader[InternalRow] {
+      private var i = start - 1
+      override def next(): Boolean = { i += 1; i < end }
+      override def get(): InternalRow = {
+        // materialize ONLY the pruned-to fields, in requested order
+        val values: Array[Any] = fields.map {
+          case "event_id" => i
+          case "user_id" => EventsSource.userId(i)
+          case "event_type" => UTF8String.fromString(EventsSource.eventType(i))
+          case "ts_us" => EventsSource.tsUs(i)
+          case "value" => EventsSource.value(i)
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Custom DSv2 source (graft.sources.EventsSource): partition planning,
+  * reader-level column pruning, and exact deterministic content. */
+class SourcesV2Spec extends SparkSpec {
+
+  private def events(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.EventsSource")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("plans the requested number of range partitions, no shuffle") {
+    val df = events(10000, 8)
+    assert(df.rdd.getNumPartitions === 8)
+    assert(df.count() === 10000L)
+    // ragged split: 10 rows over 4 parts of 3 → last partition short
+    assert(events(10, 4).count() === 10L)
+    assert(events(10, 4).rdd.getNumPartitions === 4)
+  }
+
+  test("column pruning reaches the reader (BatchScan output is pruned)") {
+    val df = events(1000, 4).select(col("event_id"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    assert(scans.head.output.map(_.name) === Seq("event_id"),
+      s"scan not pruned: ${scans.head.output}")
+    assert(scans.head.scan.description().contains("cols=event_id"),
+      "pruned schema did not reach the custom Scan")
+  }
+
+  test("content is a pure function of the row id — exact aggregates") {
+    val n = 10000L
+    val df = events(n, 8)
+    val agg = df.agg(
+      sum(col("event_id")).as("sum_id"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      min(col("ts_us")).as("min_ts"),
+      max(col("ts_us")).as("max_ts")).head()
+    assert(agg.getAs[Long]("sum_id") === n * (n - 1) / 2)
+    assert(agg.getAs[Long]("n_users") === 1000L)
+    assert(agg.getAs[Long]("n_types") === 5L)
+    assert(agg.getAs[Long]("min_ts") === 1700000000000000L)
+    assert(agg.getAs[Long]("max_ts") === 1700000000000000L + (n - 1) * 250000L)
+    // spot-check one full row against the pure functions
+    val r42 = df.filter(col("event_id") === 42).head()
+    assert(r42.getAs[Long]("user_id") === graft.sources.EventsSource.userId(42))
+    assert(r42.getAs[String]("event_type") === graft.sources.EventsSource.eventType(42))
+    assert(r42.getAs[Double]("value") === graft.sources.EventsSource.value(42))
+  }
+}
