@@ -69,26 +69,63 @@ class EventsTable extends Table with SupportsRead {
 }
 
 class EventsScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = EventsSource.fullSchema
+  private var lo = 0L          // inclusive
+  private var hi = rows        // exclusive
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EventsScan(rows, parts, required)
+  /** event_id is the row id, so range predicates on it shrink the
+    * generated id space itself — whole InputPartitions are never planned,
+    * the custom-source analogue of parquet row-group pruning. Fully
+    * honored filters are NOT returned as residuals. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case GreaterThan("event_id", _: Long) => true
+      case GreaterThanOrEqual("event_id", _: Long) => true
+      case LessThan("event_id", _: Long) => true
+      case LessThanOrEqual("event_id", _: Long) => true
+      case EqualTo("event_id", _: Long) => true
+      case IsNotNull("event_id") => true // non-nullable: vacuously true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("event_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("event_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case IsNotNull(_) => ()
+    }
+    accepted = ours
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new EventsScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
 }
 
-class EventsScan(rows: Long, parts: Int, required: StructType)
+class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_events[rows=$rows, partitions=$parts, cols=${required.fieldNames.mkString(",")}]"
+    s"graft_events[range=[$lo,$hi), partitions=$parts, cols=${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val step = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by step)
-      .map(s => EventsRange(s, math.min(s + step, rows)): InputPartition)
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) return Array.empty
+    val step = math.max(1L, (n + parts - 1) / parts)
+    (lo until hi by step)
+      .map(s => EventsRange(s, math.min(s + step, hi)): InputPartition)
       .toArray
   }
 

@@ -32,6 +32,28 @@ class SourcesV2Spec extends SparkSpec {
       "pruned schema did not reach the custom Scan")
   }
 
+  test("event_id range filters prune the generated id space in the source") {
+    val df = events(100000, 8)
+      .filter(col("event_id") >= 20000 && col("event_id") < 30000)
+    assert(df.count() === 10000L)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(scan.description().contains("range=[20000,30000)"),
+      s"filters not pushed into the scan: ${scan.description()}")
+    // fully-honored range filters leave NO residual Filter over the scan
+    val hasFilterExec = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty
+    assert(!hasFilterExec, "range filter was re-evaluated despite pushdown")
+    // point lookup collapses to a single-row range
+    val one = events(100000, 8).filter(col("event_id") === 12345L)
+    assert(one.count() === 1L)
+    assert(one.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.description().contains("range=[12345,12346)"))
+  }
+
   test("content is a pure function of the row id — exact aggregates") {
     val n = 10000L
     val df = events(n, 8)
