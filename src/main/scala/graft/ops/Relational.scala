@@ -621,6 +621,29 @@ object Relational {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** Date arithmetic beyond bucketing (q_date_funcs): trunc-to-month,
+    * datediff spans, add_months, last_day, day-of-week tallies. Engine
+    * deltas pinned by the oracle: Spark datediff is int32 (cast to BIGINT
+    * for parity), Spark dayofweek is 1-based Sunday vs DuckDB's 0-based,
+    * and DuckDB spells add_months as `+ INTERVAL 1 MONTH`. */
+  def dateArith(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT date_format(trunc(o_orderdate, 'mm'), 'yyyy-MM-dd')
+        |    AS month_start,
+        |  count(*) AS n,
+        |  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        |  CAST(datediff(max(o_orderdate), min(o_orderdate)) AS BIGINT)
+        |    AS span_days,
+        |  date_format(add_months(trunc(o_orderdate, 'mm'), 1), 'yyyy-MM-dd')
+        |    AS next_month,
+        |  date_format(last_day(max(o_orderdate)), 'yyyy-MM-dd')
+        |    AS month_last_day,
+        |  count(CASE WHEN dayofweek(o_orderdate) = 1 THEN 1 END) AS n_sunday
+        |FROM orders_v GROUP BY trunc(o_orderdate, 'mm')
+        |ORDER BY month_start""".stripMargin)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -665,6 +688,7 @@ object Relational {
     "q_join_nullsafe" -> (joinNullSafe _),
     "q_scd2_history" -> (scd2History _),
     "q_exists_subquery" -> (existsSubquery _),
+    "q_date_arith" -> (dateArith _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1012,5 +1036,18 @@ object Relational {
         |    WHERE c.c_nationkey = s.s_nationkey
         |      AND o.o_orderstatus = 'F' AND o.o_totalprice > 490000)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+        |    AS month_start,
+        |  count(*) AS n,
+        |  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        |  date_diff('day', min(o_orderdate), max(o_orderdate)) AS span_days,
+        |  strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH,
+        |    '%Y-%m-%d') AS next_month,
+        |  strftime(last_day(max(o_orderdate)), '%Y-%m-%d') AS month_last_day,
+        |  count(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1 END) AS n_sunday
+        |FROM orders GROUP BY date_trunc('month', o_orderdate)
+        |ORDER BY month_start""".stripMargin,
   )
 }
