@@ -253,6 +253,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers close sessions when watermark passes") {
+    import graft.stream.SessionCloser
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val gapMs = 15 * 60 * 1000L
+      val q = SessionCloser.closedSessions(ms.toDS(), gapMs)
+        .writeStream.format("memory").queryName("tws_closed")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: two hits; user 2: one hit — no closures yet
+        ms.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+          (2L, ts("2024-01-01 10:10:00")))
+        q.processAllAvailable()
+        assert(spark.table("tws_closed").count() === 0)
+        // watermark jumps past 10:05+15m → user 1's timer fires; user 2's
+        // (10:10+15m = 10:25) does not
+        ms.addData((3L, ts("2024-01-01 10:21:00")))
+        q.processAllAvailable()
+        // one more micro-batch so the timer-emitted rows reach the sink
+        ms.addData((3L, ts("2024-01-01 10:21:30")))
+        q.processAllAvailable()
+        val closed = spark.table("tws_closed").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(closed.contains(
+          (1L, ts("2024-01-01 10:20:00").getTime, 2L)),
+          s"user 1 session not closed: ${closed.mkString(",")}")
+        assert(!closed.exists(_._1 == 2L), "user 2 closed too early")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-based streaming source: readStream over parquet equals batch") {
     // the production shape: a directory of parquet files consumed as a
     // stream (new files picked up per micro-batch)
