@@ -263,7 +263,26 @@ object EventOps {
       .select(col("user_id"), explode(col("kept")).as(Seq("event_type", "share")))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** ANSI ordered-set aggregates (percentile_cont / percentile_disc
+    * WITHIN GROUP) — the standard spelling next to the existing
+    * `percentile()` calls; the IDENTICAL text runs on both engines.
+    * percentile_disc returns the smallest value whose cume_dist reaches
+    * the fraction (an actual data value, not an interpolation). */
+  def percentileSql(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p25,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc,
+        |  count(*) AS n
+        |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile_sql" -> (percentileSql _),
     "q_latest_per_key" -> (latestPerKey _),
     "q_json_extract" -> (jsonExtract _),
     "q_variant_extract" -> (variantExtract _),
@@ -376,6 +395,16 @@ object EventOps {
         |  round(sum(value), 4) AS total_value,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_percentile_sql" ->
+      """SELECT event_type,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p25,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_listagg" ->
       """SELECT user_id,

@@ -574,7 +574,23 @@ object TextOps {
       .orderBy(col("token_id"))
   }
 
+  /** Spark 4 regex function family beyond extract/replace: regexp_count
+    * (occurrence tally) and regexp_substr (first match, NULL-safe).
+    * DuckDB twins: len(regexp_extract_all) and regexp_extract(..., 0)
+    * with the empty-vs-NULL no-match delta normalized by coalesce on
+    * BOTH sides. Pure map stage over the corpus. */
+  def regexFuncs(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT doc_id,
+        |  regexp_count(text, '[aeiou]{2}') AS n_vowel_pairs,
+        |  coalesce(regexp_substr(text, '[a-z]{8,}'), '') AS first_long_word,
+        |  regexp_count(text, '\\.') AS n_periods
+        |FROM documents_v ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regex_funcs" -> (regexFuncs _),
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_vocab" -> (vocab _),
     "q_bpe_merge_candidates" -> (bpeMergeCandidates _),
@@ -630,6 +646,14 @@ object TextOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INTEGER)
+        |    AS n_vowel_pairs,
+        |  coalesce(regexp_extract(text, '[a-z]{8,}', 0), '')
+        |    AS first_long_word,
+        |  CAST(len(regexp_extract_all(text, '\.')) AS INTEGER) AS n_periods
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_language_id" -> languageIdOracle,
 
     "q_lm_perplexity" ->
