@@ -281,7 +281,26 @@ object EventOps {
         |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Array SET operations (intersect / except / contains) over per-user
+    * collected type sets. Outputs are join-to-csv strings with BOTH sides
+    * sorted — Spark's array_intersect preserves left-operand order while
+    * DuckDB's list_intersect does not define one, so sort-then-join is
+    * the portable spelling. Map-side agg then pure projection. */
+  def arrayOps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"),
+        array_join(sort_array(array_intersect(col("types"),
+          array(lit("click"), lit("purchase"), lit("view")))), ",").as("commerce"),
+        array_join(sort_array(array_except(col("types"),
+          array(lit("error")))), ",").as("non_error"),
+        array_contains(col("types"), "error").as("had_error"),
+        size(col("types")).cast("long").as("n_types"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_ops" -> (arrayOps _),
     "q_percentile_sql" -> (percentileSql _),
     "q_latest_per_key" -> (latestPerKey _),
     "q_json_extract" -> (jsonExtract _),
@@ -395,6 +414,19 @@ object EventOps {
         |  round(sum(value), 4) AS total_value,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_array_ops" ->
+      """WITH ua AS (
+        |  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  array_to_string(list_sort(list_intersect(types,
+        |    ['click', 'purchase', 'view'])), ',') AS commerce,
+        |  array_to_string(list_sort(list_filter(types, t -> t <> 'error')),
+        |    ',') AS non_error,
+        |  list_contains(types, 'error') AS had_error,
+        |  CAST(len(types) AS BIGINT) AS n_types
+        |FROM ua ORDER BY user_id""".stripMargin,
 
     "q_percentile_sql" ->
       """SELECT event_type,
