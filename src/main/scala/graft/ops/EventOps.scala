@@ -299,7 +299,26 @@ object EventOps {
         size(col("types")).cast("long").as("n_types"))
       .orderBy(col("user_id"))
 
+  /** Argmin/argmax aggregates (min_by / max_by — DuckDB arg_min/arg_max):
+    * which event type carried each user's smallest/largest value. The
+    * ordering key is value widened with event_id into a unique BIGINT so
+    * ties are deterministic on both engines (bare min_by picks an
+    * arbitrary row among equal values). Single hash aggregate. */
+  def minMaxBy(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT user_id,
+        |  min_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |    + event_id) AS cheapest_type,
+        |  max_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |    + event_id) AS priciest_type,
+        |  round(min(value), 6) AS min_value,
+        |  round(max(value), 6) AS max_value
+        |FROM events_v GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minmax_by" -> (minMaxBy _),
     "q_array_ops" -> (arrayOps _),
     "q_percentile_sql" -> (percentileSql _),
     "q_latest_per_key" -> (latestPerKey _),
@@ -413,6 +432,16 @@ object EventOps {
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
         |  round(sum(value), 4) AS total_value,
         |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_minmax_by" ->
+      """SELECT user_id,
+        |  min_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |    + event_id) AS cheapest_type,
+        |  max_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |    + event_id) AS priciest_type,
+        |  round(min(value), 6) AS min_value,
+        |  round(max(value), 6) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_array_ops" ->
