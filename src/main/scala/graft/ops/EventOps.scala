@@ -317,7 +317,37 @@ object EventOps {
         |FROM events_v GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  /** Error-safe arithmetic (try_divide / try_cast): malformed input
+    * degrades to NULL instead of failing the job — the ANSI-mode-safe
+    * posture a 100 TB ingest needs (one bad row must not kill a stage).
+    * The zero-denominator and unparseable-cast rows are derived
+    * deterministically; DuckDB spells try_divide as x / nullif(y, 0). */
+  def tryFuncs(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type,
+        |  count(try_divide(value, user_id % 3)) AS n_divisible,
+        |  round(sum(try_divide(value, user_id % 3)), 4) AS sum_ratio,
+        |  count(try_cast(substring(props, 7, 2) AS BIGINT)) AS n_parsed
+        |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — the xor-checksum
+    * idiom (order-independent content signature) as a first-class query.
+    * Single hash aggregate, map-side combinable. */
+  def bitAggs(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type,
+        |  bit_and(user_id % 256) AS band,
+        |  bit_or(user_id % 256) AS bor,
+        |  bit_xor(event_id) AS checksum
+        |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_try_funcs" -> (tryFuncs _),
+    "q_bit_aggs" -> (bitAggs _),
     "q_minmax_by" -> (minMaxBy _),
     "q_array_ops" -> (arrayOps _),
     "q_percentile_sql" -> (percentileSql _),
@@ -433,6 +463,20 @@ object EventOps {
         |  round(sum(value), 4) AS total_value,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT event_type,
+        |  count(value / nullif(user_id % 3, 0)) AS n_divisible,
+        |  round(sum(value / nullif(user_id % 3, 0)), 4) AS sum_ratio,
+        |  count(try_cast(substring(props, 7, 2) AS BIGINT)) AS n_parsed
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bit_aggs" ->
+      """SELECT event_type,
+        |  bit_and(user_id % 256) AS band,
+        |  bit_or(user_id % 256) AS bor,
+        |  bit_xor(event_id) AS checksum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_minmax_by" ->
       """SELECT user_id,
