@@ -144,4 +144,22 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("lateral top-k decorrelates to WindowGroupLimit + join (no per-row rescan)") {
+    // the correlated ORDER BY/LIMIT subquery must become ONE windowed
+    // rank over customer joined back to nation — map-side group-limit
+    // pruning before the shuffle, never a nested-loop re-execution
+    val p = plan("q_join_lateral")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("SCD2 history rides ONE hash-by-custkey exchange for both windows") {
+    // lag (change filter) and lead (interval bound) share the same
+    // partitioning+ordering; only the final presentation orderBy adds a
+    // range exchange
+    val p = plan("q_scd2_history")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(3000)}")
+  }
 }
