@@ -54,6 +54,24 @@ class SourcesV2Spec extends SparkSpec {
     }.head.description().contains("range=[12345,12346)"))
   }
 
+  test("DSv2 sink: two-phase commit publishes exact write-side totals") {
+    import graft.sources.AuditSink
+    // source → sink end-to-end through the v2 write path, 8 write tasks
+    events(10000, 8)
+      .select(col("event_id"), col("event_type"))
+      .write.format("graft.sources.AuditSink")
+      .option("name", "t_events").mode("append").save()
+    val stats = AuditSink.results.get("t_events")
+    assert(stats != null, "commit did not publish")
+    assert(stats.rows === 10000L)
+    assert(stats.sum === 10000L * 9999 / 2) // Σ event_id — summed per task, merged at commit
+    // overwrite (truncate capability) republishes the slot
+    events(100, 2).select(col("event_id"))
+      .write.format("graft.sources.AuditSink")
+      .option("name", "t_events").mode("overwrite").save()
+    assert(AuditSink.results.get("t_events").rows === 100L)
+  }
+
   test("content is a pure function of the row id — exact aggregates") {
     val n = 10000L
     val df = events(n, 8)
