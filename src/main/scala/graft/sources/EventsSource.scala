@@ -60,15 +60,16 @@ class EventsTable extends Table with SupportsRead {
   override def name(): String = "graft_events"
   override def schema(): StructType = EventsSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventsScanBuilder(
       options.getLong("rows", 1000L),
-      options.getInt("partitions", 4))
+      options.getInt("partitions", 4),
+      options.getLong("rowsPerBatch", 1000L))
 }
 
-class EventsScanBuilder(rows: Long, parts: Int)
+class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -110,13 +111,24 @@ class EventsScanBuilder(rows: Long, parts: Int)
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new EventsScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
+    new EventsScan(math.max(lo, 0L), math.min(hi, rows), parts, required,
+      rowsPerBatch)
 }
 
-class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType)
+class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType,
+                 rowsPerBatch: Long = 1000L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Same generator as a MICRO-BATCH stream: offsets are positions in the
+    * id space, each trigger drains ≤ rowsPerBatch ids (rate limiting),
+    * resuming from the checkpointed offset after restart — the offset
+    * bookkeeping a real log/queue source (Kafka-style) implements.
+    * Pruning/pushdown from the ScanBuilder applies to the stream too. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventsMicroBatchStream(lo, hi, parts, required, rowsPerBatch)
   override def description(): String =
     s"graft_events[range=[$lo,$hi), partitions=$parts, cols=${required.fieldNames.mkString(",")}]"
 
@@ -134,6 +146,57 @@ class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType)
 }
 
 case class EventsRange(start: Long, end: Long) extends InputPartition
+
+/** Offset = position in the id space; json is just the long. */
+case class EventsOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+class EventsMicroBatchStream(lo: Long, hi: Long, parts: Int,
+                             required: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = EventsOffset(lo)
+
+  override def deserializeOffset(json: String): Offset =
+    EventsOffset(json.trim.toLong)
+
+  /** Without admission control the whole id space would land in one
+    * micro-batch; with it, each trigger admits ≤ rowsPerBatch ids and the
+    * stream self-terminates once the offset reaches hi (bounded replay —
+    * the Kafka-source rate-limiting shape). */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventsOffset].pos
+    EventsOffset(math.min(hi, s + rowsPerBatch))
+  }
+
+  override def reportLatestOffset(): Offset = EventsOffset(hi)
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventsOffset].pos
+    val e = end.asInstanceOf[EventsOffset].pos
+    if (e <= s) return Array.empty
+    val n = e - s
+    val step = math.max(1L, (n + parts - 1) / parts)
+    (s until e by step)
+      .map(b => EventsRange(b, math.min(b + step, e)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsReaderFactory(required.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class EventsReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {

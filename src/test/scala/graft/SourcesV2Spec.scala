@@ -72,6 +72,24 @@ class SourcesV2Spec extends SparkSpec {
     assert(AuditSink.results.get("t_events").rows === 100L)
   }
 
+  test("micro-batch stream drains the id space rate-limited, exact totals") {
+    val n = 5000L
+    val stream = spark.readStream.format("graft.sources.EventsSource")
+      .option("rows", n).option("partitions", 4)
+      .option("rowsPerBatch", 1000).load()
+    val q = stream.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .writeStream.format("memory").queryName("v2_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.table("v2_stream").head()
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("s") === n * (n - 1) / 2)
+    // admission control actually split the drain into ≥ 5 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      q.recentProgress.map(p => p.numInputRows).mkString(","))
+  }
+
   test("content is a pure function of the row id — exact aggregates") {
     val n = 10000L
     val df = events(n, 8)
