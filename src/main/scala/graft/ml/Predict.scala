@@ -50,6 +50,48 @@ object Predict {
     fitLinear(feats, Array("n_sessions", "total_hits", "mean_duration_sec"))
   }
 
+  /** Classification twin of the regressions (beyond-spec §2.12 depth):
+    * per-user purchase-propensity — label = purchase share ≥ 0.2, features
+    * from the NON-purchase behavior only (no leakage). LogisticRegression
+    * + AUC via BinaryClassificationEvaluator; the synthetic generator
+    * carries no real signal, so PredictSpec asserts pipeline mechanics
+    * (deterministic split, finite AUC, both classes predicted), not lift —
+    * same posture as the regression MAE sanity checks. */
+  def purchasePropensity(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val spark = s
+    val feats = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).cast("double").as("n_views"),
+        count(when(col("event_type") === "click", 1)).cast("double").as("n_clicks"),
+        count(when(col("event_type") === "error", 1)).cast("double").as("n_errors"),
+        round(avg(when(col("event_type") =!= "purchase", col("value"))), 6)
+          .as("avg_value"),
+        (count(when(col("event_type") === "purchase", 1)).cast("double") /
+          count(lit(1))).as("purchase_rate"))
+      .withColumn("label", (col("purchase_rate") >= 0.2).cast("double"))
+      .drop("purchase_rate")
+      .na.drop()
+
+    val keyed = feats.withColumn("_fold", pmod(xxhash64(col("user_id")), lit(5)))
+    val train = keyed.filter(col("_fold") =!= 0)
+    val test = keyed.filter(col("_fold") === 0)
+    val asm = new VectorAssembler()
+      .setInputCols(Array("n_views", "n_clicks", "n_errors", "avg_value"))
+      .setOutputCol("features")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01)
+    val model = lr.fit(asm.transform(train))
+    val preds = model.transform(asm.transform(test))
+    val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").evaluate(preds)
+    import spark.implicits._
+    val metrics = Seq(("auc", auc),
+      ("n_train", train.count().toDouble),
+      ("n_test", test.count().toDouble)).toDF("metric", "value")
+    (metrics, preds.select("user_id", "label", "prediction", "probability"))
+  }
+
   private def ipFeatures(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessions(Tables(s, dir, "events"),
         col("user_id"), col("ts"), col("event_id"), col("event_type"))

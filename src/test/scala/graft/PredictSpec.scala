@@ -26,4 +26,19 @@ class PredictSpec extends SparkSpec {
         !r.getDouble(r.fieldIndex("prediction")).isNaN))
     }
   }
+
+  test("purchase-propensity classifier fits with a valid AUC on sf0.01") {
+    // sf0.01 for a balanced 77/150 label split (sf0.001 has 15 users,
+    // all positive). Mechanics, not lift: the generator carries no signal.
+    val (metrics, preds) = Predict.purchasePropensity(spark, "/root/testdata/sf0.01")
+    val m = metrics.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("auc") >= 0.0 && m("auc") <= 1.0, s"auc=${m("auc")}")
+    assert(m("n_train") > 0 && m("n_test") > 0)
+    val ps = preds.collect()
+    assert(ps.forall { r =>
+      val p = r.getDouble(r.fieldIndex("prediction")); p == 0.0 || p == 1.0
+    })
+    // deterministic hash split → stable test-set size
+    assert(ps.length === m("n_test").toInt)
+  }
 }
