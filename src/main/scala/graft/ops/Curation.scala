@@ -372,7 +372,25 @@ object Curation {
     s.sql(mergeUpsertSql("documents_v"))
   }
 
+  /** Training-data JSONL export shape: one JSON object per row via
+    * to_json(struct(...)) — the serialization step before shipping a
+    * curated corpus to a tokenizer/trainer. Spark's to_json and DuckDB's
+    * to_json(struct_pack(...)) emit byte-identical compact JSON for
+    * int/string fields, so the oracle pins the exact wire format. Pure
+    * map stage; at scale this is the final write pass, no shuffle. */
+  def jsonlExport(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT doc_id,
+        |  to_json(named_struct(
+        |    'id', doc_id, 'lang', lang, 'source', source,
+        |    'n_chars', n_chars, 'preview', substring(text, 1, 20)))
+        |    AS jsonl
+        |FROM documents_v ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jsonl_export" -> (jsonlExport _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_per_lang_sample" -> (perLangSample _),
@@ -421,6 +439,13 @@ object Curation {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_jsonl_export" ->
+      """SELECT doc_id,
+        |  CAST(to_json(struct_pack(
+        |    id := doc_id, lang := lang, source := source,
+        |    n_chars := n_chars, preview := substring(text, 1, 20)))
+        |    AS VARCHAR) AS jsonl
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
     // hash is only the shuffle key — the relation equals text-equality
     // anti-join absent 64-bit collisions, so the oracle compares by text

@@ -644,6 +644,18 @@ object Relational {
         |ORDER BY month_start""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (modern SQL ergonomics, Spark 4 +
+    * DuckDB): every non-aggregate select item groups implicitly — the
+    * identical text runs on both engines and must resolve to the same
+    * grouping as the explicit spelling. */
+  def groupByAll(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem_v GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -689,6 +701,7 @@ object Relational {
     "q_scd2_history" -> (scd2History _),
     "q_exists_subquery" -> (existsSubquery _),
     "q_date_arith" -> (dateArith _),
+    "q_group_by_all" -> (groupByAll _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1049,5 +1062,10 @@ object Relational {
         |  count(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1 END) AS n_sunday
         |FROM orders GROUP BY date_trunc('month', o_orderdate)
         |ORDER BY month_start""".stripMargin,
+
+    "q_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
   )
 }
