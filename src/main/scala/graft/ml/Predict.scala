@@ -81,7 +81,16 @@ object Predict {
       .setOutputCol("features")
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(25).setRegParam(0.01)
-    val model = lr.fit(asm.transform(train))
+    val fitted = lr.fit(asm.transform(train))
+    // Persistence round-trip, and not only for coverage: the freshly
+    // fitted model carries a trainingSummary that references the
+    // SparkSession (non-serializable ObservationManager inside), and
+    // transform()'s prediction UDF captures the whole model — the loaded
+    // copy is summary-free and safely serializable into task closures.
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    fitted.write.overwrite().save(modelDir)
+    val model =
+      org.apache.spark.ml.classification.LogisticRegressionModel.load(modelDir)
     val preds = model.transform(asm.transform(test))
     val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
       .setMetricName("areaUnderROC").evaluate(preds)
