@@ -67,6 +67,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ranked.count() === 0)
   }
 
+  test("z-order key degenerates gracefully at grid corners") {
+    import graft.ops.Layout
+    val df = Seq((0L, 0L), (63L, 63L), (0L, 63L), (63L, 0L), (5L, 9L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 6).as("z"))
+    val m = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((0L, 0L)) === 0L)
+    assert(m((63L, 63L)) === 4095L) // full 12 bits set
+    // interleave is a bijection on the grid: all distinct, in range
+    assert(m.values.toSet.size === 5)
+    assert(m.values.forall(z => z >= 0 && z < 4096))
+    // a occupies odd bits: (a=63, b=0) → 0b101010101010
+    assert(m((63L, 0L)) === 0xAAAL)
+    assert(m((0L, 63L)) === 0x555L)
+  }
+
+  test("DSv2 source: zero rows and more partitions than rows don't crash") {
+    val zero = spark.read.format("graft.sources.EventsSource")
+      .option("rows", 0).option("partitions", 4).load()
+    assert(zero.count() === 0)
+    val tiny = spark.read.format("graft.sources.EventsSource")
+      .option("rows", 3).option("partitions", 8).load()
+    assert(tiny.count() === 3)
+  }
+
   test("Misra-Gries over an empty relation aggregates to an empty summary") {
     val mg = udaf(new MisraGries(8), Encoders.STRING)
     val out = Seq.empty[String].toDF("k")
