@@ -656,6 +656,21 @@ object Relational {
         |FROM lineitem_v GROUP BY ALL ORDER BY ALL""".stripMargin)
   }
 
+  /** Inline VALUES table as a join dimension (code → label decode without
+    * a stored dim table) — the identical text runs on both engines; the
+    * 3-row VALUES relation broadcasts. */
+  def inlineValues(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT v.label, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders_v o
+        |JOIN (VALUES ('F', 'fulfilled'), ('O', 'open'), ('P', 'pending'))
+        |  AS v(code, label)
+        |  ON o.o_orderstatus = v.code
+        |GROUP BY v.label ORDER BY v.label""".stripMargin)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -702,6 +717,7 @@ object Relational {
     "q_exists_subquery" -> (existsSubquery _),
     "q_date_arith" -> (dateArith _),
     "q_group_by_all" -> (groupByAll _),
+    "q_inline_values" -> (inlineValues _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1067,5 +1083,14 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q_inline_values" ->
+      """SELECT v.label, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders o
+        |JOIN (VALUES ('F', 'fulfilled'), ('O', 'open'), ('P', 'pending'))
+        |  AS v(code, label)
+        |  ON o.o_orderstatus = v.code
+        |GROUP BY v.label ORDER BY v.label""".stripMargin,
   )
 }

@@ -92,6 +92,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(tiny.count() === 3)
   }
 
+  test("parameterized SQL binds named args without string interpolation") {
+    // the injection-safe templating surface: values bind as literals in
+    // the parse tree, never concatenated into SQL text
+    val r = spark.sql("SELECT :x + 1 AS v, :s AS s",
+      Map("x" -> 41, "s" -> "a'b")).head()
+    assert(r.getInt(0) === 42)
+    assert(r.getString(1) === "a'b") // a quote-injection attempt stays data
+    Seq((1L, "keep"), (2L, "drop")).toDF("id", "tag")
+      .createOrReplaceTempView("param_v")
+    val filtered = spark.sql(
+      "SELECT id FROM param_v WHERE tag = :t", Map("t" -> "keep"))
+    assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("Misra-Gries over an empty relation aggregates to an empty summary") {
     val mg = udaf(new MisraGries(8), Encoders.STRING)
     val out = Seq.empty[String].toDF("k")
