@@ -348,7 +348,9 @@ object Curation {
     * on a v2 table, expressed so it runs on plain parquet relations: the
     * updates batch is derived deterministically from the corpus (every
     * 10th doc re-versioned, every 50th doc's id shifted into the insert
-    * key space). One shuffle on doc_id; at 100 TB the corpus side is
+    * key space — offset by max(doc_id)+1 so shifted ids can never collide
+    * with real corpus ids at ANY scale factor, unlike a fixed +100000).
+    * One shuffle on doc_id; at 100 TB the corpus side is
     * storage-partitioned by the same key, so the join co-locates. The
     * SAME generated SQL text runs on both engines. */
   private def mergeUpsertSql(table: String): String =
@@ -356,7 +358,7 @@ object Curation {
        |  SELECT doc_id, upper(substring(text, 1, 40)) AS text
        |  FROM $table WHERE doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id,
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM $table) AS doc_id,
        |    'new doc ' || CAST(doc_id AS STRING) AS text
        |  FROM $table WHERE doc_id % 50 = 0)
        |SELECT coalesce(u.doc_id, c.doc_id) AS doc_id,

@@ -303,14 +303,19 @@ object EventOps {
     * which event type carried each user's smallest/largest value. The
     * ordering key is value widened with event_id into a unique BIGINT so
     * ties are deterministic on both engines (bare min_by picks an
-    * arbitrary row among equal values). Single hash aggregate. */
+    * arbitrary row among equal values; DuckDB's min_by rejects struct
+    * keys, so a composite struct ordering isn't portable). The 1e12
+    * multiplier keeps the key value-ordered while event_id < 1e12 (about
+    * 100 TB of events) without overflowing: |round(value*1000)| * 1e12
+    * stays under Long.MaxValue for |value| <= 9.2e3, and EventOpsSpec
+    * pins both fixture bounds. Single hash aggregate. */
   def minMaxBy(s: SparkSession, dir: String): DataFrame = {
     events(s, dir).createOrReplaceTempView("events_v")
     s.sql(
       """SELECT user_id,
-        |  min_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |  min_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000000000
         |    + event_id) AS cheapest_type,
-        |  max_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |  max_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000000000
         |    + event_id) AS priciest_type,
         |  round(min(value), 6) AS min_value,
         |  round(max(value), 6) AS max_value
@@ -480,9 +485,9 @@ object EventOps {
 
     "q_minmax_by" ->
       """SELECT user_id,
-        |  min_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |  min_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000000000
         |    + event_id) AS cheapest_type,
-        |  max_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000
+        |  max_by(event_type, CAST(round(value * 1000) AS BIGINT) * 1000000000000
         |    + event_id) AS priciest_type,
         |  round(min(value), 6) AS min_value,
         |  round(max(value), 6) AS max_value

@@ -96,12 +96,22 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
       case IsNotNull("event_id") => true // non-nullable: vacuously true
       case _ => false
     }
+    // v + 1 overflows at Long.MaxValue; since consumed filters are not
+    // re-checked by Spark, a wrapped bound would silently drop every row.
+    // Ids live in [0, rows) with rows <= Long.MaxValue, so id = MaxValue
+    // never exists: `> MaxValue` / `= MaxValue` match nothing (lo pinned to
+    // MaxValue >= hi gives the empty range) and `<= MaxValue` constrains
+    // nothing (skip the tightening instead of wrapping hi negative).
     ours.foreach {
-      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("event_id", v: Long) =>
+        lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1)
       case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v)
       case LessThan("event_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo("event_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("event_id", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+      case EqualTo("event_id", v: Long) =>
+        lo = math.max(lo, v)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
       case IsNotNull(_) => ()
     }
     accepted = ours

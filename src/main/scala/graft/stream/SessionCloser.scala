@@ -40,9 +40,15 @@ object SessionCloser {
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[Closed] = {
-      val cur = agg.get()
-      agg.clear()
-      Iterator.single(Closed(key, expiredTimerInfo.getExpiryTimeInMs, cur.n_hits))
+      // A timer can fire with absent state (e.g. a replayed timer after
+      // checkpoint recovery interleaving with an already-cleared session);
+      // dereferencing unconditionally would NPE and kill the query.
+      Option(agg.get()) match {
+        case Some(cur) =>
+          agg.clear()
+          Iterator.single(Closed(key, expiredTimerInfo.getExpiryTimeInMs, cur.n_hits))
+        case None => Iterator.empty
+      }
     }
   }
 

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventOps
+
+/** Pins the assumptions behind EventOps' composite ordering keys.
+  *
+  * q_minmax_by orders by `CAST(round(value*1000) AS BIGINT) * 1e12 +
+  * event_id` — value-ordered iff event_id < 1e12 and overflow-free iff
+  * |value| <= ~9.2e3. Both engines share the formula, so oracle parity
+  * CANNOT catch a violated assumption; these tests can.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  test("minmax_by key assumptions hold on the fixture: event_id < 1e12, |value| bounded") {
+    val b = Tables(spark, sf001, "events")
+      .agg(max(col("event_id")).as("max_id"), max(abs(col("value"))).as("max_abs"))
+      .head()
+    assert(b.getAs[Long]("max_id") < 1000000000000L)
+    assert(b.getAs[Double]("max_abs") <= 9000.0)
+  }
+
+  test("minmax_by widened key agrees with true (value, event_id) struct ordering") {
+    val got = EventOps.minMaxBy(spark, sf001)
+      .select(col("user_id"), col("cheapest_type"), col("priciest_type"))
+
+    // independent oracle: rank rows by the struct (value, event_id) — the
+    // ordering the composite BIGINT key is supposed to encode
+    val e = Tables(spark, sf001, "events")
+      .withColumn("k", struct(round(col("value") * 1000).cast("long"), col("event_id")))
+    val asc = Window.partitionBy(col("user_id")).orderBy(col("k").asc)
+    val desc = Window.partitionBy(col("user_id")).orderBy(col("k").desc)
+    val want = e
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("ra") === 1, col("event_type"))).as("cheapest_type"),
+        max(when(col("rd") === 1, col("event_type"))).as("priciest_type"))
+
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
