@@ -77,9 +77,15 @@ object Curation {
     * @param ids   one `id` column, every node (isolated nodes become
     *              singleton components labeled by themselves)
     * @param edges `id1`, `id2` pairs, either orientation, duplicates fine
+    * @param maxRounds fail-safe round cap; with pointer jumping convergence
+    *              takes O(log diameter) rounds, so the default 25 covers a
+    *              diameter beyond 2^25 — unreachable for near-dup chains.
+    *              If the cap IS hit the labels are not a fixpoint, so this
+    *              throws rather than quietly returning wrong components.
     * @return (`id`, `lab`) with `lab` = min node id of the component
     */
-  def connectedComponents(ids: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(ids: DataFrame, edges: DataFrame,
+                          maxRounds: Int = 25): DataFrame = {
     // symmetric closure: label min must flow both directions of each edge
     val sym = edges.select(col("id1"), col("id2"))
       .union(edges.select(col("id2").as("id1"), col("id1").as("id2")))
@@ -93,7 +99,7 @@ object Curation {
     var labels = ids.select(col("id"), col("id").as("lab")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym
         .join(labels.select(col("id").as("id1"), col("lab")), "id1")
         .groupBy(col("id2").as("id"))
@@ -114,6 +120,11 @@ object Curation {
       rounds += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          s"($changed labels still changing) — raise maxRounds; returning " +
+          "partial labels would silently split components")
     labels
   }
 

@@ -28,6 +28,23 @@ class CurationSpec extends SparkSpec {
     assert(got(30L) === 30L && got(31L) === 31L)
   }
 
+  test("connectedComponents throws on non-convergence instead of returning partial labels") {
+    // chain of diameter 12 cannot converge in 1 round (even with pointer
+    // jumping a round only quarters the diameter); the cap must FAIL LOUDLY,
+    // not hand back labels that split one component into several
+    val ids = (0L to 12L)
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Curation.connectedComponents(
+        ids.toDF("id"), edges.toDF("id1", "id2"), maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with the default cap the same graph converges fine
+    val got = Curation.connectedComponents(ids.toDF("id"), edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(i => assert(got(i) === 0L))
+  }
+
   test("connectedComponents matches brute-force transitive closure") {
     // deterministic pseudo-random sparse graph over 60 nodes
     val n = 60L
