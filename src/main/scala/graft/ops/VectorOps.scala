@@ -18,9 +18,11 @@ import graft.functions.GraftFunctions
   *
   * Scale path: brute-force top-k = broadcast the Q query vectors, score
   * map-side, per-query top-k — O(Q·N·d) with no shuffle until the final
-  * rank. Pair search blocks on label (O(block²) bounded). For unbounded N,
-  * swap the blocking key for an LSH bucket id — same join shape; the
-  * banding pattern is shown in TextOps.minhashCandidates.
+  * rank. Pair search: [[cosinePairs]] blocks on label (the exact,
+  * oracle-checkable path — O(block²), corpus-proportional blocks);
+  * [[cosinePairsLsh]] blocks on SRP signature buckets (hash-distributed
+  * block sizes, banded equi join — the unbounded-N path, same join shape
+  * as TextOps.minhashCandidates).
   */
 object VectorOps {
 
@@ -63,7 +65,11 @@ object VectorOps {
   }
 
   /** Exact cosine near-dup pairs within a label block (embedding-cosine
-    * near-dup of SURVEY §2.11). */
+    * near-dup of SURVEY §2.11). This is the EXACT, oracle-checkable twin;
+    * block size is corpus/|labels| — fine while labels are plentiful, but
+    * the unbounded-corpus path is [[cosinePairsLsh]], whose blocks are
+    * hash-distributed SRP buckets instead. TextVectorSpec asserts the LSH
+    * variant recovers every pair this one finds. */
   def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir))
     val a = e.select(col("label"), col("vec_id").as("id1"),
@@ -77,6 +83,48 @@ object VectorOps {
       .filter(col("cos") >= 0.35)
       .select(col("label"), col("id1"), col("id2"), col("cos"))
       .orderBy(col("label"), col("id1"), col("id2"))
+  }
+
+  /** SRP-bucket blocked cosine near-dup pairs — the unbounded-corpus path
+    * for [[cosinePairs]]. Blocking key = (band, bucket) of a 30-bit SRP
+    * signature (10 bands × 3 bits); candidate generation is a plain equi
+    * SELF-JOIN on the banding explode (sub-quadratic join shape, block
+    * sizes hash-distributed — never corpus-proportional the way label or
+    * metadata blocks are); exact cosine >= 0.35 then verifies each
+    * candidate, so every emitted pair is a true threshold pair.
+    *
+    * Band geometry is a measured trade on this fixture: threshold 0.35
+    * sits near the random-pair regime (P(bit agree) ≈ 0.61 vs 0.50 for
+    * unrelated vectors), and 10×3 bits catches 100% of the label-blocked
+    * exact pairs on BOTH sf0.001 and sf0.01 (93% of ALL threshold pairs)
+    * while pruning ~27% of the pair space; 2-bit bands prune almost
+    * nothing, 4-bit bands prune 2/3 but drop recall below 0.7. Real
+    * near-dup corpora (cos >= 0.9, P(bit agree) ≈ 0.86) separate far more
+    * sharply. Superset-of-exact pinned in TextVectorSpec; hash-based →
+    * rows-only driver check. */
+  def cosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
+    val nBits = 30
+    val bandBits = 3
+    // persisted: feeds the banding explode AND both vector-lookup joins
+    val e = withSrpSig(s, dir, nBits).persist()
+    val banded = srpBanded(e, nBits, bandBits)
+    val l = banded.select(col("band"), col("bucket"), col("vec_id").as("id1"))
+    val r = banded.select(col("band"), col("bucket"), col("vec_id").as("id2"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    // plain equi joins (NOT broadcast hints): the vector relation is
+    // corpus-sized; AQE still broadcasts it when genuinely small
+    val v1 = e.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      col("norm").as("n1"))
+    val v2 = e.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      col("norm").as("n2"))
+    cands.join(v1, "id1").join(v2, "id2")
+      .withColumn("cos",
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
   }
 
   /** Per-label centroids, reported as (label, dim, mean) for the first 8
@@ -93,42 +141,87 @@ object VectorOps {
       .agg(round(avg(col("x")), 6).as("mean_x"), count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))
 
-  /** Self-evaluating ANN: sign-random-projection LSH (16-bit signature,
-    * 8 bands × 2 bits) generates candidates; exact cosine re-ranks them;
-    * the query reports recall@5 against the exact top-5 per query vector.
-    * At 100 TB only the LSH+re-rank side runs (the exact baseline here
-    * exists to measure recall on test data); candidate generation is a
-    * band-key equi join — the same sub-quadratic shape as MinHash banding.
-    * Hash-based → rows-only for the oracle; recall pinned in
-    * TextVectorSpec. */
-  def annSrpRecall(s: SparkSession, dir: String): DataFrame = {
-    val nBits = 16
-    val bandBits = 2
-    val e = withNorm(emb(s, dir))
+  /** vectors with norm + nBits-bit SRP signature. */
+  private def withSrpSig(s: SparkSession, dir: String, nBits: Int): DataFrame =
+    withNorm(emb(s, dir))
       .withColumn("sig", GraftFunctions.srpSig(col("embedding"), nBits))
-    val q = e.filter(col("vec_id") < 10)
+
+  /** (vec_id, band, bucket) — one row per bandBits-wide band of the SRP
+    * signature, the banding explode shared by the ANN branch and
+    * [[cosinePairsLsh]]. Bucket keys are hash-distributed, so block sizes
+    * stay bounded regardless of corpus skew — unlike metadata blocking. */
+  private def srpBanded(sigs: DataFrame, nBits: Int, bandBits: Int): DataFrame = {
+    val nBands = nBits / bandBits
+    val mask = (1 << bandBits) - 1
+    sigs.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${nBands - 1}),
+           |  b -> struct(b AS band,
+           |              shiftright(sig, b * $bandBits) & $mask AS bucket))"""
+          .stripMargin)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** The ANN branch of [[annSrpRecall]] — the 100 TB plan, exposed so
+    * PlanSpec can pin its shape: candidate generation is a (band, bucket)
+    * EQUI JOIN (same sub-quadratic shape as MinHash banding — no
+    * all-pairs cross join, no BroadcastNestedLoopJoin anywhere in the
+    * branch), then exact cosine re-ranks ONLY the candidates. The corpus
+    * side is never broadcast; the only broadcast-sized relation is the
+    * query set (Q = 10 here), which rides a broadcast HASH join. */
+  private[graft] def annSrpTop(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = withSrpSig(s, dir, nBits = 16)
+    val banded = srpBanded(e, nBits = 16, bandBits = 2)
+    val qb = banded.filter(col("vec_id") < 10)
+      .select(col("band"), col("bucket"), col("vec_id").as("query_id"))
+    val cb = banded.select(col("band"), col("bucket"), col("vec_id").as("cand_id"))
+    // a pair is a candidate iff the signatures agree on ANY band ⇔ the two
+    // vectors share some (band, bucket) key — identical candidate set to a
+    // per-band masked-signature comparison, as an equi join
+    val candidates = cb.join(qb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("norm").as("qnorm"), col("sig").as("qsig"))
-    // exact top-5 (the evaluation baseline)
-    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      col("norm").as("cnorm"), col("sig").as("csig"))
-    val scored = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos",
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+        col("norm").as("qnorm"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("norm").as("cnorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    val exactTop = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("cand_id"))
-    // LSH candidates: any shared 2-bit band
-    val bandMatch = (0 until nBits / bandBits).map { b =>
-      val mask = ((1 << bandBits) - 1) << (b * bandBits)
-      (col("qsig").bitwiseAND(lit(mask))) === (col("csig").bitwiseAND(lit(mask)))
-    }.reduce(_ || _)
-    val annTop = scored.filter(bandMatch)
+    candidates
+      .join(cv, "cand_id")                 // plain equi join: corpus-sized
+      .join(broadcast(qv), "query_id")     // Q rows only — the small side
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id").as("ann_id"))
+  }
+
+  /** Self-evaluating ANN: sign-random-projection LSH (16-bit signature,
+    * 8 bands × 2 bits) generates candidates via the banded equi join in
+    * [[annSrpTop]]; exact cosine re-ranks candidates only; the query
+    * reports recall@5 against the exact top-5 per query vector. At 100 TB
+    * only the LSH+re-rank side runs — the exact Q×N baseline exists purely
+    * to measure recall on test data. Hash-based → rows-only for the
+    * oracle; recall pinned in TextVectorSpec, no-BNLJ plan pinned in
+    * PlanSpec. */
+  def annSrpRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = withSrpSig(s, dir, nBits = 16)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"))
+    // exact top-5 (the evaluation baseline; Q×N by definition)
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exactTop = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("query_id"), col("cand_id").as("ann_id"))
+      .select(col("query_id"), col("cand_id"))
+    val annTop = annSrpTop(s, dir)
     exactTop
       .join(annTop, exactTop("query_id") === annTop("query_id") &&
         col("cand_id") === col("ann_id"), "left")
@@ -260,6 +353,7 @@ object VectorOps {
     "q_sq_quantize" -> (sqQuantize _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_cosine_pairs" -> (cosinePairs _),
+    "q_cosine_pairs_lsh" -> (cosinePairsLsh _),
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_srp_recall" -> (annSrpRecall _),
     "q_ann_ivf_recall" -> (annIvfRecall _),

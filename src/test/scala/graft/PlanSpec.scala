@@ -84,6 +84,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SRP candidate generation is a banded equi join (no BNLJ, no cartesian)") {
+    // the ANN branch and the LSH pair blocking are the repo's demonstration
+    // of the sub-quadratic embedding scale path: candidates MUST come from
+    // a (band, bucket) equi join — an all-pairs cross/nested-loop join here
+    // would be the O(Q·N) / O(N²) plan these operators exist to avoid
+    val ann = graft.ops.VectorOps.annSrpTop(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!ann.contains("BroadcastNestedLoopJoin"), ann.take(3000))
+    assert(!ann.contains("CartesianProduct"), ann.take(3000))
+    val lsh = graft.ops.VectorOps.cosinePairsLsh(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("BroadcastNestedLoopJoin"), lsh.take(3000))
+    assert(!lsh.contains("CartesianProduct"), lsh.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("edit-distance DP stays OUT of the join condition") {
     // regression: predicate pushdown substituted the levenshtein filter
     // into the join condition, where pushed conjuncts are ordered BEFORE

@@ -56,12 +56,33 @@ class TextVectorSpec extends SparkSpec {
     assert(avg >= 0.8, s"avg ivf recall@5 = $avg")
   }
 
-  test("srp-ann recall@5 is high on the fixed dataset") {
+  test("srp-ann recall@5 >= 0.9 with banded candidate generation") {
     val recalls = VectorOps.annSrpRecall(spark, sf001).collect()
       .map(_.getDouble(1))
     assert(recalls.nonEmpty)
     val avg = recalls.sum / recalls.length
-    assert(avg >= 0.5, s"avg recall@5 = $avg")
+    assert(avg >= 0.9, s"avg recall@5 = $avg")
+  }
+
+  test("cosinePairsLsh: superset of label-blocked exact pairs, identical scores, all true pairs") {
+    val lsh = VectorOps.cosinePairsLsh(spark, sf001).collect()
+      .map(r => (r.getLong(r.fieldIndex("id1")), r.getLong(r.fieldIndex("id2")))
+        -> r.getDouble(r.fieldIndex("cos"))).toMap
+    val exact = VectorOps.cosinePairs(spark, sf001).collect()
+      .map(r => (r.getLong(r.fieldIndex("id1")), r.getLong(r.fieldIndex("id2")))
+        -> r.getDouble(r.fieldIndex("cos"))).toMap
+    // recall: SRP-bucket blocking must recover every pair label blocking
+    // found (the exact set is the oracle-checked twin)
+    val missed = exact.keySet -- lsh.keySet
+    assert(missed.isEmpty, s"SRP blocking missed exact pairs: $missed")
+    // where both paths emit a pair, the exact-cosine verify step must agree
+    exact.foreach { case (k, c) =>
+      assert(lsh(k) === c, s"pair $k: lsh=${lsh(k)} exact=$c")
+    }
+    // precision is 1.0 by construction: every emitted pair passed the
+    // exact threshold
+    assert(lsh.values.forall(_ >= 0.35))
+    assert(lsh.keys.forall { case (a, b) => a < b })
   }
 
   test("language-id heuristic identifies real multilingual text") {
