@@ -237,7 +237,8 @@ object VectorOps {
     * reports recall@5 vs the exact top-5. At 100 TB the centroid table is
     * a broadcast dim and per-cell candidate lists are the partition key;
     * only the tiny centroid model ever reaches the driver. */
-  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+  def annIvfRecall(s: SparkSession, dir: String,
+                   fitSampleThreshold: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // nProbe 6/16 cells ≈ 37% searched; maxIter 10 converges the quantizer.
@@ -253,17 +254,27 @@ object VectorOps {
     val withVec = e.withColumn("features",
       array_to_vector(transform(col("embedding"),
         x => x.cast("double") / col("norm"))))
-    // Fit the quantizer on a CACHED single-partition copy: k-means cost
-    // here is per-iteration JOB overhead (each MLlib iteration + each
-    // k-means|| init round is a Spark job over the input), not flops, so
-    // one cached task per job cuts fit wall time without touching the
-    // math — centroids are identical to fitting the raw relation. At
-    // 100 TB the same line becomes a bounded .sample() (quantizers train
-    // on ~100-250 points/cell, never the corpus; a 50%-sample +
-    // random-init variant measured recall@5 0.76 on this fixture — below
-    // the 0.8 gate TextVectorSpec pins — so the small-data config keeps
-    // full data + k-means|| init). Only transform() touches every row.
-    val train = withVec.coalesce(1).cache()
+    // Quantizer fit input is SIZE-SWITCHED — the corpus must never be
+    // scanned per k-means iteration at scale:
+    //  * small (n <= fitSampleThreshold): a CACHED single-partition copy.
+    //    K-means cost here is per-iteration JOB overhead (each MLlib
+    //    iteration + each k-means|| init round is a Spark job over the
+    //    input), not flops, so one cached task per job cuts fit wall time
+    //    without touching the math — centroids are identical to fitting
+    //    the raw relation. Keeps full data + k-means|| init: a 50%-sample
+    //    + random-init variant measured recall@5 0.76 on this fixture,
+    //    below the 0.8 gate TextVectorSpec pins.
+    //  * large: a bounded seeded sample of ~fitSampleThreshold rows,
+    //    normally partitioned. Coarse quantizers train on ~100-250
+    //    points/cell (nCells * 250 << threshold), so the sample loses
+    //    nothing at scale while the fit cost stops growing with the
+    //    corpus. Only transform() ever touches every row.
+    val n = withVec.count()
+    val train =
+      if (n > fitSampleThreshold)
+        withVec.sample(withReplacement = false,
+          fraction = fitSampleThreshold.toDouble / n, seed = 7L).cache()
+      else withVec.coalesce(1).cache()
     val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(10)
       .fit(train)
     train.unpersist()
@@ -356,7 +367,7 @@ object VectorOps {
     "q_cosine_pairs_lsh" -> (cosinePairsLsh _),
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_srp_recall" -> (annSrpRecall _),
-    "q_ann_ivf_recall" -> (annIvfRecall _),
+    "q_ann_ivf_recall" -> ((s, d) => annIvfRecall(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

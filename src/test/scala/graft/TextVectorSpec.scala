@@ -56,6 +56,17 @@ class TextVectorSpec extends SparkSpec {
     assert(avg >= 0.8, s"avg ivf recall@5 = $avg")
   }
 
+  test("ivf-ann sampled-fit path (corpus > threshold) still recalls well") {
+    // force the large-corpus branch: threshold below the fixture size makes
+    // the quantizer train on a seeded half-ish sample instead of the full
+    // cached copy — the 100 TB configuration, exercised end-to-end
+    val recalls = VectorOps.annIvfRecall(spark, sf001, fitSampleThreshold = 250L)
+      .collect().map(_.getDouble(1))
+    assert(recalls.nonEmpty)
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.7, s"avg sampled-fit ivf recall@5 = $avg")
+  }
+
   test("srp-ann recall@5 >= 0.9 with banded candidate generation") {
     val recalls = VectorOps.annSrpRecall(spark, sf001).collect()
       .map(_.getDouble(1))
