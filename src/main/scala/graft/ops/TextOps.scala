@@ -172,23 +172,22 @@ object TextOps {
     * agreement >= 0.5 (estimates Jaccard). Deterministic but xxhash64 has
     * no DuckDB twin → no oracle entry (rows-only driver check); accuracy
     * vs exact Jaccard is pinned in TextVectorSpec. */
-  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** per-doc 32-hash MinHash signatures — shared by [[minhashCandidates]]
+    * and the deterministic pins in TextVectorSpec. */
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val nHash = 32
-    val bands = 8
-    val rowsPerBand = nHash / bands
-    // signature via the native MinHashSig expression: xxhash64(s, seed=i),
-    // whole numHashes × |shingles| loop in one eval (graft.functions).
-    // persisted: referenced 3× below (banding + both verification joins) —
-    // 32 hash passes over every shingle run once, not three times. The
-    // verification joins are plain equi joins on id, NOT broadcast hints:
-    // sig is O(N docs) and a corpus-sized broadcast kills the driver at
-    // scale (AQE still broadcasts when genuinely small).
-    val sig = withShingles(docs(s, dir))
+    withShingles(docs(s, dir))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.minhashSig(col("shingles"), nHash).as("sig"))
-      .persist()
+        graft.functions.GraftFunctions.minhashSig(col("shingles"), 32).as("sig"))
+  }
+
+  /** distinct candidate pairs from 8-band × 4-row LSH banding — the
+    * pre-verification stage of [[minhashCandidates]], exposed so specs can
+    * pin its exact output size on a fixed fixture. */
+  private[graft] def minhashBandPairs(sig: DataFrame): DataFrame = {
+    val bands = 8
+    val rowsPerBand = 4
     // band key = the 4-long slice itself (arrays join/hash fine) — no extra
     // hashing pass; `sig` referenced only inside the generator
     val banded = sig.select(col("doc_id"), explode(expr(
@@ -198,9 +197,21 @@ object TextOps {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
-    val pairs = l.join(r, Seq("band", "bucket"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
+  }
+
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    // signature via the native MinHashSig expression: xxhash64(s, seed=i),
+    // whole numHashes × |shingles| loop in one eval (graft.functions).
+    // persisted: referenced 3× below (banding + both verification joins) —
+    // 32 hash passes over every shingle run once, not three times. The
+    // verification joins are plain equi joins on id, NOT broadcast hints:
+    // sig is O(N docs) and a corpus-sized broadcast kills the driver at
+    // scale (AQE still broadcasts when genuinely small).
+    val sig = minhashSigs(s, dir).persist()
+    val pairs = minhashBandPairs(sig)
     pairs
       .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")

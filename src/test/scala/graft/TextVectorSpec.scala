@@ -38,6 +38,26 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("minhash banding pins exact values at sf0.01 (deterministic-twin oracle)") {
+    // xxhash64 has no DuckDB builtin, so the driver's check for
+    // q_minhash_candidates is rows-only; these literals — computed once
+    // from the seeded pipeline and committed — pin the full output the way
+    // a SQL oracle would: banding must emit EXACTLY 27 candidate pairs,
+    // and signature verification must keep EXACTLY these 25.
+    val sf01 = "/root/testdata/sf0.01"
+    val sig = TextOps.minhashSigs(spark, sf01)
+    assert(TextOps.minhashBandPairs(sig).count() === 27L)
+    val verified = TextOps.minhashCandidates(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set[(Long, Long)](
+      (8L, 245L), (26L, 455L), (31L, 383L), (44L, 446L), (45L, 267L),
+      (45L, 413L), (58L, 293L), (61L, 185L), (70L, 447L), (72L, 377L),
+      (87L, 134L), (92L, 450L), (98L, 290L), (107L, 387L), (120L, 332L),
+      (152L, 178L), (166L, 323L), (267L, 413L), (285L, 301L), (295L, 374L),
+      (310L, 389L), (326L, 457L), (393L, 420L), (435L, 486L), (458L, 462L))
+    assert(verified === expected)
+  }
+
   test("simhash agrees with minhash on near-dup pairs (blocked universe)") {
     val sim = TextOps.simhashPairs(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
