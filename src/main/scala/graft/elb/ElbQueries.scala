@@ -76,6 +76,11 @@ object ElbQueries {
           .as("error_rate"),
         count(col("backend_time_sec")).as("n_with_latency"),
         round(avg(col("backend_time_sec")), 6).as("avg_backend_sec"),
+        // exact percentile = a per-group sort, but groups are single
+        // MINUTES of one load balancer's traffic — bounded by arrival
+        // rate, never corpus-proportional — so the sort is safe at any
+        // corpus size; for percentiles over unbounded groups use
+        // approx_percentile (the KLL/GK-sketch path, see Analytics)
         round(expr("percentile(backend_time_sec, 0.95)"), 6).as("p95_backend_sec"),
         sum(col("sent_bytes")).as("bytes_out"))
       .orderBy(col("minute_us"))

@@ -58,6 +58,35 @@ class TextVectorSpec extends SparkSpec {
     assert(verified === expected)
   }
 
+  test("simhash + winnow + cosine-lsh pin exact values at sf0.01 (deterministic twins)") {
+    // same rationale as the minhash pins: these are the remaining
+    // hash-based rows-only queries; literals computed once from the seeded
+    // pipelines and committed stand in for the missing SQL oracle.
+    val sf01 = "/root/testdata/sf0.01"
+    val sim = TextOps.simhashPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simExpected = Set[(Long, Long)](
+      (8L, 245L), (31L, 383L), (44L, 446L), (45L, 267L), (45L, 413L),
+      (58L, 293L), (61L, 185L), (70L, 447L), (72L, 377L), (87L, 134L),
+      (92L, 450L), (98L, 290L), (107L, 387L), (120L, 332L), (152L, 178L),
+      (166L, 323L), (267L, 413L), (285L, 301L), (295L, 374L), (310L, 389L),
+      (326L, 457L), (393L, 420L), (435L, 486L), (458L, 462L))
+    assert(sim === simExpected)
+
+    val win = TextOps.winnowFingerprints(spark, sf01)
+    assert(win.count() === 500L)
+    val wagg = win.agg(sum(col("n_fingerprints")),
+      sum(col("doc_id") * col("n_fingerprints"))).head()
+    assert(wagg.getLong(0) === 55989L && wagg.getLong(1) === 14028746L)
+
+    val lsh = VectorOps.cosinePairsLsh(spark, sf01)
+    assert(lsh.count() === 252L)
+    val lagg = lsh.agg(sum(col("id1")), sum(col("id2")),
+      round(sum(col("cos")), 4)).head()
+    assert(lagg.getLong(0) === 42216L && lagg.getLong(1) === 83952L)
+    assert(lagg.getDouble(2) === 96.7324)
+  }
+
   test("simhash agrees with minhash on near-dup pairs (blocked universe)") {
     val sim = TextOps.simhashPairs(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
