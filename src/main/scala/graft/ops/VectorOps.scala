@@ -329,6 +329,188 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Product-quantization building blocks (8 subspaces × 8 dims, 64
+    * centroids per subspace → one 6-bit code per subspace, 48 bits per
+    * vector vs 2048 for float32 — ~42× compression; vectors L2-NORMALIZED
+    * first so PQ's L2 distances rank like cosine, same spherical trick as
+    * IVF).
+    *
+    * The codebook fit is GROUPED k-means written as DataFrame ops: ALL
+    * subspaces train in the same Lloyd's iteration — assignment is one
+    * broadcast join of the (vec, subspace) subvector relation against the
+    * 128-row codebook, the update is one groupBy mean — so the number of
+    * Spark jobs is O(iterations), independent of the number of subspaces
+    * (8 sequential MLlib fits would cost 8× the job overhead). Only the
+    * 128-row codebook ever reaches the driver per iteration — the same
+    * bounded-stats pattern as ScaledRank. Init is deterministic (first 16
+    * vec_ids by md5 order), so the fit is reproducible up to float-sum
+    * ordering; outputs are verified by bounds in TextVectorSpec, not
+    * literals, and the driver check is rows-only. */
+  private val pqM = 8          // subspaces
+  private val pqDsub = 8       // dims per subspace
+  private val pqK = 64         // centroids per subspace (6-bit codes)
+
+  /** (vec_id, m, sub) — L2-normalized subvectors, one row per subspace. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${pqM - 1}),
+           |  m -> struct(m AS m,
+           |    transform(sequence(0, ${pqDsub - 1}),
+           |      j -> CAST(embedding[m * $pqDsub + j] AS DOUBLE) / norm) AS sub))"""
+          .stripMargin)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+
+  /** Lloyd's iterations over all subspaces at once; returns the codebook
+    * as a local (m, c, centroid) table — pqM*pqK rows by construction. */
+  private def pqFitCodebook(s: SparkSession, sub: DataFrame,
+                            iters: Int): DataFrame = {
+    import s.implicits._
+    // deterministic seeds: the 16 docs with smallest (md5(vec_id), vec_id)
+    // provide one subvector per subspace each
+    val seedIds = sub.select(col("vec_id")).distinct()
+      .withColumn("r", md5(concat(lit("graft-pq:"), col("vec_id").cast("string"))))
+      .orderBy(col("r"), col("vec_id"))
+      .limit(pqK)
+      .withColumn("c", row_number().over(
+        Window.orderBy(col("r"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("c"))
+    var codebook: Array[(Int, Int, Seq[Double])] =
+      sub.join(broadcast(seedIds), "vec_id")
+        .select(col("m"), col("c"), col("sub"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    for (_ <- 1 to iters) {
+      val cb = broadcast(codebook.toSeq.toDF("m", "c", "cv"))
+      // assign: nearest centroid per (vec, subspace); ||a-b||^2 via dots
+      val assigned = sub.join(cb, "m")
+        .withColumn("d",
+          dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("cv"))
+            + dot(col("cv"), col("cv")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(expr("min_by(c, struct(d, c))").as("c"))
+      // update: element-wise mean per (m, c) — pqM*pqK*pqDsub grouped rows
+      val updated = assigned.join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("c"), posexplode(col("sub")).as(Seq("j", "x")))
+        .groupBy(col("m"), col("c"), col("j"))
+        .agg(avg(col("x")).as("mx"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case ((m, c), rows) =>
+          (m, c, rows.map(_._2).sortBy(_._1).map(_._2).toSeq) }
+        .toArray
+      // empty clusters keep their previous centroid
+      val kept = codebook.filterNot(e =>
+        updated.exists(u => u._1 == e._1 && u._2 == e._2))
+      codebook = (updated ++ kept).sortBy(e => (e._1, e._2))
+    }
+    broadcast(codebook.toSeq.toDF("m", "c", "cv"))
+  }
+
+  /** (vec_id, m, c) PQ code assignments under the fitted codebook. */
+  private def pqCodes(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(codebook, "m")
+      .withColumn("d",
+        dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("min_by(c, struct(d, c))").as("c"))
+
+  /** PQ compression report: per-vector reconstruction RMSE of the
+    * normalized vector from its 8 6-bit codes (48 bits total vs 2048 for
+    * float32 — ~42×), plus the distinct-code count actually used. The PQ
+    * serving query is [[annPqRecall]]. Rows-only driver check (k-means
+    * float sums are partitioning-ordered); bounds pinned in
+    * TextVectorSpec. */
+  def pqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val sub = pqSubvectors(e).persist()
+    val codebook = pqFitCodebook(s, sub, iters = 3)
+    val codes = pqCodes(sub, codebook)
+    val out = codes.join(codebook, Seq("m", "c"))
+      .join(sub, Seq("vec_id", "m"))
+      .select(col("vec_id"),
+        posexplode(expr("zip_with(sub, cv, (x, y) -> pow(x - y, 2))"))
+          .as(Seq("j", "se")))
+      .groupBy(col("vec_id"))
+      .agg(round(sqrt(avg(col("se"))), 6).as("recon_rmse"))
+    val used = codes.groupBy(col("vec_id"))
+      .agg(countDistinct(col("c")).as("distinct_codes"))
+    out.join(used, "vec_id")
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("recon_rmse"),
+        col("distinct_codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Self-evaluating PQ-ADC ANN with exact re-rank: queries score every
+    * vector through the ASYMMETRIC DISTANCE lookup table — per query, the
+    * pqM×pqK-entry LUT d(q_m, centroid) is precomputed once (a Q×codebook
+    * join, broadcast-sized), and each candidate's estimated distance is
+    * just a sum of 8 LUT entries joined by (m, c) — no full-dimension
+    * arithmetic per candidate, which is what makes PQ serving fast at
+    * billions of vectors. ADC keeps a SHORTLIST (top-50), and only the
+    * shortlist is exact-cosine re-ranked — the fetch-and-rerank shape
+    * production PQ serving uses (quantization error decides the shortlist
+    * boundary, not the final order). Reports recall@5 vs exact cosine.
+    * Rows-only; recall bound pinned in TextVectorSpec. */
+  def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = 50
+    val e = withNorm(emb(s, dir))
+    val sub = pqSubvectors(e).persist()
+    val codebook = pqFitCodebook(s, sub, iters = 3)
+    val codes = pqCodes(sub, codebook)
+    val qsub = sub.join(e.filter(col("vec_id") < 10)
+        .select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("m"), col("sub").as("qsub"))
+    // per-query LUT: Q * pqM * pqK rows (10 * 128 here) — broadcast-sized
+    val lut = qsub.join(codebook, "m")
+      .withColumn("d",
+        dot(col("qsub"), col("qsub")) - lit(2.0) * dot(col("qsub"), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .select(col("query_id"), col("m"), col("c"), col("d"))
+    // ADC: estimated distance = sum of the 8 LUT entries for the codes
+    val est = codes.join(broadcast(lut), Seq("m", "c"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("cand_id"))
+    val shortlisted = est.withColumn("rk", row_number().over(adcW))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
+      col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    // exact re-rank of the ADC shortlist only (candidate join is plain
+    // equi; only the Q query vectors broadcast)
+    val pqTop = shortlisted
+      .join(cand, "cand_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv2")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id").as("pq_id"))
+    // exact cosine top-5 baseline (evaluation only)
+    val exactTop = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv2")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    exactTop
+      .join(pqTop, exactTop("query_id") === pqTop("query_id") &&
+        col("cand_id") === col("pq_id"), "left")
+      .groupBy(exactTop("query_id").as("query_id"))
+      .agg((count(col("pq_id")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the compression
     * step that makes billion-vector ANN serving affordable (4× smaller
     * than float32, SIMD-friendly distance kernels). Per-DIMENSION min/max
@@ -368,6 +550,8 @@ object VectorOps {
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_srp_recall" -> (annSrpRecall _),
     "q_ann_ivf_recall" -> ((s, d) => annIvfRecall(s, d)),
+    "q_pq_quantize" -> (pqQuantize _),
+    "q_ann_pq_recall" -> (annPqRecall _),
   )
 
   val oracleSql: Map[String, String] = Map(

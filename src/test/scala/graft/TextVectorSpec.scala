@@ -145,6 +145,26 @@ class TextVectorSpec extends SparkSpec {
     assert(lsh.keys.forall { case (a, b) => a < b })
   }
 
+  test("pq-adc ann recall@5 >= 0.8 after shortlist re-rank") {
+    val recalls = VectorOps.annPqRecall(spark, sf001).collect()
+      .map(_.getDouble(1))
+    assert(recalls.nonEmpty)
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.8, s"avg pq-adc recall@5 = $avg")
+  }
+
+  test("pq codes reconstruct normalized vectors within bounded RMSE") {
+    val rows = VectorOps.pqQuantize(spark, sf001).collect()
+    assert(rows.length === 500)
+    val rmse = rows.map(_.getDouble(rows.head.fieldIndex("recon_rmse")))
+    // unit-norm 64-dim vectors have per-dim RMS 1/8 = 0.125; the 6-bit
+    // codebooks must beat that meaningfully on every vector
+    assert(rmse.forall(r => r > 0.0 && r < 0.12), s"max rmse = ${rmse.max}")
+    assert(rmse.sum / rmse.length < 0.09, s"avg rmse = ${rmse.sum / rmse.length}")
+    val codes = rows.map(_.getLong(rows.head.fieldIndex("distinct_codes")))
+    assert(codes.forall(c => c >= 1L && c <= 8L))
+  }
+
   test("language-id heuristic identifies real multilingual text") {
     import spark.implicits._
     val fixture = Seq(
