@@ -128,6 +128,70 @@ object Curation {
     labels
   }
 
+  /** 5-round damped PageRank (power iteration, d = 0.85) — the weighted
+    * iterative-propagation complement to [[connectedComponents]]' min-label
+    * fixpoint. The link graph is derived deterministically from doc_id
+    * (each doc links to (id*31+7) mod N and (id*17+3) mod N — 2-regular
+    * out-degree, so contributions are r/2 and there is no dangling mass).
+    * Each round is ONE join of the edge list against the rank relation +
+    * ONE groupBy sum — the same bounded join+agg shape as connected
+    * components, with lineage depth fixed at 5 (no checkpoint needed).
+    * At 100 TB the edge list is the partitioned relation and ranks
+    * co-partition by doc_id, so every round reuses one exchange.
+    *
+    * Fully ORACLE-CHECKED despite being iterative: the fixed iteration
+    * count unrolls to 5 nested CTEs of identical arithmetic in DuckDB
+    * (generated by [[pageRankOracleSql]]); contributions per node are ≤
+    * max in-degree double terms, so round(…, 9) is stable across
+    * float-sum orderings. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"),
+      count(lit(1)).cast("double").as("cnt"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val edges = withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
+      .union(withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 17 + 3) % col("n")).as("dst")))
+    var ranks = withN.select(col("doc_id"), (lit(1.0) / col("cnt")).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("r") / 2.0).as("csum"))
+      ranks = withN.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(0.15) / col("cnt") + lit(0.85) * coalesce(col("csum"), lit(0.0)))
+            .as("r"))
+    }
+    ranks.select(col("doc_id"), round(col("r"), 9).as("rank_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[pageRank]]: the 5 power iterations unrolled as
+    * nested CTEs with identical arithmetic. */
+  private[graft] def pageRankOracleSql(table: String): String = {
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (SELECT d.doc_id AS doc_id,
+         |  0.15 / (SELECT cnt FROM nn) + 0.85 * coalesce(c.s, 0.0) AS r
+         |FROM $table d LEFT JOIN (
+         |  SELECT e.dst AS doc_id, sum(p.r / 2.0) AS s
+         |  FROM e JOIN r${k - 1} p ON e.src = p.doc_id GROUP BY e.dst) c
+         |ON d.doc_id = c.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(count(*) AS DOUBLE) AS cnt FROM $table),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT n FROM nn) AS dst
+       |  FROM $table
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 17 + 3) % (SELECT n FROM nn) AS dst
+       |  FROM $table),
+       |r0 AS (SELECT doc_id, 1.0 / (SELECT cnt FROM nn) AS r FROM $table),
+       |$rounds
+       |SELECT doc_id, round(r, 9) AS rank_score FROM r5 ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic content-hash train/val/test split (~80/10/10): bucket =
     * first byte of md5("graft-split:" || doc_id), compared lexicographically
     * against hex thresholds ('cc' = 204/256 ≈ 80 %, 'e6' = 230/256 ≈ 90 %).
@@ -410,6 +474,7 @@ object Curation {
     "q_curation_e2e" -> (curationE2e _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
+    "q_pagerank" -> (pageRank _),
     "q_cluster_best" -> (clusterBest _),
     "q_hash_split" -> (hashSplit _),
     "q_seq_packing" -> (seqPacking _),
@@ -460,6 +525,7 @@ object Curation {
         |    AS VARCHAR) AS jsonl
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
+    "q_pagerank" -> pageRankOracleSql("documents"),
     // hash is only the shuffle key — the relation equals text-equality
     // anti-join absent 64-bit collisions, so the oracle compares by text
     "q_incremental_dedup" ->

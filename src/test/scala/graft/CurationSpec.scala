@@ -63,6 +63,19 @@ class CurationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("pageRank conserves probability mass on the 2-regular link graph") {
+    // out-degree is exactly 2 for every node (no dangling mass), so each
+    // damped iteration maps total mass 1 -> 0.15 + 0.85*1 = 1; the final
+    // ranks must still be a distribution
+    val rows = Curation.pageRank(spark, sf001).collect()
+    assert(rows.length === 500)
+    val scores = rows.map(_.getDouble(1))
+    assert(math.abs(scores.sum - 1.0) < 1e-6, s"total mass = ${scores.sum}")
+    assert(scores.forall(_ > 0.0))
+    // damping floor: nothing can fall below 0.15/N
+    assert(scores.forall(_ >= 0.15 / 500 - 1e-12))
+  }
+
   test("withGlobalCumSum equals single-partition window running sum") {
     val df = spark.range(2000)
       .select(col("id"), ((col("id") * 37) % 101 + 1).as("v"))
