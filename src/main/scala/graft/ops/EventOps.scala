@@ -172,6 +172,57 @@ object EventOps {
       .orderBy(col("minute_us"))
   }
 
+  /** Linear interpolation over a sparse minute series (purchase-value
+    * average): the densify-with-estimates step time-series features need
+    * when zero-filling would bias a continuous signal. Spine join marks
+    * holes; two frame-bounded windows carry the nearest known (minute,
+    * value) point backward (LOCF) and forward (NOCB) as structs with
+    * IGNORE NULLS, and holes between two known points get the exact
+    * linear blend v_p + (v_n − v_p)·(t − t_p)/(t_n − t_p); leading/
+    * trailing holes fall back to the single available neighbor. Known
+    * values are rounded BEFORE blending so both engines interpolate
+    * between identical endpoints, and the blend itself is EXACT INTEGER
+    * arithmetic in micro-units — num = vpm·(n−k) + vnm·k with half-up
+    * integer division (2·num + n) DIV (2·n); a float blend rounded to 6
+    * decimals hash-mismatched on 7 of 43k rows because midpoints of 6-dp
+    * endpoints sit exactly on the .5 rounding boundary, where Spark and
+    * DuckDB disagree at the ulp. Magnitudes stay < 2^45 (value·1e6 ≤
+    * ~5.6e8 × minutes ≤ 43200), far from BIGINT overflow. Aggregate-to-
+    * grain first: the windows run over the bounded minute grain, never
+    * raw events (the q_sliding_load posture). */
+  def loadInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("event_type") === "purchase")
+    val bounds = ev.agg(
+      date_trunc("minute", min(col("ts"))).as("t0"),
+      date_trunc("minute", max(col("ts"))).as("t1"))
+    val spine = bounds.select(
+      explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 MINUTE")))
+        .as("minute"))
+    val c = ev.groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val j = spine.join(c, Seq("minute"), "left")
+      .select(unix_micros(col("minute")).as("mu"), col("v"))
+    val known = when(col("v").isNotNull, struct(col("mu"), col("v")))
+    val wPrev = Window.orderBy(col("mu"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("mu"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("p", last(known, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(known, ignoreNulls = true).over(wNext))
+      .withColumn("vpm", round(col("p.v") * 1e6).cast("long"))
+      .withColumn("vnm", round(col("nx.v") * 1e6).cast("long"))
+      .withColumn("k", ((col("mu") - col("p.mu")) / lit(60000000L)).cast("long"))
+      .withColumn("n", ((col("nx.mu") - col("p.mu")) / lit(60000000L)).cast("long"))
+      .select(col("mu").as("minute_us"),
+        when(col("v").isNotNull, round(col("v") * 1e6).cast("long"))
+          .when(col("p").isNotNull && col("nx").isNotNull,
+            expr("(2 * (vpm * (n - k) + vnm * k) + n) DIV (2 * n)"))
+          .otherwise(coalesce(col("vpm"), col("vnm")))
+          .as("value_micro"),
+        col("v").isNull.as("was_hole"))
+      .orderBy(col("minute_us"))
+  }
+
   /** CDC-style latest-record-per-key dedup: the newest event per
     * (user_id, event_type), ties broken by event_id — the "current state
     * from an append-only changelog" query every warehouse materializes.
@@ -367,6 +418,7 @@ object EventOps {
     "q_json_schema" -> (jsonSchema _),
     "q_json_map" -> (jsonMap _),
     "q_load_gapfill" -> (loadGapfill _),
+    "q_load_interpolate" -> (loadInterpolate _),
     "q_listagg" -> (listaggPaths _),
     "q_mode_median" -> (modeMedian _),
     "q_url_parse" -> (urlParse _),
@@ -407,6 +459,39 @@ object EventOps {
         |       CAST(COALESCE(c.n, 0) AS BIGINT) AS requests
         |FROM spine LEFT JOIN c ON spine.minute = c.minute
         |ORDER BY minute_us""".stripMargin,
+
+    "q_load_interpolate" ->
+      """WITH b AS (SELECT date_trunc('minute', min(ts)) AS t0,
+        |                  date_trunc('minute', max(ts)) AS t1
+        |           FROM events WHERE event_type = 'purchase'),
+        |spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute
+        |          FROM b),
+        |c AS (SELECT date_trunc('minute', ts) AS minute, round(avg(value), 6) AS v
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT epoch_us(spine.minute) AS mu, c.v
+        |      FROM spine LEFT JOIN c ON spine.minute = c.minute),
+        |w AS (SELECT mu, v,
+        |  last_value(CASE WHEN v IS NOT NULL
+        |                  THEN struct_pack(mu := mu, v := v) END IGNORE NULLS)
+        |    OVER (ORDER BY mu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |  first_value(CASE WHEN v IS NOT NULL
+        |                   THEN struct_pack(mu := mu, v := v) END IGNORE NULLS)
+        |    OVER (ORDER BY mu ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM j),
+        |m AS (SELECT mu, v,
+        |  CAST(round(p.v * 1e6) AS BIGINT) AS vpm,
+        |  CAST(round(nx.v * 1e6) AS BIGINT) AS vnm,
+        |  CAST((mu - p.mu) / 60000000 AS BIGINT) AS k,
+        |  CAST((nx.mu - p.mu) / 60000000 AS BIGINT) AS n,
+        |  p IS NOT NULL AS hasp, nx IS NOT NULL AS hasn
+        |  FROM w)
+        |SELECT mu AS minute_us,
+        |  CASE WHEN v IS NOT NULL THEN CAST(round(v * 1e6) AS BIGINT)
+        |       WHEN hasp AND hasn
+        |       THEN (2 * (vpm * (n - k) + vnm * k) + n) // (2 * n)
+        |       ELSE coalesce(vpm, vnm) END AS value_micro,
+        |  v IS NULL AS was_hole
+        |FROM m ORDER BY minute_us""".stripMargin,
 
     "q_load_per_minute" ->
       """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,

@@ -22,6 +22,34 @@ class EventOpsSpec extends SparkSpec {
     assert(b.getAs[Double]("max_abs") <= 9000.0)
   }
 
+  test("loadInterpolate: knowns kept exactly, holes bounded by their bracketing knowns") {
+    val rows = EventOps.loadInterpolate(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._3) && rows.exists(!_._3), "fixture should have both holes and knowns")
+    // every hole strictly between two knowns must lie within [min, max] of
+    // its bracketing known values (linear blend property); edge holes must
+    // equal the single available neighbor
+    val n = rows.length
+    var i = 0
+    while (i < n) {
+      val (_, v, hole) = rows(i)
+      if (hole) {
+        val prev = rows.take(i).reverse.find(!_._3).map(_._2)
+        val next = rows.drop(i + 1).find(!_._3).map(_._2)
+        (prev, next) match {
+          case (Some(p), Some(nx)) =>
+            assert(v >= math.min(p, nx) - 1 && v <= math.max(p, nx) + 1,
+              s"hole at index $i: $v outside [$p, $nx]")
+          case (Some(p), None) => assert(v === p)
+          case (None, Some(nx)) => assert(v === nx)
+          case _ => fail("hole with no known neighbor")
+        }
+      }
+      i += 1
+    }
+  }
+
   test("minmax_by widened key agrees with true (value, event_id) struct ordering") {
     val got = EventOps.minMaxBy(spark, sf001)
       .select(col("user_id"), col("cheapest_type"), col("priciest_type"))
