@@ -128,6 +128,32 @@ object Curation {
     labels
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res,
+    * IPL 2006 — public algorithm): each doc draws key = −ln(u)/w and the
+    * k smallest keys win; inclusion probability is proportional to weight
+    * w (= n_chars here: longer docs more likely, the length-weighted
+    * corpus subsample curation uses). u is a DETERMINISTIC uniform from a
+    * Knuth multiplicative hash of doc_id ((id·2654435761) mod 1000003,
+    * +0.5, /1000003) — pure integer arithmetic spelled identically in
+    * both engines, so the draw reproduces across runs, engines, and data
+    * order, unlike rand(). Plan: per-row key (map stage) then global
+    * top-k — TakeOrderedAndProject, no full sort; zero-weight docs get
+    * key = +inf and simply never win. Fully hash-oracled. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (-log((((col("doc_id") * lit(2654435761L)) % lit(1000003L))
+          .cast("double") + lit(0.5)) / lit(1000003.0))
+          / col("n_chars")).as("skey"))
+    val top = keyed.orderBy(col("skey"), col("doc_id")).limit(k)
+    top
+      .withColumn("pick", row_number().over(
+        Window.orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .select(col("pick"), col("doc_id"), col("n_chars"))
+      .orderBy(col("pick"))
+  }
+
   /** 5-round damped PageRank (power iteration, d = 0.85) — the weighted
     * iterative-propagation complement to [[connectedComponents]]' min-label
     * fixpoint. The link graph is derived deterministically from doc_id
@@ -475,6 +501,7 @@ object Curation {
     "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
     "q_pagerank" -> (pageRank _),
+    "q_weighted_sample" -> (weightedSample _),
     "q_cluster_best" -> (clusterBest _),
     "q_hash_split" -> (hashSplit _),
     "q_seq_packing" -> (seqPacking _),
@@ -526,6 +553,15 @@ object Curation {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
     "q_pagerank" -> pageRankOracleSql("documents"),
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) + 0.5)
+        |        / 1000003.0) / n_chars AS skey
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS pick,
+        |  doc_id, n_chars
+        |FROM keyed ORDER BY skey, doc_id LIMIT 50""".stripMargin,
     // hash is only the shuffle key — the relation equals text-equality
     // anti-join absent 64-bit collisions, so the oracle compares by text
     "q_incremental_dedup" ->

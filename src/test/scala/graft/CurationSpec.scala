@@ -76,6 +76,22 @@ class CurationSpec extends SparkSpec {
     assert(scores.forall(_ >= 0.15 / 500 - 1e-12))
   }
 
+  test("weightedSample matches an independent JVM A-Res computation; top-k plan") {
+    val df = Curation.weightedSample(spark, sf001)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val base = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("n_chars").longValue))
+    val want = base.map { case (id, w) =>
+      val u = (((id * 2654435761L) % 1000003L).toDouble + 0.5) / 1000003.0
+      (id, -math.log(u) / w)
+    }.sortBy { case (id, key) => (key, id) }.take(50).zipWithIndex
+      .map { case ((id, _), i) => ((i + 1).toLong, id) }.toList
+    assert(got === want)
+    // global top-k must plan as TakeOrderedAndProject, not a full sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("withGlobalCumSum equals single-partition window running sum") {
     val df = spark.range(2000)
       .select(col("id"), ((col("id") * 37) % 101 + 1).as("v"))
