@@ -127,6 +127,67 @@ object VectorOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Hybrid retrieval with RECIPROCAL RANK FUSION (RRF, Cormack et al.
+    * SIGIR'09 — the standard hybrid-search combiner): for each query doc
+    * (doc_id < 10), a lexical ranking (shared distinct tokens with every
+    * candidate doc — the inverted-index shape: distinct-token explode +
+    * plain equi join ON TOKEN, never doc×doc) and a vector ranking
+    * (embedding cosine, query side broadcast) are each cut to top-20,
+    * then fused by score = Σ 1/(60 + rank) over the lists a candidate
+    * appears in; final top-5 per query by fused score. The two retrieval
+    * legs never materialize an all-pairs relation: lexical candidates
+    * come from the token join, vector candidates from the Q-row
+    * broadcast — both 100 TB shapes already used elsewhere in this file.
+    * 1/(60+r) sums are IEEE-identical in both engines (same op sequence),
+    * so the query is fully hash-oracled. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val k = 60
+    val topPerLeg = 20
+    val d = Tables(s, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+    val qToks = toks.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    // lexical leg: shared-token counts via the token equi join
+    val lexW = Window.partitionBy(col("query_id"))
+      .orderBy(col("shared").desc, col("doc_id"))
+    val lex = toks.join(broadcast(qToks), "tok")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("trank", row_number().over(lexW))
+      .filter(col("trank") <= topPerLeg)
+      .select(col("query_id"), col("doc_id"), col("trank"))
+    // vector leg: cosine rank, query vectors broadcast
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"))
+    val vecW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val vec = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+        col("norm").as("cnorm"))
+      .join(broadcast(q), col("query_id") =!= col("doc_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("vrank", row_number().over(vecW))
+      .filter(col("vrank") <= topPerLeg)
+      .select(col("query_id"), col("doc_id"), col("vrank"))
+    // fuse: full outer on the two legs, missing list contributes 0
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k) + col("trank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("vrank")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("doc_id"),
+        round(col("rrf"), 9).as("rrf_score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Per-label centroids, reported as (label, dim, mean) for the first 8
     * dims: positional explode → groupBy — the distributed way to average
     * vectors (no driver collect). */
@@ -552,6 +613,7 @@ object VectorOps {
     "q_ann_ivf_recall" -> ((s, d) => annIvfRecall(s, d)),
     "q_pq_quantize" -> (pqQuantize _),
     "q_ann_pq_recall" -> (annPqRecall _),
+    "q_hybrid_rrf" -> (hybridRrf _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -594,6 +656,47 @@ object VectorOps {
         |  count(*) AS n
         |FROM embeddings, range(1, 9) t(dim)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |qt AS (SELECT doc_id AS query_id, tok FROM t2 WHERE doc_id < 10),
+        |lex AS (
+        |  SELECT query_id, doc_id, trank FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY shared DESC, doc_id) AS INTEGER) AS trank
+        |    FROM (SELECT qt.query_id, t2.doc_id, count(*) AS shared
+        |          FROM t2 JOIN qt ON t2.tok = qt.tok AND qt.query_id <> t2.doc_id
+        |          GROUP BY 1, 2))
+        |  WHERE trank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))) AS norm
+        |      FROM embeddings),
+        |vec AS (
+        |  SELECT query_id, doc_id, vrank FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, doc_id) AS INTEGER) AS vrank
+        |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |            round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
+        |          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id))
+        |  WHERE vrank <= 20),
+        |f AS (SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+        |        coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        |        coalesce(1.0 / (60 + trank), 0.0)
+        |          + coalesce(1.0 / (60 + vrank), 0.0) AS rrf
+        |      FROM lex FULL JOIN vec
+        |        ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+        |SELECT query_id, rk, doc_id, round(rrf, 9) AS rrf_score FROM (
+        |  SELECT query_id, doc_id, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+        |  FROM f)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q_sq_quantize" ->
       """WITH ex AS (

@@ -165,6 +165,22 @@ class TextVectorSpec extends SparkSpec {
     assert(codes.forall(c => c >= 1L && c <= 8L))
   }
 
+  test("hybridRrf: 5 fused hits per query, scores bounded and descending") {
+    val rows = VectorOps.hybridRrf(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10 && byQ.values.forall(_.length === 5))
+    rows.foreach { r =>
+      val score = r.getDouble(r.fieldIndex("rrf_score"))
+      // max possible = rank 1 in both legs = 2/61; min > 0 (must appear in
+      // at least one leg to be fused at all)
+      assert(score > 0.0 && score <= 2.0 / 61 + 1e-12)
+    }
+    byQ.values.foreach { qr =>
+      val ordered = qr.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("language-id heuristic identifies real multilingual text") {
     import spark.implicits._
     val fixture = Seq(
