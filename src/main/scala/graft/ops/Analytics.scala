@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -373,6 +373,72 @@ object Analytics {
       .orderBy(col("est").desc, col("key"))
   }
 
+  /** KMV distinct-count sketches with POST-HOC SET ALGEBRA — what
+    * `approx_count_distinct` (HLL) cannot do: per-event-type sketches of
+    * the user-day key are aggregated ONCE (mergeable typed
+    * `functions.KmvSketch`, map-side combinable like MisraGries), then
+    * union and intersection cardinalities are estimated purely from the
+    * already-computed sketches with higher-order array expressions — no
+    * second scan. Union sketch = k smallest of the merged value lists;
+    * θ = normalized k-th minimum of the union; intersection ≈
+    * (|A∩B below θ| / K) · est(union) (Beyer et al. SIGMOD'07). Exact
+    * twins ride along per row so the error is visible in the output;
+    * accuracy is pinned in SketchSpec, driver check rows-only (hash-based
+    * sketch contents have no DuckDB twin). */
+  def kmvUsers(s: SparkSession, dir: String): DataFrame = {
+    val kk = 256
+    val kmv = udaf(new graft.functions.KmvSketch(kk), Encoders.scalaLong)
+    val keyed = events(s, dir).select(col("event_type"),
+      concat_ws(":", col("user_id"),
+        date_trunc("day", col("ts")).cast("date").cast("string")).as("ud"))
+    val hashed = keyed.select(col("event_type"), col("ud"),
+      xxhash64(col("ud")).as("h"))
+    val sk = hashed.groupBy(col("event_type")).agg(kmv(col("h")).as("sk"))
+
+    def u(c: Column): Column = c.cast("double") / lit(math.pow(2.0, 64)) + lit(0.5)
+    def est(skc: Column): Column =
+      when(size(skc) < kk, size(skc).cast("double"))
+        .otherwise(lit((kk - 1).toDouble) / u(element_at(skc, kk)))
+
+    val exact = hashed.groupBy(col("event_type"))
+      .agg(countDistinct(col("ud")).as("exact_n"))
+    val perType = sk.join(exact, "event_type")
+      .select(col("event_type").as("scope"), col("exact_n"),
+        round(est(col("sk")), 1).as("kmv_est"))
+
+    // set algebra between the click and view sketches (1-row relations)
+    val a = sk.filter(col("event_type") === "click").select(col("sk").as("ska"))
+    val b = sk.filter(col("event_type") === "view").select(col("sk").as("skb"))
+    val cu = hashed.filter(col("event_type") === "click").select(col("ud")).distinct()
+    val vu = hashed.filter(col("event_type") === "view").select(col("ud")).distinct()
+    val exactU = cu.union(vu).distinct().agg(count(lit(1)).as("exact_n"))
+    val exactI = cu.intersect(vu).agg(count(lit(1)).as("exact_n"))
+
+    val unionSk = slice(array_sort(array_distinct(
+      concat(col("ska"), col("skb")))), 1, kk)
+    val withU = a.crossJoin(b).withColumn("usk", unionSk)
+      .withColumn("bigk", least(size(col("usk")), lit(kk)))
+      .withColumn("theta", u(element_at(col("usk"), col("bigk"))))
+      .withColumn("est_union", est(col("usk")))
+      .withColumn("common_below",
+        size(filter(array_intersect(col("ska"), col("skb")),
+          x => u(x) <= col("theta"))))
+      .withColumn("est_int",
+        col("common_below").cast("double") / col("bigk") * col("est_union"))
+    val unionRow = withU.crossJoin(exactU)
+      .select(lit("click|view union").as("scope"), col("exact_n"),
+        round(col("est_union"), 1).as("kmv_est"))
+    val intRow = withU.crossJoin(exactI)
+      .select(lit("click&view intersect").as("scope"), col("exact_n"),
+        round(col("est_int"), 1).as("kmv_est"))
+
+    perType.union(unionRow).union(intRow)
+      .withColumn("rel_err",
+        round(abs(col("kmv_est") - col("exact_n")) /
+          greatest(col("exact_n").cast("double"), lit(1.0)), 4))
+      .orderBy(col("scope"))
+  }
+
   /** Normalized finite-window exponentially-weighted moving average of the
     * per-minute load series (decay 0.7, 8 taps): ewma_t =
     * Σ_j x_{t−j}·0.7^j / Σ_j 0.7^j over the taps that exist. The infinite
@@ -407,6 +473,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_kmv_users" -> (kmvUsers _),
     "q_rolling_active" -> (rollingActive _),
     "q_load_autocorr" -> (loadAutocorr _),
     "q_equidepth_histogram" -> (equidepthHistogram _),

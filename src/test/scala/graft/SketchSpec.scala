@@ -89,4 +89,31 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(hh.toSeq === exact.toSeq)
   }
+
+  test("KmvSketch: merge of partial sketches equals the single-pass sketch") {
+    // mergeability is what makes the sketch shuffle-safe: reduce over two
+    // halves then merge must give byte-identical state to one full pass
+    val kmv = new graft.functions.KmvSketch(32)
+    val xs = (1 to 500).map(i => (i.toLong * 2654435761L) ^ (i * 97L))
+    val (h1, h2) = xs.splitAt(250)
+    val s1 = h1.foldLeft(kmv.zero)(kmv.reduce)
+    val s2 = h2.foldLeft(kmv.zero)(kmv.reduce)
+    val whole = xs.foldLeft(kmv.zero)(kmv.reduce)
+    assert(kmv.merge(s1, s2).toSeq === whole.toSeq)
+    // duplicates must not distort the sketch (distinct semantics)
+    val dup = (xs ++ xs).foldLeft(kmv.zero)(kmv.reduce)
+    assert(dup.toSeq === whole.toSeq)
+    assert(whole.length === 32 && whole.toSeq === whole.sorted.toSeq)
+  }
+
+  test("KMV estimates: per-group, union, and intersection within 20% of exact") {
+    val rows = Analytics.kmvUsers(spark, sf001).collect()
+    assert(rows.length >= 7)
+    val scopes = rows.map(_.getString(0))
+    assert(scopes.contains("click|view union") && scopes.contains("click&view intersect"))
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("rel_err")) <= 0.2,
+        s"${r.getString(0)}: rel_err ${r.getDouble(r.fieldIndex("rel_err"))}")
+    }
+  }
 }
