@@ -471,7 +471,135 @@ object Analytics {
     s.sql(ewmaSql("events_v", t => s"unix_micros($t)"))
   }
 
+  /** CUSUM changepoint/burst detection over the DENSE hourly load series
+    * (Page 1954): with P_n = Σ_{j≤n} (x_j − k) the one-sided CUSUM
+    * S_n = max(0, S_{n−1} + x_n − k) has the closed form
+    * S_n = P_n − min(0, min_{j≤n} P_j) — two running-window passes over an
+    * ordered prefix sum instead of an inherently sequential recursion, so
+    * the whole detector is window functions over ONE by-type exchange.
+    * Allowance k = μ + σ/2, alarm threshold h = 4σ (per event type, over
+    * the gap-filled series — missing hours count as zero load, which is
+    * exactly what an ops burst detector must see). The hour spine comes
+    * from `sequence(min, max, 1 hour)` — bounded by wall-clock range, not
+    * corpus size; per-type series length is hours-in-range, so the window
+    * partition stays small no matter how many events land in each hour. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val bounds = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val dense = spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("cnt"), lit(0.0)).as("cnt"))
+    val st = dense.groupBy(col("event_type"))
+      .agg(avg(col("cnt")).as("mu"), stddev_samp(col("cnt")).as("sigma"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(st), "event_type")
+      .withColumn("p",
+        sum(col("cnt") - (col("mu") + lit(0.5) * col("sigma"))).over(w))
+      .withColumn("cusum_stat",
+        round(col("p") - least(lit(0.0), min(col("p")).over(w)), 6))
+      .filter(col("cusum_stat") > lit(4.0) * col("sigma"))
+      .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+        col("cnt").cast("long").as("cnt"), col("cusum_stat"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  /** Robust outlier flagging by MAD (median absolute deviation): per event
+    * type, robust z = 0.6745·(x − median)/MAD, flag |z| > 3.5 (the
+    * Iglewicz–Hoaglin modified z-score — immune to the outliers it hunts,
+    * unlike the σ-based q_anomaly_minutes which heavy tails inflate).
+    * Exact two-level median: a by-type aggregate, a join back, a second
+    * by-type aggregate — two narrow exchanges over a handful of groups.
+    * Exact `median` sorts within each group, fine for bounded type
+    * cardinality; an unbounded group-key version would ride
+    * approx_percentile(0.5) instead (same plan shape, no per-group sort). */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val med = e.groupBy(col("event_type")).agg(median(col("value")).as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(median(abs(col("value") - col("med"))).as("mad"))
+    e.join(broadcast(mad), "event_type")
+      .withColumn("robust_z",
+        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+      .filter(abs(col("robust_z")) > 3.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), col("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Two-proportion z-test per experiment segment (the A/B-test readout):
+    * deterministic hash assignment user_id % 2 → variant, conversion =
+    * any purchase over 150 within the window, pooled-proportion z per
+    * market segment. The per-user collapse and the per-(segment, variant)
+    * counts are two hash aggregates; the variant pair folds to one row per
+    * segment via conditional min/max — no pivot, no driver math. All
+    * arithmetic is spelled in the same operation order on both engines so
+    * the rounded z is bit-identical. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val assign = events(s, dir).join(cust, "user_id")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"),
+        col("segment"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0,
+        1).otherwise(0)).as("converted"))
+    val v = assign.groupBy(col("segment"), col("variant"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("converted")).cast("double").as("conv"))
+    val wide = v.groupBy(col("segment"))
+      .agg(max(when(col("variant") === 0, col("n"))).as("na"),
+        max(when(col("variant") === 0, col("conv"))).as("ca"),
+        max(when(col("variant") === 1, col("n"))).as("nb"),
+        max(when(col("variant") === 1, col("conv"))).as("cb"))
+    val pool = (col("ca") + col("cb")) / (col("na") + col("nb"))
+    val z = (col("cb") / col("nb") - col("ca") / col("na")) /
+      sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    wide.select(col("segment"),
+        col("na").cast("long").as("n_a"), col("ca").cast("long").as("conv_a"),
+        col("nb").cast("long").as("n_b"), col("cb").cast("long").as("conv_b"),
+        round(col("ca") / col("na"), 6).as("rate_a"),
+        round(col("cb") / col("nb"), 6).as("rate_b"),
+        round(z, 4).as("z_stat"),
+        (abs(round(z, 4)) > 1.96).as("significant"))
+      .orderBy(col("segment"))
+  }
+
+  /** Event-sequence pattern mining (the MATCH_RECOGNIZE shape without the
+    * operator): per (user, day), the ordered event-type initial string
+    * (`listagg … WITHIN GROUP` — deterministic (ts, event_id) order), then
+    * regex counting of the view→clicks→purchase motif `vc*p`
+    * (non-overlapping leftmost matches — identical semantics in Java regex
+    * and RE2). One by-(user, day) aggregate; per-group state is the day's
+    * event-initial string, bounded by daily activity. */
+  def eventPatterns(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT user_id, unix_micros(date_trunc('day', ts)) AS day_us,
+        |  listagg(left(event_type, 1), '') WITHIN GROUP (ORDER BY ts, event_id)
+        |    AS seq,
+        |  length(listagg(left(event_type, 1), '')
+        |    WITHIN GROUP (ORDER BY ts, event_id)) AS seq_len,
+        |  regexp_count(listagg(left(event_type, 1), '')
+        |    WITHIN GROUP (ORDER BY ts, event_id), 'vc*p') AS n_conversions
+        |FROM events_v
+        |GROUP BY user_id, date_trunc('day', ts)
+        |ORDER BY user_id, day_us""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum_changepoint" -> (cusumChangepoint _),
+    "q_mad_outliers" -> (madOutliers _),
+    "q_ab_test" -> (abTest _),
+    "q_event_patterns" -> (eventPatterns _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_kmv_users" -> (kmvUsers _),
     "q_rolling_active" -> (rollingActive _),
@@ -491,6 +619,88 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cusum_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+        |spine AS (
+        |  SELECT t.event_type, h.hour
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+        |                                            (SELECT h1 FROM bounds),
+        |                                            INTERVAL 1 HOUR)) AS hour) h),
+        |dense AS (
+        |  SELECT s.event_type, s.hour, coalesce(hourly.cnt, 0.0) AS cnt
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.hour = hourly.hour),
+        |st AS (SELECT event_type, avg(cnt) AS mu, stddev_samp(cnt) AS sigma
+        |       FROM dense GROUP BY 1),
+        |pref AS (
+        |  SELECT d.event_type, hour, cnt, sigma,
+        |    sum(cnt - (mu + 0.5 * sigma)) OVER (PARTITION BY d.event_type
+        |      ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM dense d JOIN st ON d.event_type = st.event_type)
+        |SELECT event_type, epoch_us(hour) AS hour_us, CAST(cnt AS BIGINT) AS cnt,
+        |  round(p - least(0.0, min(p) OVER (PARTITION BY event_type
+        |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |    AS cusum_stat
+        |FROM pref
+        |QUALIFY cusum_stat > 4.0 * sigma
+        |ORDER BY event_type, hour_us""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, median(value) AS med
+        |            FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, med, median(abs(value - med)) AS mad
+        |  FROM events e JOIN med ON e.event_type = med.event_type
+        |  GROUP BY e.event_type, med)
+        |SELECT event_id, e.event_type, round(value, 6) AS value,
+        |  round(0.6745 * (value - med) / mad, 4) AS robust_z
+        |FROM events e JOIN mad ON e.event_type = mad.event_type
+        |WHERE abs(round(0.6745 * (value - med) / mad, 4)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH assign AS (
+        |  SELECT e.user_id, e.user_id % 2 AS variant, c.c_mktsegment AS segment,
+        |    max(CASE WHEN e.event_type = 'purchase' AND e.value > 150.0
+        |        THEN 1 ELSE 0 END) AS converted
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT segment, variant, CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(converted) AS DOUBLE) AS conv FROM assign GROUP BY 1, 2),
+        |w AS (SELECT segment,
+        |    max(CASE WHEN variant = 0 THEN n END) AS na,
+        |    max(CASE WHEN variant = 0 THEN conv END) AS ca,
+        |    max(CASE WHEN variant = 1 THEN n END) AS nb,
+        |    max(CASE WHEN variant = 1 THEN conv END) AS cb
+        |  FROM v GROUP BY segment)
+        |SELECT segment,
+        |  CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+        |  round(ca / na, 6) AS rate_a, round(cb / nb, 6) AS rate_b,
+        |  round((cb / nb - ca / na) / sqrt((ca + cb) / (na + nb)
+        |    * (1.0 - (ca + cb) / (na + nb)) * (1.0 / na + 1.0 / nb)), 4) AS z_stat,
+        |  abs(round((cb / nb - ca / na) / sqrt((ca + cb) / (na + nb)
+        |    * (1.0 - (ca + cb) / (na + nb)) * (1.0 / na + 1.0 / nb)), 4)) > 1.96
+        |    AS significant
+        |FROM w ORDER BY segment""".stripMargin,
+
+    "q_event_patterns" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS seq,
+        |  CAST(length(string_agg(left(event_type, 1), '' ORDER BY ts, event_id))
+        |    AS INTEGER) AS seq_len,
+        |  CAST(len(regexp_extract_all(
+        |    string_agg(left(event_type, 1), '' ORDER BY ts, event_id),
+        |    'vc*p')) AS INTEGER) AS n_conversions
+        |FROM events
+        |GROUP BY user_id, date_trunc('day', ts)
+        |ORDER BY user_id, day_us""".stripMargin,
+
     "q_ewma_load" -> ewmaSql("events", t => s"epoch_us($t)"),
     "q_heavy_hitters" ->
       """SELECT event_type || ':' || CAST(user_id % 20 AS VARCHAR) AS key,

@@ -218,6 +218,66 @@ object Curation {
        |SELECT doc_id, round(r, 9) AS rank_score FROM r5 ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-node triangle counting over the synthetic doc graph (ring edges
+    * i→i+1, i→i+2 plus an affine-hash edge — same derived-graph pattern as
+    * [[pageRank]]). Execution uses DEGREE-ORDERED edge orientation (the
+    * classic distributed-triangle trick, cf. Suri & Vassilvitskii WWW'11):
+    * every undirected edge orients from its (degree, id)-smaller endpoint,
+    * so each triangle is enumerated exactly once as a→b, a→c, b→c and the
+    * wedge-generating join fans out on LOW-degree vertices only — on a
+    * skewed 100 TB graph that bounds the wedge count by Σ d_min(e) instead
+    * of Σ deg², which is what makes the triple self-join survive hub
+    * nodes. The oracle counts the same triangles with the plain a<b<c
+    * formulation — orientation provably does not change the result. Output:
+    * top-20 nodes by triangle membership. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("n")).as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") + 2) % col("n")).as("v")))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    // degree-ordered orientation: edge points to the (deg, id)-larger end
+    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .persist()
+    val wedges = oriented.select(col("a"), col("b"))
+      .join(oriented.select(col("a"), col("b").as("c")), "a")
+      .filter(col("b") =!= col("c"))
+    // close the wedge: (b, c) or (c, b) must be an oriented edge; b < c
+    // canonically so each triangle counts once
+    val closeF = oriented.select(col("a").as("b"), col("b").as("c"),
+      lit(1).as("hit1"))
+    val closeR = oriented.select(col("b"), col("a").as("c"),
+      lit(1).as("hit2"))
+    val tris = wedges.filter(col("b") < col("c"))
+      .join(closeF, Seq("b", "c"), "left")
+      .join(closeR, Seq("b", "c"), "left")
+      .filter(col("hit1").isNotNull || col("hit2").isNotNull)
+      .select(col("a"), col("b"), col("c"))
+    tris.select(col("a").as("node"))
+      .union(tris.select(col("b")))
+      .union(tris.select(col("c")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+      .orderBy(col("tri_cnt").desc, col("node"))
+      .limit(20)
+  }
+
   /** Deterministic content-hash train/val/test split (~80/10/10): bucket =
     * first byte of md5("graft-split:" || doc_id), compared lexicographically
     * against hex thresholds ('cc' = 204/256 ≈ 80 %, 'e6' = 230/256 ≈ 90 %).
@@ -501,6 +561,7 @@ object Curation {
     "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
     "q_pagerank" -> (pageRank _),
+    "q_triangle_count" -> (triangleCount _),
     "q_weighted_sample" -> (weightedSample _),
     "q_cluster_best" -> (clusterBest _),
     "q_hash_split" -> (hashSplit _),
@@ -553,6 +614,31 @@ object Curation {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
     "q_pagerank" -> pageRankOracleSql("documents"),
+
+    // plain a<b<c triple join — degree-ordered orientation in the Spark
+    // plan provably enumerates the same triangle set
+    "q_triangle_count" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, tri_cnt FROM (
+        |  SELECT node, count(*) AS tri_cnt FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |ORDER BY tri_cnt DESC, node LIMIT 20""".stripMargin,
     "q_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, n_chars,

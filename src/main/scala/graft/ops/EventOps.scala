@@ -401,7 +401,101 @@ object EventOps {
         |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Incremental aggregate maintenance (the materialized-view refresh
+    * shape): algebraic per-type aggregate STATE (count/sum/min/max) built
+    * from events before the cutoff day, a DELTA from the cutoff day on,
+    * and the merged view state ⊕ delta — count adds, sum adds, min/max
+    * fold, avg derives from merged sum/count. A full-outer merge keeps
+    * types that exist on only one side. `matches_full` re-derives the same
+    * aggregate from scratch and compares at the rounded precision — the
+    * refresh-correctness audit a production MV pipeline runs on samples.
+    * At 100 TB only the DELTA is scanned per refresh; state is
+    * group-cardinality-sized. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2024-01-25"
+    def aggOf(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"${pfx}_cnt"), sum(col("value")).as(s"${pfx}_sum"),
+          min(col("value")).as(s"${pfx}_min"), max(col("value")).as(s"${pfx}_max"))
+    val e = events(s, dir)
+    val state = aggOf(e.filter(col("ts") < lit(cutoff).cast("timestamp")), "s")
+    val delta = aggOf(e.filter(col("ts") >= lit(cutoff).cast("timestamp")), "d")
+    val merged = state.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("s_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("m_cnt"),
+        (coalesce(col("s_sum"), lit(0.0)) + coalesce(col("d_sum"), lit(0.0)))
+          .as("m_sum"),
+        least(col("s_min"), col("d_min")).as("m_min"),
+        greatest(col("s_max"), col("d_max")).as("m_max"))
+    val full = aggOf(e, "f")
+    merged.join(full, "event_type")
+      .select(col("event_type"), col("m_cnt").as("merged_cnt"),
+        round(col("m_sum"), 6).as("merged_sum"),
+        round(col("m_min"), 6).as("merged_min"),
+        round(col("m_max"), 6).as("merged_max"),
+        round(col("m_sum") / col("m_cnt"), 6).as("merged_avg"),
+        (col("m_cnt") === col("f_cnt") &&
+          round(col("m_sum"), 4) === round(col("f_sum"), 4) &&
+          col("m_min") === col("f_min") && col("m_max") === col("f_max"))
+          .as("matches_full"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Interval-overlap join: 30-minute-gap user sessions against the
+    * recurring 2-hour maintenance windows (00/06/12/18 UTC daily),
+    * reporting overlap seconds per (session, window). The join is
+    * BUCKETED, not theta: each session explodes into the hour buckets it
+    * spans (bounded — sessions are gap-bounded), each window into its two
+    * hours, and candidates meet on an (hour-bucket) EQUI join, with the
+    * exact overlap predicate verifying after — the standard way to run
+    * interval joins at scale without an O(N·M) nested-loop. DISTINCT
+    * collapses sessions matching a window in both its hours. The oracle
+    * spells the same result as the direct theta join, proving the
+    * bucketed plan ≡ the naive one. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L // all instants in exact integer microseconds
+    val gapW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events(s, dir)
+      .withColumn("pts", lag(col("ts"), 1).over(gapW))
+      .withColumn("brk",
+        when(col("pts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("pts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        gapW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_micros(col("ts"))).as("ss"),
+        max(unix_micros(col("ts"))).as("es"))
+    // recurring maintenance windows over the days the data spans
+    val windows = events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+      .select(col("day"), explode(expr("array(0L, 6L, 12L, 18L)")).as("wh"))
+      .select(
+        concat(date_format(col("day"), "yyyy-MM-dd"), lit("T"),
+          lpad(col("wh").cast("string"), 2, "0")).as("window_id"),
+        (unix_micros(col("day")) + col("wh") * hourUs).as("ws"),
+        (unix_micros(col("day")) + (col("wh") + 2L) * hourUs).as("we"))
+    // bucket both sides by hour: sessions span few buckets (gap-bounded),
+    // windows exactly two — candidates meet on an hour-bucket EQUI join
+    val sessB = sess.withColumn("hb",
+      explode(sequence(expr(s"ss div $hourUs"), expr(s"es div $hourUs"))))
+    val winB = windows.withColumn("hb",
+      explode(sequence(expr(s"ws div $hourUs"), expr(s"(we - 1) div $hourUs"))))
+    sessB.join(winB, "hb")
+      .filter(col("ss") < col("we") && col("es") > col("ws"))
+      .select(col("user_id"), col("sid"), col("window_id"),
+        col("ss"), col("es"), col("ws"), col("we")).distinct()
+      .select(col("user_id"), col("sid"), col("window_id"),
+        round((least(col("es"), col("we")) - greatest(col("ss"), col("ws")))
+          / 1000000.0, 6).as("overlap_s"))
+      .orderBy(col("user_id"), col("sid"), col("window_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_agg" -> (incrementalAgg _),
+    "q_interval_overlap" -> (intervalOverlap _),
     "q_try_funcs" -> (tryFuncs _),
     "q_bit_aggs" -> (bitAggs _),
     "q_minmax_by" -> (minMaxBy _),
@@ -426,6 +520,66 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_incremental_agg" ->
+      """WITH state AS (
+        |  SELECT event_type, count(*) AS s_cnt, sum(value) AS s_sum,
+        |         min(value) AS s_min, max(value) AS s_max
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-25' GROUP BY 1),
+        |delta AS (
+        |  SELECT event_type, count(*) AS d_cnt, sum(value) AS d_sum,
+        |         min(value) AS d_min, max(value) AS d_max
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-25' GROUP BY 1),
+        |merged AS (
+        |  SELECT coalesce(state.event_type, delta.event_type) AS event_type,
+        |    coalesce(s_cnt, 0) + coalesce(d_cnt, 0) AS m_cnt,
+        |    coalesce(s_sum, 0.0) + coalesce(d_sum, 0.0) AS m_sum,
+        |    least(s_min, d_min) AS m_min, greatest(s_max, d_max) AS m_max
+        |  FROM state FULL JOIN delta ON state.event_type = delta.event_type),
+        |fl AS (
+        |  SELECT event_type, count(*) AS f_cnt, sum(value) AS f_sum,
+        |         min(value) AS f_min, max(value) AS f_max
+        |  FROM events GROUP BY 1)
+        |SELECT m.event_type, CAST(m_cnt AS BIGINT) AS merged_cnt,
+        |  round(m_sum, 6) AS merged_sum, round(m_min, 6) AS merged_min,
+        |  round(m_max, 6) AS merged_max,
+        |  round(m_sum / m_cnt, 6) AS merged_avg,
+        |  (m_cnt = f_cnt AND round(m_sum, 4) = round(f_sum, 4)
+        |    AND m_min = f_min AND m_max = f_max) AS matches_full
+        |FROM merged m JOIN fl ON m.event_type = fl.event_type
+        |ORDER BY m.event_type""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN pts IS NULL
+        |      OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM o),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        |    min(epoch_us(ts)) AS ss, max(epoch_us(ts)) AS es
+        |  FROM numbered GROUP BY 1, 2),
+        |wins AS (
+        |  SELECT strftime(day, '%Y-%m-%d') || 'T' || lpad(CAST(wh AS VARCHAR), 2, '0')
+        |      AS window_id,
+        |    epoch_us(day) + wh * 3600000000 AS ws,
+        |    epoch_us(day) + (wh + 2) * 3600000000 AS we
+        |  FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        |  CROSS JOIN (SELECT unnest([0, 6, 12, 18]) AS wh))
+        |SELECT user_id, sid, window_id,
+        |  round((least(es, we) - greatest(ss, ws)) / 1000000.0, 6) AS overlap_s
+        |FROM sess JOIN wins ON ss < we AND es > ws
+        |ORDER BY user_id, sid, window_id""".stripMargin,
+
     "q_latest_per_key" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,

@@ -600,7 +600,79 @@ object TextOps {
         |FROM documents_v ORDER BY doc_id""".stripMargin)
   }
 
+  /** BM25 ranking (Robertson–Spärck Jones, k1 = 1.2, b = 0.75) of the
+    * corpus against a fixed query-term set — the lexical-retrieval scorer
+    * every RAG/training-data pipeline runs next to its vector leg (the
+    * vector leg and the RRF fusion live in VectorOps). Plan shape is the
+    * inverted-index join: token explode → (doc, term) tf, term df — the
+    * per-term stats are vocabulary-sized and broadcast; no doc×doc or
+    * doc×corpus relation ever materializes, so the same plan serves an
+    * arbitrarily large corpus. Scores are summed over ≤ |query| terms and
+    * rounded before the rank-order, so cross-engine float-sum ordering
+    * cannot flip the top-k. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val queryTerms = Seq("spark", "window", "join", "hash")
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val qtok = tok.filter(col("term").isin(queryTerms: _*))
+    val tf = qtok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = qtok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val contrib = idf * col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfc), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(contrib), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Token co-occurrence PMI (pointwise mutual information — the word2vec
+    * / collocation-mining statistic): over DISTINCT (doc, token) pairs,
+    * pmi(a,b) = ln(c_ab·N / (c_a·c_b)) for pairs co-occurring in ≥ 5 docs;
+    * top 30 by (pmi, tok1, tok2). The pair space is bounded by VOCABULARY
+    * (the df ≥ 5 support floor drops hapax noise), not by corpus size: the
+    * self-join is per-doc over each doc's distinct-token list, so work is
+    * Σ_d |tokens_d|² — linear in corpus with bounded doc length — and the
+    * unigram-count join is vocab-sized and broadcast. */
+  def cooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    val dtok = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .persist()
+    val n = docs(s, dir).agg(count(lit(1)).cast("double").as("n"))
+    val cnt = dtok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = dtok.select(col("doc_id"), col("tok").as("tok1"))
+      .join(dtok.select(col("doc_id"), col("tok").as("tok2")), "doc_id")
+      .filter(col("tok1") < col("tok2"))
+      .groupBy(col("tok1"), col("tok2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    pairs
+      .join(broadcast(cnt.select(col("tok").as("tok1"), col("c").as("ca"))),
+        "tok1")
+      .join(broadcast(cnt.select(col("tok").as("tok2"), col("c").as("cb"))),
+        "tok2")
+      .crossJoin(broadcast(n))
+      .select(col("tok1"), col("tok2"), col("c_ab"),
+        round(log(col("c_ab") * col("n") / (col("ca") * col("cb"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("tok1"), col("tok2"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (bm25 _),
+    "q_cooccur_pmi" -> (cooccurPmi _),
     "q_regex_funcs" -> (regexFuncs _),
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_vocab" -> (vocab _),
@@ -657,6 +729,42 @@ object TextOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        |       WHERE term IN ('spark', 'window', 'join', 'hash') GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+        |       WHERE term IN ('spark', 'window', 'join', 'hash') GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0)
+        |    * tf * (1.2 + 1.0)
+        |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))),
+        |    6) AS bm25
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_cooccur_pmi" ->
+      """WITH dtok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), dtok2 AS (SELECT doc_id, tok FROM dtok WHERE tok <> ''),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM dtok2 GROUP BY tok),
+        |pairs AS (
+        |  SELECT a.tok AS tok1, b.tok AS tok2, count(*) AS c_ab
+        |  FROM dtok2 a JOIN dtok2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT tok1, tok2, c_ab,
+        |  round(ln(c_ab * (SELECT n FROM nn) / (ca.c * cb.c)), 6) AS pmi
+        |FROM pairs JOIN cnt ca ON pairs.tok1 = ca.tok
+        |           JOIN cnt cb ON pairs.tok2 = cb.tok
+        |ORDER BY pmi DESC, tok1, tok2 LIMIT 30""".stripMargin,
+
     "q_regex_funcs" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INTEGER)
