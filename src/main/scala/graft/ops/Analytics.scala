@@ -595,7 +595,187 @@ object Analytics {
         |ORDER BY user_id, day_us""".stripMargin)
   }
 
+  /** Market-basket association rules over per-(user, day) event-type
+    * baskets: for each ordered type pair a→b co-occurring in ≥ 5 baskets,
+    * support = P(a∧b), confidence = P(b|a), lift = conf/P(b). The basket
+    * relation is DISTINCT (user, day, type) — bounded by users×days×|types|
+    * — and the pair join is per-basket over ≤ |types| rows each, so pair
+    * work is Σ_b |b|² with |b| ≤ 5 here (and ≤ |event vocabulary| always);
+    * per-item counts and the basket total are |types|-sized broadcasts.
+    * Lift is rounded BEFORE the rank order so cross-engine float division
+    * cannot flip the ordering. */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+      .distinct().persist()
+    val nb = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).cast("double").as("nb"))
+    val item = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val co = baskets
+      .select(col("user_id"), col("day"), col("event_type").as("antecedent"))
+      .join(baskets.select(col("user_id"), col("day"),
+        col("event_type").as("consequent")), Seq("user_id", "day"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).cast("double").as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    co.join(broadcast(item.select(col("event_type").as("antecedent"),
+        col("c").as("ca"))), "antecedent")
+      .join(broadcast(item.select(col("event_type").as("consequent"),
+        col("c").as("cb"))), "consequent")
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"),
+        col("c_ab").cast("long").as("pair_baskets"),
+        round(col("c_ab") / col("nb"), 6).as("support"),
+        round(col("c_ab") / col("ca"), 6).as("confidence"),
+        round(col("c_ab") * col("nb") / (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+  }
+
+  /** First-touch / last-touch revenue attribution: each purchase credits
+    * its value to the last non-purchase event type strictly before it and
+    * to the user's first non-purchase touch overall ("(direct)" when no
+    * touch exists). Both window passes share the SAME (user_id) partition
+    * and (ts, event_id) order, so Catalyst plans ONE exchange+sort with
+    * stacked Window operators; the per-channel rollup is |types|-sized.
+    * Conservation (Σ last-touch revenue = Σ first-touch revenue = total
+    * purchase revenue) is pinned in the spec — the audit every attribution
+    * pipeline must pass. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val tagged = events(s, dir)
+      .withColumn("lt", last(touch, ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ft", first(touch, ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("lt"), lit("(direct)")).as("lt_ch"),
+        coalesce(col("ft"), lit("(direct)")).as("ft_ch"), col("value"))
+      .persist()
+    val lt = tagged.groupBy(col("lt_ch").as("channel"))
+      .agg(count(lit(1)).as("lt_purchases"), sum(col("value")).as("lt_rev"))
+    val ft = tagged.groupBy(col("ft_ch").as("channel"))
+      .agg(count(lit(1)).as("ft_purchases"), sum(col("value")).as("ft_rev"))
+    lt.join(ft, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("lt_purchases"), lit(0L)).as("lt_purchases"),
+        round(coalesce(col("lt_rev"), lit(0.0)), 6).as("lt_revenue"),
+        coalesce(col("ft_purchases"), lit(0L)).as("ft_purchases"),
+        round(coalesce(col("ft_rev"), lit(0.0)), 6).as("ft_revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** Time-to-convert funnel latency per market segment: for each user, the
+    * first view and the first purchase AT OR AFTER it; per segment, the
+    * viewer/converter counts and the exact median and p90 of the
+    * conversion delay. Two user-keyed aggregates meet on one shuffled
+    * equi join (both sides user-grain); the customer dim is broadcast.
+    * Exact interpolated percentiles are per-segment over user-grain rows —
+    * bounded groups; `approx_percentile` is the swap for unbounded keys. */
+  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val e = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("fv"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .join(fv, "user_id").filter(col("ts_us") >= col("fv"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("fp"))
+    fv.join(fp, Seq("user_id"), "left")
+      .join(broadcast(cust), "user_id")
+      .withColumn("delay_s", (col("fp") - col("fv")) / 1000000.0)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_viewers"),
+        count(col("fp")).as("n_converted"),
+        round(count(col("fp")).cast("double") / count(lit(1)), 6)
+          .as("conv_rate"),
+        round(median(col("delay_s")), 6).as("median_delay_s"),
+        round(percentile(col("delay_s"), lit(0.9)), 6).as("p90_delay_s"))
+      .orderBy(col("segment"))
+  }
+
+  /** Cohort LTV curves: users cohorted by first-event week; per (cohort,
+    * purchase-age-in-weeks) the buyer count, revenue, and the running
+    * cumulative revenue — the lifetime-value readout. The only corpus-wide
+    * movements are the per-user first-event aggregate and one user-keyed
+    * join of purchases to cohorts; the cumulative window partitions by
+    * cohort over age weeks — TIME-bounded series, never corpus-bounded
+    * (SURVEY §3.2's bounded-series rule). */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val cohorts = events(s, dir).groupBy(col("user_id"))
+      .agg(min(col("ts")).as("fts"))
+      .select(col("user_id"), date_trunc("week", col("fts")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val perAge = events(s, dir).filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort"),
+        floor(datediff(date_trunc("week", col("ts")), col("cohort")) / lit(7.0))
+          .cast("long").as("age_wk"))
+      .agg(countDistinct(col("user_id")).as("buyers"),
+        sum(col("value")).as("rev"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perAge.join(broadcast(sizes), "cohort")
+      .withColumn("cum", sum(col("rev")).over(w))
+      .select(unix_micros(col("cohort")).as("cohort_week_us"), col("age_wk"),
+        col("cohort_users"), col("buyers"), round(col("rev"), 6).as("revenue"),
+        round(col("cum"), 6).as("cum_revenue"))
+      .orderBy(col("cohort_week_us"), col("age_wk"))
+  }
+
+  /** RFM customer segmentation: per purchasing user, recency (days since
+    * last purchase vs corpus max day), frequency (purchase count), and
+    * monetary (revenue); each dimension scored 1–5 by GLOBAL ntile —
+    * computed with [[ScaledRank]]'s range-partitioned two-phase ranking,
+    * NOT a single-partition `Window.orderBy`, so the corpus-users-sized
+    * relation never funnels through one task. Three sequential rank passes
+    * compose on the user-grain relation (each O(N) distributed + an
+    * O(#partitions) driver stat); ties broken by user_id so the bucket
+    * assignment is deterministic and engine-portable. Output: per-segment
+    * user counts and averages. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val maxDay = e.agg(max(date_trunc("day", col("ts"))).as("max_day"))
+    val u = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(date_trunc("day", col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"), round(sum(col("value")), 6).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).as("recency"),
+        col("freq"), col("monetary"))
+    val rankCols = Seq("rn", "rnk", "drnk", "pct_rank")
+    def score(df: DataFrame, order: Seq[Column], keys: Seq[Column],
+              as: String): DataFrame =
+      ScaledRank.withGlobalRanks(df, order, keys, ntileN = 5)
+        .withColumnRenamed("ntile_bucket", as).drop(rankCols: _*)
+    val scored = score(score(score(u,
+        Seq(col("recency").asc, col("user_id").asc),
+        Seq(col("recency"), col("user_id")), "r_score"),
+        Seq(col("freq").desc, col("user_id").asc),
+        Seq(col("freq"), col("user_id")), "f_score"),
+        Seq(col("monetary").desc, col("user_id").asc),
+        Seq(col("monetary"), col("user_id")), "m_score")
+    scored.groupBy(concat(col("r_score").cast("string"), lit("-"),
+        col("f_score").cast("string"), lit("-"),
+        col("m_score").cast("string")).as("segment"))
+      .agg(count(lit(1)).as("users"),
+        round(avg(col("recency")), 6).as("avg_recency_days"),
+        round(avg(col("monetary")), 6).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (assocRules _),
+    "q_attribution" -> (attribution _),
+    "q_time_to_convert" -> (timeToConvert _),
+    "q_cohort_ltv" -> (cohortLtv _),
+    "q_rfm_segments" -> (rfmSegments _),
     "q_cusum_changepoint" -> (cusumChangepoint _),
     "q_mad_outliers" -> (madOutliers _),
     "q_ab_test" -> (abTest _),
@@ -619,6 +799,115 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+        |  FROM events),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb
+        |       FROM (SELECT DISTINCT user_id, day FROM b)),
+        |item AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS c
+        |         FROM b GROUP BY 1),
+        |co AS (
+        |  SELECT a.event_type AS antecedent, bb.event_type AS consequent,
+        |         CAST(count(*) AS DOUBLE) AS c_ab
+        |  FROM b a JOIN b bb ON a.user_id = bb.user_id AND a.day = bb.day
+        |    AND a.event_type <> bb.event_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT antecedent, consequent, CAST(c_ab AS BIGINT) AS pair_baskets,
+        |  round(c_ab / (SELECT nb FROM nb), 6) AS support,
+        |  round(c_ab / ca.c, 6) AS confidence,
+        |  round(c_ab * (SELECT nb FROM nb) / (ca.c * cb.c), 6) AS lift
+        |FROM co JOIN item ca ON co.antecedent = ca.event_type
+        |        JOIN item cb ON co.consequent = cb.event_type
+        |ORDER BY lift DESC, antecedent, consequent""".stripMargin,
+
+    "q_attribution" ->
+      """WITH tagged AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ft
+        |  FROM events),
+        |p AS (SELECT coalesce(lt, '(direct)') AS lt_ch,
+        |             coalesce(ft, '(direct)') AS ft_ch, value
+        |      FROM tagged WHERE event_type = 'purchase'),
+        |lt AS (SELECT lt_ch AS channel, count(*) AS lt_purchases,
+        |              sum(value) AS lt_rev FROM p GROUP BY 1),
+        |ft AS (SELECT ft_ch AS channel, count(*) AS ft_purchases,
+        |              sum(value) AS ft_rev FROM p GROUP BY 1)
+        |SELECT coalesce(lt.channel, ft.channel) AS channel,
+        |  coalesce(lt_purchases, 0) AS lt_purchases,
+        |  round(coalesce(lt_rev, 0.0), 6) AS lt_revenue,
+        |  coalesce(ft_purchases, 0) AS ft_purchases,
+        |  round(coalesce(ft_rev, 0.0), 6) AS ft_revenue
+        |FROM lt FULL JOIN ft ON lt.channel = ft.channel
+        |ORDER BY channel""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min(epoch_us(ts)) AS fp
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(ts) >= fv
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    (fp - fv.fv) / 1000000.0 AS delay_s, fp.fp
+        |  FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+        |          JOIN customer c ON fv.user_id = c.c_custkey)
+        |SELECT segment, count(*) AS n_viewers, count(fp) AS n_converted,
+        |  round(CAST(count(fp) AS DOUBLE) / count(*), 6) AS conv_rate,
+        |  round(median(delay_s), 6) AS median_delay_s,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY delay_s), 6)
+        |    AS p90_delay_s
+        |FROM base GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |sizes AS (SELECT cohort, count(*) AS cohort_users
+        |          FROM cohorts GROUP BY 1),
+        |per_age AS (
+        |  SELECT c.cohort,
+        |    CAST(floor(date_diff('day', c.cohort, date_trunc('week', e.ts))
+        |      / 7.0) AS BIGINT) AS age_wk,
+        |    count(DISTINCT e.user_id) AS buyers, sum(e.value) AS rev
+        |  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT epoch_us(p.cohort) AS cohort_week_us, age_wk, cohort_users,
+        |  buyers, round(rev, 6) AS revenue,
+        |  round(sum(rev) OVER (PARTITION BY p.cohort ORDER BY age_wk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS cum_revenue
+        |FROM per_age p JOIN sizes s ON p.cohort = s.cohort
+        |ORDER BY cohort_week_us, age_wk""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH md AS (SELECT max(date_trunc('day', ts)) AS max_day FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    date_diff('day', max(date_trunc('day', ts)),
+        |      (SELECT max_day FROM md)) AS recency,
+        |    count(*) AS freq, round(sum(value), 6) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |sc AS (
+        |  SELECT recency, monetary,
+        |    ntile(5) OVER (ORDER BY recency, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+        |  FROM u)
+        |SELECT CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+        |    || '-' || CAST(m_score AS VARCHAR) AS segment,
+        |  count(*) AS users, round(avg(recency), 6) AS avg_recency_days,
+        |  round(avg(monetary), 6) AS avg_monetary
+        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin,
+
     "q_cusum_changepoint" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

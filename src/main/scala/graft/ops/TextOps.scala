@@ -670,7 +670,37 @@ object TextOps {
       .limit(30)
   }
 
+  /** Per-source distribution divergence: KL(p_source ‖ p_corpus) and
+    * Shannon entropy over token unigram distributions — the domain-shift /
+    * corpus-mix monitor a training-data pipeline runs per ingest source.
+    * Every source token appears in the corpus distribution by construction,
+    * so the KL sum has no zero-denominator terms. The per-(source, token)
+    * aggregate is the only corpus-wide pass; token totals and the corpus
+    * unigram table are VOCABULARY-sized and broadcast. Gibbs' inequality
+    * (KL ≥ 0) is pinned in the spec. */
+  def klDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val st = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c_st"))
+    val stot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val ct = tok.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c_t"))
+    val n = tok.agg(count(lit(1)).cast("double").as("n"))
+    val p = col("c_st") / col("n_s")
+    st.join(broadcast(ct), "tok")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(sum(p * log(p / (col("c_t") / col("n")))), 6).as("kl_div"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kl_divergence" -> (klDivergence _),
     "q_bm25" -> (bm25 _),
     "q_cooccur_pmi" -> (cooccurPmi _),
     "q_regex_funcs" -> (regexFuncs _),
@@ -729,6 +759,26 @@ object TextOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_kl_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM tok WHERE tok <> ''),
+        |st AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c_st
+        |       FROM t2 GROUP BY 1, 2),
+        |stot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c_t
+        |       FROM t2 GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t2)
+        |SELECT st.source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  round(sum((c_st / n_s)
+        |    * ln((c_st / n_s) / (c_t / (SELECT n FROM nn)))), 6) AS kl_div,
+        |  round(-sum((c_st / n_s) * ln(c_st / n_s)), 6) AS entropy
+        |FROM st JOIN stot ON st.source = stot.source
+        |        JOIN ct ON st.tok = ct.tok
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

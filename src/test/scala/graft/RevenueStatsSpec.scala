@@ -1,0 +1,129 @@
+package graft
+
+import graft.ops.{Analytics, TextOps}
+
+/** Semantics pins for the round-7 revenue/cohort/divergence batch. The
+  * DuckDB oracle proves engine parity; these prove the DEFINITIONS:
+  * brute-force association rules, attribution revenue conservation, LTV
+  * curve monotonicity, ntile balance, and Gibbs' inequality — invariants a
+  * shared oracle-SQL bug could not fake.
+  */
+class RevenueStatsSpec extends SparkSpec {
+
+  test("assoc_rules matches a brute-force basket recomputation") {
+    val baskets = Tables(spark, sf001, "events")
+      .selectExpr("user_id", "date_trunc('day', ts) AS day", "event_type")
+      .distinct().collect()
+      .map(r => ((r.get(0), r.get(1)), r.getString(2)))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    val nb = baskets.size.toDouble
+    val itemC = baskets.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    val pairC = baskets.flatMap(b =>
+        for (a <- b; c <- b if a != c) yield (a, c))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toDouble }
+      .filter(_._2 >= 5)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pairC.map { case ((a, c), cab) =>
+      (a, c) -> ((cab.toLong, r6(cab / nb), r6(cab / itemC(a)),
+        r6(cab * nb / (itemC(a) * itemC(c)))))
+    }
+    val got = Analytics.assocRules(spark, sf001).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+  }
+
+  test("attribution conserves total purchase revenue on both touch models") {
+    val rows = Analytics.attribution(spark, sf001).collect()
+    val total = Tables(spark, sf001, "events")
+      .filter("event_type = 'purchase'")
+      .agg(org.apache.spark.sql.functions.sum("value")).collect()(0)
+      .getDouble(0)
+    val nPurch = Tables(spark, sf001, "events")
+      .filter("event_type = 'purchase'").count()
+    assert(rows.map(_.getAs[Long]("lt_purchases")).sum == nPurch)
+    assert(rows.map(_.getAs[Long]("ft_purchases")).sum == nPurch)
+    assert(math.abs(rows.map(_.getAs[Double]("lt_revenue")).sum - total) < 1e-3)
+    assert(math.abs(rows.map(_.getAs[Double]("ft_revenue")).sum - total) < 1e-3)
+  }
+
+  test("time_to_convert delays are ordered and counts are consistent") {
+    val rows = Analytics.timeToConvert(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_viewers"))
+      val med = r.getAs[Double]("median_delay_s")
+      val p90 = r.getAs[Double]("p90_delay_s")
+      assert(med >= 0.0 && p90 >= med)
+    }
+  }
+
+  test("cohort_ltv cumulative revenue is a monotone running total") {
+    val rows = Analytics.cohortLtv(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("cohort_week_us"), r.getAs[Long]("age_wk"),
+        r.getAs[Long]("cohort_users"), r.getAs[Long]("buyers"),
+        r.getAs[Double]("revenue"), r.getAs[Double]("cum_revenue")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val o = xs.sortBy(_._2)
+      assert(o.map(_._2).distinct.length == o.length)
+      var run = 0.0
+      o.foreach { case (_, _, cu, b, rev, cum) =>
+        assert(b <= cu)
+        run += rev
+        assert(math.abs(cum - run) < 1e-3)
+      }
+    }
+  }
+
+  test("rfm ntile buckets are balanced per dimension and cover all buyers") {
+    val buyers = Tables(spark, sf001, "events")
+      .filter("event_type = 'purchase'").select("user_id").distinct().count()
+    val rows = Analytics.rfmSegments(spark, sf001).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("users")))
+    assert(rows.map(_._2).sum == buyers)
+    // per-dimension marginal counts: standard ntile balance (sizes differ
+    // by at most 1 when buyers >= 5)
+    for (dim <- 0 to 2) {
+      val marginal = rows.groupBy(_._1.split("-")(dim))
+        .map { case (b, xs) => (b.toInt, xs.map(_._2).sum) }
+      assert(marginal.keySet.subsetOf((1 to 5).toSet))
+      if (buyers >= 5) {
+        assert(marginal.size == 5)
+        assert(marginal.values.max - marginal.values.min <= 1)
+      }
+    }
+  }
+
+  test("kl_divergence satisfies Gibbs' inequality and a Scala recompute") {
+    val docsL = Tables(spark, sf001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val corpus = docsL.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    val n = corpus.values.sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docsL.groupBy(_._1).map { case (src, ds) =>
+      val cnt = ds.flatMap(_._2).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toDouble }
+      val ns = cnt.values.sum
+      val kl = cnt.map { case (t, c) =>
+        (c / ns) * math.log((c / ns) / (corpus(t) / n)) }.sum
+      src -> kl
+    }
+    val got = TextOps.klDivergence(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("kl_div"), r.getAs[Double]("entropy"))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, (kl, ent)) =>
+      assert(kl >= 0.0, s"Gibbs violated for $src")
+      assert(ent >= 0.0)
+      assert(math.abs(kl - r6(expected(src))) < 1e-5, s"$src kl")
+    }
+  }
+}
