@@ -770,7 +770,45 @@ object Analytics {
       .orderBy(col("segment"))
   }
 
+  /** Additive seasonal decomposition of the dense hourly load series
+    * (STL-lite): trend = centered 25-hour moving average (only where the
+    * full window exists), seasonal = hour-of-day mean of the detrended
+    * series, residual = the rest — so cnt ≡ trend + seasonal + residual
+    * exactly (the identity the spec pins). The spine is gap-filled from
+    * `sequence(min, max, 1 hour)` as in [[cusumChangepoint]]; the ordered
+    * windows run over the per-hour AGGREGATE, whose cardinality is bounded
+    * by wall-clock range, never corpus size (SURVEY §3.2's bounded-series
+    * rule), and the 24-row hour-of-day profile is a broadcast join. */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val bounds = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val dense = bounds
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+      .join(hourly, Seq("hour"), "left")
+      .select(col("hour"), coalesce(col("cnt"), lit(0.0)).as("cnt"))
+    val w25 = Window.orderBy(col("hour")).rowsBetween(-12, 12)
+    val trended = dense
+      .withColumn("trend",
+        when(count(lit(1)).over(w25) === 25, avg(col("cnt")).over(w25)))
+      .filter(col("trend").isNotNull)
+      .withColumn("det", col("cnt") - col("trend"))
+      .withColumn("hod", hour(col("hour")).cast("int"))
+    val profile = trended.groupBy(col("hod"))
+      .agg(avg(col("det")).as("seasonal_raw"))
+    trended.join(broadcast(profile), "hod")
+      .select(unix_micros(col("hour")).as("hour_us"),
+        col("cnt").cast("long").as("cnt"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal_raw"), 6).as("seasonal"),
+        round(col("det") - col("seasonal_raw"), 6).as("residual"))
+      .orderBy(col("hour_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_decompose" -> (seasonalDecompose _),
     "q_assoc_rules" -> (assocRules _),
     "q_attribution" -> (attribution _),
     "q_time_to_convert" -> (timeToConvert _),
@@ -799,6 +837,36 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |         CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+        |dense AS (
+        |  SELECT g.hour, coalesce(hourly.cnt, 0.0) AS cnt
+        |  FROM (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+        |                                      (SELECT h1 FROM bounds),
+        |                                      INTERVAL 1 HOUR)) AS hour) g
+        |  LEFT JOIN hourly ON g.hour = hourly.hour),
+        |trended AS (
+        |  SELECT hour, cnt,
+        |    CASE WHEN count(*) OVER w = 25 THEN avg(cnt) OVER w END AS trend
+        |  FROM dense
+        |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING
+        |               AND 12 FOLLOWING)),
+        |det AS (
+        |  SELECT hour, cnt, trend, cnt - trend AS det,
+        |    CAST(hour(hour) AS INTEGER) AS hod
+        |  FROM trended WHERE trend IS NOT NULL),
+        |profile AS (SELECT hod, avg(det) AS seasonal_raw
+        |            FROM det GROUP BY 1)
+        |SELECT epoch_us(d.hour) AS hour_us, CAST(cnt AS BIGINT) AS cnt,
+        |  round(trend, 6) AS trend, round(seasonal_raw, 6) AS seasonal,
+        |  round(det - seasonal_raw, 6) AS residual
+        |FROM det d JOIN profile p ON d.hod = p.hod
+        |ORDER BY hour_us""".stripMargin,
+
     "q_assoc_rules" ->
       """WITH b AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type

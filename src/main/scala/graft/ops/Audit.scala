@@ -94,13 +94,44 @@ object Audit {
     s.sql(gapsSql("events_v"))
   }
 
+  /** k-anonymity audit (k = 5) over the customer quasi-identifier tuple
+    * (market segment, nation, $1000 account-balance band) — the privacy
+    * gate a training-data release runs before shipping user-derived rows:
+    * per segment, the equivalence-class count, the smallest class, how many
+    * classes fall below k, and the fraction of users those classes expose
+    * (= the suppression rate enforcing k-anonymity would cost). One
+    * hash aggregate to QI grain (bounded by segments × nations × bands),
+    * one segment rollup. Same SQL text on both engines. */
+  private def kAnonymitySql(table: String): String =
+    s"""WITH g AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    count(*) AS k
+       |  FROM $table GROUP BY c_mktsegment, c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+       |SELECT c_mktsegment, count(*) AS n_groups,
+       |  CAST(min(k) AS BIGINT) AS min_k,
+       |  count(CASE WHEN k < 5 THEN 1 END) AS groups_below_k,
+       |  CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+       |    AS users_at_risk,
+       |  round(CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS DOUBLE)
+       |    / sum(k), 6) AS suppression_rate
+       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(kAnonymitySql("customer_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (kAnonymity _),
     "q_null_audit" -> (nullAudit _),
     "q_benford" -> (benford _),
     "q_sequence_gaps" -> (sequenceGaps _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" -> kAnonymitySql("customer"),
     "q_null_audit" -> nullAuditSql("events"),
     "q_benford" -> benfordSql("orders"),
     "q_sequence_gaps" -> gapsSql("events"),

@@ -671,9 +671,77 @@ object Relational {
         |GROUP BY v.label ORDER BY v.label""".stripMargin)
   }
 
+  /** TPC-H Q8-shaped national market share: the deepest join pipeline in
+    * the repo — lineitem ⋈ orders ⋈ (customer ⋈ nation ⋈ region) ⋈ part ⋈
+    * (supplier ⋈ nation), yearly share of revenue supplied by one nation to
+    * one region's customers for one part type. Only the FIXED-cardinality
+    * dims (nation ×2, region) carry `broadcast` hints; customer, supplier,
+    * and the filtered part relation scale with the corpus, so their joins
+    * stay planner-chosen equi shuffles (AQE may still broadcast them at
+    * small SF — fine; forcing it would be wrong at 100 TB). The share
+    * divides two aggregates of the SAME joined relation — one pass, no
+    * re-scan. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val custReg = t(s, dir, "customer")
+      .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val prt = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(custReg, col("o_custkey") === col("c_custkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", col("rev"))
+          .otherwise(0.0)) / sum(col("rev")), 6).as("mkt_share"),
+        round(sum(col("rev")), 2).as("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  /** 2D Pareto skyline of customers by (total spend, order count): points
+    * no other point dominates. Executed WITHOUT the O(N²) dominance join:
+    * a point is dominated iff some strictly-higher-spend point has ≥ its
+    * order count, or a same-spend point has more orders — both testable
+    * from (a) the per-spend max order count and (b) the EXCLUSIVE global
+    * prefix max of that in spend-descending order, computed by
+    * [[ScaledRank.withGlobalCumMax]]'s range-partitioned two-phase pass.
+    * Total cost: two aggregates + one range exchange, O(N log N) vs the
+    * naive O(N²). The oracle IS the quadratic NOT-EXISTS definition, so
+    * the driver proves plan ≡ definition. Spend is rounded to cents before
+    * the skyline on both engines so float formatting cannot shift
+    * dominance. */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "orders").groupBy(col("o_custkey").as("custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val perS = pts.groupBy(col("spend")).agg(max(col("n_orders")).as("mc"))
+    val withM1 = ScaledRank.withGlobalCumMax(perS,
+      Seq(col("spend").desc), col("mc"))
+    pts.join(withM1.select(col("spend"), col("mc"),
+        col("cummax_excl").as("m1")), "spend")
+      .filter((col("m1").isNull || col("m1") < col("n_orders")) &&
+        col("mc") <= col("n_orders"))
+      .select(col("custkey"), col("spend"), col("n_orders"))
+      .orderBy(col("spend").desc, col("custkey"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_market_share" -> (marketShare _),
+    "q_skyline" -> (skyline _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_distinct_agg" -> (distinctAgg _),
     "q_rollup" -> (rollupAgg _),
@@ -721,6 +789,35 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // the quadratic NOT-EXISTS dominance definition — the Spark side's
+    // prefix-max plan must reproduce it exactly
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, spend, n_orders FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+        |    AND (q.spend > p.spend OR q.n_orders > p.n_orders))
+        |ORDER BY spend DESC, custkey""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Scale-safe GLOBAL ranking (rank / dense_rank / row_number / ntile /
   * percent_rank over the whole relation).
@@ -166,6 +166,72 @@ object ScaledRank {
     local.join(broadcast(offsetDf), "_pid")
       .withColumn("cumsum", col("_cs") + col("_cs_off"))
       .drop("_v", "_cs", "_pid", "_cs_off")
+  }
+
+  private val cumMaxOutputCols = Seq("cummax_excl")
+  private val cumMaxScratchCols = Seq("_mv", "_cm", "_pid", "_cm_off")
+
+  /** Appends global EXCLUSIVE running max `cummax_excl` of `valueCol` in
+    * `orderCols` order: for each row, the max over all STRICTLY PRECEDING
+    * rows (null for the global first row) — the prefix-dominance primitive
+    * (2D skyline, record-to-date flags) — with the same two-phase shape as
+    * [[withGlobalCumSum]]: one range exchange + a local forward pass +
+    * O(#partitions) per-partition maxima broadcast back as prefix offsets.
+    * Exclusive (not inclusive) because dominance tests must never compare
+    * a row against itself. `orderCols` must be tie-free (include a unique
+    * key). */
+  def withGlobalCumMax(df: DataFrame, orderCols: Seq[Column],
+                       valueCol: Column): DataFrame = {
+    val clashes = df.schema.fieldNames.toSet
+      .intersect((cumMaxOutputCols ++ cumMaxScratchCols).toSet)
+    require(clashes.isEmpty,
+      s"ScaledRank.withGlobalCumMax reserves column names ${clashes.mkString(", ")}; " +
+        "rename or drop them on the input first")
+    val spark = df.sparkSession
+    val ranged = df
+      .withColumn("_mv", valueCol.cast("double"))
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = ranged.schema.fieldIndex("_mv")
+    val outSchema = ranged.schema.add("_cm", DoubleType)
+    // local pass emits the PRE-update running max (exclusive prefix);
+    // NaN marks "no preceding row in this partition"
+    val local = ranged.mapPartitions { it =>
+      var cm = Double.NaN
+      it.map { r =>
+        val before = cm
+        if (!r.isNullAt(vIdx)) {
+          val v = r.getDouble(vIdx)
+          cm = if (cm.isNaN || v > cm) v else cm
+        }
+        Row.fromSeq(r.toSeq :+ before)
+      }
+    }(Encoders.row(outSchema))
+      .withColumn("_pid", spark_partition_id())
+      .persist() // stats + final join below; caller clearCache()s
+    // O(#partitions) stats: each partition's INCLUSIVE max (= max(_mv))
+    // feeds the exclusive prefix of every later partition
+    val stats = local.groupBy(col("_pid"))
+      .agg(max(col("_mv")).as("vmax"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    val offsets = stats.scanLeft((0, Option.empty[Double])) {
+      case ((_, acc), (pid, m)) =>
+        (pid, (acc.toSeq ++ m.toSeq).reduceOption[Double](math.max))
+    }.init.zip(stats).map { case ((_, off), (pid, _)) =>
+      (pid, off.getOrElse(Double.NaN))
+    }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("_pid", "_cm_off")
+    local.join(broadcast(offsetDf), "_pid")
+      .withColumn("cummax_excl",
+        when(isnan(col("_cm")) && isnan(col("_cm_off")), lit(null))
+          .when(isnan(col("_cm")), col("_cm_off"))
+          .when(isnan(col("_cm_off")), col("_cm"))
+          .otherwise(greatest(col("_cm"), col("_cm_off"))))
+      .drop("_mv", "_cm", "_pid", "_cm_off")
   }
 
   private val groupedOutputCols = Seq("grn")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import graft.ops.{Analytics, Audit, Relational, ScaledRank}
+
+/** Semantics pins for the round-7 skyline/governance/decomposition batch:
+  * the exclusive global prefix-max primitive against a sequential reference
+  * (nulls, ties, multi-partition), brute-force dominance for the skyline,
+  * a plain-Scala k-anonymity recount, and the additive identity of the
+  * seasonal decomposition.
+  */
+class SkylineAuditSpec extends SparkSpec {
+
+  test("withGlobalCumMax matches a sequential exclusive prefix max") {
+    // adversarial: duplicates, a null value, negative values, enough rows
+    // to span several range partitions (shuffle.partitions = 4 in tests)
+    val vals: Seq[(Long, java.lang.Double)] =
+      (1L to 200L).map { i =>
+        val v: java.lang.Double =
+          if (i % 17 == 0) null
+          else math.sin(i.toDouble) * 100.0 - (i % 7)
+        (i, v)
+      }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(t => Row(t._1, t._2)), 4),
+      schema)
+    val got = ScaledRank.withGlobalCumMax(df, Seq(col("id").asc), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("cummax_excl"))) None
+         else Some(r.getAs[Double]("cummax_excl")))).toMap
+    var run: Option[Double] = None
+    vals.foreach { case (id, v) =>
+      assert(got(id) == run, s"id=$id got=${got(id)} want=$run")
+      if (v != null) run = Some(run.fold(v.doubleValue)(math.max(_, v)))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("skyline equals the quadratic dominance definition") {
+    val pts = Tables(spark, sf001, "orders")
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val spend = Tables(spark, sf001, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("o_totalprice"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = pts.map { case (ck, n) => (ck, spend(ck), n) }
+    val expected = all.filter { case (_, s, c) =>
+      !all.exists { case (_, s2, c2) =>
+        s2 >= s && c2 >= c && (s2 > s || c2 > c) }
+    }.sortBy { case (ck, s, _) => (-s, ck) }.map(t => (t._1, t._2, t._3))
+    val got = Relational.skyline(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expected.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("market_share is a valid share series over the joined years") {
+    val rows = Relational.marketShare(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("total_rev") > 0.0)
+    }
+  }
+
+  test("k_anonymity matches a plain-Scala equivalence-class recount") {
+    val cust = Tables(spark, sf001, "customer")
+      .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val expected = cust.groupBy(_._1).map { case (seg, xs) =>
+      val ks = xs.groupBy(t => (t._2, t._3)).map(_._2.length.toLong).toSeq
+      val atRisk = ks.filter(_ < 5).sum
+      seg -> ((ks.size.toLong, ks.min, ks.count(_ < 5).toLong, atRisk,
+        BigDecimal(atRisk.toDouble / ks.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = Audit.kAnonymity(spark, sf001).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (seg, v) => assert(got(seg) == v, s"segment $seg") }
+  }
+
+  test("seasonal_decompose satisfies cnt = trend + seasonal + residual") {
+    val rows = Analytics.seasonalDecompose(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt").toDouble
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(cnt - sum) < 1e-3, s"hour ${r.getAs[Long]("hour_us")}")
+    }
+  }
+}
