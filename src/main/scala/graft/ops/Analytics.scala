@@ -807,7 +807,42 @@ object Analytics {
       .orderBy(col("hour_us"))
   }
 
+  /** Theil–Sen robust trend per event type: slope = median of all pairwise
+    * slopes of the dense hourly series, intercept = median residual at that
+    * slope — the estimator that shrugs off the outlier bursts an OLS line
+    * chases (29% breakdown point; Sen 1968). The pair self-join is over the
+    * per-type HOURLY AGGREGATE, so pair count is (hours-in-range)² — bounded
+    * by wall-clock like every series op here (SURVEY §3.2), NOT corpus size;
+    * the hour index is exact integer epoch-hours so both engines compute
+    * identical slopes. Per-type slopes re-join as a broadcast for the
+    * intercept pass. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"),
+        // hour-truncated µs are exact multiples of 3.6e9, so the double
+        // division is exact and the cast recovers the integer hour index
+        (unix_micros(date_trunc("hour", col("ts"))) / lit(3600000000L))
+          .cast("long").as("t"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .persist()
+    val slopes = hourly.select(col("event_type"), col("t").as("t1"),
+        col("c").as("c1"))
+      .join(hourly.select(col("event_type"), col("t").as("t2"),
+        col("c").as("c2")), Seq("event_type"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("event_type"))
+      .agg(median((col("c2") - col("c1")) / (col("t2") - col("t1")))
+        .as("slope"))
+    hourly.join(broadcast(slopes), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(max(col("slope")), 6).as("slope_per_hour"),
+        round(median(col("c") - col("slope") * col("t")), 6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (theilSen _),
     "q_seasonal_decompose" -> (seasonalDecompose _),
     "q_assoc_rules" -> (assocRules _),
     "q_attribution" -> (attribution _),
@@ -837,6 +872,24 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    median((b.c - a.c) / (b.t - a.t)) AS slope
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.t < b.t
+        |  GROUP BY 1)
+        |SELECT h.event_type, count(*) AS n_hours,
+        |  round(max(slope), 6) AS slope_per_hour,
+        |  round(median(c - slope * t), 6) AS intercept
+        |FROM hourly h JOIN slopes s ON h.event_type = s.event_type
+        |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin,
+
     "q_seasonal_decompose" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour,

@@ -737,9 +737,46 @@ object Relational {
       .orderBy(col("spend").desc, col("custkey"))
   }
 
+  /** TPC-H Q21-shaped "sole late supplier": per supplier, the late
+    * lineitems (shipped > 365 days after order date) on completed orders
+    * where at least one OTHER supplier participated but NO other supplier
+    * was late — the classic double-correlated EXISTS / NOT EXISTS,
+    * expressed Spark-first as a LEFT SEMI (other-supplier exists) then
+    * LEFT ANTI (other-late-supplier absent) join chain on the order key:
+    * correlated subqueries become two keyed shuffles, no row explosion
+    * (semi/anti preserve left multiplicity and short-circuit per key).
+    * Date arithmetic is exact integer microseconds on both engines. */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val yearUs = 31536000000000L
+    val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sd_us"))
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("sd_us") > col("od_us") + yearUs)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("lo"), col("l_suppkey").as("so"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("so2"))
+    late
+      .join(others, col("l_orderkey") === col("lo") &&
+        col("so") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("lo2") &&
+        col("so2") =!= col("l_suppkey"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_waiting_suppliers" -> (waitingSuppliers _),
     "q_market_share" -> (marketShare _),
     "q_skyline" -> (skyline _),
     "q_pricing_summary" -> (pricingSummary _),
@@ -789,6 +826,25 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 31536000000000)
+        |SELECT s_name, numwait FROM (
+        |  SELECT l1.l_suppkey, count(*) AS numwait
+        |  FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey)
+        |  GROUP BY l1.l_suppkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
     "q_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  round(sum(CASE WHEN n2.n_name = 'NATION_3'

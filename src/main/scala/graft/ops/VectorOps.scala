@@ -602,7 +602,65 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Matryoshka-truncation ANN (Kusupati et al. NeurIPS'22 serving
+    * pattern): rank by the FIRST 16 of 64 dims to build a 20-candidate
+    * shortlist, re-rank the shortlist with full-dimension cosine, report
+    * recall@5 vs the exact full-dim top-5. At scale the truncated pass
+    * scans a quarter of the vector bytes (the stored MRL index) and the
+    * full vectors are fetched for Q×20 candidates only. Both ranking
+    * passes round to 6 dp and tie-break on cand_id, so the shortlist and
+    * the final top-k are engine-portable — unlike the hash-based ANN
+    * variants, this one has an exact DuckDB twin (list slicing +
+    * list_dot_product) and is fully oracle-checked.
+    *
+    * Honest fixture note: the synthetic embeddings are NOT MRL-trained, so
+    * the 16-dim prefix carries only ~1/4 of the signal and measured
+    * recall@5 is ~0.4 — the query is the serving plan + evaluation
+    * harness; `dims = 64` (identity truncation) provably yields recall 1.0
+    * whenever shortlist ≥ k, which TextVectorSpec pins. */
+  def annMrlRecall(s: SparkSession, dir: String,
+                   dims: Int = 16, shortlist: Int = 20): DataFrame = {
+    val k = 5
+    val e = withNorm(emb(s, dir))
+      .withColumn("tv", slice(col("embedding"), 1, dims))
+      .withColumn("tnorm", sqrt(dot(col("tv"), col("tv"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"), col("tv").as("qtv"), col("tnorm").as("qtnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("norm").as("cnorm"), col("tv").as("ctv"), col("tnorm").as("ctnorm"))
+    val joined = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .persist() // feeds the truncated shortlist AND the exact baseline
+    val fullCos =
+      round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6)
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("cand_id"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val mrlTop = joined
+      .withColumn("tcos",
+        round(dot(col("qtv"), col("ctv")) / (col("qtnorm") * col("ctnorm")), 6))
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= shortlist)
+      .withColumn("cos", fullCos)
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id").as("ann_id"))
+    val exactTop = joined
+      .withColumn("cos", fullCos)
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"))
+    exactTop
+      .join(mrlTop, exactTop("query_id") === mrlTop("query_id") &&
+        col("cand_id") === col("ann_id"), "left")
+      .groupBy(exactTop("query_id").as("query_id"))
+      .agg((count(col("ann_id")) / lit(k.toDouble)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_mrl_recall" -> ((s, d) => annMrlRecall(s, d)),
     "q_vector_norms" -> (norms _),
     "q_sq_quantize" -> (sqQuantize _),
     "q_cosine_topk" -> (cosineTopK _),
@@ -617,6 +675,42 @@ object VectorOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ann_mrl_recall" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         CAST(embedding[1:16] AS DOUBLE[]) AS tv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, v, tv,
+        |        sqrt(list_dot_product(v, v)) AS norm,
+        |        sqrt(list_dot_product(tv, tv)) AS tnorm FROM n),
+        |j AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(q.tv, c.tv) / (q.tnorm * c.tnorm), 6)
+        |      AS tcos,
+        |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
+        |  FROM e c JOIN e q ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |short AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY tcos DESC, cand_id) AS trk
+        |  FROM j),
+        |mrl AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, cand_id) AS rk
+        |    FROM short WHERE trk <= 20) WHERE rk <= 5),
+        |exact AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, cand_id) AS rk
+        |    FROM j) WHERE rk <= 5)
+        |SELECT e.query_id, count(m.cand_id) / 5.0 AS recall_at_5
+        |FROM exact e LEFT JOIN mrl m
+        |  ON e.query_id = m.query_id AND e.cand_id = m.cand_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
     "q_vector_norms" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

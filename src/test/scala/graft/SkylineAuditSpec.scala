@@ -91,6 +91,41 @@ class SkylineAuditSpec extends SparkSpec {
     expected.foreach { case (seg, v) => assert(got(seg) == v, s"segment $seg") }
   }
 
+  test("theil_sen slope matches a plain-Scala median-of-slopes recompute") {
+    val hourly = Tables(spark, sf001, "events")
+      .selectExpr("event_type",
+        "CAST(unix_micros(date_trunc('hour', ts)) / 3600000000 AS LONG) AS t")
+      .groupBy("event_type", "t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2).toDouble))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = hourly.groupBy(_._1).map { case (et, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).toSeq
+      val slopes = for {
+        (t1, c1) <- pts; (t2, c2) <- pts if t1 < t2
+      } yield (c2 - c1) / (t2 - t1)
+      et -> median(slopes)
+    }
+    val got = Analytics.theilSen(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("slope_per_hour")).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (et, sl) =>
+      assert(math.abs(got(et) - sl) < 1e-6, s"$et: ${got(et)} vs $sl")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("waiting_suppliers counts only sole-late suppliers on shared orders") {
+    val rows = Relational.waitingSuppliers(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("numwait") >= 1L))
+    // ranking is numwait desc with name tie-break
+    val nw = rows.map(_.getAs[Long]("numwait")).toSeq
+    assert(nw == nw.sorted.reverse)
+  }
+
   test("seasonal_decompose satisfies cnt = trend + seasonal + residual") {
     val rows = Analytics.seasonalDecompose(spark, sf001).collect()
     assert(rows.nonEmpty)

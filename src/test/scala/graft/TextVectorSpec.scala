@@ -224,6 +224,20 @@ class TextVectorSpec extends SparkSpec {
     assert(d.agg(sum(col("n_copies"))).head().getLong(0) === total)
   }
 
+  test("mrl identity truncation (dims=64) recalls exactly 1.0; 16-dim in [0,1]") {
+    // full-width "truncation" makes the shortlist ranking the exact
+    // ranking, so top-5 of a 20-candidate shortlist == exact top-5
+    val ident = VectorOps.annMrlRecall(spark, sf001, dims = 64).collect()
+      .map(_.getAs[Double]("recall_at_5"))
+    assert(ident.nonEmpty && ident.forall(_ == 1.0))
+    spark.catalog.clearCache()
+    val trunc = VectorOps.annMrlRecall(spark, sf001, dims = 16).collect()
+      .map(_.getAs[Double]("recall_at_5"))
+    assert(trunc.length == ident.length)
+    assert(trunc.forall(r => r >= 0.0 && r <= 1.0))
+    spark.catalog.clearCache()
+  }
+
   test("cosine topk is symmetric-sane: self excluded, scores in [-1,1], k<=5") {
     val out = VectorOps.cosineTopK(spark, sf001).collect()
     assert(out.nonEmpty)
