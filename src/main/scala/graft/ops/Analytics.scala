@@ -841,7 +841,29 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Week-over-week revenue growth per market segment — the
+    * period-over-period readout every revenue dashboard leads with. One
+    * (segment, week) aggregate, then lag over a partition bounded by
+    * weeks-in-range (time-bounded, never corpus-bounded); the customer dim
+    * broadcasts. First week's growth is NULL by definition on both
+    * engines. */
+  def wowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val weekly = events(s, dir).filter(col("event_type") === "purchase")
+      .join(broadcast(cust), "user_id")
+      .groupBy(col("segment"), date_trunc("week", col("ts")).as("week"))
+      .agg(sum(col("value")).as("rev"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("week"))
+    weekly.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("segment"), unix_micros(col("week")).as("week_us"),
+        round(col("rev"), 6).as("revenue"),
+        round((col("rev") - col("prev")) / col("prev"), 6).as("wow_growth"))
+      .orderBy(col("segment"), col("week_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wow_growth" -> (wowGrowth _),
     "q_theil_sen" -> (theilSen _),
     "q_seasonal_decompose" -> (seasonalDecompose _),
     "q_assoc_rules" -> (assocRules _),
@@ -872,6 +894,18 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT c.c_mktsegment AS segment, date_trunc('week', ts) AS week,
+        |         sum(value) AS rev
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT segment, epoch_us(week) AS week_us, round(rev, 6) AS revenue,
+        |  round((rev - lag(rev) OVER (PARTITION BY segment ORDER BY week))
+        |    / lag(rev) OVER (PARTITION BY segment ORDER BY week), 6)
+        |    AS wow_growth
+        |FROM weekly ORDER BY segment, week_us""".stripMargin,
+
     "q_theil_sen" ->
       """WITH hourly AS (
         |  SELECT event_type,

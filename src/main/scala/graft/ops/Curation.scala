@@ -260,15 +260,14 @@ object Curation {
       .join(oriented.select(col("a"), col("b").as("c")), "a")
       .filter(col("b") =!= col("c"))
     // close the wedge: (b, c) or (c, b) must be an oriented edge; b < c
-    // canonically so each triangle counts once
-    val closeF = oriented.select(col("a").as("b"), col("b").as("c"),
-      lit(1).as("hit1"))
-    val closeR = oriented.select(col("b"), col("a").as("c"),
-      lit(1).as("hit2"))
+    // canonically so each triangle counts once. ONE left-semi against the
+    // union of both orientations (each canonical edge orients exactly once,
+    // so the union is duplicate-free and semi ≡ the exists test) instead of
+    // two left joins — halves the closure shuffles.
+    val close = oriented.select(col("a").as("b"), col("b").as("c"))
+      .union(oriented.select(col("b"), col("a").as("c")))
     val tris = wedges.filter(col("b") < col("c"))
-      .join(closeF, Seq("b", "c"), "left")
-      .join(closeR, Seq("b", "c"), "left")
-      .filter(col("hit1").isNotNull || col("hit2").isNotNull)
+      .join(close, Seq("b", "c"), "left_semi")
       .select(col("a"), col("b"), col("c"))
     tris.select(col("a").as("node"))
       .union(tris.select(col("b")))
@@ -276,6 +275,54 @@ object Curation {
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
       .orderBy(col("tri_cnt").desc, col("node"))
       .limit(20)
+  }
+
+  /** Single-source BFS hop counts over the derived doc graph (same edge
+    * derivation as [[triangleCount]]): frontier expansion with an anti-join
+    * against the visited set, `localCheckpoint` per round to cut lineage
+    * (the [[connectedComponents]] lesson), loud failure at the round cap.
+    * Each round is one keyed join + one anti join over the FRONTIER (not
+    * the corpus); rounds = graph diameter (6–8 on this expander-ish
+    * topology, O(log n) generally thanks to the affine-hash shortcut
+    * edges). The oracle walks the same graph with a recursive CTE, whose
+    * UNION-dedup on (node, depth) bounds exploration by n × cap. */
+  def graphBfs(s: SparkSession, dir: String, maxRounds: Int = 30): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("n")).as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") + 2) % col("n")).as("v")))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var visited = d.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0).as("hops")).localCheckpoint()
+    var frontier = visited
+    var rounds = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && rounds < maxRounds) {
+      val next = frontier
+        .join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), (col("hops") + 1).as("hops"))
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      frontierSize = next.count()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+      rounds += 1
+    }
+    if (frontierSize > 0)
+      throw new IllegalStateException(
+        s"graphBfs did not drain the frontier within $maxRounds rounds")
+    visited.orderBy(col("node"))
   }
 
   /** Deterministic content-hash train/val/test split (~80/10/10): bucket =
@@ -562,6 +609,7 @@ object Curation {
     "q_dup_clusters" -> (dupClusters _),
     "q_pagerank" -> (pageRank _),
     "q_triangle_count" -> (triangleCount _),
+    "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_weighted_sample" -> (weightedSample _),
     "q_cluster_best" -> (clusterBest _),
     "q_hash_split" -> (hashSplit _),
@@ -639,6 +687,27 @@ object Curation {
         |    UNION ALL SELECT c FROM tri)
         |  GROUP BY node)
         |ORDER BY tri_cnt DESC, node LIMIT 20""".stripMargin,
+    "q_graph_bfs" ->
+      """WITH RECURSIVE nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |r(node, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |  UNION
+        |  SELECT ed.v, r.d + 1 FROM r JOIN ed ON ed.u = r.node
+        |  WHERE r.d < 30)
+        |SELECT node, CAST(min(d) AS INTEGER) AS hops
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
+
     "q_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, n_chars,

@@ -144,6 +144,45 @@ class BatchStatsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graph_bfs hop counts equal a plain-Scala BFS") {
+    val n = Tables(spark, sf001, "documents").count()
+    val und = (0L until n).flatMap { i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n), (i, (i * 31 + 7) % n))
+    }.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    val dist = scala.collection.mutable.Map(0L -> 0)
+    var level = Seq(0L); var hop = 0
+    while (level.nonEmpty) {
+      hop += 1
+      level = level.flatMap(adj.getOrElse(_, Nil))
+        .filterNot(dist.contains).distinct
+      level.foreach(v => dist(v) = hop)
+    }
+    val got = Curation.graphBfs(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == dist.toMap)
+    spark.catalog.clearCache()
+  }
+
+  test("wow_growth is self-consistent with its own revenue series") {
+    val rows = Analytics.wowGrowth(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val o = xs.sortBy(_._2).toSeq
+      assert(o.head._4.isEmpty) // first week has no prior
+      o.sliding(2).foreach {
+        case Seq((_, _, prev, _), (_, _, cur, Some(g))) =>
+          val want = (cur - prev) / prev
+          assert(math.abs(g - want) < 1e-4)
+        case _ =>
+      }
+    }
+  }
+
   test("incremental_agg merge reproduces the from-scratch aggregate") {
     val rows = EventOps.incrementalAgg(spark, sf001).collect()
     assert(rows.nonEmpty)
