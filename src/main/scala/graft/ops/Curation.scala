@@ -1,10 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Training-data curation operators over `documents` (driver north star,
   * SURVEY.md §2.11) — the steps a 100 TB pretraining pipeline runs AFTER
@@ -325,6 +326,86 @@ object Curation {
     visited.orderBy(col("node"))
   }
 
+  /** Per-rule filter attribution for the quality-gate stack — when a
+    * curation run drops 12% of the corpus, this answers WHICH gate did it
+    * and which docs only one gate catches (the rules worth tuning). Four
+    * gates on proven-parity metrics (too short, stopword-starved,
+    * overlong words, low type-token ratio); one corpus scan computes the
+    * per-doc flag vector, ONE aggregate folds every rule's fail/sole
+    * count, and `stack` unpivots the single agg row — no per-rule
+    * re-scan. */
+  def filterAttribution(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val fexp = org.apache.spark.sql.functions.filter(_: Column, _: Column => Column)
+    val t = docs(s, dir).withColumn("tokens", split(col("text"), " "))
+    val nTok = size(col("tokens"))
+    val flags = t.select(
+      (nTok < 20).as("f_short"),
+      (size(fexp(col("tokens"), x => x.isInCollection(stop)))
+        .cast("double") / nTok < 0.02).as("f_stop"),
+      ((col("n_chars") - (nTok - lit(1))).cast("double") / nTok > 4.8)
+        .as("f_words"),
+      (size(array_distinct(col("tokens"))).cast("double") / nTok < 0.32)
+        .as("f_ttr"))
+      .withColumn("nf", col("f_short").cast("int") + col("f_stop").cast("int")
+        + col("f_words").cast("int") + col("f_ttr").cast("int"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = flags.agg(
+      count(lit(1)).as("total"),
+      cnt(col("f_short")).as("c_short"),
+      cnt(col("f_short") && col("nf") === 1).as("s_short"),
+      cnt(col("f_stop")).as("c_stop"),
+      cnt(col("f_stop") && col("nf") === 1).as("s_stop"),
+      cnt(col("f_words")).as("c_words"),
+      cnt(col("f_words") && col("nf") === 1).as("s_words"),
+      cnt(col("f_ttr")).as("c_ttr"),
+      cnt(col("f_ttr") && col("nf") === 1).as("s_ttr"),
+      cnt(col("nf") > 0).as("c_any"),
+      cnt(col("nf") === 1).as("s_any"))
+    agg.selectExpr(
+      """stack(5,
+        |  'any_rule', c_any, s_any,
+        |    round(CAST(c_any AS DOUBLE) / total, 6),
+        |  'long_words', c_words, s_words,
+        |    round(CAST(c_words AS DOUBLE) / total, 6),
+        |  'low_stopword', c_stop, s_stop,
+        |    round(CAST(c_stop AS DOUBLE) / total, 6),
+        |  'low_ttr', c_ttr, s_ttr,
+        |    round(CAST(c_ttr AS DOUBLE) / total, 6),
+        |  'short', c_short, s_short,
+        |    round(CAST(c_short AS DOUBLE) / total, 6)
+        |) AS (rule, n_fail, n_sole, fail_rate)""".stripMargin)
+      .orderBy(col("rule"))
+  }
+
+  /** Cross-modal near-dup verification: exact bigram-Jaccard pairs
+    * (lexical evidence, [[TextOps.jaccardPairs]]) joined with the cosine
+    * of the pair's EMBEDDINGS (semantic evidence; vec_id aligns with
+    * doc_id in the fixture) — the two-signal confirmation step a curation
+    * pipeline runs before destructive dedup, since surface overlap and
+    * embedding agreement fail in different ways. Embedding lookups are two
+    * keyed equi joins against the candidate PAIRS (bounded by the
+    * candidate set, never corpus²). Fully oracle-checked via
+    * list_dot_product. */
+  def hybridDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = graft.ops.TextOps.jaccardPairs(s, dir)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("norm", sqrt(GraftFunctions.dot(col("embedding"),
+        col("embedding"))))
+    pairs
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+        col("norm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+        col("norm").as("n2")), "id2")
+      .withColumn("cosine", round(GraftFunctions.dot(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 6))
+      .select(col("id1"), col("id2"), col("jaccard"), col("cosine"),
+        (col("cosine") >= 0.30).as("confirmed"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Deterministic content-hash train/val/test split (~80/10/10): bucket =
     * first byte of md5("graft-split:" || doc_id), compared lexicographically
     * against hex thresholds ('cc' = 204/256 ≈ 80 %, 'e6' = 230/256 ≈ 90 %).
@@ -610,6 +691,8 @@ object Curation {
     "q_pagerank" -> (pageRank _),
     "q_triangle_count" -> (triangleCount _),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
+    "q_filter_attribution" -> (filterAttribution _),
+    "q_hybrid_dedup" -> (hybridDedup _),
     "q_weighted_sample" -> (weightedSample _),
     "q_cluster_best" -> (clusterBest _),
     "q_hash_split" -> (hashSplit _),
@@ -687,6 +770,80 @@ object Curation {
         |    UNION ALL SELECT c FROM tri)
         |  GROUP BY node)
         |ORDER BY tri_cnt DESC, node LIMIT 20""".stripMargin,
+    "q_filter_attribution" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens
+        |  FROM documents),
+        |f AS (
+        |  SELECT
+        |    len(tokens) < 20 AS f_short,
+        |    len(list_filter(tokens,
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+        |      / len(tokens) < 0.02 AS f_stop,
+        |    (n_chars - (len(tokens) - 1)) * 1.0 / len(tokens) > 4.8
+        |      AS f_words,
+        |    len(list_distinct(tokens)) * 1.0 / len(tokens) < 0.32 AS f_ttr
+        |  FROM t),
+        |g AS (SELECT *, CAST(f_short AS INT) + CAST(f_stop AS INT)
+        |        + CAST(f_words AS INT) + CAST(f_ttr AS INT) AS nf FROM f),
+        |a AS (SELECT count(*) AS total,
+        |    sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS c_short,
+        |    sum(CASE WHEN f_short AND nf = 1 THEN 1 ELSE 0 END) AS s_short,
+        |    sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS c_stop,
+        |    sum(CASE WHEN f_stop AND nf = 1 THEN 1 ELSE 0 END) AS s_stop,
+        |    sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS c_words,
+        |    sum(CASE WHEN f_words AND nf = 1 THEN 1 ELSE 0 END) AS s_words,
+        |    sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS c_ttr,
+        |    sum(CASE WHEN f_ttr AND nf = 1 THEN 1 ELSE 0 END) AS s_ttr,
+        |    sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS c_any,
+        |    sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS s_any
+        |  FROM g)
+        |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+        |  CAST(n_sole AS BIGINT) AS n_sole, fail_rate FROM (
+        |  SELECT 'any_rule' AS rule, c_any AS n_fail, s_any AS n_sole,
+        |    round(c_any * 1.0 / total, 6) AS fail_rate FROM a
+        |  UNION ALL SELECT 'long_words', c_words, s_words,
+        |    round(c_words * 1.0 / total, 6) FROM a
+        |  UNION ALL SELECT 'low_stopword', c_stop, s_stop,
+        |    round(c_stop * 1.0 / total, 6) FROM a
+        |  UNION ALL SELECT 'low_ttr', c_ttr, s_ttr,
+        |    round(c_ttr * 1.0 / total, 6) FROM a
+        |  UNION ALL SELECT 'short', c_short, s_short,
+        |    round(c_short * 1.0 / total, 6) FROM a)
+        |ORDER BY rule""".stripMargin,
+
+    "q_hybrid_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n_sh,
+        |         unnest(shingles) AS sh FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |         count(*) AS inter
+        |  FROM ex a JOIN ex b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), jp AS (
+        |  SELECT id1, id2,
+        |         round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+        |  FROM pairs WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
+        |), e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings)
+        |SELECT id1, id2, jaccard,
+        |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine,
+        |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.30
+        |    AS confirmed
+        |FROM jp JOIN e a ON jp.id1 = a.vec_id JOIN e b ON jp.id2 = b.vec_id
+        |ORDER BY id1, id2""".stripMargin,
+
     "q_graph_bfs" ->
       """WITH RECURSIVE nn AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

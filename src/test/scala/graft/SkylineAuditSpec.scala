@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.ops.{Analytics, Audit, Relational, ScaledRank}
+import graft.ops.{Analytics, Audit, Curation, Relational, ScaledRank, TextOps}
 
 /** Semantics pins for the round-7 skyline/governance/decomposition batch:
   * the exclusive global prefix-max primitive against a sequential reference
@@ -124,6 +124,36 @@ class SkylineAuditSpec extends SparkSpec {
     // ranking is numwait desc with name tie-break
     val nw = rows.map(_.getAs[Long]("numwait")).toSeq
     assert(nw == nw.sorted.reverse)
+  }
+
+  test("filter_attribution sole counts partition the single-failure docs") {
+    val rows = Curation.filterAttribution(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet ==
+      Set("any_rule", "long_words", "low_stopword", "low_ttr", "short"))
+    val (anyFail, anySole) = rows("any_rule")
+    val perRule = (rows - "any_rule").values
+    perRule.foreach { case (f, s) => assert(s <= f) }
+    assert(perRule.map(_._2).sum == anySole)
+    assert(anyFail <= perRule.map(_._1).sum)
+    assert(anyFail >= perRule.map(_._1).max)
+  }
+
+  test("hybrid_dedup extends every jaccard pair with a bounded cosine") {
+    val jp = TextOps.jaccardPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    spark.catalog.clearCache()
+    val rows = Curation.hybridDedup(spark, sf001).collect()
+    assert(rows.length == jp.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(jp(key) == r.getAs[Double]("jaccard"))
+      val cos = r.getAs[Double]("cosine")
+      assert(math.abs(cos) <= 1.0)
+      assert(r.getAs[Boolean]("confirmed") == (cos >= 0.30))
+    }
+    spark.catalog.clearCache()
   }
 
   test("seasonal_decompose satisfies cnt = trend + seasonal + residual") {
