@@ -170,6 +170,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("skyline plans the prefix-max shape, not the O(N^2) dominance join") {
+    // the whole point of the operator: the oracle runs NOT EXISTS over
+    // pts x pts; the Spark plan must never contain that product
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("interval overlap meets on a bucketed equi join (no nested loop)") {
+    // sessions x windows is a theta join by definition; the hour-bucket
+    // explode turns it into an equi join — a BNLJ/cartesian here means the
+    // bucketing regressed to the O(N·M) plan
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("market share broadcasts the fixed dims, never the fact sides") {
+    val opt = SparkEntry.queries("q_market_share")(spark, sf001)
+      .queryExecution.optimizedPlan.toString
+    // only nation (x2) and region carry hints; lineitem/orders/customer/
+    // supplier/part must not be FORCED broadcast (AQE may still choose to
+    // at tiny SF — that is runtime's call, not the plan's)
+    val forced = "strategy=broadcast".r.findAllIn(opt).length
+    assert(forced <= 3, s"expected <=3 forced broadcasts (nation x2, region):\n${opt.take(3000)}")
+    val p = plan("q_market_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("waiting suppliers decorrelates to semi + anti joins") {
+    val p = plan("q_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("SCD2 history rides ONE hash-by-custkey exchange for both windows") {
     // lag (change filter) and lead (interval bound) share the same
     // partitioning+ordering; only the final presentation orderBy adds a
