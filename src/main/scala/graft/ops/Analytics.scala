@@ -862,7 +862,87 @@ object Analytics {
       .orderBy(col("segment"), col("week_us"))
   }
 
+  /** Hourly OHLC candles per event type (open/high/low/close + volume —
+    * the time-series compaction finance and metrics stores run): open =
+    * first value in (ts, event_id) order, close = last, via two
+    * row_number passes sharing ONE (type, hour) exchange (same partition,
+    * opposite orders — Catalyst plans one hash exchange + two sorts), then
+    * a conditional aggregate. Groups are (type × hour) — time-bounded. */
+  def ohlc(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+    val asc = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("event_type"), unix_micros(col("hour")).as("hour_us"))
+      .agg(round(max(when(col("rn_a") === 1, col("value"))), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max(when(col("rn_d") === 1, col("value"))), 6).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("volume"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  /** Gini coefficient of purchase revenue per market segment (the
+    * concentration/inequality readout): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    * over ascending per-user revenue with rank i. Ranks come from
+    * [[ScaledRank.withGroupedRowNumbers]] — the two-phase range-partitioned
+    * per-GROUP numbering — because `Window.partitionBy(segment)` hashes
+    * each segment to ONE task and segments are corpus-proportional, the
+    * exact single-partition trap the repo's ranking ops exist to avoid.
+    * Revenue is rounded before ranking so order is engine-portable. */
+  def giniRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val u = events(s, dir).filter(col("event_type") === "purchase")
+      .join(broadcast(cust), "user_id")
+      .groupBy(col("segment"), col("user_id"))
+      .agg(round(sum(col("value")), 6).as("x"))
+    val ranked = ScaledRank.withGroupedRowNumbers(u, Seq(col("segment")),
+      Seq(col("x").asc, col("user_id").asc))
+    ranked.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("grn")).as("sxi"))
+      .select(col("segment"), col("n").as("n_buyers"),
+        round(col("sx"), 6).as("total_revenue"),
+        round(lit(2.0) * col("sxi") / (col("n") * col("sx"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      .orderBy(col("segment"))
+  }
+
+  /** Weekly churn: users active in week w with NO activity in week w+1 —
+    * the (user, week) relation anti-joined against itself shifted one week
+    * (a keyed anti join, not a window over per-user history). The final
+    * week reports full churn by definition (no following week exists) —
+    * kept, since dropping it is a presentation choice both engines must
+    * then share. */
+  def weeklyChurn(s: SparkSession, dir: String): DataFrame = {
+    val wk = events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct().persist()
+    val churned = wk.join(
+        wk.select(col("user_id"),
+          (col("week") - expr("INTERVAL 7 DAYS")).as("week")),
+        Seq("user_id", "week"), "left_anti")
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    wk.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
+      .join(churned, Seq("week"), "left")
+      .select(unix_micros(col("week")).as("week_us"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round(coalesce(col("n_churned"), lit(0L)).cast("double")
+          / col("n_active"), 6).as("churn_rate"))
+      .orderBy(col("week_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> (ohlc _),
+    "q_gini_revenue" -> (giniRevenue _),
+    "q_weekly_churn" -> (weeklyChurn _),
     "q_wow_growth" -> (wowGrowth _),
     "q_theil_sen" -> (theilSen _),
     "q_seasonal_decompose" -> (seasonalDecompose _),
@@ -894,6 +974,59 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+        |         value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, epoch_us(hour) AS hour_us,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+        |  count(*) AS n_events,
+        |  round(sum(value), 6) AS volume
+        |FROM e GROUP BY event_type, hour
+        |ORDER BY event_type, hour_us""".stripMargin,
+
+    "q_gini_revenue" ->
+      """WITH u AS (
+        |  SELECT c.c_mktsegment AS segment, user_id,
+        |         round(sum(value), 6) AS x
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |r AS (SELECT segment, x,
+        |        row_number() OVER (PARTITION BY segment ORDER BY x, user_id)
+        |          AS i
+        |      FROM u)
+        |SELECT segment, count(*) AS n_buyers,
+        |  round(sum(x), 6) AS total_revenue,
+        |  round(2.0 * sum(x * i) / (count(*) * sum(x))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q_weekly_churn" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events),
+        |churned AS (
+        |  SELECT week, count(*) AS n_churned FROM wk w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM wk n
+        |    WHERE n.user_id = w.user_id
+        |      AND n.week = w.week + INTERVAL 7 DAY)
+        |  GROUP BY week)
+        |SELECT epoch_us(a.week) AS week_us, count(*) AS n_active,
+        |  coalesce(max(n_churned), 0) AS n_churned,
+        |  round(CAST(coalesce(max(n_churned), 0) AS DOUBLE) / count(*), 6)
+        |    AS churn_rate
+        |FROM wk a LEFT JOIN churned c ON a.week = c.week
+        |GROUP BY a.week ORDER BY week_us""".stripMargin,
+
     "q_wow_growth" ->
       """WITH weekly AS (
         |  SELECT c.c_mktsegment AS segment, date_trunc('week', ts) AS week,

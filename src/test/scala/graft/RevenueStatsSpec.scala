@@ -99,6 +99,73 @@ class RevenueStatsSpec extends SparkSpec {
     }
   }
 
+  test("ohlc candles bound open/close within [low, high] and match firsts/lasts") {
+    val ev = Tables(spark, sf001, "events")
+      .selectExpr("event_type", "unix_micros(date_trunc('hour', ts)) AS h",
+        "unix_micros(ts) AS t", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.groupBy(e => (e._1, e._2)).map { case (k, xs) =>
+      val o = xs.sortBy(e => (e._3, e._4))
+      k -> ((r6(o.head._5), r6(o.map(_._5).max), r6(o.map(_._5).min),
+        r6(o.last._5), o.length.toLong))
+    }
+    val got = Analytics.ohlc(spark, sf001).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"candle $k: ${got(k)} vs $v")
+      val (open, high, low, close, _) = got(k)
+      assert(low <= open && open <= high && low <= close && close <= high)
+    }
+  }
+
+  test("gini_revenue matches a plain-Scala computation and stays in [0, 1)") {
+    val cust = Tables(spark, sf001, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rev = Tables(spark, sf001, "events")
+      .filter("event_type = 'purchase'")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.sum("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(t => cust.contains(t._1))
+    val expected = rev.groupBy(t => cust(t._1)).map { case (seg, xs) =>
+      val sorted = xs.map { case (id, x) => (r6(x), id) }.sortBy(identity)
+      val n = sorted.length
+      val sx = sorted.map(_._1).sum
+      val sxi = sorted.zipWithIndex.map { case ((x, _), i) => x * (i + 1) }.sum
+      seg -> r6(2.0 * sxi / (n * sx) - (n + 1.0) / n)
+    }
+    val got = Analytics.giniRevenue(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (seg, g) =>
+      assert(math.abs(got(seg) - g) < 1e-6, s"$seg: ${got(seg)} vs $g")
+      assert(got(seg) >= 0.0 && got(seg) < 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("weekly_churn counts users absent the following week; final week = 1.0") {
+    val rows = Analytics.weeklyChurn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, act, ch, rate) =>
+      assert(ch <= act)
+      assert(math.abs(rate - ch.toDouble / act) < 1e-6)
+    }
+    assert(rows.last._4 == 1.0) // no week follows the last one
+    spark.catalog.clearCache()
+  }
+
   test("kl_divergence satisfies Gibbs' inequality and a Scala recompute") {
     val docsL = Tables(spark, sf001, "documents")
       .select("source", "text").collect()
