@@ -939,7 +939,53 @@ object Analytics {
       .orderBy(col("week_us"))
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes (days from first to
+    * last activity; users still active in the corpus' final week are
+    * right-CENSORED — they leave the risk set without counting as an
+    * event). S(t) = Π_{death times i ≤ t} (1 − dᵢ/nᵢ), computed as
+    * exp(Σ ln(·)) over a running window — products become prefix sums, the
+    * same trick as [[cusumChangepoint]]'s closed form. The risk set nᵢ
+    * derives from the grouped (lifetime → deaths, censored) table via a
+    * running total, so every window runs over DISTINCT lifetimes — bounded
+    * by the day range, never user count. The dᵢ = nᵢ terminal point is
+    * handled by an explicit zero flag because Spark's ln(0) is NULL while
+    * DuckDB's is -inf — the one cross-engine hazard in the formula. */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val horizon = e.agg(date_trunc("week", max(col("ts"))).as("lastwk"))
+    val life = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("d0"),
+        max(date_trunc("day", col("ts"))).as("d1"))
+      .crossJoin(broadcast(horizon))
+      .select(datediff(col("d1"), col("d0")).as("t"),
+        (col("d1") < col("lastwk")).cast("int").as("death"))
+    val grouped = life.groupBy(col("t"))
+      .agg(sum(col("death")).as("d"),
+        sum(lit(1) - col("death")).as("c"), count(lit(1)).as("m"))
+    val wOrd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = life.agg(count(lit(1)).as("n_total"))
+    grouped.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("m")).over(wPrev), lit(0L)))
+      .withColumn("zero",
+        max((col("d") === col("n_at_risk")).cast("int")).over(wOrd))
+      .withColumn("lnterm",
+        when(col("d") > 0 && col("d") < col("n_at_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_at_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(col("zero") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("lnterm")).over(wOrd)), 6)))
+      .select(col("t").as("lifetime_days"), col("d").as("deaths"),
+        col("c").as("censored"), col("n_at_risk"), col("survival"))
+      .orderBy(col("lifetime_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kaplan_meier" -> (kaplanMeier _),
     "q_ohlc" -> (ohlc _),
     "q_gini_revenue" -> (giniRevenue _),
     "q_weekly_churn" -> (weeklyChurn _),
@@ -974,6 +1020,43 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kaplan_meier" ->
+      """WITH horizon AS (
+        |  SELECT date_trunc('week', max(ts)) AS lastwk FROM events),
+        |life AS (
+        |  SELECT
+        |    CAST(date_diff('day', min(date_trunc('day', ts)),
+        |                   max(date_trunc('day', ts))) AS INTEGER) AS t,
+        |    CAST(max(date_trunc('day', ts)) < (SELECT lastwk FROM horizon)
+        |      AS INTEGER) AS death
+        |  FROM events GROUP BY user_id),
+        |grouped AS (
+        |  SELECT t, sum(death) AS d, sum(1 - death) AS c, count(*) AS m
+        |  FROM life GROUP BY t),
+        |tot AS (SELECT count(*) AS n_total FROM life),
+        |risk AS (
+        |  SELECT t, d, c, m,
+        |    (SELECT n_total FROM tot)
+        |      - coalesce(sum(m) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk
+        |  FROM grouped),
+        |terms AS (
+        |  SELECT t, d, c, n_at_risk,
+        |    max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER w AS zero,
+        |    sum(CASE WHEN d > 0 AND d < n_at_risk
+        |        THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+        |        ELSE 0.0 END) OVER w AS lnsum
+        |  FROM risk
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t AS lifetime_days, CAST(d AS BIGINT) AS deaths,
+        |  CAST(c AS BIGINT) AS censored, CAST(n_at_risk AS BIGINT)
+        |    AS n_at_risk,
+        |  CASE WHEN zero = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
+        |    AS survival
+        |FROM terms ORDER BY lifetime_days""".stripMargin,
+
     "q_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,

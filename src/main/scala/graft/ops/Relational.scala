@@ -773,9 +773,32 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q15-shaped top supplier: revenue per supplier over one quarter,
+    * then the suppliers achieving the GLOBAL max — argmax as a broadcast
+    * join against the 1-row max aggregate (no global sort, no window over
+    * the whole relation; ties all surface, exactly Q15's view semantics).
+    * Revenue rounds to cents BEFORE the max comparison so float equality
+    * is engine-portable. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("timestamp") >= lo &&
+        col("l_shipdate").cast("timestamp") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mr"))
+    rev.join(broadcast(mx), col("total_rev") === col("mr"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("total_rev"))
+      .orderBy(col("s_name"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_supplier" -> (topSupplier _),
     "q_waiting_suppliers" -> (waitingSuppliers _),
     "q_market_share" -> (marketShare _),
     "q_skyline" -> (skyline _),
@@ -826,6 +849,19 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_name""".stripMargin,
+
     "q_waiting_suppliers" ->
       """WITH late AS (
         |  SELECT l_orderkey, l_suppkey

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Analytics, TextOps}
+import graft.ops.{Analytics, Relational, TextOps}
 
 /** Semantics pins for the round-7 revenue/cohort/divergence batch. The
   * DuckDB oracle proves engine parity; these prove the DEFINITIONS:
@@ -164,6 +164,58 @@ class RevenueStatsSpec extends SparkSpec {
     }
     assert(rows.last._4 == 1.0) // no week follows the last one
     spark.catalog.clearCache()
+  }
+
+  test("kaplan_meier survival is a non-increasing product matching Scala") {
+    val e = Tables(spark, sf001, "events")
+      .selectExpr("user_id", "unix_micros(date_trunc('day', ts)) AS d",
+        "unix_micros(date_trunc('week', ts)) AS w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lastwk = e.map(_._3).max
+    val dayUs = 86400000000L
+    val life = e.groupBy(_._1).map { case (_, xs) =>
+      val d0 = xs.map(_._2).min; val d1 = xs.map(_._2).max
+      (((d1 - d0) / dayUs).toInt, if (d1 < lastwk) 1 else 0)
+    }.toSeq
+    val grouped = life.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.size)
+    }.toSeq.sortBy(_._1)
+    var atRisk = life.size
+    var surv = 1.0
+    val expected = grouped.map { case (t, d, m) =>
+      val s = if (d == atRisk) 0.0
+              else { surv *= 1.0 - d.toDouble / atRisk; surv }
+      val row = (t, s)
+      atRisk -= m
+      row
+    }.toMap
+    val got = Analytics.kaplanMeier(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("survival")).toMap
+    assert(got.keySet == expected.keySet)
+    var prev = 1.0
+    got.toSeq.sortBy(_._1).foreach { case (t, s) =>
+      assert(s >= 0.0 && s <= prev + 1e-9, s"survival rises at t=$t")
+      prev = s
+      assert(math.abs(s - expected(t)) < 1e-5, s"t=$t: $s vs ${expected(t)}")
+    }
+  }
+
+  test("top_supplier returns exactly the argmax of quarterly revenue") {
+    val li = Tables(spark, sf001, "lineitem")
+      .filter("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+        "l_shipdate < TIMESTAMP '1996-04-01'")
+      .selectExpr("l_suppkey",
+        "l_extendedprice * (1 - l_discount) AS rev").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def r2(x: Double) = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bySupp = li.groupBy(_._1).map { case (k, xs) =>
+      k -> r2(xs.map(_._2).sum) }
+    val mx = bySupp.values.max
+    val got = Relational.topSupplier(spark, sf001).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Double]("total_rev") == mx))
+    assert(got.length == bySupp.values.count(_ == mx))
   }
 
   test("kl_divergence satisfies Gibbs' inequality and a Scala recompute") {
