@@ -984,7 +984,80 @@ object Analytics {
       .orderBy(col("lifetime_days"))
   }
 
+  /** Population stability index (PSI) — the model-monitoring drift score
+    * next to [[lengthDrift]]'s KS test: decile edges fit on the REFERENCE
+    * period (before the cutoff), both periods bucketed by those edges
+    * (same size-filter arithmetic as [[equidepthHistogram]]), per-bucket
+    * contribution (qᵢ−pᵢ)·ln(qᵢ/pᵢ) — each term ≥ 0, so the spec pins
+    * non-negativity per bucket. Reference deciles guarantee pᵢ > 0; an
+    * empty current bucket contributes 0 by explicit CASE on both engines
+    * (the ln(0) hazard again). Everything after the two bucketing scans is
+    * a 10-row relation. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-25").cast("timestamp")
+    val e = events(s, dir)
+    val edges = e.filter(col("ts") < cutoff).agg(expr(
+      "transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), x -> round(x, 6))")
+      .as("edges"))
+    def bucketed(df: DataFrame, n: String): DataFrame =
+      df.crossJoin(broadcast(edges))
+        .select(expr("size(filter(edges, x -> value > x))").cast("long")
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val joined = bucketed(e.filter(col("ts") < cutoff), "n_ref")
+      .join(bucketed(e.filter(col("ts") >= cutoff), "n_cur"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing) // ≤10 rows — bounded by decile count
+    val p = col("n_ref").cast("double") / sum(col("n_ref")).over(w)
+    val q = col("n_cur").cast("double") / sum(col("n_cur")).over(w)
+    joined
+      .withColumn("p_ref", round(p, 6))
+      .withColumn("p_cur", round(q, 6))
+      .withColumn("psi_term",
+        when(col("n_cur") > 0 && col("n_ref") > 0,
+          round((q - p) * log(q / p), 6)).otherwise(lit(0.0)))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"), col("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Mutual information between market segment and conversion — the
+    * feature-screening statistic (does this categorical carry signal?):
+    * per-cell contribution p(x,y)·ln(n_xy·N / (n_x·n_y)), marginals via
+    * windows over the ≤ |segments|×2 cell relation. The integer products
+    * inside ln make the argument exactly equal on both engines. MI = Σ
+    * contributions ≥ 0 is pinned in the spec (it is a KL divergence). */
+  def conversionMi(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val assign = events(s, dir).join(broadcast(cust), "user_id")
+      .groupBy(col("user_id"), col("segment"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0,
+        1).otherwise(0)).as("converted"))
+    val cells = assign.groupBy(col("segment"), col("converted"))
+      .agg(count(lit(1)).as("n_xy"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wx = Window.partitionBy(col("segment"))
+    val wy = Window.partitionBy(col("converted"))
+    cells
+      .withColumn("n", sum(col("n_xy")).over(wAll))
+      .withColumn("n_x", sum(col("n_xy")).over(wx))
+      .withColumn("n_y", sum(col("n_xy")).over(wy))
+      .select(col("segment"), col("converted"), col("n_xy"),
+        round(col("n_xy").cast("double") / col("n"), 6).as("p_xy"),
+        round((col("n_xy").cast("double") / col("n")) *
+          log((col("n_xy") * col("n")).cast("double") /
+            (col("n_x") * col("n_y")).cast("double")), 6).as("mi_term"))
+      .orderBy(col("segment"), col("converted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> (psiDrift _),
+    "q_conversion_mi" -> (conversionMi _),
     "q_kaplan_meier" -> (kaplanMeier _),
     "q_ohlc" -> (ohlc _),
     "q_gini_revenue" -> (giniRevenue _),
@@ -1020,6 +1093,58 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_psi_drift" ->
+      """WITH edges AS (
+        |  SELECT list_transform(
+        |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 6)) AS edges
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-25'),
+        |ref AS (
+        |  SELECT len(list_filter(e.edges, x -> v.value > x)) AS bucket,
+        |         count(*) AS n_ref
+        |  FROM events v CROSS JOIN edges e
+        |  WHERE ts < TIMESTAMP '2024-01-25' GROUP BY 1),
+        |cur AS (
+        |  SELECT len(list_filter(e.edges, x -> v.value > x)) AS bucket,
+        |         count(*) AS n_cur
+        |  FROM events v CROSS JOIN edges e
+        |  WHERE ts >= TIMESTAMP '2024-01-25' GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ref.bucket, cur.bucket) AS bucket,
+        |    CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM ref FULL JOIN cur ON ref.bucket = cur.bucket),
+        |t AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    CAST(n_ref AS DOUBLE) / sum(n_ref) OVER () AS p,
+        |    CAST(n_cur AS DOUBLE) / sum(n_cur) OVER () AS q
+        |  FROM j)
+        |SELECT bucket, n_ref, n_cur, round(p, 6) AS p_ref,
+        |  round(q, 6) AS p_cur,
+        |  CASE WHEN n_cur > 0 AND n_ref > 0
+        |    THEN round((q - p) * ln(q / p), 6) ELSE 0.0 END AS psi_term
+        |FROM t ORDER BY bucket""".stripMargin,
+
+    "q_conversion_mi" ->
+      """WITH assign AS (
+        |  SELECT e.user_id, c.c_mktsegment AS segment,
+        |    max(CASE WHEN e.event_type = 'purchase' AND e.value > 150.0
+        |        THEN 1 ELSE 0 END) AS converted
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT segment, converted, count(*) AS n_xy
+        |  FROM assign GROUP BY 1, 2)
+        |SELECT segment, CAST(converted AS INTEGER) AS converted,
+        |  CAST(n_xy AS BIGINT) AS n_xy,
+        |  round(CAST(n_xy AS DOUBLE) / sum(n_xy) OVER (), 6) AS p_xy,
+        |  round((CAST(n_xy AS DOUBLE) / sum(n_xy) OVER ()) *
+        |    ln(CAST(n_xy * sum(n_xy) OVER () AS DOUBLE) /
+        |       CAST(sum(n_xy) OVER (PARTITION BY segment)
+        |         * sum(n_xy) OVER (PARTITION BY converted) AS DOUBLE)), 6)
+        |    AS mi_term
+        |FROM cells ORDER BY segment, converted""".stripMargin,
+
     "q_kaplan_meier" ->
       """WITH horizon AS (
         |  SELECT date_trunc('week', max(ts)) AS lastwk FROM events),

@@ -218,6 +218,24 @@ class RevenueStatsSpec extends SparkSpec {
     assert(got.length == bySupp.values.count(_ == mx))
   }
 
+  test("psi_drift terms are non-negative and reference shares sum to 1") {
+    val rows = Analytics.psiDrift(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, _, term) => assert(term >= 0.0) }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+  }
+
+  test("conversion_mi sums to a non-negative MI with probabilities closing") {
+    val rows = Analytics.conversionMi(spark, sf001).collect()
+      .map(r => (r.getAs[Double]("p_xy"), r.getAs[Double]("mi_term")))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-4)
+    assert(rows.map(_._2).sum >= -1e-9) // MI is a KL divergence
+  }
+
   test("kl_divergence satisfies Gibbs' inequality and a Scala recompute") {
     val docsL = Tables(spark, sf001, "documents")
       .select("source", "text").collect()
