@@ -699,7 +699,36 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF shape): each SOURCE is one
+    * meta-document; term weight = tf_source · ln(1 + A/f_term) with A =
+    * average per-source token count and f_term = corpus frequency. Top 5
+    * keywords per source — the "what is this ingest source about" readout.
+    * Per-(source, term) aggregate → vocab-sized stat broadcasts → per-source
+    * top-k via a window over vocab-bounded partitions. */
+  def sourceKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .persist()
+    val tf = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val fTerm = tok.groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val a = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .agg(avg(col("n_s")).as("a"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ctfidf").desc, col("term"))
+    tf.join(broadcast(fTerm), "term")
+      .crossJoin(broadcast(a))
+      .withColumn("ctfidf",
+        round(col("tf") * log(lit(1.0) + col("a") / col("f")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("term"), col("ctfidf"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_keywords" -> (sourceKeywords _),
     "q_kl_divergence" -> (klDivergence _),
     "q_bm25" -> (bm25 _),
     "q_cooccur_pmi" -> (cooccurPmi _),
@@ -759,6 +788,27 @@ object TextOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_keywords" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |f AS (SELECT term, count(*) AS f FROM t2 GROUP BY 1),
+        |a AS (SELECT avg(n_s) AS a FROM
+        |      (SELECT count(*) AS n_s FROM t2 GROUP BY source)),
+        |scored AS (
+        |  SELECT source, term,
+        |    round(tf * ln(1.0 + (SELECT a FROM a) / f.f), 6) AS ctfidf
+        |  FROM tf JOIN f USING (term)),
+        |ranked AS (
+        |  SELECT source, term, ctfidf,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ctfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, term, ctfidf
+        |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
     "q_kl_divergence" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

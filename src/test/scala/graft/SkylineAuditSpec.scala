@@ -41,6 +41,36 @@ class SkylineAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("withGlobalCumMax property: any values, nulls, dups, any size") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.choose(1, 120).flatMap { n =>
+      Gen.listOfN(n, Gen.option(Gen.choose(-1000, 1000)))
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val prop = Prop.forAll(gen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, v.map(_.toDouble).map(Double.box).orNull)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      val got = ScaledRank.withGlobalCumMax(df, Seq(col("id").asc), col("v"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("cummax_excl"))) None
+           else Some(r.getAs[Double]("cummax_excl")))).toMap
+      spark.catalog.clearCache()
+      var run: Option[Double] = None
+      vs.zipWithIndex.forall { case (v, i) =>
+        val ok = got(i.toLong) == run
+        v.foreach(x => run = Some(run.fold(x.toDouble)(math.max(_, x))))
+        ok
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("skyline equals the quadratic dominance definition") {
     val pts = Tables(spark, sf001, "orders")
       .groupBy(col("o_custkey")).count().collect()
