@@ -795,9 +795,102 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** TPC-H Q13-shaped customer order-count distribution: how many customers
+    * placed exactly k (non-urgent) orders, INCLUDING the zero bucket. The
+    * classic form left-outer-joins every order row to customer then counts;
+    * here the count is pushed BELOW the outer join (aggregate orders to one
+    * row per custkey first, then outer-join customer to the counts and
+    * coalesce the miss to 0) — the join moves |customers| + |custkeys with
+    * orders| rows instead of |orders| rows, the aggregate-pushdown rewrite
+    * that matters when orders ≫ customers. The oracle states the classic
+    * nested form, so the driver proves the rewrite ≡ the definition. */
+  def custDistribution(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: yearly revenue lost if
+    * below-20%-of-average-quantity lineitems of one brand stopped shipping.
+    * The correlated per-part AVG decorrelates to a grouped aggregate of the
+    * SAME brand-filtered relation joined back on partkey: brand parts are a
+    * broadcast dim, the per-part averages are at most |brand parts| rows —
+    * also broadcast — so the fact table is scanned once per pass with no
+    * shuffle at all. Quantities are integral so the average is exact and
+    * the strict `<` boundary is engine-portable. */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val prt = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+    val lim = li.groupBy(col("l_partkey").as("ak"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_lim"))
+    li.join(broadcast(lim), col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < col("qty_lim"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * exceeds 250, with their customer — a HAVING filter on a fact-side
+    * aggregate that then drives two key joins. The quantity aggregate runs
+    * partial+final on l_orderkey (map-side combine shrinks the shuffle to
+    * one row per order), survivors (~1% of orders) join orders and
+    * customer, and the top-10 is TakeOrderedAndProject — per-partition
+    * heaps, no global sort. */
+  def bigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("price"), col("sum_qty"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q22-shaped dormant rich customers: above-average-balance
+    * customers with NO order since 2001, bucketed by the "country code"
+    * (last digit of the customer name). The scalar AVG subquery becomes a
+    * broadcast 1-row cross join (every executor compares locally — no
+    * second scan of customer per row), the NOT EXISTS becomes a LEFT ANTI
+    * join on the date-filtered order keys (filter pushed to the scan), and
+    * the average is rounded to cents on BOTH engines before the strict
+    * comparison so an ulp of summation-order drift cannot flip a boundary
+    * customer. */
+  def dormantRich(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")), 2).as("ab"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("timestamp") >=
+        lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(expr("right(c_name, 1)").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cust_distribution" -> (custDistribution _),
+    "q_small_qty_revenue" -> (smallQtyRevenue _),
+    "q_big_orders" -> (bigOrders _),
+    "q_dormant_rich" -> (dormantRich _),
     "q_top_supplier" -> (topSupplier _),
     "q_waiting_suppliers" -> (waitingSuppliers _),
     "q_market_share" -> (marketShare _),
@@ -849,6 +942,45 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q_big_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS price, sum_qty
+        |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 250) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_dormant_rich" ->
+      """SELECT right(c_name, 1) AS cntrycode, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
+
     "q_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
