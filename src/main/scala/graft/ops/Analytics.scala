@@ -1055,7 +1055,83 @@ object Analytics {
       .orderBy(col("segment"), col("converted"))
   }
 
+  /** Built-in linear-regression aggregate family (`regr_*`): per event
+    * type, the OLS fit of value on hour-of-day — slope, intercept, R²,
+    * and the paired-non-null count, all computed in ONE map-side-combinable
+    * aggregate pass (the regr_* aggregates are sum/count compositions, so
+    * partial aggregation applies exactly like `sum`). No window, no join;
+    * at 100 TB this is a single shuffle of 5 groups × constant state. */
+  def regrFuncs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        hour(col("ts")).cast("double").as("hr"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("regr_slope(value, hr)"), 6).as("slope"),
+        round(expr("regr_intercept(value, hr)"), 6).as("intercept"),
+        round(expr("regr_r2(value, hr)"), 6).as("r2"),
+        expr("regr_count(value, hr)").as("n"))
+      .orderBy(col("event_type"))
+
+  /** Pearson chi-square independence test of market segment × order
+    * status: the contingency table is a 15-cell aggregate, margins come
+    * from windows OVER THAT AGGREGATE (never the raw join), and the
+    * statistic folds to one row with its degrees of freedom. The join
+    * customer⋈orders shuffles on custkey once; everything after runs on
+    * ≤ |segments|×|statuses| rows. */
+  def chisqTest(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n_xy"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val expd = cells
+      .withColumn("n", sum(col("n_xy")).over(wAll))
+      .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy(col("seg"))))
+      .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy(col("st"))))
+      .withColumn("e",
+        (col("n_x") * col("n_y")).cast("double") / col("n"))
+    expd.agg(
+        round(sum(pow(col("n_xy") - col("e"), 2) / col("e")), 6).as("chi2"),
+        ((countDistinct(col("seg")) - 1) *
+          (countDistinct(col("st")) - 1)).as("dof"),
+        max(col("n")).as("n"))
+  }
+
+  /** Lagged cross-correlation between the per-minute click and purchase
+    * series (does click volume lead purchases?): both series come from ONE
+    * conditional-aggregate scan at minute grain, the lag alignment is an
+    * equi join on (minute + lag) per candidate lag 0..5 — a 6× explode of
+    * the MINUTE AGGREGATE (not the raw events), so the joined relation is
+    * bounded by 6 × minutes regardless of corpus size. Pearson corr per
+    * lag, rounded; minutes where either series is absent count as zero
+    * volume via the inner join on observed minutes only. */
+  def crossCorr(s: SparkSession, dir: String): DataFrame = {
+    val perMin = events(s, dir)
+      .withColumn("m",
+        (unix_micros(date_trunc("minute", col("ts"))) / lit(60000000L))
+          .cast("long"))
+      .groupBy(col("m"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("purchases"))
+    val lags = s.range(0, 6).select(col("id").cast("int").as("lag"))
+    val a = perMin.select(col("m"), col("clicks"))
+    val b = perMin.select(col("m").as("mb"), col("purchases"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("mb") === col("m") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(round(corr(col("clicks"), col("purchases")), 6).as("xcorr"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regr_funcs" -> (regrFuncs _),
+    "q_chisq_test" -> (chisqTest _),
+    "q_crosscorr" -> (crossCorr _),
     "q_psi_drift" -> (psiDrift _),
     "q_conversion_mi" -> (conversionMi _),
     "q_kaplan_meier" -> (kaplanMeier _),
@@ -1093,6 +1169,52 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_regr_funcs" ->
+      """SELECT event_type,
+        |  round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+        |  round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6)
+        |    AS intercept,
+        |  round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2,
+        |  CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_chisq_test" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, o_orderstatus AS st,
+        |    count(*) AS n_xy
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT n_xy,
+        |    sum(n_xy) OVER () AS n,
+        |    sum(n_xy) OVER (PARTITION BY seg) AS n_x,
+        |    sum(n_xy) OVER (PARTITION BY st) AS n_y,
+        |    seg, st
+        |  FROM cells)
+        |SELECT
+        |  round(sum(pow(n_xy - CAST(n_x * n_y AS DOUBLE) / n, 2)
+        |    / (CAST(n_x * n_y AS DOUBLE) / n)), 6) AS chi2,
+        |  (count(DISTINCT seg) - 1) * (count(DISTINCT st) - 1) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM m""".stripMargin,
+
+    "q_crosscorr" ->
+      """WITH per_min AS (
+        |  SELECT CAST(epoch_us(date_trunc('minute', ts)) / 60000000
+        |      AS BIGINT) AS m,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS clicks,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchases
+        |  FROM events GROUP BY 1)
+        |SELECT lag,
+        |  round(corr(a.clicks, b.purchases), 6) AS xcorr,
+        |  count(*) AS n_pairs
+        |FROM per_min a
+        |CROSS JOIN (SELECT CAST(unnest(range(0, 6)) AS INTEGER) AS lag)
+        |JOIN per_min b ON b.m = a.m + lag
+        |GROUP BY lag ORDER BY lag""".stripMargin,
+
     "q_psi_drift" ->
       """WITH edges AS (
         |  SELECT list_transform(

@@ -123,7 +123,35 @@ object Audit {
     s.sql(kAnonymitySql("customer_v"))
   }
 
+  /** l-diversity audit (l = 3) — k-anonymity's complement: a class of ≥ k
+    * users is still exposed if they all share one SENSITIVE value, so per
+    * quasi-identifier class (nation, $2000 balance band) count the
+    * DISTINCT sensitive values (market segment) and flag classes below l.
+    * Distinct-per-group runs as the standard two-phase expand aggregate on
+    * the QI grain — bounded output, one shuffle; the report rolls classes
+    * up per nation. Same SQL text on both engines. */
+  private def lDiversitySql(table: String): String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+       |    count(DISTINCT c_mktsegment) AS l,
+       |    count(*) AS class_size
+       |  FROM $table GROUP BY c_nationkey,
+       |    CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+       |SELECT c_nationkey, count(*) AS n_classes,
+       |  CAST(min(l) AS BIGINT) AS min_l,
+       |  count(CASE WHEN l < 3 THEN 1 END) AS classes_below_l,
+       |  CAST(coalesce(sum(CASE WHEN l < 3 THEN class_size END), 0)
+       |    AS BIGINT) AS users_at_risk
+       |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(lDiversitySql("customer_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l_diversity" -> (lDiversity _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_null_audit" -> (nullAudit _),
     "q_benford" -> (benford _),
@@ -131,6 +159,7 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_l_diversity" -> lDiversitySql("customer"),
     "q_k_anonymity" -> kAnonymitySql("customer"),
     "q_null_audit" -> nullAuditSql("events"),
     "q_benford" -> benfordSql("orders"),
