@@ -1128,7 +1128,37 @@ object Analytics {
       .orderBy(col("lag"))
   }
 
+  /** Interval-union coverage (classic gaps-and-islands): each event opens
+    * a 5-minute activity interval; per user, merge every overlapping
+    * interval and report how many disjoint islands remain and the exact
+    * covered microseconds — the "total active time without double
+    * counting" metric naive sum-of-durations gets wrong. An interval
+    * starts a new island iff its start exceeds the running max of all
+    * PRIOR interval ends (rows-frame window), islands number by running
+    * sum of that flag — so the whole merge is two stacked windows over ONE
+    * hash-by-user exchange plus two bounded aggregates. Exact integer
+    * microsecond arithmetic end to end; no float, no engine drift. */
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val iv = events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) + lit(300000000L)).as("en"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+    val prevMax = max(col("en"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("new_island",
+        when(prevMax.isNull || col("st") > prevMax, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_union" -> (intervalUnion _),
     "q_regr_funcs" -> (regrFuncs _),
     "q_chisq_test" -> (chisqTest _),
     "q_crosscorr" -> (crossCorr _),
@@ -1169,6 +1199,30 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 300000000 AS en
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, st, en,
+        |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(ien - ist) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_regr_funcs" ->
       """SELECT event_type,
         |  round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,

@@ -680,7 +680,37 @@ object Curation {
         |FROM documents_v ORDER BY doc_id""".stripMargin)
   }
 
+  /** Degree distribution + power-law exponent of the REAL customer–supplier
+    * interaction graph (an edge per distinct (custkey, suppkey) that ever
+    * traded): per-customer degree, the degree histogram, each degree's
+    * share, and the log–log OLS slope (the power-law exponent estimate —
+    * how hub-dominated the graph is, which predicts whether degree-keyed
+    * joins need skew handling). The orders⋈lineitem join shuffles on
+    * orderkey once, the distinct collapses to |edges|, and everything
+    * after runs on the degree HISTOGRAM (≤ max-degree rows); the 1-row
+    * slope aggregate broadcasts back onto the histogram. */
+  def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    val deg = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_cust"))
+    val fit = hist.agg(
+      round(expr("regr_slope(ln(n_cust), ln(degree))"), 6).as("loglog_slope"))
+    hist.crossJoin(broadcast(fit))
+      .withColumn("share",
+        round(col("n_cust") / sum(col("n_cust")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)), 6))
+      .select(col("degree"), col("n_cust"), col("share"), col("loglog_slope"))
+      .orderBy(col("degree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_dist" -> (degreeDist _),
     "q_jsonl_export" -> (jsonlExport _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_incremental_dedup" -> (incrementalDedup _),
@@ -736,6 +766,18 @@ object Curation {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_degree_dist" ->
+      """WITH deg AS (
+        |  SELECT o_custkey, count(*) AS degree FROM (
+        |    SELECT DISTINCT o_custkey, l_suppkey
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |  GROUP BY o_custkey),
+        |hist AS (SELECT degree, count(*) AS n_cust FROM deg GROUP BY degree)
+        |SELECT degree, n_cust,
+        |  round(CAST(n_cust AS DOUBLE) / sum(n_cust) OVER (), 6) AS share,
+        |  (SELECT round(regr_slope(ln(n_cust), ln(degree)), 6) FROM hist)
+        |    AS loglog_slope
+        |FROM hist ORDER BY degree""".stripMargin,
     "q_jsonl_export" ->
       """SELECT doc_id,
         |  CAST(to_json(struct_pack(

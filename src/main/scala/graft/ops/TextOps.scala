@@ -165,6 +165,35 @@ object TextOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Overlap-coefficient (Szymkiewicz–Simpson) near-dup pairs — the
+    * ASYMMETRIC containment complement to [[jaccardPairs]]: a short doc
+    * fully contained in a long one scores inter/min(|A|,|B|) ≈ 1 even
+    * though its Jaccard is tiny, which is exactly the quote/excerpt
+    * duplication Jaccard misses. Same execution shape as jaccardPairs
+    * (one persisted explode, equi joins on (lang, source, shingle), no
+    * broadcasts of corpus-sized relations); only the final scoring
+    * differs, so the scale posture is inherited. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val ex = withShingles(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(col("shingles")).as("sh"))
+      .persist()
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id1"))
+    val b = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id2"))
+    a.join(b, Seq("lang", "source", "sh"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("n1"), col("n2")), 6))
+      .filter(col("containment") >= 0.3)
+      .select(col("id1"), col("id2"), col("inter"), col("containment"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** MinHash + LSH banding near-dup candidates — the sub-quadratic scale
     * path (SURVEY §2.11). 32 hash functions h_i(s) = xxhash64(i || s),
     * signature = per-i min over shingles; 8 bands × 4 rows; docs sharing a
@@ -744,6 +773,7 @@ object TextOps {
     "q_term_freq" -> (termFreq _),
     "q_quality_score" -> (qualityScore _),
     "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_containment_pairs" -> (containmentPairs _),
     "q_minhash_candidates" -> (minhashCandidates _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_language_id" -> (languageId _),
@@ -960,6 +990,26 @@ object TextOps {
         |       ELSE 'long' END AS len_band
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    "q_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |         count(*) AS inter
+        |  FROM ex a JOIN ex b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT id1, id2, inter,
+        |       round(inter * 1.0 / least(n1, n2), 6) AS containment
+        |FROM pairs WHERE round(inter * 1.0 / least(n1, n2), 6) >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, lang, source,
