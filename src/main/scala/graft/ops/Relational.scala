@@ -821,10 +821,11 @@ object Relational {
     * below-20%-of-average-quantity lineitems of one brand stopped shipping.
     * The correlated per-part AVG decorrelates to a grouped aggregate of the
     * SAME brand-filtered relation joined back on partkey: brand parts are a
-    * broadcast dim, the per-part averages are at most |brand parts| rows —
-    * also broadcast — so the fact table is scanned once per pass with no
-    * shuffle at all. Quantities are integral so the average is exact and
-    * the strict `<` boundary is engine-portable. */
+    * broadcast dim, so the only keyed exchange is the per-part AVG over the
+    * ~1/|brands| filtered slice, and the resulting |brand parts|-row
+    * average relation broadcasts back — the full fact table never
+    * shuffles (PlanSpec pins both properties). Quantities are integral so
+    * the average is exact and the strict `<` boundary is engine-portable. */
   def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
     val prt = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
       .select(col("p_partkey"))

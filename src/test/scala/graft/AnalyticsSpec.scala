@@ -46,6 +46,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_purchased") === 1) // u1 only
   }
 
+  test("intervalUnion merges overlapping 5-min intervals, keeps disjoint islands") {
+    // u1: 10:00 and 10:02 overlap -> one island [10:00,10:07) = 420s;
+    // 10:20 stands alone -> [10:20,10:25) = 300s. u2: single event.
+    val ev = evDf(
+      (1L, s"$day0 10:00:00", "view", 1L),
+      (1L, s"$day0 10:02:00", "click", 2L),
+      (1L, s"$day0 10:20:00", "view", 3L),
+      (2L, s"$day0 12:00:00", "view", 4L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iv").toString
+    ev.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.intervalUnion(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, 720000000L)))
+    assert(out(2L) === ((1L, 300000000L)))
+  }
+
+  test("intervalUnion: an interval touching the running max exactly does not split") {
+    // second interval starts EXACTLY at the first's end (10:05): st > prevMax
+    // is false at equality, so [10:00,10:05) + [10:05,10:10) fuse into one
+    // island of 600s — half-open adjacency merges, by design
+    val ev = evDf(
+      (1L, s"$day0 10:00:00", "view", 1L),
+      (1L, s"$day0 10:05:00", "view", 2L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iv2").toString
+    ev.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.intervalUnion(spark, tmp).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L && out.head.getLong(2) === 600000000L)
+  }
+
   test("funnel resets at day boundaries (user-day grain)") {
     // same user: view on day 1, click on day 2 — the day-2 click has no
     // same-day prior view, so no user-day converts past 'viewed'

@@ -32,6 +32,16 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("Q17 decorrelation: fact table never shuffles, dims broadcast") {
+    // both the brand-part dim and the per-part average relation must join
+    // as broadcasts; the only keyed exchange is the per-part AVG over the
+    // brand-filtered slice (plus the 1-row final aggregate)
+    val p = plan("q_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n${p.take(3000)}")
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

@@ -6,6 +6,28 @@ import graft.ops.{TextOps, VectorOps}
 
 class TextVectorSpec extends SparkSpec {
 
+  test("containment scores an embedded excerpt ~1.0 where jaccard stays low") {
+    import spark.implicits._
+    // doc 2 contains doc 1's text verbatim inside a much longer body:
+    // every bigram of doc 1 appears in doc 2 -> containment = 1.0, while
+    // jaccard = |A|/|B| is small. doc 3 shares nothing.
+    val short = "alpha beta gamma delta epsilon"
+    val long = s"intro words here $short and then many closing words follow now"
+    val docsDf = Seq(
+      (1L, short, "en", "web"),
+      (2L, long, "en", "web"),
+      (3L, "totally different content entirely", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    docsDf.write.parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.containmentPairs(spark, tmp).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(3) === 1.0)
+  }
+
   test("minhash estimate tracks exact jaccard on real near-dup pairs") {
     // exact bigram-shingle jaccard across ALL pairs (no blocking) at sf0.001
     val ex = Tables(spark, sf001, "documents")
