@@ -1157,7 +1157,31 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Peak concurrency by sweep line: every event opens a 5-minute
+    * interval; +1/−1 boundary deltas, summed in global (time, delta, id)
+    * order, give the instantaneous concurrency, whose max is the answer
+    * ("how many sessions were open at the worst moment" — capacity
+    * planning's first question). The global running sum is
+    * [[ScaledRank.withGlobalCumSum]] — range exchange + local pass +
+    * O(#partitions) offsets, NOT a single-partition Window.orderBy, so the
+    * sweep scales to any corpus. Ends sort before starts at the same
+    * instant (delta −1 < +1), making the intervals half-open — adjacent
+    * intervals never double-count. */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("st"))
+    val deltas = ev.select(col("st").as("t"), lit(1).as("delta"), col("event_id"))
+      .union(ev.select((col("st") + lit(300000000L)).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    val conc = ScaledRank.withGlobalCumSum(deltas,
+      Seq(col("t"), col("delta"), col("event_id")), col("delta"))
+    val mx = conc.agg(max(col("cumsum")).as("peak"))
+    conc.join(broadcast(mx), col("cumsum") === col("peak"))
+      .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_at_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_peak_concurrency" -> (peakConcurrency _),
     "q_interval_union" -> (intervalUnion _),
     "q_regr_funcs" -> (regrFuncs _),
     "q_chisq_test" -> (chisqTest _),
@@ -1199,6 +1223,20 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_peak_concurrency" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts) + 300000000, -1, event_id FROM events),
+        |c AS (
+        |  SELECT t, sum(delta) OVER (ORDER BY t, delta, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM d)
+        |SELECT CAST(max(conc) AS BIGINT) AS peak,
+        |  CAST(min(CASE WHEN conc = (SELECT max(conc) FROM c) THEN t END)
+        |    AS BIGINT) AS peak_at_us
+        |FROM c""".stripMargin,
+
     "q_interval_union" ->
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS st,

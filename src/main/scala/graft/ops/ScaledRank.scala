@@ -154,8 +154,11 @@ object ScaledRank {
     }(Encoders.row(outSchema))
       .withColumn("_pid", spark_partition_id())
       .persist() // stats + final join below; caller clearCache()s
+    // per-partition total = the partition's FINAL local prefix value.
+    // sum(_v), not max(_cs): for signed values (sweep-line ±1 deltas) the
+    // running sum is non-monotonic and its max overstates the offset
     val stats = local.groupBy(col("_pid"))
-      .agg(max(col("_cs")).as("part_sum"))
+      .agg(sum(col("_v")).as("part_sum"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val offsets = stats.scanLeft((0, 0L)) { case ((_, off), (pid, s)) =>

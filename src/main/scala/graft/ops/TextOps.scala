@@ -103,6 +103,32 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(30)
 
+  /** Zipf rank–frequency fit: every term's global frequency rank (count
+    * desc, term asc — tie-free) via [[ScaledRank.withGlobalRanks]]'s
+    * range-partitioned two-phase pass (vocabularies run to hundreds of
+    * millions of terms at 100 TB — no single-task Window.orderBy), the
+    * log–log OLS slope over the WHOLE vocabulary (Zipf's law predicts
+    * ≈ −1; deviation flags synthetic/spammy corpora), and the top 30
+    * ranked terms as the inspection sample. The slope is a 1-row
+    * aggregate broadcast back onto the bounded top-k. */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = ScaledRank.withGlobalRanks(tf,
+      Seq(col("n").desc, col("term").asc), Seq(col("n"), col("term")))
+      .select(col("term"), col("n"), col("rn").as("rank"))
+      .persist() // scanned twice: whole-vocab slope + bounded top-k
+    val fit = ranked.agg(
+      round(expr("regr_slope(ln(n), ln(rank))"), 6).as("zipf_slope"))
+    ranked.filter(col("rank") <= 30)
+      .crossJoin(broadcast(fit))
+      .select(col("rank"), col("term"), col("n"), col("zipf_slope"))
+      .orderBy(col("rank"))
+  }
+
   /** Heuristic quality score: stopword ratio + mean word length + length
     * band, the classic cheap pre-filter for training-data curation. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -771,6 +797,7 @@ object TextOps {
     "q_token_stats" -> (tokenStats _),
     "q_lang_stats" -> (langStats _),
     "q_term_freq" -> (termFreq _),
+    "q_zipf_fit" -> (zipfFit _),
     "q_quality_score" -> (qualityScore _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_containment_pairs" -> (containmentPairs _),
@@ -971,6 +998,19 @@ object TextOps {
         |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE length(term) > 0 GROUP BY term),
+        |ranked AS (
+        |  SELECT term, n,
+        |    row_number() OVER (ORDER BY n DESC, term) AS rank FROM tf)
+        |SELECT rank, term, n,
+        |  (SELECT round(regr_slope(ln(n), ln(rank)), 6) FROM ranked)
+        |    AS zipf_slope
+        |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin,
 
     "q_term_freq" ->
       """SELECT term, count(*) AS n FROM (

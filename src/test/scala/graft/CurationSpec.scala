@@ -107,6 +107,25 @@ class CurationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("withGlobalCumSum handles SIGNED values (non-monotonic running sum)") {
+    // sweep-line regression: ±1 deltas make the local prefix sum
+    // non-monotonic, so partition offsets must be the partition TOTAL
+    // (sum of values), not max(local prefix) — max overstated every
+    // downstream partition's offset
+    val df = spark.range(2000)
+      .select(col("id"),
+        when(col("id") % 2 === 0, 1).otherwise(-1).as("v"))
+    val got = ScaledRank.withGlobalCumSum(df, Seq(col("id")), col("v"))
+      .select(col("id"), col("cumsum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cs", sum(col("v")).over(w))
+      .select(col("id"), col("cs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("seqPacking: offsets are a packing of the concatenated token stream") {
     val rows = Curation.seqPacking(spark, sf001).collect()
     assert(rows.nonEmpty)
