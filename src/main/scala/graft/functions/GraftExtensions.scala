@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: free length-difference gates ahead of bounded
     // levenshtein predicates (see graft.plans.LevenshteinGuard)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
+    // whole-operator extension: native as-of join (logical node + physical
+    // streaming-merge exec — see graft.plans.AsOfJoinPlan)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -97,6 +97,30 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME nearest-≤ join as [[asofSignup]], executed by the engine's
+    * native [[graft.plans.AsOfJoinExec]] operator instead of the
+    * union+window workaround: two co-partitioned sorted children, one
+    * O(|L|+|R|) streaming merge per partition, one buffered candidate row
+    * — no union materialization, no window frame. The oracle is DuckDB's
+    * built-in ASOF LEFT JOIN, so the driver independently proves the
+    * custom physical operator's semantics; equality with the window-trick
+    * twin and the merge edge cases are pinned in AsOfJoinSpec. */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("r_user"),
+        unix_micros(col("ts")).as("signup_us"))
+    graft.plans.AsOfJoinOps.asofJoin(purchases, signups,
+        Seq("user_id"), Seq("r_user"), "ts_us", "signup_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("signup_us").as("last_signup_us"),
+        (col("ts_us") - col("signup_us")).as("since_signup_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-user behavioral profile: event counts by kind (conditional agg),
     * value stats. */
   def userStats(s: SparkSession, dir: String): DataFrame =
@@ -507,6 +531,7 @@ object EventOps {
     "q_load_per_minute" -> (loadPerMinute _),
     "q_sliding_load" -> (slidingLoad _),
     "q_asof_signup" -> (asofSignup _),
+    "q_asof_native" -> (asofNative _),
     "q_user_stats" -> (userStats _),
     "q_stats_summary" -> (statsSummary _),
     "q_json_schema" -> (jsonSchema _),
@@ -676,6 +701,18 @@ object EventOps {
         |SELECT event_id, user_id, ts_us, last_signup_us,
         |       ts_us - last_signup_us AS since_signup_us
         |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_asof_native" ->
+      """SELECT event_id, user_id, ts_us, last_signup_us,
+        |  ts_us - last_signup_us AS since_signup_us
+        |FROM (
+        |  SELECT l.event_id, l.user_id, l.ts_us, r.signup_us AS last_signup_us
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |        FROM events WHERE event_type = 'purchase') l
+        |  ASOF LEFT JOIN (SELECT user_id AS r_user, epoch_us(ts) AS signup_us
+        |                  FROM events WHERE event_type = 'signup') r
+        |    ON l.user_id = r.r_user AND l.ts_us >= r.signup_us)
+        |ORDER BY event_id""".stripMargin,
 
     "q_stats_summary" ->
       """SELECT event_type, count(*) AS n,
