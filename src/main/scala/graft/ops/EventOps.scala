@@ -121,6 +121,27 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the same native operator: for each signup, the
+    * user's NEXT purchase (nearest ≥) — time-to-activation at event grain.
+    * Forward direction needs no candidate buffering at all (the first
+    * unconsumed same-key right row is the answer); oracle is DuckDB's
+    * ASOF LEFT JOIN with the inequality flipped. */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("purchase_us"))
+    graft.plans.AsOfJoinOps.asofJoin(signups, purchases,
+        Seq("user_id"), Seq("p_user"), "ts_us", "purchase_us", forward = true)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("purchase_us").as("next_purchase_us"),
+        (col("purchase_us") - col("ts_us")).as("wait_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-user behavioral profile: event counts by kind (conditional agg),
     * value stats. */
   def userStats(s: SparkSession, dir: String): DataFrame =
@@ -532,6 +553,7 @@ object EventOps {
     "q_sliding_load" -> (slidingLoad _),
     "q_asof_signup" -> (asofSignup _),
     "q_asof_native" -> (asofNative _),
+    "q_asof_forward" -> (asofForward _),
     "q_user_stats" -> (userStats _),
     "q_stats_summary" -> (statsSummary _),
     "q_json_schema" -> (jsonSchema _),
@@ -712,6 +734,19 @@ object EventOps {
         |  ASOF LEFT JOIN (SELECT user_id AS r_user, epoch_us(ts) AS signup_us
         |                  FROM events WHERE event_type = 'signup') r
         |    ON l.user_id = r.r_user AND l.ts_us >= r.signup_us)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT event_id, user_id, ts_us, next_purchase_us,
+        |  next_purchase_us - ts_us AS wait_us
+        |FROM (
+        |  SELECT l.event_id, l.user_id, l.ts_us,
+        |    r.purchase_us AS next_purchase_us
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |        FROM events WHERE event_type = 'signup') l
+        |  ASOF LEFT JOIN (SELECT user_id AS p_user, epoch_us(ts) AS purchase_us
+        |                  FROM events WHERE event_type = 'purchase') r
+        |    ON l.user_id = r.p_user AND l.ts_us <= r.purchase_us)
         |ORDER BY event_id""".stripMargin,
 
     "q_stats_summary" ->

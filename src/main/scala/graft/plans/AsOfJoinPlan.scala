@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.LongType
 
 /** Native AS-OF join — the whole-operator (c)-tier extension of SURVEY §7.4:
   * for every left row, the single right row with the same key and the
-  * LARGEST right time ≤ the left time (LEFT OUTER: unmatched lefts keep
-  * null right columns).
+  * LARGEST right time ≤ the left time (backward, the default), or the
+  * SMALLEST right time ≥ it (`forward = true`). LEFT OUTER either way:
+  * unmatched lefts keep null right columns.
   *
   * Spark has no as-of join operator; the composable workaround (union both
   * sides + `last(..., ignoreNulls)` window — [[graft.ops.EventOps.asofSignup]])
@@ -35,7 +36,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length,
     "as-of join needs the same number of keys on both sides")
@@ -56,22 +58,25 @@ case class AsOfJoin(
   * [[graft.functions.GraftExtensions]] (declarative config). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical as-of join: co-partitioned (key, time)-sorted children, one
-  * forward pass per partition pair. The only allocations on the hot path
-  * are candidate-row copies (one per candidate UPDATE, not per row) —
-  * key projections and the output row reuse their buffers exactly like
+  * forward pass per partition pair. Backward (nearest ≤) buffers exactly
+  * one candidate row per key — the only hot-path allocation is a copy per
+  * candidate UPDATE, not per row; forward (nearest ≥) needs no buffering
+  * at all: the first unconsumed same-key right row IS the answer. Key
+  * projections and the output row reuse their buffers exactly like
   * SortMergeJoinExec. */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -122,30 +127,48 @@ case class AsOfJoinExec(
       }
       advanceRight()
 
-      var cand: InternalRow = null   // latest right row matching candKey
+      var cand: InternalRow = null   // backward: latest right row for candKey
       var candKey: UnsafeRow = null  // owned copy
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val ltRaw = lTimeB.eval(lRow)
-        val lt: Long =
-          if (ltRaw == null) Long.MinValue else ltRaw.asInstanceOf[Long]
-        var advancing = rRow != null
-        while (advancing) {
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0 || (c == 0 && (rTime == null || rTime <= lt))) {
-            if (c == 0 && rTime != null && rTime <= lt) {
-              cand = rRow.copy()
-              if (candKey == null || keyOrd.compare(candKey, lKey) != 0)
-                candKey = lKey.copy()
-            }
-            advanceRight()
-            advancing = rRow != null
-          } else advancing = false
+        val ltNull = ltRaw == null
+        val lt: Long = if (ltNull) 0L else ltRaw.asInstanceOf[Long]
+        if (forward) {
+          // consume right rows that can never match this or any later left
+          // row (key behind, null time, or time strictly before lt); the
+          // head left standing IS the nearest >= match — no buffering
+          var advancing = rRow != null
+          while (advancing) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0 || (c == 0 && (rTime == null || (!ltNull && rTime < lt)))) {
+              advanceRight()
+              advancing = rRow != null
+            } else advancing = false
+          }
+          val matched =
+            !ltNull && rRow != null && keyOrd.compare(rKey, lKey) == 0
+          resultProj(joined(lRow, if (matched) rRow else nullRight))
+        } else {
+          val ltB: Long = if (ltNull) Long.MinValue else lt
+          var advancing = rRow != null
+          while (advancing) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0 || (c == 0 && (rTime == null || rTime <= ltB))) {
+              if (c == 0 && rTime != null && rTime <= ltB) {
+                cand = rRow.copy()
+                if (candKey == null || keyOrd.compare(candKey, lKey) != 0)
+                  candKey = lKey.copy()
+              }
+              advanceRight()
+              advancing = rRow != null
+            } else advancing = false
+          }
+          val matched =
+            cand != null && candKey != null && keyOrd.compare(candKey, lKey) == 0
+          resultProj(joined(lRow, if (matched) cand else nullRight))
         }
-        val matched =
-          cand != null && candKey != null && keyOrd.compare(candKey, lKey) == 0
-        resultProj(joined(lRow, if (matched) cand else nullRight))
       }
     }
   }
@@ -161,7 +184,8 @@ object AsOfJoinOps {
     * built-in join nodes). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -180,6 +204,6 @@ object AsOfJoinOps {
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
         leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+        attr(lPlan, leftTime), attr(rPlan, rightTime), forward))
   }
 }

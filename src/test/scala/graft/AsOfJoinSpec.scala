@@ -60,6 +60,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(-1L) === null)
   }
 
+  test("forward direction: nearest >= match, ties match, earlier rows don't") {
+    val left = Seq(
+      (1L, 100L), // tie with right (1,100) -> matches it
+      (1L, 101L), // next is 200
+      (1L, 300L), // nothing at or after 300 -> null
+      (2L, 5L)    // no right rows for key 2 -> null
+    ).toDF("k", "t")
+    val right = Seq((1L, 50L, "a"), (1L, 100L, "b"), (1L, 200L, "c"))
+      .toDF("rk", "rt", "payload")
+    val got = AsOfJoinOps.asofJoin(left, right,
+        Seq("k"), Seq("rk"), "t", "rt", forward = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getString(4))).toMap
+    assert(got((1L, 100L)) === "b")
+    assert(got((1L, 101L)) === "c")
+    assert(got((1L, 300L)) === null)
+    assert(got((2L, 5L)) === null)
+  }
+
+  test("forward keeps the matching right row available for later left rows") {
+    // both left rows at 10 and 20 should see the SAME right row at 30 —
+    // a consumed match would leave the second left row unmatched
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 30L, "r30")).toDF("rk", "rt", "payload")
+    val got = AsOfJoinOps.asofJoin(left, right,
+        Seq("k"), Seq("rk"), "t", "rt", forward = true).collect()
+      .map(r => r.getLong(1) -> r.getString(4)).toMap
+    assert(got === Map(10L -> "r30", 20L -> "r30"))
+  }
+
   test("matches the union+window as-of twin on real events (sf0.001)") {
     val native = EventOps.asofNative(spark, sf001).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
