@@ -326,6 +326,57 @@ object Curation {
     visited.orderBy(col("node"))
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003)
+    * over the derived doc graph (same edges as [[triangleCount]]): for
+    * each NON-adjacent pair with ≥1 common neighbor, score =
+    * Σ_z 1/ln(deg z) over common neighbors z — the classic
+    * common-neighbor scorer that down-weights hub intermediaries. Top 20
+    * predicted links.
+    *
+    * Plan: the wedge self-join on the shared endpoint (the SAME shape as
+    * [[triangleCount]]'s wedge stage — fan-out bounded by Σ deg², and on
+    * skewed graphs the degree-capped variant of that trick applies), a
+    * LEFT ANTI join against the edge list to keep non-adjacent pairs
+    * only, then one (x, y) aggregate. Every common neighbor has deg ≥ 2
+    * by construction (it touches both endpoints), so ln(deg) is never 0.
+    * deg comes pre-aggregated (node-count-sized dim) and joins the wedge
+    * on its shared endpoint BEFORE pair aggregation, so the scorer needs
+    * no second pass. Fully oracle-checked: same construction in SQL,
+    * round(…, 9) absorbs float-sum ordering (≤ max-deg ~O(1) terms). */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("n")).as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") + 2) % col("n")).as("v")))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist()
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
+    // wedges through z: (x, z) ⋈ (z, y), x < y canonical; weight by z's
+    // degree at wedge time (one broadcast-sized dim join)
+    val wedges = sym.select(col("v").as("z"), col("u").as("x"))
+      .join(sym.select(col("u").as("z"), col("v").as("y")), "z")
+      .filter(col("x") < col("y"))
+      .join(deg, "z")
+    wedges
+      .join(und.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_anti")
+      .groupBy(col("x"), col("y"))
+      .agg(round(sum(lit(1.0) / log(col("deg").cast("double"))), 9)
+        .as("aa_score"),
+        count(lit(1)).as("common_neighbors"))
+      .orderBy(col("aa_score").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   /** Per-rule filter attribution for the quality-gate stack — when a
     * curation run drops 12% of the corpus, this answers WHICH gate did it
     * and which docs only one gate catches (the rules worth tuning). Four
@@ -721,6 +772,7 @@ object Curation {
     "q_pagerank" -> (pageRank _),
     "q_triangle_count" -> (triangleCount _),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
+    "q_adamic_adar" -> (adamicAdar _),
     "q_filter_attribution" -> (filterAttribution _),
     "q_hybrid_dedup" -> (hybridDedup _),
     "q_weighted_sample" -> (weightedSample _),
@@ -853,6 +905,34 @@ object Curation {
         |  UNION ALL SELECT 'short', c_short, s_short,
         |    round(c_short * 1.0 / total, 6) FROM a)
         |ORDER BY rule""".stripMargin,
+
+    "q_adamic_adar" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS z, count(*) AS deg FROM sym GROUP BY u),
+        |wedge AS (
+        |  SELECT a.v AS z, a.u AS x, b.v AS y
+        |  FROM sym a JOIN sym b ON a.v = b.u
+        |  WHERE a.u < b.v),
+        |nonadj AS (
+        |  SELECT w.x, w.y, w.z FROM wedge w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.u = w.x AND e.v = w.y))
+        |SELECT x, y,
+        |  round(sum(1.0 / ln(CAST(deg AS DOUBLE))), 9) AS aa_score,
+        |  count(*) AS common_neighbors
+        |FROM nonadj JOIN deg ON nonadj.z = deg.z
+        |GROUP BY x, y
+        |ORDER BY aa_score DESC, x, y LIMIT 20""".stripMargin,
 
     "q_hybrid_dedup" ->
       """WITH sh AS (

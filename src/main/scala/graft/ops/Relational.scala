@@ -885,9 +885,154 @@ object Relational {
       .orderBy(col("cntrycode"))
   }
 
+  /** TPC-H Q7-shaped volume shipping: bilateral trade revenue between two
+    * nations by ship year. Supplier and customer each resolve their nation
+    * through a broadcast of the 25-row nation dim; the disjunctive
+    * two-direction predicate sits on the joined (supp_nation, cust_nation)
+    * pair — Catalyst cannot push it below the joins (it spans both sides),
+    * but both nation joins are broadcasts so nothing extra shuffles; the
+    * only keyed exchanges are the two fact joins (lineitem ⋈ orders ⋈
+    * customer). */
+  def volumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer over one quarter, top 20. The returnflag filter prunes the
+    * fact scan (pushed to parquet), the quarter filter prunes orders, and
+    * the join order keeps the heavily-filtered relations on the build
+    * side; nation is a broadcast dim. TakeOrderedAndProject caps the
+    * result without a global sort. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("timestamp") >= lo &&
+        col("o_orderdate").cast("timestamp") < hi)
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12-shaped shipping-lag priority audit (adapted: this schema
+    * carries no commit/receipt dates or ship modes, so the mode dimension
+    * becomes ship-lag buckets of datediff(l_shipdate, o_orderdate)): per
+    * lag bucket, how many high-priority vs other orders shipped there.
+    * The CASE-conditional counts ride ONE partial+final hash aggregate
+    * over the single fact-fact join — the Q12 shape (join + conditional
+    * agg) exactly. Integral datediff makes bucket edges engine-exact. */
+  def shipLagPriority(s: SparkSession, dir: String): DataFrame = {
+    val lag = datediff(col("l_shipdate").cast("date"),
+      col("o_orderdate").cast("date"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_bucket",
+        when(lag <= 30, "0-30")
+          .when(lag <= 90, "31-90")
+          .when(lag <= 180, "91-180")
+          .otherwise("181+"))
+      .groupBy(col("lag_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("lag_bucket"))
+  }
+
+  /** TPC-H Q14-shaped promo-revenue share: the fraction of one month's
+    * revenue from PROMO-type parts. The conditional-numerator /
+    * unconditional-denominator division runs in ONE aggregate over ONE
+    * join pass — no re-scan per branch; the month filter prunes the fact
+    * scan, and the 2-column part projection is the probe side. */
+  def promoEffect(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1998-03-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1998-04-01 00:00:00"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("timestamp") >= lo &&
+        col("l_shipdate").cast("timestamp") < hi)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(0.0)) / sum(rev), 6).as("promo_share_pct"),
+        round(sum(rev), 2).as("total_rev"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue (adapted: no
+    * container/shipmode columns, so the three AND-branches pair brand with
+    * disjoint size and quantity bands): revenue from lineitems matching
+    * ANY of three (brand, size-range, quantity-range) bundles. The OR of
+    * ANDs cannot be a single pushed range, but Catalyst still pushes the
+    * COMMON conjuncts extracted from the disjunction and prunes both scans
+    * to the referenced columns; the join stays a plain partkey equi join
+    * with the composite predicate evaluated post-join in one codegen
+    * stage — the Q19 plan shape. */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val prt = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(25, 50) &&
+        col("l_quantity").between(20, 35))
+    li.join(prt, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_volume_shipping" -> (volumeShipping _),
+    "q_returned_items" -> (returnedItems _),
+    "q_ship_lag" -> (shipLagPriority _),
+    "q_promo_effect" -> (promoEffect _),
+    "q_disjunctive_revenue" -> (disjunctiveRevenue _),
     "q_cust_distribution" -> (custDistribution _),
     "q_small_qty_revenue" -> (smallQtyRevenue _),
     "q_big_orders" -> (bigOrders _),
@@ -943,6 +1088,78 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name, acctbal
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_ship_lag" ->
+      """SELECT CASE WHEN lag <= 30 THEN '0-30'
+        |            WHEN lag <= 90 THEN '31-90'
+        |            WHEN lag <= 180 THEN '91-180'
+        |            ELSE '181+' END AS lag_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (
+        |  SELECT datediff('day', CAST(o_orderdate AS DATE),
+        |                  CAST(l_shipdate AS DATE)) AS lag, o_orderpriority
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY lag_bucket ORDER BY lag_bucket""".stripMargin,
+
+    "q_promo_effect" ->
+      """SELECT
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'""".stripMargin,
+
+    "q_disjunctive_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 25 AND 50
+        |       AND l_quantity BETWEEN 20 AND 35)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_cust_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
