@@ -439,6 +439,51 @@ object Analytics {
       .orderBy(col("scope"))
   }
 
+  /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan,
+    * J.Alg'05) with DETERMINISTIC affine hashes — which makes the whole
+    * sketch, not just its guarantee, oracle-checkable: h_i(x) =
+    * ((a_i·x + b_i) mod p) mod w with fixed (a_i, b_i), p = 2^31−1, is the
+    * same arithmetic in both engines, so the counter table AND every point
+    * estimate hash-match DuckDB exactly.
+    *
+    * Build is the mergeable-summaries shape: ONE scan explodes each key to
+    * its d=4 (row, bucket) coordinates and a groupBy folds them — map-side
+    * combine collapses every task's contribution to ≤ d·w = 128 partial
+    * rows, so the shuffle is O(tasks · 128) regardless of corpus size (the
+    * point of a sketch: at 100 TB the sketch build never shuffles the
+    * keys, only the 128-cell grids). Point queries join the query keys'
+    * coordinates against the 128-row sketch (broadcast — genuinely tiny)
+    * and take min over the d rows. w=32 forces real collisions on the 150
+    * fixture keys, so the output exhibits the one-sided error the sketch
+    * guarantees: est ≥ exact always (SketchSpec pins it), est ≤ exact +
+    * N·e/w with probability 1−e^−d. */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 32
+    val p = 2147483647L
+    val as = Seq(31L, 131L, 313L, 1013L)
+    val bs = Seq(7L, 11L, 17L, 101L)
+    def bucket(i: Int, x: Column): Column = ((x * as(i) + bs(i)) % p) % w
+    def coordsOf(df: DataFrame): DataFrame =
+      df.select(col("user_id"), posexplode(
+          array((0 until d).map(i => bucket(i, col("user_id"))): _*))
+        .as(Seq("row_i", "bucket")))
+    val ev = events(s, dir).select(col("user_id"))
+    val sketch = coordsOf(ev)
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val est = coordsOf(exact.select(col("user_id")))
+      .join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy(col("user_id"))
+      .agg(min(col("cnt")).as("cms_est"))
+    exact.join(est, "user_id")
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overest"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+      .limit(30)
+  }
+
   /** Normalized finite-window exponentially-weighted moving average of the
     * per-minute load series (decay 0.7, 8 taps): ewma_t =
     * Σ_j x_{t−j}·0.7^j / Σ_j 0.7^j over the taps that exist. The infinite
@@ -1206,6 +1251,7 @@ object Analytics {
     "q_event_patterns" -> (eventPatterns _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_kmv_users" -> (kmvUsers _),
+    "q_cms_freq" -> (cmsFreq _),
     "q_rolling_active" -> (rollingActive _),
     "q_load_autocorr" -> (loadAutocorr _),
     "q_equidepth_histogram" -> (equidepthHistogram _),
@@ -1223,6 +1269,25 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cms_freq" ->
+      """WITH h(i, a, b) AS (
+        |  VALUES (0, 31, 7), (1, 131, 11), (2, 313, 17), (3, 1013, 101)),
+        |c AS (
+        |  SELECT i, ((user_id * a + b) % 2147483647) % 32 AS bucket
+        |  FROM events, h),
+        |sketch AS (SELECT i, bucket, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+        |qc AS (
+        |  SELECT user_id, i, ((user_id * a + b) % 2147483647) % 32 AS bucket
+        |  FROM exact, h),
+        |est AS (
+        |  SELECT user_id, min(cnt) AS cms_est
+        |  FROM qc JOIN sketch USING (i, bucket) GROUP BY user_id)
+        |SELECT e.user_id, exact_cnt, cms_est,
+        |  cms_est - exact_cnt AS overest
+        |FROM exact e JOIN est USING (user_id)
+        |ORDER BY exact_cnt DESC, e.user_id LIMIT 30""".stripMargin,
+
     "q_peak_concurrency" ->
       """WITH d AS (
         |  SELECT epoch_us(ts) AS t, 1 AS delta, event_id FROM events

@@ -377,6 +377,102 @@ object Curation {
       .limit(20)
   }
 
+  /** k-core peeling over an UNDIRECTED edge list (u, v): repeatedly drop
+    * every node whose degree within the surviving subgraph is < k until no
+    * node changes — the classic distributed peel (one round = restrict the
+    * edge list to survivors with two semi joins, recompute degrees with one
+    * groupBy, filter). The edge relation SHRINKS monotonically, so later
+    * rounds get cheaper; `localCheckpoint` per round cuts lineage exactly
+    * like [[connectedComponents]]; a loud cap failure guards the loop (a
+    * silent cap would return a superset of the core). Rounds-to-fixpoint is
+    * bounded by the longest peel cascade — degeneracy-ordered graphs peel
+    * in O(peel depth), 6 on the derived fixture at BOTH sf0.01 and sf0.1.
+    * Returns (node, core_deg) — survivors with their within-core degree. */
+  private[graft] def kCoreOf(und: DataFrame, k: Int,
+                             maxRounds: Int = 30): DataFrame = {
+    var cur = und.localCheckpoint()
+    var n = -1L
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val surv = sym.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      val next = cur
+        .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val m = next.count()
+      rounds += 1
+      if (m == n) {
+        val symF = next.union(next.select(col("v").as("u"), col("u").as("v")))
+        return symF.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("core_deg"))
+          .orderBy(col("node"))
+      }
+      n = m
+      cur = next
+    }
+    throw new IllegalStateException(
+      s"kCoreOf did not reach a fixpoint within $maxRounds rounds")
+  }
+
+  /** k=3 core of a degree-SKEWED derived doc graph (binary-tree spine
+    * doc_id → ⌊doc_id/2⌋ plus a quadratic-hash shortcut doc_id →
+    * (doc_id² + 1) mod N; degrees 1–24 on the fixture, so peeling
+    * genuinely cascades — leaves peel first, exposing their parents, 6
+    * rounds to fixpoint; 230/500 nodes survive at sf0.01). Fully
+    * ORACLE-CHECKED despite being iterative: the peel unrolls to 10
+    * identical-arithmetic CTE rounds in DuckDB — fixpoint (6) + margin;
+    * peeling is monotone, so extra unrolled rounds past the fixpoint are
+    * provably no-ops and the unrolled result equals the Spark fixpoint. */
+  def kCore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.filter(col("doc_id") > 0)
+      .select(col("doc_id").as("u"), expr("doc_id div 2").as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * col("doc_id") + 1) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    kCoreOf(und, k = 3)
+  }
+
+  /** DuckDB twin of [[kCore]]: 10 unrolled peel rounds (fixpoint + margin;
+    * monotonicity makes the extra rounds no-ops). Every round CTE is
+    * MATERIALIZED — each round references its predecessor twice (u IN, v
+    * IN), so default CTE inlining would expand the plan tree 2^10-fold
+    * (and reopen the parquet per leaf: "too many open files" long before
+    * it would finish). */
+  private[graft] def kCoreOracleSql(table: String): String = {
+    val rounds = (1 to 10).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT u AS node FROM sym
+         |  WHERE u IN (SELECT node FROM s${i - 1})
+         |    AND v IN (SELECT node FROM s${i - 1})
+         |  GROUP BY u HAVING count(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+       |  SELECT doc_id AS u, doc_id // 2 AS v FROM $table WHERE doc_id > 0
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * doc_id + 1) % (SELECT n FROM nn)
+       |  FROM $table) WHERE u <> v),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+       |$rounds
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg FROM sym
+       |WHERE u IN (SELECT node FROM s10) AND v IN (SELECT node FROM s10)
+       |GROUP BY u ORDER BY u""".stripMargin
+  }
+
   /** Per-rule filter attribution for the quality-gate stack — when a
     * curation run drops 12% of the corpus, this answers WHICH gate did it
     * and which docs only one gate catches (the rules worth tuning). Four
@@ -773,6 +869,7 @@ object Curation {
     "q_triangle_count" -> (triangleCount _),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_adamic_adar" -> (adamicAdar _),
+    "q_kcore" -> (kCore _),
     "q_filter_attribution" -> (filterAttribution _),
     "q_hybrid_dedup" -> (hybridDedup _),
     "q_weighted_sample" -> (weightedSample _),
@@ -839,6 +936,7 @@ object Curation {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
     "q_pagerank" -> pageRankOracleSql("documents"),
+    "q_kcore" -> kCoreOracleSql("documents"),
 
     // plain a<b<c triple join — degree-ordered orientation in the Spark
     // plan provably enumerates the same triangle set

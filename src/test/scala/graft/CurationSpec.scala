@@ -159,4 +159,34 @@ class CurationSpec extends SparkSpec {
       assert(c > 0.0 && c <= 1.0)
     }
   }
+
+  test("kCoreOf: clique survives, pendant chain peels, cascade removes all") {
+    // K4 on {0,1,2,3} (every node deg 3 → the whole clique IS the 3-core)
+    // with a pendant chain 3-10-11 (deg <= 2 → peeled), plus a separate
+    // cycle 20-21-22-20 (deg 2 everywhere → fully peeled at k=3: removing
+    // any node cascades the rest — multi-round peel on crafted input)
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val edges = k4 ++ Seq((3L, 10L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val got = Curation.kCoreOf(edges.toDF("u", "v"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kCoreOf throws loudly at the round cap instead of returning a superset") {
+    // chain of 12 at k=2 peels one leaf layer per round from each end —
+    // needs ~6 rounds; cap at 2 must throw, not return partial
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      Curation.kCoreOf(edges.toDF("u", "v"), k = 2, maxRounds = 2).collect()
+    }
+  }
+
+  test("kCore: every survivor has core_deg >= 3 and survivors are a real subset") {
+    val rows = Curation.kCore(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 3L, s"node ${r.getLong(0)}"))
+    // fixture contract from the derivation (tree + quadratic hash, n=500):
+    // 230 of 500 nodes survive the k=3 peel
+    assert(rows.length === 230)
+  }
 }

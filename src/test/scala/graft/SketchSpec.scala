@@ -116,4 +116,19 @@ class SketchSpec extends SparkSpec {
         s"${r.getString(0)}: rel_err ${r.getDouble(r.fieldIndex("rel_err"))}")
     }
   }
+
+  test("CMS never underestimates and stays within the epsilon-N error bound") {
+    val rows = Analytics.cmsFreq(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val n = graft.Tables(spark, sf001, "events").count()
+    // one-sided error: exact <= est <= exact + N*e/w (w=32, here with 4
+    // rows the bound holds deterministically on the fixture — structural
+    // >= is the CMS guarantee, the upper bound is the accuracy check)
+    val epsN = math.E / 32.0 * n
+    rows.foreach { r =>
+      val over = r.getLong(r.fieldIndex("overest"))
+      assert(over >= 0L, s"user ${r.getLong(0)} underestimated")
+      assert(over <= epsN, s"user ${r.getLong(0)} overest $over > eps*N $epsN")
+    }
+  }
 }
