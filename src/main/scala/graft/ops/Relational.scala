@@ -795,6 +795,182 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** Derived supply relation standing in for TPC-H `partsupp` (the fixture
+    * ships no partsupp table): for every (part, supplier) pair observed in
+    * lineitem, supplycost = min unit price ever charged, availqty = total
+    * quantity shipped. Both aggregates are order-free (min / sum-of-exact
+    * per-row divisions), so the relation is deterministic and the DuckDB
+    * twin CTE ([[psSql]]) is value-identical. One groupBy per query — the
+    * shuffle is keyed by (part, supplier), the same key the consumers join
+    * on, so Catalyst reuses the exchange. */
+  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
+        sum(col("l_quantity")).as("ps_availqty"))
+
+  private val psSql: String =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost,
+      |         sum(l_quantity) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** TPC-H Q2-shaped min-cost supplier: for each LARGE size-7 part, the
+    * EUROPE-region supplier(s) offering the minimum supply cost. The
+    * correlated `cost = (SELECT min(cost) …)` subquery decorrelates to a
+    * per-part min aggregate joined back on (part, exact cost) — two keyed
+    * shuffles on p_partkey, no window, no correlated re-execution. Cost
+    * equality is safe across engines because both sides compute the
+    * identical IEEE division then an order-free min. Dims (filtered parts,
+    * region-pruned suppliers) broadcast. */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = derivedPartsupp(s, dir)
+    val prt = t(s, dir, "part")
+      .filter(col("p_size") === 7 && col("p_type") === "LARGE")
+      .select(col("p_partkey"))
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = ps
+      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+    val minc = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    offers
+      .join(minc, col("p_partkey") === col("mk") &&
+        col("ps_supplycost") === col("min_cost"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"),
+        round(col("ps_supplycost"), 2).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9-shaped product-type profit: for parts named '%gear%', profit
+    * = revenue − supply cost × quantity, grouped by the SUPPLIER's nation
+    * and order year. The 5-relation join pipeline keeps lineitem as the
+    * only big fact: parts (name-filtered, tiny) and supplier×nation
+    * broadcast; the derived partsupp joins on its own grouping key
+    * (part, supp) so that exchange co-locates with the probe. */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val prt = t(s, dir, "part").filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"))
+    val ps = derivedPartsupp(s, dir)
+      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    t(s, dir, "lineitem")
+      .join(broadcast(prt.select(col("p_partkey").as("fpk"))),
+        col("l_partkey") === col("fpk"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("profit",
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("profit")), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-shaped important stock: parts whose total supply value held
+    * by ASIA-region suppliers exceeds 0.1% of the GLOBAL such value — the
+    * `HAVING sum > (scalar subquery)` shape, executed as one keyed
+    * aggregate plus a broadcast of the 1-row total (never a second scan:
+    * the total is re-aggregated from the 2000-row per-part relation).
+    * Values round to cents BEFORE the threshold compare so the boundary
+    * test is engine-portable. */
+  def importantStock(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val byPart = derivedPartsupp(s, dir)
+      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(round(sum(col("ps_supplycost") * col("ps_availqty")), 2)
+        .as("part_value"))
+    val tot = byPart.agg(sum(col("part_value")).as("total_value"))
+    byPart.crossJoin(broadcast(tot))
+      .filter(col("part_value") > col("total_value") * 0.001)
+      .select(col("ps_partkey").as("p_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16-shaped supplier count per part attribute group, excluding
+    * one brand, one type, and "complaint" suppliers (stand-in: negative
+    * account balance — the fixture has no s_comment). The NOT IN
+    * (subquery) becomes a broadcast LEFT ANTI join; the distinct-supplier
+    * count aggregates the anti-joined supply relation grouped by the
+    * part's (brand, type, size). */
+  def supplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+    val prt = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    derivedPartsupp(s, dir)
+      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20-shaped part promotion: AFRICA-region suppliers holding
+    * "excess stock" of a red part — derived availqty (all-time shipped
+    * quantity) greater than 4× what that (part, supplier) shipped in 1998
+    * (the 4× multiplier plays the role of Q20's 0.5× against a
+    * same-period availqty: availqty here spans 7 years, so the threshold
+    * singles out pairs whose 1998 volume undershot their history). The
+    * correlated quantity subquery decorrelates to a (part, supp)-keyed
+    * aggregate joined back; pairs with NO 1998 shipments are excluded
+    * exactly like Q20's NULL-comparison semantics exclude them. Supplier
+    * qualification is a LEFT SEMI (distinct not needed), nation dims
+    * broadcast. */
+  def partPromotion(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))
+    val redParts = t(s, dir, "part").filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val qty98 = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("timestamp") >= lo &&
+        col("l_shipdate").cast("timestamp") < hi)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty98"))
+    val qual = derivedPartsupp(s, dir)
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"))
+      .join(qty98, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > col("qty98") * 4.0)
+      .select(col("ps_suppkey"))
+    val reg = t(s, dir, "region").filter(col("r_name") === "AFRICA")
+    val nat = t(s, dir, "nation")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    t(s, dir, "supplier")
+      .join(qual, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
   /** TPC-H Q13-shaped customer order-count distribution: how many customers
     * placed exactly k (non-urgent) orders, INCLUDING the zero bucket. The
     * classic form left-outer-joins every order row to customer then counts;
@@ -1038,6 +1214,11 @@ object Relational {
     "q_big_orders" -> (bigOrders _),
     "q_dormant_rich" -> (dormantRich _),
     "q_top_supplier" -> (topSupplier _),
+    "q_min_cost_supplier" -> (minCostSupplier _),
+    "q_product_profit" -> (productProfit _),
+    "q_important_stock" -> (importantStock _),
+    "q_supplier_cnt" -> (supplierCnt _),
+    "q_part_promotion" -> (partPromotion _),
     "q_waiting_suppliers" -> (waitingSuppliers _),
     "q_market_share" -> (marketShare _),
     "q_skyline" -> (skyline _),
@@ -1210,6 +1391,91 @@ object Relational {
         |SELECT s_name, total_rev
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_name""".stripMargin,
+
+    "q_min_cost_supplier" ->
+      s"""WITH $psSql,
+        |offers AS (
+        |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |         ps_supplycost
+        |  FROM ps
+        |  JOIN part ON ps_partkey = p_partkey
+        |   AND p_size = 7 AND p_type = 'LARGE'
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |minc AS (
+        |  SELECT p_partkey AS mk, min(ps_supplycost) AS min_cost
+        |  FROM offers GROUP BY 1)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+        |       round(ps_supplycost, 2) AS supply_cost
+        |FROM offers JOIN minc
+        |  ON p_partkey = mk AND ps_supplycost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_product_profit" ->
+      s"""WITH $psSql
+        |SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - ps_supplycost * l_quantity), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_important_stock" ->
+      s"""WITH $psSql,
+        |byp AS (
+        |  SELECT ps_partkey,
+        |    round(sum(ps_supplycost * ps_availqty), 2) AS part_value
+        |  FROM ps
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT ps_partkey AS p_partkey, part_value
+        |FROM byp
+        |WHERE part_value > (SELECT sum(part_value) FROM byp) * 0.001
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    "q_supplier_cnt" ->
+      s"""WITH $psSql
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_part_promotion" ->
+      s"""WITH $psSql,
+        |q98 AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty98
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1, 2),
+        |qual AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM ps
+        |  JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
+        |  JOIN q98 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE ps_availqty > qty98 * 4.0)
+        |SELECT s_name, n_name
+        |FROM supplier
+        |JOIN qual ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'AFRICA'
         |ORDER BY s_name""".stripMargin,
 
     "q_waiting_suppliers" ->

@@ -219,6 +219,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("Q2/Q9/Q16/Q20 shapes: keyed joins only, never a nested loop") {
+    for (q <- Seq("q_min_cost_supplier", "q_product_profit",
+        "q_supplier_cnt", "q_part_promotion")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(3000)}")
+    }
+    // Q11's only nested loop is the 1-row global-total broadcast cross —
+    // the legitimate scalar-subquery shape
+    val p11 = plan("q_important_stock")
+    assert(!p11.contains("CartesianProduct"), p11.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p11).length <= 1,
+      p11.take(3000))
+  }
+
   test("SCD2 history rides ONE hash-by-custkey exchange for both windows") {
     // lag (change filter) and lead (interval bound) share the same
     // partitioning+ordering; only the final presentation orderBy adds a
