@@ -484,6 +484,52 @@ object Analytics {
       .limit(30)
   }
 
+  /** Bloom-filter membership audit with DETERMINISTIC affine hashes (the
+    * same oracle-checkable construction as [[cmsFreq]]): an m=1024-bit,
+    * k=3 filter over the distinct purchasers, probed by a 1000-id
+    * candidate domain. Relationally the filter IS a `DISTINCT bit`
+    * relation (≤ m rows — broadcast-sized no matter how big the member
+    * set); the probe is an equi join of each candidate's k positions
+    * against it, HIT iff all k positions are set (count = k). The shape
+    * mirrors how a runtime bloom prune works at 100 TB: build once on the
+    * small side, broadcast bits, drop non-matching rows before the real
+    * join. One-sided error is structural — false negatives impossible
+    * (spec pins it); the query reports the confusion counts and the
+    * measured false-positive share. */
+  def bloomAudit(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val m = 1024
+    val p = 2147483647L
+    val as = Seq(31L, 131L, 313L)
+    val bs = Seq(7L, 11L, 17L)
+    def positions(df: DataFrame): DataFrame =
+      df.select(col("user_id"), explode(
+          array((0 until k).map(i =>
+            ((col("user_id") * as(i) + bs(i)) % p) % m): _*))
+        .as("bit"))
+    val members = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val bits = positions(members).select(col("bit")).distinct()
+    val cands = s.range(0, 1000).select(col("id").as("user_id"))
+    val hits = positions(cands)
+      .join(broadcast(bits), "bit")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === k)
+      .select(col("user_id"))
+    cands
+      .join(members.withColumn("is_member", lit(true)), Seq("user_id"), "left")
+      .join(hits.withColumn("is_hit", lit(true)), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("is_member"), lit(false)).as("exact_member"),
+        coalesce(col("is_hit"), lit(false)).as("bloom_hit"))
+      .groupBy(col("exact_member"), col("bloom_hit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") / 1000.0, 6))
+      .orderBy(col("exact_member"), col("bloom_hit"))
+  }
+
   /** Normalized finite-window exponentially-weighted moving average of the
     * per-minute load series (decay 0.7, 8 taps): ewma_t =
     * Σ_j x_{t−j}·0.7^j / Σ_j 0.7^j over the taps that exist. The infinite
@@ -1252,6 +1298,7 @@ object Analytics {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_kmv_users" -> (kmvUsers _),
     "q_cms_freq" -> (cmsFreq _),
+    "q_bloom_audit" -> (bloomAudit _),
     "q_rolling_active" -> (rollingActive _),
     "q_load_autocorr" -> (loadAutocorr _),
     "q_equidepth_histogram" -> (equidepthHistogram _),
@@ -1269,6 +1316,30 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bloom_audit" ->
+      """WITH h(i, a, b) AS (VALUES (0, 31, 7), (1, 131, 11), (2, 313, 17)),
+        |members AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |bits AS (
+        |  SELECT DISTINCT ((user_id * a + b) % 2147483647) % 1024 AS bit
+        |  FROM members, h),
+        |cands AS (SELECT range AS user_id FROM range(0, 1000)),
+        |hits AS (
+        |  SELECT user_id FROM (
+        |    SELECT c.user_id, count(*) AS nset
+        |    FROM cands c, h, bits
+        |    WHERE ((c.user_id * a + b) % 2147483647) % 1024 = bit
+        |    GROUP BY 1)
+        |  WHERE nset = 3),
+        |flags AS (
+        |  SELECT c.user_id,
+        |    c.user_id IN (SELECT user_id FROM members) AS exact_member,
+        |    c.user_id IN (SELECT user_id FROM hits) AS bloom_hit
+        |  FROM cands c)
+        |SELECT exact_member, bloom_hit, count(*) AS n,
+        |  round(count(*) / 1000.0, 6) AS share
+        |FROM flags GROUP BY 1, 2 ORDER BY exact_member, bloom_hit""".stripMargin,
+
     "q_cms_freq" ->
       """WITH h(i, a, b) AS (
         |  VALUES (0, 31, 7), (1, 131, 11), (2, 313, 17), (3, 1013, 101)),

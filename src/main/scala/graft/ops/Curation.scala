@@ -473,6 +473,79 @@ object Curation {
        |GROUP BY u ORDER BY u""".stripMargin
   }
 
+  /** Synchronous label-propagation communities (Raghavan, Albert & Kumara,
+    * Phys. Rev. E 2007) over the same tree+quadratic doc graph as
+    * [[kCore]], made fully DETERMINISTIC — and therefore oracle-checkable
+    * — by (a) a fixed 4 synchronous rounds instead of the paper's
+    * randomized asynchronous sweep, and (b) a (max count, min label)
+    * tie-break. Each round is one join of the symmetric edge list against
+    * the label relation, one (node, label) count, and one arg-min —
+    * `min_by(lab, struct(-cnt, lab))` keeps the per-node pick a pure
+    * aggregate (no per-node sort window), so a round costs two keyed
+    * exchanges regardless of degree skew. The oracle unrolls the 4 rounds
+    * as MATERIALIZED CTEs with a row_number tie-break — same pick,
+    * different machinery, value-identical. */
+  /** The propagation loop of [[labelPropagation]], over any undirected
+    * edge list — factored out so specs can pin crafted-graph rounds. */
+  private[graft] def labelPropOf(nodes: DataFrame, und: DataFrame,
+                                 rounds: Int = 4): DataFrame = {
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("v"), col("lab")), "v")
+        .groupBy(col("u"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u").as("node"))
+        .agg(expr("min_by(lab, struct(-cnt, lab))").as("lab"))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+      .orderBy(col("node"))
+  }
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.filter(col("doc_id") > 0)
+      .select(col("doc_id").as("u"), expr("doc_id div 2").as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * col("doc_id") + 1) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    labelPropOf(d.select(col("doc_id").as("node")), und)
+  }
+
+  /** DuckDB twin of [[labelPropagation]]: 4 unrolled rounds, row_number
+    * tie-break (cnt DESC, lab) ≡ min_by(lab, (-cnt, lab)). */
+  private[graft] def labelPropagationOracleSql(table: String): String = {
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT u AS node, lab,
+         |      row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lab) AS rk
+         |    FROM (SELECT u, lab, count(*) AS cnt
+         |          FROM sym JOIN l${i - 1} ON sym.v = l${i - 1}.node
+         |          GROUP BY u, lab))
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+       |  SELECT doc_id AS u, doc_id // 2 AS v FROM $table WHERE doc_id > 0
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * doc_id + 1) % (SELECT n FROM nn)
+       |  FROM $table) WHERE u <> v),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lab FROM $table),
+       |$rounds
+       |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin
+  }
+
   /** Per-rule filter attribution for the quality-gate stack — when a
     * curation run drops 12% of the corpus, this answers WHICH gate did it
     * and which docs only one gate catches (the rules worth tuning). Four
@@ -870,6 +943,7 @@ object Curation {
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_adamic_adar" -> (adamicAdar _),
     "q_kcore" -> (kCore _),
+    "q_label_prop" -> (labelPropagation _),
     "q_filter_attribution" -> (filterAttribution _),
     "q_hybrid_dedup" -> (hybridDedup _),
     "q_weighted_sample" -> (weightedSample _),
@@ -937,6 +1011,7 @@ object Curation {
     "q_merge_upsert" -> mergeUpsertSql("documents"),
     "q_pagerank" -> pageRankOracleSql("documents"),
     "q_kcore" -> kCoreOracleSql("documents"),
+    "q_label_prop" -> labelPropagationOracleSql("documents"),
 
     // plain a<b<c triple join — degree-ordered orientation in the Spark
     // plan provably enumerates the same triangle set

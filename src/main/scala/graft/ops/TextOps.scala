@@ -191,6 +191,58 @@ object TextOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** GLOBAL exact Jaccard self-join with PREFIX FILTERING (Chaudhuri et
+    * al. ICDE'06; Xiao et al. WWW'08 "ppjoin") — the metadata-free exact
+    * twin of [[jaccardPairs]], and the scale technique for exact
+    * similarity joins when no (lang, source) block exists: order tokens
+    * globally by rarity (doc frequency asc, token asc); a doc with n
+    * distinct shingles exposes only its first n − ⌈t·n⌉ + 1 tokens in
+    * that order, because two docs whose prefixes are disjoint provably
+    * have Jaccard < t. The candidate join therefore keys on RARE tokens
+    * only — simultaneously shrinking the pair count and killing the
+    * hub-token skew a plain token self-join suffers at 100 TB (stopword
+    * shingles never enter the join). Candidates are then exact-verified.
+    * The ORACLE is the naive all-token join with the same threshold, so
+    * the driver proves prune ≡ definition on every run; the per-doc
+    * prefix rank window is bounded by tokens-per-doc, never corpus size.
+    *
+    * Rounding note: verification compares round(J, 6) >= t like the
+    * oracle. The prefix bound is against exact J; a pair with exact
+    * J < t that ROUNDS to t would break superset-ness, but J is a
+    * rational with denominator = |union| (bounded by doc length), so the
+    * nearest non-equal value to t is ≥ 1/(4·|union|) away — far outside
+    * round-6 range for any real document. */
+  def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val thr = 0.25
+    val ex = withShingles(docs(s, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .persist()
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(counts, "doc_id")
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * thr) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cands = prefix.select(col("sh"), col("doc_id").as("id1"))
+      .join(prefix.select(col("sh"), col("doc_id").as("id2")), "sh")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cands
+      .join(ex.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
+      .join(ex.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= thr)
+      .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Overlap-coefficient (Szymkiewicz–Simpson) near-dup pairs — the
     * ASYMMETRIC containment complement to [[jaccardPairs]]: a short doc
     * fully contained in a long one scores inter/min(|A|,|B|) ≈ 1 even
@@ -800,6 +852,7 @@ object TextOps {
     "q_zipf_fit" -> (zipfFit _),
     "q_quality_score" -> (qualityScore _),
     "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_jaccard_prefix" -> (jaccardPrefix _),
     "q_containment_pairs" -> (containmentPairs _),
     "q_minhash_candidates" -> (minhashCandidates _),
     "q_simhash_pairs" -> (simhashPairs _),
@@ -1050,6 +1103,27 @@ object TextOps {
         |       round(inter * 1.0 / least(n1, n2), 6) AS containment
         |FROM pairs WHERE round(inter * 1.0 / least(n1, n2), 6) >= 0.3
         |ORDER BY id1, id2""".stripMargin,
+    // naive all-token join — the DEFINITION the prefix-filtered plan must
+    // reproduce exactly (global: no lang/source blocking)
+    "q_jaccard_prefix" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |         count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT id1, id2, inter,
+        |       round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+        |FROM pairs WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= 0.25
+        |ORDER BY id1, id2""".stripMargin,
+
     "q_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, lang, source,

@@ -181,6 +181,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("labelPropOf: barbell graph converges to one community per clique") {
+    // two triangles {0,1,2} and {10,11,12} bridged by 2-10; hand-simulated
+    // 4 deterministic synchronous rounds (max-count, min-label) end with
+    // the cliques in two distinct communities: {0,1,2}->0 and (via the
+    // bridge's round-1 label) {10,11,12}->2
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("node")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("u", "v")
+    val got = Curation.labelPropOf(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
+  test("labelPropagation on the fixture: 500 rows, several communities, deterministic") {
+    val a = Curation.labelPropagation(spark, sf001).collect()
+    assert(a.length === 500)
+    val comms = a.map(_.getLong(1)).distinct
+    assert(comms.length > 1 && comms.length < 500)
+    val b = Curation.labelPropagation(spark, sf001).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("kCore: every survivor has core_deg >= 3 and survivors are a real subset") {
     val rows = Curation.kCore(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -131,4 +131,22 @@ class SketchSpec extends SparkSpec {
       assert(over <= epsN, s"user ${r.getLong(0)} overest $over > eps*N $epsN")
     }
   }
+
+  test("Bloom filter: zero false negatives; false positives measured, bounded") {
+    val rows = Analytics.bloomAudit(spark, sf001).collect()
+    val byKey = rows.map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // every true member must hit — (member, !hit) bucket cannot exist
+    assert(!byKey.contains((true, false)), s"false negatives: $byKey")
+    val members = graft.Tables(spark, sf001, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(byKey.getOrElse((true, true), 0L) === members)
+    // measured FP share among non-members stays under ~3x the analytic
+    // (1 - e^(-kn/m))^k bound for k=3, m=1024 at the fixture's n
+    val fp = byKey.getOrElse((false, true), 0L)
+    val nonMembers = (1000L - members).toDouble
+    val analytic = math.pow(1.0 - math.exp(-3.0 * members / 1024.0), 3)
+    assert(fp.toDouble / nonMembers <= math.max(3 * analytic, 0.01),
+      s"fp rate ${fp / nonMembers} vs analytic $analytic")
+  }
 }

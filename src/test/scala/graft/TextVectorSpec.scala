@@ -109,6 +109,34 @@ class TextVectorSpec extends SparkSpec {
     assert(lagg.getDouble(2) === 96.7324)
   }
 
+  test("jaccardPrefix: prefix-filtered plan reproduces the naive all-pairs definition") {
+    // independent naive computation: plain all-token self-join, no prefix
+    // pruning — the prefix filter must lose NOTHING at threshold 0.25
+    val ex = Tables(spark, sf001, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))")))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val naive = ex.select(col("sh"), col("doc_id").as("id1"))
+      .join(ex.select(col("sh"), col("doc_id").as("id2")), "sh")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.25)
+      .select("id1", "id2", "inter", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val pruned = TextOps.jaccardPrefix(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(naive.nonEmpty, "fixture produced no threshold pairs")
+    assert(pruned === naive)
+  }
+
   test("simhash agrees with minhash on near-dup pairs (blocked universe)") {
     val sim = TextOps.simhashPairs(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
