@@ -817,7 +817,7 @@ object Relational {
       |         sum(l_quantity) AS ps_availqty
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
-  /** TPC-H Q2-shaped min-cost supplier: for each LARGE size-7 part, the
+  /** TPC-H Q2-shaped min-cost supplier: for each LARGE part of size ≤ 10, the
     * EUROPE-region supplier(s) offering the minimum supply cost. The
     * correlated `cost = (SELECT min(cost) …)` subquery decorrelates to a
     * per-part min aggregate joined back on (part, exact cost) — two keyed
@@ -828,7 +828,7 @@ object Relational {
   def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val ps = derivedPartsupp(s, dir)
     val prt = t(s, dir, "part")
-      .filter(col("p_size") === 7 && col("p_type") === "LARGE")
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
       .select(col("p_partkey"))
     val nat = t(s, dir, "nation")
     val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
@@ -971,6 +971,76 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** TPC-H Q4-shaped order-priority check: orders placed in 1997 Q3 with at
+    * least one SLOW lineitem (shipped > 60 days after the order date — the
+    * fixture has no commit/receipt dates, so lateness vs order date stands
+    * in), counted per priority. The correlated EXISTS is a LEFT SEMI join
+    * on the order key with the date predicate in the join condition — one
+    * keyed shuffle, no row explosion, the exact decorrelation Catalyst
+    * performs on the subquery spelling (the oracle runs the literal
+    * correlated EXISTS). */
+  def orderPriority(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00"))
+    val sixtyDaysUs = 5184000000000L
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("timestamp") >= lo &&
+        col("o_orderdate").cast("timestamp") < hi)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sd_us"))
+    ord
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("sd_us") > col("od_us") + sixtyDaysUs, "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6-shaped forecast revenue change: one tight scan-and-aggregate
+    * — the query whose whole cost is the scan, which makes it the
+    * pushdown/pruning benchmark: every predicate (date range, discount
+    * band, quantity cap) must reach the parquet reader and only 3 columns
+    * may be read. */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("timestamp") >= lo &&
+        col("l_shipdate").cast("timestamp") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue_delta"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** EXACT decimal aggregation — the money-sum path where double drift is
+    * not acceptable: each FACTOR is cast to decimal first (price and
+    * 1−discount are 2-dp quantities, so their shortest decimal form is
+    * their true value on both engines), then product and sum run entirely
+    * in exact decimal arithmetic — identical to the cent regardless of
+    * partitioning or summation order, NO rounding anywhere. Casting the
+    * double PRODUCT instead would be engine-fragile (Spark rounds the
+    * shortest-repr string via HALF_UP, DuckDB scales the raw binary —
+    * they disagree near .005 boundaries; measured 0.28 drift over 60k
+    * rows). Sums are emitted as canonical decimal STRINGS because the
+    * driver's pandas-level compare maps Spark's parquet DECIMAL to
+    * `object` but DuckDB's to float64 — strings compare exactly on both
+    * sides. */
+  def decimalExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").cast("string").as("sum_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+          .cast("decimal(30,4)").cast("string").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** TPC-H Q13-shaped customer order-count distribution: how many customers
     * placed exactly k (non-urgent) orders, INCLUDING the zero bucket. The
     * classic form left-outer-joins every order row to customer then counts;
@@ -1085,8 +1155,8 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -1215,6 +1285,9 @@ object Relational {
     "q_dormant_rich" -> (dormantRich _),
     "q_top_supplier" -> (topSupplier _),
     "q_min_cost_supplier" -> (minCostSupplier _),
+    "q_order_priority" -> (orderPriority _),
+    "q_forecast_revenue" -> (forecastRevenue _),
+    "q_decimal_exact" -> (decimalExact _),
     "q_product_profit" -> (productProfit _),
     "q_important_stock" -> (importantStock _),
     "q_supplier_cnt" -> (supplierCnt _),
@@ -1283,8 +1356,8 @@ object Relational {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+        |     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
@@ -1393,6 +1466,39 @@ object Relational {
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_name""".stripMargin,
 
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 5184000000000)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_decimal_exact" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(28,2)) AS VARCHAR) AS sum_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l_discount AS DECIMAL(4,2)))
+        |    AS DECIMAL(30,4)) AS VARCHAR) AS sum_disc_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q_min_cost_supplier" ->
       s"""WITH $psSql,
         |offers AS (
@@ -1400,7 +1506,7 @@ object Relational {
         |         ps_supplycost
         |  FROM ps
         |  JOIN part ON ps_partkey = p_partkey
-        |   AND p_size = 7 AND p_type = 'LARGE'
+        |   AND p_size <= 10 AND p_type = 'LARGE'
         |  JOIN supplier ON ps_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
