@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_srp_sig"), info("graft_srp_sig"),
       (exprs: Seq[Expression]) =>
         SrpSig(exprs(0), exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_jaro_winkler"), info("graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_damerau_lev"), info("graft_damerau_lev"),
+      (exprs: Seq[Expression]) => DamerauLev(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_hamming"), info("graft_hamming"),
+      (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))))
     // optimizer rewrite: free length-difference gates ahead of bounded
     // levenshtein predicates (see graft.plans.LevenshteinGuard)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)

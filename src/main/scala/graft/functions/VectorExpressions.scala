@@ -304,6 +304,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_srp_sig",
       exprs => SrpSig(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_damerau_lev",
+      exprs => DamerauLev(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hamming",
+      exprs => HammingDist(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowFingerprint(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
@@ -333,4 +339,13 @@ object GraftFunctions {
   def srpSig(vec: Column, nBits: Int): Column =
     call_function("graft_srp_sig", vec,
       org.apache.spark.sql.functions.lit(nBits))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
+
+  def damerauLev(a: Column, b: Column): Column =
+    call_function("graft_damerau_lev", a, b)
+
+  def hamming(a: Column, b: Column): Column =
+    call_function("graft_hamming", a, b)
 }

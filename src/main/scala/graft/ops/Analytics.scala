@@ -1271,7 +1271,49 @@ object Analytics {
       .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_at_us"))
   }
 
+  /** Discrete-Fourier periodogram over event arrival minutes: spectral
+    * power at a fixed grid of candidate periods (minutes) — the standard
+    * seasonality detector for load series (hourly/6h/12h/daily harmonics
+    * plus two non-harmonic controls). Power_p = (Σ cos 2πm/p)² +
+    * (Σ sin 2πm/p)² summed PER EVENT, so the whole query is one explode
+    * (|periods| = 6 rows per event) and one 6-group aggregate with
+    * map-side combine — no window, no self-join, linear in the event log
+    * and embarrassingly partition-parallel at 100 TB. Minute index, 2π
+    * scaling, and association order are spelled identically in both
+    * engines so the cos/sin arguments are bit-identical doubles; the
+    * power is rounded to 3 dp to absorb the ≤1-ulp libm delta and
+    * summation-order drift (power ~1e8, accumulated error ≲1e-6). */
+  def periodogram(s: SparkSession, dir: String): DataFrame = {
+    // minutes since 2024-01-01T00:00Z (fixture epoch) — exact integer:
+    // µs-grain timestamps keep floor(x/6e7) ≥ 1.7e-8 away from integer
+    // boundaries, far beyond the division's 7.5e-9 ulp.
+    val base = 28401120L
+    periodogramOn(
+      events(s, dir)
+        .select((floor(unix_micros(col("ts")) / lit(60000000.0)).cast("long")
+          - base).as("m")),
+      Seq(7, 60, 97, 360, 720, 1440))
+  }
+
+  /** Core of `periodogram` over a pre-extracted minute-index relation —
+    * split out so specs can feed crafted impulse trains with known
+    * spectra. */
+  private[graft] def periodogramOn(minutes: DataFrame,
+      periods: Seq[Int]): DataFrame =
+    minutes
+      .select(col("m"),
+        explode(array(periods.map(lit): _*)).as("period"))
+      .withColumn("theta", lit(2.0) * lit(math.Pi) * col("m") / col("period"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cos(col("theta"))).as("sc"),
+        sum(sin(col("theta"))).as("ss"))
+      .select(col("period"), col("n_events"),
+        round(col("sc") * col("sc") + col("ss") * col("ss"), 3).as("power"))
+      .orderBy(col("period"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_periodogram" -> (periodogram _),
     "q_peak_concurrency" -> (peakConcurrency _),
     "q_interval_union" -> (intervalUnion _),
     "q_regr_funcs" -> (regrFuncs _),
@@ -1316,6 +1358,20 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_periodogram" ->
+      """WITH mm AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 60000000.0) AS BIGINT) - 28401120 AS m
+        |  FROM events),
+        |p AS (SELECT CAST(unnest([7, 60, 97, 360, 720, 1440]) AS INTEGER) AS period),
+        |t AS (
+        |  SELECT period,
+        |         cos(2 * pi() * m / period) AS c,
+        |         sin(2 * pi() * m / period) AS s
+        |  FROM mm CROSS JOIN p)
+        |SELECT period, count(*) AS n_events,
+        |       round(sum(c) * sum(c) + sum(s) * sum(s), 3) AS power
+        |FROM t GROUP BY period ORDER BY period""".stripMargin,
+
     "q_bloom_audit" ->
       """WITH h(i, a, b) AS (VALUES (0, 31, 7), (1, 131, 11), (2, 313, 17)),
         |members AS (

@@ -834,6 +834,62 @@ object TextOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Fuzzy name matching with the native string-distance expressions
+    * (graft.functions.StringDistances): Jaro–Winkler similarity, FULL
+    * Damerau–Levenshtein, and Hamming over supplier-name pairs. Blocked on
+    * floor(key/50) so the self-join is a plain equi join with constant
+    * 50-row blocks — pairs stay O(blocks × 50²) at any corpus size, never
+    * O(N²) — and every distance runs as one static-call codegen'd kernel
+    * inside the join's projection (no UDF, no interpreted fallback). The
+    * oracle runs DuckDB's builtins of the same names: the driver
+    * hash-compares ~2.4k (sf0.01) distance values per run, pinning all
+    * three kernels' semantics (boost-gated Winkler bonus; unrestricted
+    * transpositions — see StringDistance.scala probes). */
+  def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions._
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        floor(col("s_suppkey") / 50).as("blk"))
+    val a = sup.select(col("blk"), col("s_suppkey").as("k1"),
+      col("s_name").as("n1"))
+    val b = sup.select(col("blk"), col("s_suppkey").as("k2"),
+      col("s_name").as("n2"))
+    a.join(b, "blk")
+      .filter(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"),
+        round(jaroWinkler(col("n1"), col("n2")), 6).as("jw_sim"),
+        damerauLev(col("n1"), col("n2")).as("dl_dist"),
+        hamming(col("n1"), col("n2")).as("ham_dist"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  /** C4-style duplicate-span detection: fixed 120-char chunks (the same
+    * grid as `docChunks`), md5-fingerprinted, grouped — a chunk hash seen
+    * in ≥ 2 distinct documents is boilerplate/duplicated material its
+    * members share (the line-level dedup pass of C4/RefinedWeb-style
+    * pipelines, on a char grid because the synthetic corpus has no
+    * newlines). Scale shape: explode is linear in corpus size, the groupBy
+    * is a hash agg on a 32-hex key with map-side combine, and the ≥2-doc
+    * filter drops the unique long tail before any further join — no pair
+    * join anywhere, so this is the cheapest dedup signal in the pipeline
+    * (exact dedup of spans rather than whole docs). */
+  def dupChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = 120
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          ceil(length(col("text")) / w.toDouble).cast("int") - 1)).as("ci"))
+      .select(col("doc_id"),
+        expr(s"md5(substring(text, ci * $w + 1, $w))").as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_keywords" -> (sourceKeywords _),
     "q_kl_divergence" -> (klDivergence _),
@@ -866,6 +922,8 @@ object TextOps {
     "q_tfidf" -> (tfidf _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_mix" -> (sourceMix _),
+    "q_fuzzy_match" -> (fuzzyNameMatch _),
+    "q_dup_chunks" -> (dupChunks _),
   )
 
   /** DuckDB twin of `languageIdOn`, GENERATED from the same `langProfiles`
@@ -1232,6 +1290,34 @@ object TextOps {
         |            AS BIGINT) AS global_pos,
         |       doc_id, source, srn
         |FROM r ORDER BY global_pos""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+        |  round(jaro_winkler_similarity(a.s_name, b.s_name), 6) AS jw_sim,
+        |  CAST(damerau_levenshtein(a.s_name, b.s_name) AS INTEGER) AS dl_dist,
+        |  CAST(hamming(a.s_name, b.s_name) AS INTEGER) AS ham_dist
+        |FROM supplier a JOIN supplier b
+        |  ON floor(a.s_suppkey / 50) = floor(b.s_suppkey / 50)
+        | AND a.s_suppkey < b.s_suppkey
+        |ORDER BY k1, k2""".stripMargin,
+
+    "q_dup_chunks" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(length(text)/120.0) AS BIGINT))) AS ci
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         md5(substring(text, CAST(ci*120+1 AS INTEGER), 120)) AS chunk_hash
+        |  FROM e)
+        |SELECT chunk_hash,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_occ,
+        |       min(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY chunk_hash
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
     // DuckDB equivalent; recall/superset properties pinned in
     // TextVectorSpec instead). Driver records rows-only for those two.

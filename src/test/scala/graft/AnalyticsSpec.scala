@@ -122,4 +122,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(1L) === 1)
     assert(rows(9L) === 2, "9999.0 and 460.0 both land in the tail bucket")
   }
+
+  test("periodogram concentrates power at the true period of an impulse train") {
+    // impulses every 60 minutes for 10 days: all cos/sin arguments at
+    // period 60 are multiples of 2π → power = n² exactly (coherent sum);
+    // the coprime control period (97) stays near zero (incoherent walk).
+    val n = 240
+    val minutes = (0 until n).map(i => i.toLong * 60).toDF("m")
+    val rows = Analytics.periodogramOn(minutes, Seq(60, 97))
+      .select("period", "power").as[(Int, Double)].collect().toMap
+    assert(math.abs(rows(60) - n.toDouble * n) < 1e-3,
+      s"coherent power should be n²=${n * n}, got ${rows(60)}")
+    assert(rows(97) < n.toDouble,
+      s"incoherent control should stay far below n², got ${rows(97)}")
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{GraftFunctions, StringDistances}
+
+/** Pins the native string-distance kernels to the exact semantics the
+  * `q_fuzzy_match` oracle hash-matches against DuckDB (see
+  * `functions/StringDistance.scala`):
+  *
+  *  1. Damerau–Levenshtein is the FULL (Lowrance–Wagner) variant — the
+  *     CA→ABC=2 witness separates it from restricted OSA (which says 3).
+  *  2. Jaro–Winkler applies the prefix bonus only above the 0.7 boost
+  *     threshold, cap 4, scale 0.1 (textbook MARTHA/MARHTA value).
+  *  3. The expressions run inside whole-stage codegen (static-call kernels
+  *     must not force an interpreted fallback).
+  */
+class StringDistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("damerau-levenshtein is the unrestricted variant") {
+    // the OSA/full-DL separating witness: CA -> AC -> ABC
+    assert(StringDistances.damerauLevenshtein(u("CA"), u("ABC")) === 2)
+    assert(StringDistances.damerauLevenshtein(u(""), u("abc")) === 3)
+    assert(StringDistances.damerauLevenshtein(u("abcd"), u("abcd")) === 0)
+    // adjacent transposition costs 1
+    assert(StringDistances.damerauLevenshtein(u("abcd"), u("acbd")) === 1)
+    // substitution + transposition mix
+    assert(StringDistances.damerauLevenshtein(u("specter"), u("spectre")) === 1)
+    // never below the plain length-difference bound
+    assert(StringDistances.damerauLevenshtein(u("a"), u("abcdef")) === 5)
+  }
+
+  test("jaro-winkler matches the textbook values and boost gating") {
+    val jw = StringDistances.jaroWinkler(u("martha"), u("marhta"))
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
+    // below the 0.7 threshold the prefix bonus must NOT apply (DuckDB probe)
+    val low = StringDistances.jaroWinkler(u("abcdefgh"), u("abzyxwvu"))
+    assert(math.abs(low - 0.5) < 1e-12)
+    assert(StringDistances.jaroWinkler(u(""), u("")) === 1.0)
+    assert(StringDistances.jaroWinkler(u("abc"), u("")) === 0.0)
+    assert(StringDistances.jaroWinkler(u("same"), u("same")) === 1.0)
+    // zero matches → 0, not NaN
+    assert(StringDistances.jaroWinkler(u("abc"), u("xyz")) === 0.0)
+  }
+
+  test("hamming counts positionwise mismatches plus overhang") {
+    assert(StringDistances.hamming(u("abcd"), u("abce")) === 1)
+    assert(StringDistances.hamming(u("abcd"), u("abcdxx")) === 2)
+    assert(StringDistances.hamming(u(""), u("")) === 0)
+  }
+
+  test("expressions evaluate through the codegen path on a DataFrame") {
+    GraftFunctions.register(spark)
+    val rows = Seq(("martha", "marhta"), ("CA", "ABC"), ("abcd", "abce"))
+      .toDF("a", "b")
+      .select(
+        round(GraftFunctions.jaroWinkler(col("a"), col("b")), 6).as("jw"),
+        GraftFunctions.damerauLev(col("a"), col("b")).as("dl"),
+        GraftFunctions.hamming(col("a"), col("b")).as("ham"))
+      .collect()
+    assert(rows(0).getDouble(0) === 0.961111)
+    assert(rows(1).getInt(1) === 2)
+    assert(rows(2).getInt(2) === 1)
+    // null-safe: null input → null output, no NPE in the generated code
+    val n = Seq((Option.empty[String], "x")).toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
+}
