@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DamerauLev(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_hamming"), info("graft_hamming"),
       (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_topk"), info("graft_topk"),
+      (exprs: Seq[Expression]) => TopKByValue(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int])))
     // optimizer rewrite: free length-difference gates ahead of bounded
     // levenshtein predicates (see graft.plans.LevenshteinGuard)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)

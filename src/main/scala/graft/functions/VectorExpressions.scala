@@ -310,6 +310,9 @@ object GraftFunctions {
       exprs => DamerauLev(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hamming",
       exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      exprs => TopKByValue(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowFingerprint(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
@@ -348,4 +351,8 @@ object GraftFunctions {
 
   def hamming(a: Column, b: Column): Column =
     call_function("graft_hamming", a, b)
+
+  def topK(value: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", value, id,
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -890,6 +890,26 @@ object TextOps {
       .orderBy(col("chunk_hash"))
   }
 
+  /** Per-group top-k WITHOUT a window: the native `TopKByValue` heap
+    * aggregate (graft.functions.TopKAgg) keeps a bounded k-element heap per
+    * group with map-side partial aggregation, so only k rows per group per
+    * task are shuffled — vs `q_window_topk_group`'s rank-over-partition,
+    * which must exchange and sort the full corpus. Same answer (the
+    * (value DESC, id ASC) total order matches the oracle's row_number
+    * tie-break exactly), different — and at 100 TB strictly better —
+    * plan. */
+  def topkAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(graft.functions.GraftFunctions.topK(
+        col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+        col("t.id").as("doc_id"), col("t.value").cast("int").as("n_chars"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_keywords" -> (sourceKeywords _),
     "q_kl_divergence" -> (klDivergence _),
@@ -924,6 +944,7 @@ object TextOps {
     "q_source_mix" -> (sourceMix _),
     "q_fuzzy_match" -> (fuzzyNameMatch _),
     "q_dup_chunks" -> (dupChunks _),
+    "q_topk_agg" -> (topkAgg _),
   )
 
   /** DuckDB twin of `languageIdOn`, GENERATED from the same `langProfiles`
@@ -1318,6 +1339,17 @@ object TextOps {
         |GROUP BY chunk_hash
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id,
+        |       CAST(n_chars AS INTEGER) AS n_chars
+        |FROM r WHERE rnk <= 3
+        |ORDER BY lang, rnk""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
     // DuckDB equivalent; recall/superset properties pinned in
     // TextVectorSpec instead). Driver records rows-only for those two.

@@ -242,4 +242,14 @@ class PlanSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(3000)}")
   }
+
+  test("topk heap aggregate partial-aggregates map-side; no window, no sort before the exchange") {
+    // the whole point of TopKByValue vs the window twin: partial
+    // ObjectHashAggregate before the shuffle (k rows/group/task cross the
+    // wire) and no Window/row_number over the corpus anywhere
+    val p = plan("q_topk_agg")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"window leaked into the heap-agg plan:\n${p.take(3000)}")
+  }
 }

@@ -71,4 +71,30 @@ class StringDistanceSpec extends SparkSpec {
       .collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("topk heap aggregate matches the window twin under ties and partial merge") {
+    GraftFunctions.register(spark)
+    // adversarial fixture: heavy value ties (every value repeated across
+    // ids), spread over 8 partitions so the serialize/merge path runs,
+    // plus a group smaller than k
+    val rows = (0L until 200L).map(id => ("g" + (id % 3), (id % 7).toDouble, id)) ++
+      Seq(("tiny", 1.0, 9000L), ("tiny", 1.0, 9001L))
+    val df = rows.toDF("g", "v", "id").repartition(8)
+
+    val viaHeap = df.groupBy(col("g"))
+      .agg(GraftFunctions.topK(col("v"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.value").as("v"), col("t.id").as("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val viaWindow = df.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("g"), (col("rnk") - 1).as("pos"), col("v"), col("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+
+    assert(viaHeap === viaWindow)
+    assert(viaHeap.count(_._1 == "tiny") === 2, "under-k group returns all members")
+  }
 }
