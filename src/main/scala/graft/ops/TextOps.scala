@@ -910,6 +910,37 @@ object TextOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Sorted-neighborhood (SNM) candidate generation — the third blocking
+    * family next to key blocking (jaccardPairs) and LSH banding
+    * (minhashCandidates): sort the corpus by a fuzzy key (here (n_chars,
+    * doc_id)), then pair each record with its w successors in the global
+    * order (Hernández & Stolfo, SIGMOD'95). Guarantees exactly w·N
+    * candidates regardless of key skew — where key blocking degrades to
+    * O(block²) on hot keys, SNM's window is constant by construction.
+    *
+    * Scale shape: the global order comes from `ScaledRank.withGlobalRanks`
+    * (range-partitioned two-phase — no single-task window), successor
+    * pairing is an explode of w rank offsets joined back on rank equality
+    * — a plain equi join on a dense unique key. Nothing here is ever
+    * quadratic. */
+  def snmPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = 5
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val ranked = ScaledRank.withGlobalRanks(d,
+        Seq(col("n_chars"), col("doc_id")), Seq(col("doc_id")))
+      .select(col("rn"), col("doc_id"), col("n_chars"))
+    val a = ranked.select(col("rn").as("r1"), col("doc_id").as("id1"),
+      col("n_chars").as("len1"))
+    val b = ranked.select(col("rn").as("r2"), col("doc_id").as("id2"),
+      col("n_chars").as("len2"))
+    a.withColumn("rank_gap", explode(array((1 to w).map(lit): _*)))
+      .withColumn("r2", col("r1") + col("rank_gap"))
+      .join(b, "r2")
+      .select(col("id1"), col("id2"), col("rank_gap"),
+        (col("len2") - col("len1")).cast("int").as("len_diff"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_keywords" -> (sourceKeywords _),
     "q_kl_divergence" -> (klDivergence _),
@@ -945,6 +976,7 @@ object TextOps {
     "q_fuzzy_match" -> (fuzzyNameMatch _),
     "q_dup_chunks" -> (dupChunks _),
     "q_topk_agg" -> (topkAgg _),
+    "q_snm_pairs" -> (snmPairs _),
   )
 
   /** DuckDB twin of `languageIdOn`, GENERATED from the same `langProfiles`
@@ -1350,6 +1382,17 @@ object TextOps {
         |       CAST(n_chars AS INTEGER) AS n_chars
         |FROM r WHERE rnk <= 3
         |ORDER BY lang, rnk""".stripMargin,
+
+    "q_snm_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(b.rn - a.rn AS INTEGER) AS rank_gap,
+        |       CAST(b.n_chars - a.n_chars AS INTEGER) AS len_diff
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        |ORDER BY id1, id2""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
     // DuckDB equivalent; recall/superset properties pinned in
     // TextVectorSpec instead). Driver records rows-only for those two.

@@ -64,6 +64,41 @@ object VectorOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the 3 most-similar embeddings carrying a DIFFERENT label — the
+    * cross-label near-misses a metric-learning loss needs as negatives.
+    * Scoring is the same broadcast-probe map-side pass as [[cosineTopK]],
+    * but the per-query top-3 runs through the native `TopKByValue` heap
+    * aggregate (graft.functions.TopKAgg) instead of a window: partial
+    * aggregation keeps only 3 rows per query per task, so nothing
+    * corpus-sized is ever exchanged — then the 3·Q winners (tiny by
+    * construction) broadcast back against the label dim to recover the
+    * negative's label. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("norm").as("qnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+      col("embedding").as("cv"), col("norm").as("cnorm"))
+    val top = cand.join(broadcast(q), col("qlabel") =!= col("clabel"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(GraftFunctions.topK(col("cos"), col("cand_id"), 3).as("top"))
+      .select(col("query_id"), col("qlabel"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("qlabel"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("t.id").as("cand_id"), col("t.value").as("cos"))
+    val lab = emb(s, dir).select(col("vec_id").as("cand_id"),
+      col("label").as("neg_label"))
+    lab.join(broadcast(top), "cand_id")
+      .select(col("query_id"), col("qlabel"), col("rk"), col("cand_id"),
+        col("neg_label"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Exact cosine near-dup pairs within a label block (embedding-cosine
     * near-dup of SURVEY §2.11). This is the EXACT, oracle-checkable twin;
     * block size is corpus/|labels| — fine while labels are plentiful, but
@@ -664,6 +699,7 @@ object VectorOps {
     "q_vector_norms" -> (norms _),
     "q_sq_quantize" -> (sqQuantize _),
     "q_cosine_topk" -> (cosineTopK _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_cosine_pairs_lsh" -> (cosinePairsLsh _),
     "q_label_centroids" -> (labelCentroids _),
@@ -716,6 +752,24 @@ object VectorOps {
         |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                              CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                        CAST(embedding AS DOUBLE[]))) AS norm
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |    c.vec_id AS cand_id, c.label AS neg_label,
+        |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.label <> c.label
+        |), ranked AS (
+        |  SELECT query_id, qlabel, cand_id, neg_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT query_id, qlabel, rk, cand_id, neg_label, cos
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
