@@ -518,6 +518,24 @@ object Relational {
       .withColumnRenamed("key", "event_type")
       .orderBy(col("event_type"))
 
+  /** Hybrid hot/cold skew join (ops.Skew): events fact ⋈ per-user spend
+    * dim, with users above 80 fact rows routed through the broadcast hot
+    * path and the rest through the normal keyed join. The oracle runs the
+    * PLAIN join — the driver proves split ∪ split ≡ join on every run
+    * (the same prove-the-rewrite pattern as q_salted_distinct and
+    * q_jaccard_prefix). Aggregated to per-type counts so the compare is
+    * insensitive to union ordering. */
+  def hybridSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val dim = ev.groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 6).as("user_total"))
+    Skew.hybridSkewJoin(ev, dim, "user_id", hotThreshold = 80L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("user_total")), 2).as("total_spend"))
+      .orderBy(col("event_type"))
+  }
+
   /** Correlated scalar subquery (SURVEY §4 "subquery decorrelation"):
     * customers spending above their nation's average order value. Catalyst
     * rewrites the correlated aggregate into a join
@@ -1331,6 +1349,7 @@ object Relational {
     "q_local_supplier_volume" -> (localSupplierVolume _),
     "q_typed_counts" -> (typedCounts _),
     "q_salted_distinct" -> (saltedDistinct _),
+    "q_hybrid_skew_join" -> (hybridSkewJoin _),
     "q_correlated_subquery" -> (correlatedSubquery _),
     "q_join_lateral" -> (joinLateral _),
     "q_join_nullsafe" -> (joinNullSafe _),
@@ -1913,6 +1932,15 @@ object Relational {
     "q_salted_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_hybrid_skew_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, round(sum(value), 6) AS user_total
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |       round(sum(d.user_total), 2) AS total_spend
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_correlated_subquery" ->
       """SELECT c_custkey, round(total_spend, 2) AS total_spend

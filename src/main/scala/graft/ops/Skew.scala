@@ -30,4 +30,30 @@ object Skew {
       .agg(countDistinct(value).as("_partial"))
       .groupBy(col("key"))
       .agg(sum(col("_partial")).as("n_distinct"))
+
+  /** Hybrid hot/cold join — the manual form of the classic skew-join split
+    * (what AQE's skew handling does for sort-merge partitions, expressed
+    * at the key level so it also covers cases AQE cannot rebalance, e.g. a
+    * single key larger than any split): keys whose fact frequency exceeds
+    * `hotThreshold` probe a BROADCAST slice of the dim (the hot slice is
+    * ≤ |hot keys| dim rows — tiny by definition), while the cold remainder
+    * runs the normal keyed join and AQE picks its strategy. The hot-key
+    * list itself is a filtered aggregate of the fact — map-side combine
+    * collapses it before the shuffle — and is broadcast to split BOTH
+    * sides with semi/anti joins, so the split adds no keyed exchange.
+    * Semantically identical to `fact.join(dim, key)` for any threshold:
+    * every fact row is exactly one of hot/cold, and the union is disjoint
+    * by construction. */
+  def hybridSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     hotThreshold: Long): DataFrame = {
+    val hotKeys = fact.groupBy(col(key))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold)
+      .select(col(key))
+    val factHot = fact.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val factCold = fact.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val dimHot = dim.join(broadcast(hotKeys), Seq(key), "left_semi")
+    factHot.join(broadcast(dimHot), Seq(key))
+      .unionByName(factCold.join(dim, Seq(key)))
+  }
 }

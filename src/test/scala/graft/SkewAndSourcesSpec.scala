@@ -22,6 +22,32 @@ class SkewAndSourcesSpec extends SparkSpec {
     assert(salted("hot") === 500L)
   }
 
+  test("hybrid hot/cold join equals the plain join on skewed data, both paths populated") {
+    // one hot key with 5k fact rows, 50 cold keys with <= 20 each; dim has
+    // one row per key plus an unmatched extra (inner-join semantics must
+    // drop it on both paths)
+    val fact = ((0 until 5000).map(i => (999L, i)) ++
+      (0 until 1000).map(i => ((i % 50).toLong, i))).toDF("k", "payload")
+    val dim = ((0 until 50).map(i => (i.toLong, s"dim_$i")) ++
+      Seq((999L, "dim_hot"), (12345L, "dim_unmatched"))).toDF("k", "attr")
+
+    val hybrid = Skew.hybridSkewJoin(fact, dim, "k", hotThreshold = 100L)
+    val plain = fact.join(dim, Seq("k"))
+
+    val hCounts = hybrid.groupBy("k", "attr").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pCounts = plain.groupBy("k", "attr").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hCounts === pCounts)
+    assert(hCounts((999L, "dim_hot")) === 5000L, "hot path rows survive")
+    assert(!hCounts.keySet.exists(_._1 == 12345L), "unmatched dim row dropped")
+
+    // the split is real: hot slice broadcasts, and the union is present
+    val p = hybrid.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), s"no union in hybrid plan:\n${p.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, p.take(2000))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
     // one hot key owning ~99% of the probe side, landed in ONE shuffle
     // partition; with the skew thresholds scaled down to test size, AQE's
