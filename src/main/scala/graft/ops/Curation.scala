@@ -519,6 +519,86 @@ object Curation {
     labelPropOf(d.select(col("doc_id").as("node")), und)
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) over a DIRECTED node/edge
+    * relation, run UNNORMALIZED for `rounds` mutual-reinforcement rounds:
+    * a_i(v) = Σ_{u→v} h_{i-1}(u), h_i(u) = Σ_{u→v} a_i(v). Skipping the
+    * per-round normalization keeps every score an exact INTEGER (degrees
+    * are small, so 3 rounds stay far below 2^63) — rankings are identical
+    * to normalized HITS (normalization is a positive scalar per round) and
+    * the DuckDB twin hash-matches bit-exactly, no float drift anywhere.
+    * Each round is two keyed join+agg exchanges; zero-fill left joins keep
+    * sink/source nodes (no in/out edges) in the relation. */
+  private[graft] def hitsOf(nodes: DataFrame, edges: DataFrame,
+                            rounds: Int = 3): DataFrame = {
+    val e = edges.persist()
+    var h = nodes.select(col("node"), lit(1L).as("h"))
+    var a = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to rounds) {
+      a = nodes.select(col("node"))
+        .join(e.join(h.select(col("node").as("u"), col("h")), "u")
+          .groupBy(col("v").as("node")).agg(sum(col("h")).as("a")),
+          Seq("node"), "left")
+        .na.fill(0L, Seq("a"))
+      h = nodes.select(col("node"))
+        .join(e.join(a.select(col("node").as("v"), col("a")), "v")
+          .groupBy(col("u").as("node")).agg(sum(col("a")).as("h")),
+          Seq("node"), "left")
+        .na.fill(0L, Seq("h"))
+    }
+    a.join(h, "node")
+      .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+      .orderBy(col("node"))
+  }
+
+  /** HITS over the synthetic doc graph, DIRECTED as generated (tree edge
+    * doc→parent, quadratic edge doc→(doc²+1) mod n) — the direction the
+    * link-prediction and community queries discard. 3 exact integer
+    * rounds; oracle = unrolled MATERIALIZED CTE rounds (same pattern as
+    * [[labelPropagation]]). */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val e = withN.filter(col("doc_id") > 0)
+      .select(col("doc_id").as("u"), expr("doc_id div 2").as("v"))
+      .union(withN.select(col("doc_id").as("u"),
+        ((col("doc_id") * col("doc_id") + 1) % col("n")).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    hitsOf(d.select(col("doc_id").as("node")), e)
+  }
+
+  /** DuckDB twin of [[hits]]: 3 unrolled a/h rounds over the directed
+    * edge relation; HUGEINT sums cast back to BIGINT. */
+  private[graft] def hitsOracleSql(table: String): String = {
+    val rounds = (1 to 3).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT t.doc_id AS node, coalesce(s.a, 0) AS a
+         |  FROM $table t LEFT JOIN (
+         |    SELECT e.v, CAST(sum(h.h) AS BIGINT) AS a
+         |    FROM e JOIN h${i - 1} h ON e.u = h.node GROUP BY e.v) s
+         |  ON t.doc_id = s.v),
+         |h$i AS MATERIALIZED (
+         |  SELECT t.doc_id AS node, coalesce(s.h, 0) AS h
+         |  FROM $table t LEFT JOIN (
+         |    SELECT e.u, CAST(sum(a.a) AS BIGINT) AS h
+         |    FROM e JOIN a$i a ON e.v = a.node GROUP BY e.u) s
+         |  ON t.doc_id = s.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT doc_id AS u, doc_id // 2 AS v FROM $table WHERE doc_id > 0
+       |    UNION ALL
+       |    SELECT doc_id, (doc_id * doc_id + 1) % (SELECT n FROM nn)
+       |    FROM $table) WHERE u <> v),
+       |h0 AS MATERIALIZED (SELECT doc_id AS node, CAST(1 AS BIGINT) AS h FROM $table),
+       |$rounds
+       |SELECT a3.node, a3.a AS authority, h3.h AS hub
+       |FROM a3 JOIN h3 ON a3.node = h3.node
+       |ORDER BY a3.node""".stripMargin
+  }
+
   /** DuckDB twin of [[labelPropagation]]: 4 unrolled rounds, row_number
     * tie-break (cnt DESC, lab) ≡ min_by(lab, (-cnt, lab)). */
   private[graft] def labelPropagationOracleSql(table: String): String = {
@@ -944,6 +1024,7 @@ object Curation {
     "q_adamic_adar" -> (adamicAdar _),
     "q_kcore" -> (kCore _),
     "q_label_prop" -> (labelPropagation _),
+    "q_hits" -> (hits _),
     "q_filter_attribution" -> (filterAttribution _),
     "q_hybrid_dedup" -> (hybridDedup _),
     "q_weighted_sample" -> (weightedSample _),
@@ -1012,6 +1093,7 @@ object Curation {
     "q_pagerank" -> pageRankOracleSql("documents"),
     "q_kcore" -> kCoreOracleSql("documents"),
     "q_label_prop" -> labelPropagationOracleSql("documents"),
+    "q_hits" -> hitsOracleSql("documents"),
 
     // plain a<b<c triple join — degree-ordered orientation in the Spark
     // plan provably enumerates the same triangle set

@@ -195,6 +195,19 @@ class CurationSpec extends SparkSpec {
       10L -> 2L, 11L -> 2L, 12L -> 2L))
   }
 
+  test("hitsOf: star graph puts all authority on the center, all hub on spokes") {
+    // 4 spokes pointing at node 0; exact integer rounds:
+    // a1(0)=4 -> h1(spoke)=4 -> a2(0)=16 -> h2(spoke)=16 -> a3(0)=64,
+    // h3(spoke)=64; the center has no out-edges so hub(0)=0, and spokes
+    // receive nothing so authority(spoke)=0
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("u", "v")
+    val got = Curation.hitsOf(nodes, edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) === ((64L, 0L)))
+    Seq(1L, 2L, 3L, 4L).foreach(s => assert(got(s) === ((0L, 64L))))
+  }
+
   test("labelPropagation on the fixture: 500 rows, several communities, deterministic") {
     val a = Curation.labelPropagation(spark, sf001).collect()
     assert(a.length === 500)
