@@ -748,6 +748,30 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-pack attention boundaries for the packed batches of [[seqPacking]]:
+    * for each 512-token context window, the sorted in-pack offsets where a
+    * new document STARTS — the reset points an attention mask needs so
+    * packed neighbors don't attend across document boundaries. Same
+    * range-partitioned running total as seqPacking, then one hash agg per
+    * pack with an ordered array output (array_sort(collect_list) — order-
+    * insensitive to partitioning, so the DuckDB list_sort twin
+    * hash-matches). */
+  def packBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val t = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val start = col("cumsum") - col("n_tokens")
+    ScaledRank.withGlobalCumSum(t, Seq(col("doc_id")), col("n_tokens"))
+      .select(col("doc_id"),
+        floor(start / budget.toDouble).cast("long").as("pack_id"),
+        (start % budget).cast("int").as("offset_in_pack"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs_starting"),
+        array_sort(collect_list(col("offset_in_pack"))).as("boundaries"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("pack_id"))
+  }
+
   /** Benchmark-contamination check: for every training document, the
     * fraction of its bigram shingles that also appear in some eval-set
     * document (containment, the asymmetric n-gram-overlap measure used for
@@ -1031,6 +1055,7 @@ object Curation {
     "q_cluster_best" -> (clusterBest _),
     "q_hash_split" -> (hashSplit _),
     "q_seq_packing" -> (seqPacking _),
+    "q_pack_boundaries" -> (packBoundaries _),
     "q_contamination" -> (contamination _),
     "q_boilerplate" -> (boilerplate _),
     "q_token_budget" -> (tokenBudget _),
@@ -1350,6 +1375,23 @@ object Curation {
         |  CAST(floor((cum - 1) / 512.0) - floor((cum - n_tokens) / 512.0) + 1
         |       AS BIGINT) AS n_packs_spanned
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_boundaries" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+        |    CAST((cum - n_tokens) % 512 AS INTEGER) AS offset_in_pack
+        |  FROM c)
+        |SELECT pack_id, count(*) AS n_docs_starting,
+        |  list_sort(list(offset_in_pack)) AS boundaries,
+        |  min(doc_id) AS first_doc
+        |FROM s GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     "q_contamination" ->
       """WITH sh AS (
