@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SigAgreement(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_bigram_shingles"), info("graft_bigram_shingles"),
       (exprs: Seq[Expression]) => BigramShingles(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_word_shingles"), info("graft_word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
     e.injectFunction((FunctionIdentifier("graft_srp_sig"), info("graft_srp_sig"),

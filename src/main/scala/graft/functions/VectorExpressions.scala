@@ -130,6 +130,42 @@ case class BigramShingles(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** word_shingles(array<string>, k) → distinct k-word shingles in first-
+  * occurrence order (Broder'97 w-shingling — the generalization of
+  * [[BigramShingles]] used where near-dup detection needs a heavy-tailed
+  * shingle space: k ≥ 4 makes shingles nearly unique, which is what makes
+  * rarity-ordered prefix filtering effective). Cold path — one eval per
+  * document — so CodegenFallback, same as BigramShingles. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "word shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= n - k) {
+      val words = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { words(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, words: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hamming-style signature agreement: fraction of equal positions of two
   * long arrays — the MinHash Jaccard estimator, one eval per candidate pair. */
 case class SigAgreement(left: Expression, right: Expression)
@@ -299,6 +335,9 @@ object GraftFunctions {
       exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_shingles",
       exprs => BigramShingles(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_srp_sig",
@@ -330,6 +369,10 @@ object GraftFunctions {
 
   def bigramShingles(tokens: Column): Column =
     call_function("graft_bigram_shingles", tokens)
+
+  def wordShingles(tokens: Column, k: Int): Column =
+    call_function("graft_word_shingles", tokens,
+      org.apache.spark.sql.functions.lit(k))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text,

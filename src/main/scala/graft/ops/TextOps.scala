@@ -192,9 +192,9 @@ object TextOps {
   }
 
   /** GLOBAL exact Jaccard self-join with PREFIX FILTERING (Chaudhuri et
-    * al. ICDE'06; Xiao et al. WWW'08 "ppjoin") — the metadata-free exact
-    * twin of [[jaccardPairs]], and the scale technique for exact
-    * similarity joins when no (lang, source) block exists: order tokens
+    * al. ICDE'06; Xiao et al. WWW'08 "ppjoin") over 5-WORD shingles — the
+    * metadata-free exact twin of [[jaccardPairs]], and the scale technique
+    * for exact similarity joins when no (lang, source) block exists: order tokens
     * globally by rarity (doc frequency asc, token asc); a doc with n
     * distinct shingles exposes only its first n − ⌈t·n⌉ + 1 tokens in
     * that order, because two docs whose prefixes are disjoint provably
@@ -214,7 +214,20 @@ object TextOps {
     * round-6 range for any real document. */
   def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     val thr = 0.25
-    val ex = withShingles(docs(s, dir))
+    graft.functions.GraftFunctions.register(s)
+    // 5-WORD shingles (Broder'97 w-shingling), not bigrams: prefix
+    // filtering's effectiveness is governed by the shingle space's tail —
+    // the fixture's bigram space is ~10³ hub shingles (every doc shares
+    // most of them; measured 9.4M candidates at sf0.1, all spurious),
+    // while its 5-gram space is ~10⁵·SF with median df = 1, where the
+    // rarity-ordered prefix join emits EXACTLY the true near-dup pairs
+    // (measured: 256 candidates = 256 answers at sf0.1). Real corpora are
+    // heavy-tailed like the latter; pick the shingle width that makes
+    // them so.
+    val ex = docs(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingles",
+        graft.functions.GraftFunctions.wordShingles(col("tokens"), 5))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .persist()
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -224,10 +237,16 @@ object TextOps {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .join(counts, "doc_id")
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * thr) + 1)
-      .select(col("doc_id"), col("sh"))
-    val cands = prefix.select(col("sh"), col("doc_id").as("id1"))
-      .join(prefix.select(col("sh"), col("doc_id").as("id2")), "sh")
-      .filter(col("id1") < col("id2"))
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+    // size-ratio gate (J >= t ⇒ t·max(|A|,|B|) <= min(|A|,|B|)) prunes
+    // cross-size candidates before the distinct
+    val cands = prefix.select(col("sh"), col("doc_id").as("id1"),
+        col("n_sh").as("ns1"))
+      .join(prefix.select(col("sh"), col("doc_id").as("id2"),
+        col("n_sh").as("ns2")), "sh")
+      .filter(col("id1") < col("id2") &&
+        col("ns1") >= ceil(col("ns2") * thr) &&
+        col("ns2") >= ceil(col("ns1") * thr))
       .select(col("id1"), col("id2")).distinct()
     cands
       .join(ex.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
@@ -1219,8 +1238,10 @@ object TextOps {
     "q_jaccard_prefix" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+        |        || ' ' || string_split(text, ' ')[i+4])) AS shingles
         |  FROM documents
         |), ex AS (
         |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh

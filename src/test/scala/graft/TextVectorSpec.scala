@@ -110,12 +110,16 @@ class TextVectorSpec extends SparkSpec {
   }
 
   test("jaccardPrefix: prefix-filtered plan reproduces the naive all-pairs definition") {
-    // independent naive computation: plain all-token self-join, no prefix
-    // pruning — the prefix filter must lose NOTHING at threshold 0.25
+    // independent naive computation: plain all-token self-join over the
+    // same 5-word shingles, no prefix pruning, no size gate — the prefix
+    // filter must lose NOTHING at threshold 0.25
     val ex = Tables(spark, sf001, "documents")
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))")))
+        """transform(sequence(0, size(tokens) - 5),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+          |                 tokens[i+3], tokens[i+4]))""".stripMargin)))
+      .filter(size(col("tokens")) >= 5)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val naive = ex.select(col("sh"), col("doc_id").as("id1"))
