@@ -166,6 +166,41 @@ case class WordShingles(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** chunk_rows(text, width) — a native GENERATOR (the Catalyst extension
+  * tier built-in explode covers for arrays): streams (chunk_idx, chunk)
+  * rows straight off the input string under `GenerateExec`, without ever
+  * materializing the index array + per-element substring projection the
+  * `explode(sequence(...))` formulation builds first. Same row semantics
+  * as [[graft.ops.TextOps.docChunks]] (whose oracle it shares); on empty
+  * input it generates zero rows (the SQL `range(1, 0)` convention). */
+case class ChunkRows(child: Expression, width: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  require(width > 0, "chunk width must be positive")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val s = v.asInstanceOf[UTF8String]
+      val n = s.numChars()
+      val chunks = (n + width - 1) / width
+      (0 until chunks).map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          i, s.substringSQL(i * width + 1, width))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hamming-style signature agreement: fraction of equal positions of two
   * long arrays — the MinHash Jaccard estimator, one eval per candidate pair. */
 case class SigAgreement(left: Expression, right: Expression)
@@ -338,6 +373,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_word_shingles",
       exprs => WordShingles(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_chunk_rows",
+      exprs => ChunkRows(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_srp_sig",
@@ -373,6 +411,10 @@ object GraftFunctions {
   def wordShingles(tokens: Column, k: Int): Column =
     call_function("graft_word_shingles", tokens,
       org.apache.spark.sql.functions.lit(k))
+
+  def chunkRows(text: Column, width: Int): Column =
+    call_function("graft_chunk_rows", text,
+      org.apache.spark.sql.functions.lit(width))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text,

@@ -511,6 +511,25 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** [[docChunks]] re-expressed through the NATIVE GENERATOR `ChunkRows`
+    * (graft.functions): `GenerateExec` streams (chunk_idx, chunk) rows
+    * straight off each document instead of materializing an index array
+    * and re-substringing per element — the generator extension tier next
+    * to the expression/aggregate/plan tiers. Output rows are identical to
+    * docChunks by construction, so the two queries SHARE one oracle text
+    * and the driver proves generator ≡ explode formulation every run;
+    * PlanSpec pins that the plan is a Generate over ChunkRows with no
+    * sequence/explode projection. */
+  def chunkGen(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.chunkRows(col("text"), 120))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        length(col("chunk")).as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Edit-distance near-dup pairs: levenshtein within (lang, source) blocks,
     * pre-filtered by |len difference| <= 30 (levenshtein(a,b) >= |len(a) -
     * len(b)|, so the length gate is a sound O(1) lower-bound prune that
@@ -987,6 +1006,7 @@ object TextOps {
     "q_winnow_fingerprints" -> (winnowFingerprints _),
     "q_pii_redact" -> (piiRedact _),
     "q_doc_chunks" -> (docChunks _),
+    "q_chunk_gen" -> (chunkGen _),
     "q_edit_distance_pairs" -> (editDistancePairs _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_tfidf" -> (tfidf _),
@@ -997,6 +1017,16 @@ object TextOps {
     "q_topk_agg" -> (topkAgg _),
     "q_snm_pairs" -> (snmPairs _),
   )
+
+  private val docChunksOracle: String =
+    """WITH e AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, CAST(ceil(length(text)/120.0) AS BIGINT))) AS ci
+      |  FROM documents)
+      |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+      |       substring(text, CAST(ci*120+1 AS INTEGER), 120) AS chunk,
+      |       CAST(length(substring(text, CAST(ci*120+1 AS INTEGER), 120)) AS INTEGER) AS chunk_len
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** DuckDB twin of `languageIdOn`, GENERATED from the same `langProfiles`
     * so the two engines cannot drift: per language, the same
@@ -1301,15 +1331,10 @@ object TextOps {
         |    '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    "q_doc_chunks" ->
-      """WITH e AS (
-        |  SELECT doc_id, text,
-        |         unnest(range(0, CAST(ceil(length(text)/120.0) AS BIGINT))) AS ci
-        |  FROM documents)
-        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
-        |       substring(text, CAST(ci*120+1 AS INTEGER), 120) AS chunk,
-        |       CAST(length(substring(text, CAST(ci*120+1 AS INTEGER), 120)) AS INTEGER) AS chunk_len
-        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_doc_chunks" -> docChunksOracle,
+    // q_chunk_gen returns the IDENTICAL relation through the native
+    // ChunkRows generator — one oracle text proves explode ≡ generator
+    "q_chunk_gen" -> docChunksOracle,
 
     "q_edit_distance_pairs" ->
       """SELECT a.doc_id AS id1, b.doc_id AS id2,

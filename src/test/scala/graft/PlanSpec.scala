@@ -243,6 +243,13 @@ class PlanSpec extends SparkSpec {
     assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(3000)}")
   }
 
+  test("chunk generator plans as Generate over ChunkRows, no explode/sequence projection") {
+    val p = plan("q_chunk_gen")
+    assert(p.contains("Generate chunkrows"), s"native generator missing:\n${p.take(2000)}")
+    assert(!p.contains("explode") && !p.contains("sequence"),
+      s"index-array formulation leaked into the generator plan:\n${p.take(2000)}")
+  }
+
   test("topk heap aggregate partial-aggregates map-side; no window, no sort before the exchange") {
     // the whole point of TopKByValue vs the window twin: partial
     // ObjectHashAggregate before the shuffle (k rows/group/task cross the

@@ -72,6 +72,20 @@ class StringDistanceSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  test("chunk generator: short, exact-multiple, and empty inputs") {
+    GraftFunctions.register(spark)
+    val rows = Seq((1L, "a" * 250), (2L, "b" * 240), (3L, "short"), (4L, ""))
+      .toDF("id", "t")
+      .select(col("id"), GraftFunctions.chunkRows(col("t"), 120))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2).length))
+    val byId = rows.groupBy(_._1)
+    assert(byId(1L).map(t => (t._2, t._3)).sorted === Seq((0, 120), (1, 120), (2, 10)))
+    assert(byId(2L).map(t => (t._2, t._3)).sorted === Seq((0, 120), (1, 120)),
+      "exact multiple produces no empty tail chunk")
+    assert(byId(3L).map(t => (t._2, t._3)) === Array((0, 5)))
+    assert(!byId.contains(4L), "empty text generates zero rows")
+  }
+
   test("topk heap aggregate matches the window twin under ties and partial merge") {
     GraftFunctions.register(spark)
     // adversarial fixture: heavy value ties (every value repeated across
