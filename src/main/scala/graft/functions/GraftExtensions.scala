@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_chunk_rows"), info("graft_chunk_rows"),
       (exprs: Seq[Expression]) => ChunkRows(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_cdc_ends"), info("graft_cdc_ends"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs(0))))
     e.injectFunction((FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
     e.injectFunction((FunctionIdentifier("graft_srp_sig"), info("graft_srp_sig"),

@@ -376,6 +376,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_chunk_rows",
       exprs => ChunkRows(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_ends",
+      exprs => CdcBoundaries(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_srp_sig",
@@ -415,6 +417,9 @@ object GraftFunctions {
   def chunkRows(text: Column, width: Int): Column =
     call_function("graft_chunk_rows", text,
       org.apache.spark.sql.functions.lit(width))
+
+  def cdcEnds(text: Column): Column =
+    call_function("graft_cdc_ends", text)
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text,

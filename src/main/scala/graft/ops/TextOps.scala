@@ -948,6 +948,37 @@ object TextOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Shift-robust duplicate-span detection via CONTENT-DEFINED chunking
+    * (graft.functions.CdcBoundaries — the rsync/LBFS technique): chunk
+    * boundaries fall where a rolling window hash hits 0 mod 64, so an
+    * insertion early in a document changes only the chunks touching the
+    * edit while every later chunk keeps its content and fingerprint —
+    * the failure mode of [[dupChunks]]' fixed 120-char grid, whose chunks
+    * ALL shift after any edit. Same downstream shape as dupChunks:
+    * md5-fingerprint, hash agg with map-side combine, ≥2-doc filter, no
+    * pair join. The boundary relation is one native-expression eval per
+    * doc; the per-doc lag that turns ends into segments partitions on
+    * doc_id (bounded ends per doc, corpus-parallel). The ORACLE recomputes
+    * the window hashes in SQL generated from the SAME constants
+    * (CdcParams.oracleHashSql — the languageId generated-twin pattern), so
+    * chunk fingerprints themselves hash-match, not just counts. */
+  def cdcDupChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("e"))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.GraftFunctions.cdcEnds(col("text"))).as("e"))
+      .withColumn("pe", lag(col("e"), 1, 0).over(w))
+      .select(col("doc_id"),
+        md5(expr("substring(text, pe + 1, e - pe)")).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_hash"))
+  }
+
   /** Sorted-neighborhood (SNM) candidate generation — the third blocking
     * family next to key blocking (jaccardPairs) and LSH banding
     * (minhashCandidates): sort the corpus by a fuzzy key (here (n_chars,
@@ -1016,7 +1047,40 @@ object TextOps {
     "q_dup_chunks" -> (dupChunks _),
     "q_topk_agg" -> (topkAgg _),
     "q_snm_pairs" -> (snmPairs _),
+    "q_cdc_chunks" -> (cdcDupChunks _),
   )
+
+  /** DuckDB twin of [[cdcDupChunks]], GENERATED from CdcParams' constants:
+    * same window-hash term sum, same boundary mask, same end-union, same
+    * lag-to-segments construction. */
+  private def cdcChunksOracle: String = {
+    val pred = graft.functions.CdcParams.oracleHashSql("text", "i")
+    val wm = graft.functions.CdcParams.w
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |         unnest(range($wm, length(text) + 1)) AS i
+       |  FROM documents
+       |), hh AS (
+       |  SELECT doc_id, i AS e FROM pos WHERE $pred
+       |), ends AS (
+       |  SELECT doc_id, e FROM hh
+       |  UNION
+       |  SELECT doc_id, length(text) AS e FROM documents
+       |), seg AS (
+       |  SELECT doc_id, e,
+       |         lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS pe
+       |  FROM ends
+       |), ch AS (
+       |  SELECT s.doc_id,
+       |         md5(substring(d.text, s.pe + 1, s.e - s.pe)) AS chunk_hash
+       |  FROM seg s JOIN documents d ON s.doc_id = d.doc_id
+       |)
+       |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+       |       count(*) AS n_occ, min(doc_id) AS first_doc
+       |FROM ch GROUP BY chunk_hash
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_hash""".stripMargin
+  }
 
   private val docChunksOracle: String =
     """WITH e AS (
@@ -1428,6 +1492,8 @@ object TextOps {
         |       CAST(n_chars AS INTEGER) AS n_chars
         |FROM r WHERE rnk <= 3
         |ORDER BY lang, rnk""".stripMargin,
+
+    "q_cdc_chunks" -> cdcChunksOracle,
 
     "q_snm_pairs" ->
       """WITH r AS (

@@ -86,6 +86,36 @@ class StringDistanceSpec extends SparkSpec {
     assert(!byId.contains(4L), "empty text generates zero rows")
   }
 
+  test("cdc chunking is shift-robust where the fixed grid is not") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shifted = "xyzq" + base // 4-char insertion at the front
+
+    def chunks(text: String): Seq[String] = {
+      val df = Seq(text).toDF("text")
+        .select(col("text"), explode(GraftFunctions.cdcEnds(col("text"))).as("e"))
+        .withColumn("pe", lag(col("e"), 1, 0).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("e"))))
+        .select(expr("substring(text, pe + 1, e - pe)").as("c"))
+      df.collect().map(_.getString(0)).toSeq
+    }
+
+    val a = chunks(base)
+    val b = chunks(shifted)
+    assert(a.size > 3, s"fixture too small: ${a.size} chunks")
+    val shared = a.toSet.intersect(b.toSet).size
+    // all chunks beyond the edited head must survive the 4-char shift;
+    // only the first chunk (containing the insertion) may differ
+    assert(shared >= a.size - 1,
+      s"CDC lost ${a.size - shared} of ${a.size} chunks after a head insertion")
+    // the fixed 120-char grid loses essentially everything under the same
+    // shift — the property that motivates CDC
+    def gridChunks(text: String) = text.grouped(120).toSeq
+    val gridShared = gridChunks(base).toSet.intersect(gridChunks(shifted).toSet)
+    assert(gridShared.isEmpty, "grid unexpectedly survived the shift")
+  }
+
   test("topk heap aggregate matches the window twin under ties and partial merge") {
     GraftFunctions.register(spark)
     // adversarial fixture: heavy value ties (every value repeated across
