@@ -86,6 +86,66 @@ class StringDistanceSpec extends SparkSpec {
     assert(!byId.contains(4L), "empty text generates zero rows")
   }
 
+  test("string-distance metric axioms hold on random inputs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val pair = for { a <- word; b <- word } yield (a, b)
+    val triple = for { a <- word; b <- word; c <- word } yield (a, b, c)
+
+    val dlProps = Prop.forAll(pair) { case (a, b) =>
+      val d = StringDistances.damerauLevenshtein(u(a), u(b))
+      val sym = StringDistances.damerauLevenshtein(u(b), u(a))
+      d == sym &&                                   // symmetry
+      d >= math.abs(a.length - b.length) &&         // length lower bound
+      d <= math.max(a.length, b.length) &&          // replace-everything upper bound
+      (d == 0) == (a == b)                          // identity of indiscernibles
+    }
+    val dlTriangle = Prop.forAll(triple) { case (a, b, c) =>
+      // unrestricted DL is a metric (OSA is not — this guards the variant)
+      StringDistances.damerauLevenshtein(u(a), u(c)) <=
+        StringDistances.damerauLevenshtein(u(a), u(b)) +
+        StringDistances.damerauLevenshtein(u(b), u(c))
+    }
+    val jwProps = Prop.forAll(pair) { case (a, b) =>
+      val s = StringDistances.jaroWinkler(u(a), u(b))
+      s >= 0.0 && s <= 1.0 &&
+      s == StringDistances.jaroWinkler(u(b), u(a)) &&
+      (a != b || s == 1.0)
+    }
+    val hamProps = Prop.forAll(pair) { case (a, b) =>
+      val h = StringDistances.hamming(u(a), u(b))
+      h == StringDistances.hamming(u(b), u(a)) &&
+      h >= math.abs(a.length - b.length) &&
+      (h == 0) == (a == b)
+    }
+    Seq("dl" -> dlProps, "dlTriangle" -> dlTriangle,
+      "jw" -> jwProps, "ham" -> hamProps).foreach { case (name, p) =>
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+      assert(res.passed, s"$name: ${res.status}")
+    }
+  }
+
+  test("cdc boundaries partition the text exactly on random inputs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val text = Gen.choose(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    val prop = Prop.forAll(text) { t =>
+      val ends = graft.functions.CdcBoundaries(
+        org.apache.spark.sql.catalyst.expressions.Literal(t))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toList
+      val segs = ends.scanLeft(0)((_, e) => e).sliding(2).collect {
+        case List(p, e) => t.substring(p, e) }.toList
+      ends.nonEmpty && ends.last == t.length &&          // covers to the end
+      ends == ends.sorted && ends.distinct == ends &&    // strictly increasing
+      segs.mkString == t                                 // chunks partition exactly
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cdc chunking is shift-robust where the fixed grid is not") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(42)
