@@ -195,6 +195,71 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** PERSONALIZED PageRank — the random-walk-with-restart similarity used
+    * for graph-based recommendation and node features: identical power
+    * iteration to [[pageRank]] except the 0.15 teleport mass returns to a
+    * SEED SET (doc_id % 100 == 0, 1/|S| each) instead of spreading
+    * uniformly, so scores rank nodes by proximity to the seeds. Same
+    * one-join-one-agg round shape, same unrolled-CTE oracle; r0 = the
+    * restart vector (the standard PPR initialization). */
+  def personalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"),
+      sum(when(col("doc_id") % 100 === 0, 1).otherwise(0))
+        .cast("double").as("scnt"))
+    val withN = d.crossJoin(broadcast(nAgg))
+      .withColumn("restart",
+        when(col("doc_id") % 100 === 0, lit(1.0) / col("scnt"))
+          .otherwise(lit(0.0)))
+    val edges = withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
+      .union(withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 17 + 3) % col("n")).as("dst")))
+    var ranks = withN.select(col("doc_id"), col("restart").as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("r") / 2.0).as("csum"))
+      ranks = withN.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(0.15) * col("restart")
+            + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("r"))
+    }
+    ranks.select(col("doc_id"), round(col("r"), 9).as("ppr_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]]: 5 unrolled rounds, restart
+    * mass to the seed set. */
+  private[graft] def personalizedPageRankOracleSql(table: String): String = {
+    val rounds = (1 to 5).map { k =>
+      s"""p$k AS (SELECT d.doc_id,
+         |  0.15 * d.restart + 0.85 * coalesce(c.s, 0.0) AS r
+         |FROM seeds d LEFT JOIN (
+         |  SELECT e.dst AS doc_id, sum(p.r / 2.0) AS s
+         |  FROM e JOIN p${k - 1} p ON e.src = p.doc_id GROUP BY e.dst) c
+         |ON d.doc_id = c.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS scnt
+       |  FROM $table),
+       |seeds AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 100 = 0 THEN 1.0 / (SELECT scnt FROM nn)
+       |         ELSE 0.0 END AS restart
+       |  FROM $table),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT n FROM nn) AS dst
+       |  FROM $table
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 17 + 3) % (SELECT n FROM nn) AS dst
+       |  FROM $table),
+       |p0 AS (SELECT doc_id, restart AS r FROM seeds),
+       |$rounds
+       |SELECT doc_id, round(r, 9) AS ppr_score FROM p5 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]]: the 5 power iterations unrolled as
     * nested CTEs with identical arithmetic. */
   private[graft] def pageRankOracleSql(table: String): String = {
@@ -1043,6 +1108,7 @@ object Curation {
     "q_temperature_sample" -> (temperatureSample _),
     "q_dup_clusters" -> (dupClusters _),
     "q_pagerank" -> (pageRank _),
+    "q_ppr" -> (personalizedPageRank _),
     "q_triangle_count" -> (triangleCount _),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_adamic_adar" -> (adamicAdar _),
@@ -1116,6 +1182,7 @@ object Curation {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
     "q_pagerank" -> pageRankOracleSql("documents"),
+    "q_ppr" -> personalizedPageRankOracleSql("documents"),
     "q_kcore" -> kCoreOracleSql("documents"),
     "q_label_prop" -> labelPropagationOracleSql("documents"),
     "q_hits" -> hitsOracleSql("documents"),
