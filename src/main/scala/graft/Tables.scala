@@ -18,15 +18,23 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // Spark 4 rejects INT64 TIMESTAMP(NANOS) parquet outright
-      // (PARQUET_TYPE_ILLEGAL); read nanos as a long and truncate to a
-      // µs timestamp with integer division (`div`, not `/` — the epoch-ns
-      // magnitude ~1.7e18 exceeds double's 2^53 exact-integer range).
-      // DuckDB reads the same column as TIMESTAMP (µs, truncated), so both
-      // engines see identical values.
+      // The driver has shipped `ts` two ways across rounds: INT64
+      // TIMESTAMP(NANOS) — which Spark 4 rejects outright
+      // (PARQUET_TYPE_ILLEGAL) unless read as a long and truncated with
+      // integer division (`div`, not `/`: epoch-ns ~1.7e18 exceeds
+      // double's 2^53 exact range) — and plain TIMESTAMP(MICROS), which
+      // Spark reads as TIMESTAMP_NTZ. Normalize both to the session-TZ
+      // TimestampType (sessions pin UTC, so the NTZ cast is
+      // value-preserving and DuckDB sees identical µs values).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     case _ =>
       spark.read.parquet(s"$sfDir/$name.parquet")
   }

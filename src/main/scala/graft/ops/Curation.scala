@@ -818,9 +818,10 @@ object Curation {
     * new document STARTS — the reset points an attention mask needs so
     * packed neighbors don't attend across document boundaries. Same
     * range-partitioned running total as seqPacking, then one hash agg per
-    * pack with an ordered array output (array_sort(collect_list) — order-
-    * insensitive to partitioning, so the DuckDB list_sort twin
-    * hash-matches). */
+    * pack with an ordered, canonically-serialized boundary list
+    * (array_sort(collect_list) joined to a comma string — order-
+    * insensitive to partitioning AND hashable by flat row checkers, so
+    * the DuckDB list_sort/array_to_string twin hash-matches). */
   def packBoundaries(s: SparkSession, dir: String): DataFrame = {
     val budget = 512
     val t = docs(s, dir).select(col("doc_id"),
@@ -832,7 +833,8 @@ object Curation {
         (start % budget).cast("int").as("offset_in_pack"))
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs_starting"),
-        array_sort(collect_list(col("offset_in_pack"))).as("boundaries"),
+        concat_ws(",", array_sort(collect_list(col("offset_in_pack")))
+          .cast("array<string>")).as("boundaries"),
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("pack_id"))
   }
@@ -1456,7 +1458,7 @@ object Curation {
         |    CAST((cum - n_tokens) % 512 AS INTEGER) AS offset_in_pack
         |  FROM c)
         |SELECT pack_id, count(*) AS n_docs_starting,
-        |  list_sort(list(offset_in_pack)) AS boundaries,
+        |  array_to_string(list_sort(list(offset_in_pack)), ',') AS boundaries,
         |  min(doc_id) AS first_doc
         |FROM s GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 

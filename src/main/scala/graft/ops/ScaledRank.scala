@@ -157,8 +157,10 @@ object ScaledRank {
     // per-partition total = the partition's FINAL local prefix value.
     // sum(_v), not max(_cs): for signed values (sweep-line ±1 deltas) the
     // running sum is non-monotonic and its max overstates the offset
+    // coalesce: a range partition whose every row is null contributes a
+    // zero offset (sum(_v) alone would be NULL there and NPE on getLong)
     val stats = local.groupBy(col("_pid"))
-      .agg(sum(col("_v")).as("part_sum"))
+      .agg(coalesce(sum(col("_v")), lit(0L)).as("part_sum"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val offsets = stats.scanLeft((0, 0L)) { case ((_, off), (pid, s)) =>

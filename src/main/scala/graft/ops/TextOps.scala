@@ -915,6 +915,10 @@ object TextOps {
   def dupChunks(s: SparkSession, dir: String): DataFrame = {
     val w = 120
     docs(s, dir)
+      // empty docs emit zero chunks, matching the oracle's empty range();
+      // without the guard sequence(0, -1) steps BACKWARD to [0, -1] and
+      // fabricates two phantom md5('') chunks per empty doc
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           ceil(length(col("text")) / w.toDouble).cast("int") - 1)).as("ci"))

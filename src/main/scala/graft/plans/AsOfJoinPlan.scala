@@ -151,12 +151,14 @@ case class AsOfJoinExec(
             !ltNull && rRow != null && keyOrd.compare(rKey, lKey) == 0
           resultProj(joined(lRow, if (matched) rRow else nullRight))
         } else {
-          val ltB: Long = if (ltNull) Long.MinValue else lt
+          // a null left time matches nothing: !ltNull gates both the
+          // consume/candidate branch and the final match (no MinValue
+          // sentinel — a right row at exactly Long.MinValue must not match)
           var advancing = rRow != null
           while (advancing) {
             val c = keyOrd.compare(rKey, lKey)
-            if (c < 0 || (c == 0 && (rTime == null || rTime <= ltB))) {
-              if (c == 0 && rTime != null && rTime <= ltB) {
+            if (c < 0 || (c == 0 && (rTime == null || (!ltNull && rTime <= lt)))) {
+              if (c == 0 && !ltNull && rTime != null && rTime <= lt) {
                 cand = rRow.copy()
                 if (candKey == null || keyOrd.compare(candKey, lKey) != 0)
                   candKey = lKey.copy()
@@ -165,7 +167,7 @@ case class AsOfJoinExec(
               advancing = rRow != null
             } else advancing = false
           }
-          val matched =
+          val matched = !ltNull &&
             cand != null && candKey != null && keyOrd.compare(candKey, lKey) == 0
           resultProj(joined(lRow, if (matched) cand else nullRight))
         }

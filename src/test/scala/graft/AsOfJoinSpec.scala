@@ -60,6 +60,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(-1L) === null)
   }
 
+  test("null left time matches nothing even when a right time is Long.MinValue") {
+    // regression: the old Long.MinValue sentinel for a null left bound let a
+    // right row at exactly MinValue satisfy rTime <= sentinel and match
+    val left = Seq((1L, None), (1L, Some(0L))).toDF("k", "t")
+    val right = Seq((1L, Some(Long.MinValue), "rmin")).toDF("rk", "rt", "payload")
+    val got = join(left, right).collect()
+      .map(r => (if (r.isNullAt(1)) -1L else r.getLong(1)) ->
+        (if (r.isNullAt(4)) null else r.getString(4))).toMap
+    assert(got(-1L) === null, "null left time must never match")
+    assert(got(0L) === "rmin", "a real left time still matches the MinValue row")
+  }
+
   test("forward direction: nearest >= match, ties match, earlier rows don't") {
     val left = Seq(
       (1L, 100L), // tie with right (1,100) -> matches it

@@ -26,6 +26,22 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("no query output has a top-level Array/Map/Struct column") {
+    // the driver's pandas checker lexsorts result frames and cannot hash
+    // numpy arrays — a complex top-level column errs the CORRECTNESS gate
+    // (the r7 q_pack_boundaries failure). Serialize to a canonical string
+    // (concat_ws over array_sort) instead of whitelisting here.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sf001).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty, s"driver-unhashable output columns:\n${bad.mkString("\n")}")
+  }
+
   test("multimodal decode stub roundtrips payload length") {
     val out = graft.ops.Multimodal.decode(spark, sf001).collect()
     assert(out.nonEmpty)

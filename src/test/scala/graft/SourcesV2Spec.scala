@@ -54,6 +54,19 @@ class SourcesV2Spec extends SparkSpec {
     }.head.description().contains("range=[12345,12346)"))
   }
 
+  test("Long.MaxValue bounds don't overflow the pushed range") {
+    // consumed filters are never re-checked by Spark, so a v+1 wrap at
+    // MaxValue would silently drop (or fabricate) rows rather than error
+    val n = 1000L
+    assert(events(n, 4).filter(col("event_id") <= Long.MaxValue).count() === n,
+      "<= MaxValue must constrain nothing")
+    assert(events(n, 4).filter(col("event_id") > Long.MaxValue).count() === 0L,
+      "> MaxValue must match nothing")
+    assert(events(n, 4).filter(col("event_id") === Long.MaxValue).count() === 0L,
+      "= MaxValue must match nothing (ids live in [0, rows))")
+    assert(events(n, 4).filter(col("event_id") >= Long.MaxValue).count() === 0L)
+  }
+
   test("DSv2 sink: two-phase commit publishes exact write-side totals") {
     import graft.sources.AuditSink
     // source → sink end-to-end through the v2 write path, 8 write tasks
