@@ -30,10 +30,28 @@ object Tables {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // LongType here means TIMESTAMP(NANOS) read via nanosAsLong — but
+          // a plain INT64-micros column would ALSO surface as LongType and
+          // be mis-divided 1000×. Guard by magnitude: epoch-ns for any
+          // plausible driver date is ≥ 1e17 (~1973); epoch-µs is ~1e15.
+          // raise_error is codegen'd and costs one comparison per row.
+          raw.withColumn("ts", timestamp_micros(expr(
+            """CASE WHEN ts IS NULL THEN NULL
+              |     WHEN ts >= 100000000000000000 THEN ts div 1000
+              |     ELSE raise_error(concat('events.ts LongType value ', ts,
+              |       ' is too small for epoch-nanos; the driver may have shipped INT64 micros'))
+              |END""".stripMargin)))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw
+        case org.apache.spark.sql.types.TimestampType => raw
+        case other =>
+          // Fail fast: a third driver encoding (e.g. INT64 micros, which
+          // would also read as LongType but mean a 1000× different value,
+          // or a string) must surface as an explicit error here, not as
+          // silent value drift against the oracle.
+          throw new IllegalStateException(
+            s"events.ts has unexpected parquet type $other; " +
+              "extend Tables.apply with an explicit, value-checked normalization")
       }
     case _ =>
       spark.read.parquet(s"$sfDir/$name.parquet")

@@ -14,11 +14,18 @@ class EntrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  // Built ONCE and shared by the run-all and schema-audit tests below:
+  // query construction is not free (ScaledRank-based queries run eager
+  // boundary-stats jobs and persist() RDDs while building), so a second
+  // full construction sweep would double that cost and accumulate cached
+  // RDDs (ADVICE r8).
+  private lazy val built: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.map { case (name, fn) => name -> fn(spark, sf001) }
+
   test("every query runs at sf0.001 with columns and rows") {
     val empties = Seq("q_jaccard_pairs", "q_cosine_pairs",
       "q_minhash_candidates", "q_join_anti") // legitimately may be empty/small
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, sf001)
+    built.foreach { case (name, df) =>
       assert(df.columns.nonEmpty, s"$name has no columns")
       val n = df.count()
       if (!empties.contains(name))
@@ -32,14 +39,17 @@ class EntrySpec extends SparkSpec {
     // (the r7 q_pack_boundaries failure). Serialize to a canonical string
     // (concat_ws over array_sort) instead of whitelisting here.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      fn(spark, sf001).schema.fields.collect {
+    val bad = built.flatMap { case (name, df) =>
+      df.schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
           f.dataType.isInstanceOf[MapType] ||
           f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
       }
     }
     assert(bad.isEmpty, s"driver-unhashable output columns:\n${bad.mkString("\n")}")
+    // drop the RDDs persisted during query construction so later suites in
+    // the shared session start cache-clean
+    spark.catalog.clearCache()
   }
 
   test("multimodal decode stub roundtrips payload length") {
