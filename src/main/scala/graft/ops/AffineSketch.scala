@@ -1,0 +1,338 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic-hash twins of the hash-based sketch queries — the full
+  * oracle promotion the CMS sketch and CDC chunking already received
+  * ([[Analytics.cmsFreq]], `functions/CdcChunking.scala`), applied to
+  * MinHash+LSH banding, SimHash blocking, winnowing fingerprints, and the
+  * KMV cardinality sketch.
+  *
+  * The production paths (`q_minhash_candidates`, `q_simhash_pairs`,
+  * `q_winnow_fingerprints`, `q_kmv_users`) keep their engine-native
+  * xxhash64 hashes — the right 100 TB choice — and stay rows-only for the
+  * driver, pinned by committed literals in ScalaTest. These twins replace
+  * the engine-internal hash with arithmetic BOTH engines compute
+  * identically, so the whole pipeline (signatures, buckets, candidate
+  * pairs, estimates) hash-matches a DuckDB oracle generated from the same
+  * constants:
+  *
+  *   - base hash: first 7 hex digits of md5 → 28-bit int. Spark
+  *     `conv(substring(md5(s),1,7),16,10)` ≡ DuckDB
+  *     `('0x'||substr(md5(s),1,7))::BIGINT` (md5 is bit-identical across
+  *     engines; 7 hex digits keep every later product inside int64).
+  *   - hash family i: h_i(x) = (a_i·x + b_i) mod p with p = 2^31−1 and
+  *     committed (a_i, b_i). a_i < 2^31 and x < 2^28 ⇒ a_i·x < 2^59 —
+  *     exact in int64 on both engines, no overflow, no float.
+  *
+  * Plan shapes are the production ones: banded equi self-joins (never an
+  * all-pairs cross join), one grouped pass for signatures, window frames
+  * for winnowing — so the oracle checks the REAL sub-quadratic pipeline,
+  * not a toy. Reference behavior: near-dup detection over the documents
+  * table per the MLE goals of /root/reference/README.md:47-52.
+  */
+object AffineSketch {
+
+  private val P = 2147483647L
+  private val nHashes = 32
+
+  /** Knuth multiplicative constants mod p (never 0) — same values are
+    * interpolated into the generated oracle SQL below. */
+  private[graft] val A: IndexedSeq[Long] =
+    (0 until nHashes).map { i =>
+      val v = (2654435761L * (i + 1)) % P; if (v == 0L) 1L else v
+    }
+  private[graft] val B: IndexedSeq[Long] =
+    (0 until nHashes).map(i => (40503L * (i + 1) * 65537L) % P)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "events")
+
+  /** 28-bit md5-prefix base hash — see object doc for the DuckDB twin. */
+  private def md5h(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** (doc_id, h) per word-bigram shingle. Shingle text is exactly what the
+    * oracle builds with list_transform over string_split: tokens i,i+1
+    * joined by one space; consecutive delimiters yield empty tokens in both
+    * engines alike. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(words) < 2 THEN array()
+          |ELSE transform(sequence(0, size(words)-2),
+          |              i -> concat(words[i], ' ', words[i+1])) END"""
+          .stripMargin)).as("shingle"))
+      .select(col("doc_id"), md5h(col("shingle")).as("h"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  private val bands = 8
+  private val rowsPerBand = 4 // bands * rowsPerBand = nHashes
+
+  /** MinHash + LSH banding with the affine family: 32-min signature in ONE
+    * grouped pass (32 agg columns — no 32× row explosion), 8×4 banding on a
+    * comma-joined band key, candidate pairs from the banded equi self-join,
+    * verified by signature agreement ≥ 0.5. Sub-quadratic exactly like
+    * [[TextOps.minhashCandidates]]; every number hash-matches DuckDB. */
+  def minhashAffine(s: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until nHashes).map(i =>
+      min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+    // persisted: feeds banding plus both verification joins
+    val sig = shingleHashes(s, dir)
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(j => col(s"m${rowsPerBand * b + j}")): _*)
+          .as("bkey"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("id1"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id2")),
+        Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val s1 = sig.select(col("doc_id").as("id1") +:
+      (0 until nHashes).map(i => col(s"m$i").as(s"x$i")): _*)
+    val s2 = sig.select(col("doc_id").as("id2") +:
+      (0 until nHashes).map(i => col(s"m$i").as(s"y$i")): _*)
+    val agree = (0 until nHashes)
+      .map(i => (col(s"x$i") === col(s"y$i")).cast("int")).reduce(_ + _)
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard", round(agree / 32.0, 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def minhashAffineOracle: String = {
+    val mins = (0 until nHashes)
+      .map(i => s"min((h*${A(i)}+${B(i)})%$P) AS m$i").mkString(",\n    ")
+    val banded = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map(j => s"m${rowsPerBand * b + j}").mkString("||','||")
+      s"  SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val agree = (0 until nHashes).map(i => s"(s1.m$i=s2.m$i)::INT").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+       |                        i -> words[i] || ' ' || words[i+1])) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |), hh AS (
+       |  SELECT doc_id, ('0x'||substr(md5(shingle),1,7))::BIGINT AS h FROM sh
+       |), sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM hh GROUP BY doc_id
+       |), banded AS (
+       |$banded
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b USING (band, bkey)
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id1, id2, est_jaccard FROM (
+       |  SELECT id1, id2, round(($agree)/32.0, 6) AS est_jaccard
+       |  FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id
+       |            JOIN sig s2 ON cand.id2 = s2.doc_id)
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  private val simRots = 4
+  private val hammingMax = 6
+
+  /** 32-bit SimHash with one affine hash per bit: bit_j(shingle) =
+    * ((a_j·h+b_j) mod p) mod 2, per-doc counter c_j = Σ (2·bit_j − 1),
+    * sig = Σ (c_j>0)·2^j. Blocking is the rotated-prefix shape of
+    * [[TextOps.simhashPairs]] (Manku WWW'07) with 4 rotations × 8-bit
+    * prefixes, done in pure +,·,%,div arithmetic so both engines agree
+    * bit-for-bit; pairs kept at Hamming ≤ 6 via bit_count(xor). */
+  def simhashAffine(s: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until nHashes).map(j =>
+      sum(lit(2) * (((col("h") * A(j) + B(j)) % P) % 2) - 1).as(s"s$j"))
+    val sig = shingleHashes(s, dir)
+      .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until nHashes).map(j => (col(s"s$j") > 0).cast("long") * (1L << j))
+          .reduce(_ + _).as("sig"))
+      .persist()
+    // circular left-rotation by 8·r bits, then the top 8 bits — written as
+    // ·, %, div on BIGINT (identical semantics in DuckDB; no engine shift
+    // quirks): rot = (sig·2^(8r)) mod 2^32 + sig div 2^(32−8r)
+    val rotStructs = (0 until simRots).map { r =>
+      struct(lit(r).as("rot"), expr(
+        s"((sig * ${1L << (8 * r)}) % 4294967296 + sig div ${1L << (32 - 8 * r)}) div 16777216")
+        .as("prefix"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("sig"), explode(array(rotStructs: _*)).as("rp"))
+      .select(col("doc_id"), col("sig"), col("rp.rot").as("rot"), col("rp.prefix").as("prefix"))
+    val a = banded.select(col("rot"), col("prefix"),
+      col("doc_id").as("id1"), col("sig").as("sig1"))
+    val b = banded.select(col("rot"), col("prefix"),
+      col("doc_id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("rot", "prefix"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(expr("sig1 ^ sig2")).cast("int").as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def simhashAffineOracle: String = {
+    val sums = (0 until nHashes)
+      .map(j => s"sum(2*(((h*${A(j)}+${B(j)})%$P)%2)-1) AS s$j").mkString(",\n    ")
+    val sigExpr = (0 until nHashes).map(j => s"(s$j>0)::BIGINT*${1L << j}").mkString(" + ")
+    val rots = (0 until simRots).map { r =>
+      s"  SELECT doc_id, $r AS rot, ((sig*${1L << (8 * r)})%4294967296 + sig//${1L << (32 - 8 * r)})//16777216 AS prefix, sig FROM sig2"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+       |                        i -> words[i] || ' ' || words[i+1])) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |), hh AS (
+       |  SELECT doc_id, ('0x'||substr(md5(shingle),1,7))::BIGINT AS h FROM sh
+       |), sums AS (
+       |  SELECT doc_id, $sums FROM hh GROUP BY doc_id
+       |), sig2 AS (
+       |  SELECT doc_id, $sigExpr AS sig FROM sums
+       |), banded AS (
+       |$rots
+       |)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b USING (rot, prefix)
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= $hammingMax
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // -------------------------------------------------------------- Winnowing
+
+  private val winK = 8 // char k-gram width
+  private val winW = 4 // window width in grams
+
+  /** Winnowing (Schleimer–Wilkerson–Aiken '03) with the md5-prefix hash:
+    * per char-8-gram position p, combined key k_p = (2^28 − h_p)·2^24 + p —
+    * max(k) over a [p, p+3] row frame is exactly "minimal hash, rightmost
+    * on ties", the winnowing selection rule, and count(*) over the same
+    * frame masks the partial tail windows. Selected positions dedupe to the
+    * fingerprint set; the output reports per-doc count and checksum, both
+    * recoverable from k alone (h = 2^28 − k div 2^24). One narrow window
+    * pass per doc — no self-join, no pair blowup. */
+  def winnowAffine(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).filter(length(col("text")) >= winK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text)-${winK - 1}), p -> struct(p AS p, substring(text, p, $winK) AS gram))"))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), md5h(col("pg.gram")).as("h"))
+      .withColumn("kk", (lit(268435456L) - col("h")) * 16777216L + col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, winW - 1)
+    g.select(col("doc_id"),
+        max(col("kk")).over(w).as("selk"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === winW)
+      .select(col("doc_id"), col("selk")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(lit(268435456L) - expr("selk div 16777216")).as("fp_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def winnowAffineOracle: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(text)-${winK - 1})) AS p, text
+       |  FROM documents WHERE length(text) >= $winK
+       |), k AS (
+       |  SELECT doc_id, p,
+       |    (268435456 - ('0x'||substr(md5(substr(text, p, $winK)),1,7))::BIGINT)*16777216 + p AS kk
+       |  FROM g
+       |), w AS (
+       |  SELECT doc_id,
+       |    max(kk) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS selk,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS cnt
+       |  FROM k
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, selk FROM w WHERE cnt = $winW
+       |)
+       |SELECT doc_id, count(*) AS n_fingerprints,
+       |       CAST(sum(268435456 - selk//16777216) AS BIGINT) AS fp_checksum
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- KMV
+
+  private val kmvK = 64
+
+  /** KMV (k-minimum-values, Bar-Yossef et al.) distinct-count with the
+    * affine hash on event_id: per scope (each event_type plus an 'all'
+    * union) the 64th-smallest distinct hash value gives est =
+    * (k−1)·p / h_(k). Fully deterministic ⇒ the estimate itself — not just
+    * its error bound — hash-matches DuckDB. The per-scope rank is a window
+    * here (post-distinct input, bounded scopes); at 100 TB the k-smallest
+    * per group comes from the bounded-heap `TopKAgg`
+    * TypedImperativeAggregate (map-side combined, no per-scope sort). */
+  def kmvAffine(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("event_id"))
+    val scoped = ev.select(col("event_type").as("scope"), col("event_id"))
+      .union(ev.select(lit("all").as("scope"), col("event_id")))
+    val exact = scoped.groupBy(col("scope"))
+      .agg(countDistinct(col("event_id")).as("exact_n"))
+    val hh = scoped
+      .select(col("scope"), ((col("event_id") * A(0) + B(0)) % P).as("h"))
+      .distinct()
+    val sel = hh
+      .withColumn("rn", row_number().over(Window.partitionBy(col("scope")).orderBy(col("h"))))
+      .filter(col("rn") === kmvK)
+      .select(col("scope"), col("h"))
+    val est = when(col("h").isNull, col("exact_n").cast("double"))
+      .otherwise(lit((kmvK - 1).toDouble) * P / col("h"))
+    exact.join(sel, Seq("scope"), "left")
+      .select(col("scope"), col("exact_n"),
+        round(est, 1).as("kmv_est"),
+        round(abs(est - col("exact_n")) / col("exact_n"), 4).as("rel_err"))
+      .orderBy(col("scope"))
+  }
+
+  private def kmvAffineOracle: String = {
+    val est = s"CASE WHEN s.h IS NULL THEN CAST(e.exact_n AS DOUBLE) ELSE ${(kmvK - 1).toDouble}*$P/s.h END"
+    s"""WITH scoped AS (
+       |  SELECT event_type AS scope, event_id FROM events
+       |  UNION ALL
+       |  SELECT 'all' AS scope, event_id FROM events
+       |), exact AS (
+       |  SELECT scope, count(DISTINCT event_id) AS exact_n FROM scoped GROUP BY 1
+       |), hh AS (
+       |  SELECT DISTINCT scope, (event_id*${A(0)}+${B(0)})%$P AS h FROM scoped
+       |), rnk AS (
+       |  SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn FROM hh
+       |), sel AS (SELECT scope, h FROM rnk WHERE rn = $kmvK)
+       |SELECT e.scope, e.exact_n,
+       |  round($est, 1) AS kmv_est,
+       |  round(abs($est - e.exact_n)/e.exact_n, 4) AS rel_err
+       |FROM exact e LEFT JOIN sel s USING (scope)
+       |ORDER BY scope""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_affine" -> (minhashAffine _),
+    "q_simhash_affine" -> (simhashAffine _),
+    "q_winnow_affine" -> (winnowAffine _),
+    "q_kmv_affine" -> (kmvAffine _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_minhash_affine" -> minhashAffineOracle,
+    "q_simhash_affine" -> simhashAffineOracle,
+    "q_winnow_affine" -> winnowAffineOracle,
+    "q_kmv_affine" -> kmvAffineOracle)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.AffineSketch
+
+/** Pins the affine-hash oracle twins against literals computed by an
+  * INDEPENDENT implementation (DuckDB SQL over the same parquet, run
+  * offline) — so the Spark pipeline is checked against something other
+  * than itself even before the driver's oracle gate runs. */
+class AffineSketchSpec extends SparkSpec {
+
+  test("minhash affine twin reproduces the independent 30-pair set") {
+    val rows = AffineSketch.minhashAffine(spark, sf001).collect()
+    assert(rows.length == 30)
+    val asTuples = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(asTuples.head == ((0L, 50L, 1.0)))
+    assert(asTuples.last == ((474L, 498L, 1.0)))
+    assert(asTuples.contains((33L, 436L, 0.90625)))
+    assert(asTuples.contains((54L, 275L, 0.5)))
+    // estimates are exact multiples of 1/32 in [0.5, 1] by construction
+    assert(asTuples.forall { case (_, _, e) =>
+      e >= 0.5 && e <= 1.0 && (e * 32).isWhole
+    })
+  }
+
+  test("simhash affine twin reproduces the independent pair set") {
+    val rows = AffineSketch.simhashAffine(spark, sf001).collect()
+    assert(rows.length == 95)
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m((0L, 50L)) == 1)
+    assert(m((0L, 82L)) == 0) // exact-duplicate text => identical signature
+    assert(m((1L, 16L)) == 6)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1) && r.getInt(2) <= 6))
+  }
+
+  test("winnowing affine twin reproduces per-doc counts and checksums") {
+    val rows = AffineSketch.winnowAffine(spark, sf001).collect()
+    assert(rows.length == 500)
+    val byDoc = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byDoc(0L) == ((51L, 3199229096L)))
+    assert(byDoc(1L) == ((173L, 11147162652L)))
+    assert(rows.map(_.getLong(1)).sum == 60283L)
+    assert(rows.map(_.getLong(2)).sum == 4195014534778L)
+  }
+
+  test("affine candidate generation stays a banded equi join (no BNLJ/cartesian)") {
+    Seq(AffineSketch.minhashAffine(spark, sf001),
+        AffineSketch.simhashAffine(spark, sf001)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("kmv affine twin reproduces the independent estimates") {
+    val rows = AffineSketch.kmvAffine(spark, sf001).collect()
+    val m = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m.keySet == Set("all", "click", "error", "purchase", "signup", "view"))
+    assert(m("all") == ((1000L, 982.2)))
+    assert(m("signup") == ((199L, 166.2)))
+    assert(m("view") == ((188L, 180.9)))
+  }
+}
