@@ -149,6 +149,33 @@ object AffineSketch {
   private val simRots = 4
   private val hammingMax = 6
 
+  /** Shared blocking for the 32-bit signature twins ([[simhashAffine]],
+    * [[srpAffine]]): 4 circular rotations × top-8-bit prefixes as band
+    * keys, banded equi self-join, Hamming ≤ [[hammingMax]] via
+    * bit_count(xor). Rotation is ·,%,div arithmetic on BIGINT — identical
+    * semantics in the DuckDB twin, no engine shift quirks. */
+  private def rotatedPrefixPairs(sig: DataFrame, idCol: String): DataFrame = {
+    val rotStructs = (0 until simRots).map { r =>
+      struct(lit(r).as("rot"), expr(
+        s"((sig * ${1L << (8 * r)}) % 4294967296 + sig div ${1L << (32 - 8 * r)}) div 16777216")
+        .as("prefix"))
+    }
+    val banded = sig
+      .select(col(idCol), col("sig"), explode(array(rotStructs: _*)).as("rp"))
+      .select(col(idCol), col("sig"), col("rp.rot").as("rot"), col("rp.prefix").as("prefix"))
+    val a = banded.select(col("rot"), col("prefix"),
+      col(idCol).as("id1"), col("sig").as("sig1"))
+    val b = banded.select(col("rot"), col("prefix"),
+      col(idCol).as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("rot", "prefix"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(expr("sig1 ^ sig2")).cast("int").as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** 32-bit SimHash with one affine hash per bit: bit_j(shingle) =
     * ((a_j·h+b_j) mod p) mod 2, per-doc counter c_j = Σ (2·bit_j − 1),
     * sig = Σ (c_j>0)·2^j. Blocking is the rotated-prefix shape of
@@ -164,28 +191,7 @@ object AffineSketch {
         (0 until nHashes).map(j => (col(s"s$j") > 0).cast("long") * (1L << j))
           .reduce(_ + _).as("sig"))
       .persist()
-    // circular left-rotation by 8·r bits, then the top 8 bits — written as
-    // ·, %, div on BIGINT (identical semantics in DuckDB; no engine shift
-    // quirks): rot = (sig·2^(8r)) mod 2^32 + sig div 2^(32−8r)
-    val rotStructs = (0 until simRots).map { r =>
-      struct(lit(r).as("rot"), expr(
-        s"((sig * ${1L << (8 * r)}) % 4294967296 + sig div ${1L << (32 - 8 * r)}) div 16777216")
-        .as("prefix"))
-    }
-    val banded = sig
-      .select(col("doc_id"), col("sig"), explode(array(rotStructs: _*)).as("rp"))
-      .select(col("doc_id"), col("sig"), col("rp.rot").as("rot"), col("rp.prefix").as("prefix"))
-    val a = banded.select(col("rot"), col("prefix"),
-      col("doc_id").as("id1"), col("sig").as("sig1"))
-    val b = banded.select(col("rot"), col("prefix"),
-      col("doc_id").as("id2"), col("sig").as("sig2"))
-    a.join(b, Seq("rot", "prefix"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(expr("sig1 ^ sig2")).cast("int").as("hamming"))
-      .filter(col("hamming") <= hammingMax)
-      .distinct()
-      .orderBy(col("id1"), col("id2"))
+    rotatedPrefixPairs(sig, "doc_id")
   }
 
   private def simhashAffineOracle: String = {
@@ -212,6 +218,59 @@ object AffineSketch {
        |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |FROM banded a JOIN banded b USING (rot, prefix)
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= $hammingMax
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ----------------------------------------------------- SRP over embeddings
+
+  /** Sign-random-projection LSH over the embeddings table, made exactly
+    * reproducible: each float32 coordinate is quantized to
+    * q_d = floor(x·2^20) (float→double is exact, ·2^20 is exact, floor has
+    * no rounding-tie ambiguity — unlike round), and plane l's "random"
+    * ±1 component at dim d is the affine-hash parity
+    * 2·(((a_l·d + b_l) mod p) mod 2) − 1. The projection Σ_d s_{l,d}·q_d is
+    * then pure int64 arithmetic (|q|<2^21, 64 dims ⇒ |Σ|<2^27), so the
+    * 32-bit signature, the rotated-prefix buckets, the candidate pairs,
+    * and the Hamming distances ALL hash-match DuckDB — the full-oracle
+    * promotion of the [[VectorOps]] SRP-ANN machinery. Same sub-quadratic
+    * banded plan as production: no all-pairs join, no corpus broadcast. */
+  def srpAffine(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables(s, dir, "embeddings")
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"),
+        floor(col("x").cast("double") * 1048576).cast("long").as("q"))
+    val sums = (0 until nHashes).map(l =>
+      sum(col("q") * (lit(2) * (((col("d") * A(l) + B(l)) % P) % 2) - 1)).as(s"s$l"))
+    val sig = q.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"),
+        (0 until nHashes).map(l => (col(s"s$l") > 0).cast("long") * (1L << l))
+          .reduce(_ + _).as("sig"))
+      .persist()
+    rotatedPrefixPairs(sig, "vec_id")
+  }
+
+  private def srpAffineOracle: String = {
+    val sums = (0 until nHashes)
+      .map(l => s"sum(q*(2*(((d*${A(l)}+${B(l)})%$P)%2)-1)) AS s$l").mkString(",\n    ")
+    val sigExpr = (0 until nHashes).map(l => s"(s$l>0)::BIGINT*${1L << l}").mkString(" + ")
+    val rots = (0 until simRots).map { r =>
+      s"  SELECT vec_id, $r AS rot, ((sig*${1L << (8 * r)})%4294967296 + sig//${1L << (32 - 8 * r)})//16777216 AS prefix, sig FROM sig2"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, d, floor(CAST(embedding[d] AS DOUBLE)*1048576)::BIGINT AS q
+       |  FROM embeddings, (SELECT unnest(generate_series(1,64)) AS d)
+       |), sums AS (
+       |  SELECT vec_id, $sums FROM q GROUP BY vec_id
+       |), sig2 AS (
+       |  SELECT vec_id, $sigExpr AS sig FROM sums
+       |), banded AS (
+       |$rots
+       |)
+       |SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b USING (rot, prefix)
+       |WHERE a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= $hammingMax
        |ORDER BY id1, id2""".stripMargin
   }
 
@@ -327,12 +386,14 @@ object AffineSketch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_affine" -> (minhashAffine _),
     "q_simhash_affine" -> (simhashAffine _),
+    "q_srp_affine" -> (srpAffine _),
     "q_winnow_affine" -> (winnowAffine _),
     "q_kmv_affine" -> (kmvAffine _))
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_affine" -> minhashAffineOracle,
     "q_simhash_affine" -> simhashAffineOracle,
+    "q_srp_affine" -> srpAffineOracle,
     "q_winnow_affine" -> winnowAffineOracle,
     "q_kmv_affine" -> kmvAffineOracle)
 }

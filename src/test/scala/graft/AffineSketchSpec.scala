@@ -42,9 +42,19 @@ class AffineSketchSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == 4195014534778L)
   }
 
+  test("srp affine twin reproduces the independent pair set") {
+    val rows = AffineSketch.srpAffine(spark, sf001).collect()
+    assert(rows.length == 33)
+    val asTuples = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(asTuples.head == ((6L, 434L, 6)))
+    assert(asTuples.contains((24L, 379L, 5)))
+    assert(asTuples.forall { case (a, b, h) => a < b && h <= 6 })
+  }
+
   test("affine candidate generation stays a banded equi join (no BNLJ/cartesian)") {
     Seq(AffineSketch.minhashAffine(spark, sf001),
-        AffineSketch.simhashAffine(spark, sf001)).foreach { df =>
+        AffineSketch.simhashAffine(spark, sf001),
+        AffineSketch.srpAffine(spark, sf001)).foreach { df =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
       assert(!p.contains("CartesianProduct"), p.take(3000))
