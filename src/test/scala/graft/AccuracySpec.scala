@@ -42,4 +42,16 @@ class AccuracySpec extends SparkSpec {
       }
     }
   }
+
+  test("ivf-ann recall@5 holds at sf0.1 (2000-vector corpus)") {
+    // TextVectorSpec pins the floor on the 500-vector sf0.001 fixture;
+    // this re-checks the same 6/16-cell multiprobe config at the bench
+    // scale factor, where cells are 4x fuller and the quantizer fit sees
+    // a corpus it did not memorize.
+    val recalls = graft.ops.VectorOps.annIvfRecall(spark, "/root/testdata/sf0.1")
+      .collect().map(_.getDouble(1))
+    assert(recalls.nonEmpty)
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.8, s"avg ivf recall@5 at sf0.1 = $avg")
+  }
 }

@@ -151,7 +151,7 @@ class TextVectorSpec extends SparkSpec {
       s"simhash missed exact near-dups: ${exact -- sim}")
   }
 
-  test("ivf-ann recall@5 >= 0.8 while searching 6/16 cells") {
+  test("ivf-ann recall@5 >= 0.8 with sqrt(n)-adaptive cells, 50% probed") {
     val recalls = VectorOps.annIvfRecall(spark, sf001).collect()
       .map(_.getDouble(1))
     assert(recalls.nonEmpty)
