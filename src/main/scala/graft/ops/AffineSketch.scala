@@ -56,6 +56,35 @@ object AffineSketch {
   private def md5h(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
+  /** Shared oracle prefix: per-(doc, word-bigram-shingle) base hashes —
+    * the DuckDB mirror of [[shingleHashes]], used by both the MinHash and
+    * SimHash twins. */
+  private val shingleHashCte: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+      |                        i -> words[i] || ' ' || words[i+1])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |), hh AS (
+      |  SELECT doc_id, ('0x'||substr(md5(shingle),1,7))::BIGINT AS h FROM sh
+      |)""".stripMargin
+
+  /** Shared oracle suffix: the DuckDB mirror of [[rotatedPrefixPairs]] —
+    * rotation banding over a `sig2(idCol, sig)` CTE plus the
+    * distinct-pair Hamming select, used by both 32-bit-signature twins. */
+  private def rotatedPrefixPairsSql(idCol: String): String = {
+    val rots = (0 until simRots).map { r =>
+      s"  SELECT $idCol, $r AS rot, ((sig*${1L << (8 * r)})%4294967296 + sig//${1L << (32 - 8 * r)})//16777216 AS prefix, sig FROM sig2"
+    }.mkString("\n  UNION ALL\n")
+    s"""banded AS (
+       |$rots
+       |)
+       |SELECT DISTINCT a.$idCol AS id1, b.$idCol AS id2,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b USING (rot, prefix)
+       |WHERE a.$idCol < b.$idCol AND bit_count(xor(a.sig, b.sig)) <= $hammingMax
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** (doc_id, h) per word-bigram shingle. Shingle text is exactly what the
     * oracle builds with list_transform over string_split: tokens i,i+1
     * joined by one space; consecutive delimiters yield empty tokens in both
@@ -120,13 +149,7 @@ object AffineSketch {
       s"  SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n")
     val agree = (0 until nHashes).map(i => s"(s1.m$i=s2.m$i)::INT").mkString(" + ")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(words)),
-       |                        i -> words[i] || ' ' || words[i+1])) AS shingle
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-       |), hh AS (
-       |  SELECT doc_id, ('0x'||substr(md5(shingle),1,7))::BIGINT AS h FROM sh
-       |), sig AS (
+    s"""$shingleHashCte, sig AS (
        |  SELECT doc_id, $mins
        |  FROM hh GROUP BY doc_id
        |), banded AS (
@@ -198,27 +221,11 @@ object AffineSketch {
     val sums = (0 until nHashes)
       .map(j => s"sum(2*(((h*${A(j)}+${B(j)})%$P)%2)-1) AS s$j").mkString(",\n    ")
     val sigExpr = (0 until nHashes).map(j => s"(s$j>0)::BIGINT*${1L << j}").mkString(" + ")
-    val rots = (0 until simRots).map { r =>
-      s"  SELECT doc_id, $r AS rot, ((sig*${1L << (8 * r)})%4294967296 + sig//${1L << (32 - 8 * r)})//16777216 AS prefix, sig FROM sig2"
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(words)),
-       |                        i -> words[i] || ' ' || words[i+1])) AS shingle
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-       |), hh AS (
-       |  SELECT doc_id, ('0x'||substr(md5(shingle),1,7))::BIGINT AS h FROM sh
-       |), sums AS (
+    s"""$shingleHashCte, sums AS (
        |  SELECT doc_id, $sums FROM hh GROUP BY doc_id
        |), sig2 AS (
        |  SELECT doc_id, $sigExpr AS sig FROM sums
-       |), banded AS (
-       |$rots
-       |)
-       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-       |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-       |FROM banded a JOIN banded b USING (rot, prefix)
-       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= $hammingMax
-       |ORDER BY id1, id2""".stripMargin
+       |), ${rotatedPrefixPairsSql("doc_id")}""".stripMargin
   }
 
   // ----------------------------------------------------- SRP over embeddings
@@ -254,9 +261,6 @@ object AffineSketch {
     val sums = (0 until nHashes)
       .map(l => s"sum(q*(2*(((d*${A(l)}+${B(l)})%$P)%2)-1)) AS s$l").mkString(",\n    ")
     val sigExpr = (0 until nHashes).map(l => s"(s$l>0)::BIGINT*${1L << l}").mkString(" + ")
-    val rots = (0 until simRots).map { r =>
-      s"  SELECT vec_id, $r AS rot, ((sig*${1L << (8 * r)})%4294967296 + sig//${1L << (32 - 8 * r)})//16777216 AS prefix, sig FROM sig2"
-    }.mkString("\n  UNION ALL\n")
     s"""WITH q AS (
        |  SELECT vec_id, d, floor(CAST(embedding[d] AS DOUBLE)*1048576)::BIGINT AS q
        |  FROM embeddings, (SELECT unnest(generate_series(1,64)) AS d)
@@ -264,14 +268,7 @@ object AffineSketch {
        |  SELECT vec_id, $sums FROM q GROUP BY vec_id
        |), sig2 AS (
        |  SELECT vec_id, $sigExpr AS sig FROM sums
-       |), banded AS (
-       |$rots
-       |)
-       |SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
-       |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-       |FROM banded a JOIN banded b USING (rot, prefix)
-       |WHERE a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= $hammingMax
-       |ORDER BY id1, id2""".stripMargin
+       |), ${rotatedPrefixPairsSql("vec_id")}""".stripMargin
   }
 
   // -------------------------------------------------------------- Winnowing

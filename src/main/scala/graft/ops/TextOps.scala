@@ -1511,6 +1511,10 @@ object TextOps {
         |ORDER BY id1, id2""".stripMargin,
     // q_minhash_candidates / q_simhash_pairs: no oracle (xxhash64 has no
     // DuckDB equivalent; recall/superset properties pinned in
-    // TextVectorSpec instead). Driver records rows-only for those two.
+    // TextVectorSpec instead). Driver records rows-only for those two —
+    // but each pipeline ALSO has a fully-oracled deterministic twin in
+    // ops/AffineSketch.scala (q_minhash_affine / q_simhash_affine /
+    // q_winnow_affine) whose signatures, buckets, and candidate pairs
+    // hash-match generated DuckDB SQL.
   )
 }
