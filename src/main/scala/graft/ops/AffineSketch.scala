@@ -88,7 +88,13 @@ object AffineSketch {
   /** (doc_id, h) per word-bigram shingle. Shingle text is exactly what the
     * oracle builds with list_transform over string_split: tokens i,i+1
     * joined by one space; consecutive delimiters yield empty tokens in both
-    * engines alike. */
+    * engines alike. Exploded rows + a map-side-combined groupBy — NOT
+    * per-doc array expressions: higher-order lambdas fall out of
+    * whole-stage codegen, and a 32-pass array formulation of the MinHash/
+    * SimHash signatures measured 3× SLOWER than this codegen'd
+    * explode+agg (5.9 s vs 1.9 s at sf0.1) — the opposite trade from
+    * [[winnowAffine]], whose single array pass wins by dropping a
+    * window-sort shuffle. */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -105,10 +111,12 @@ object AffineSketch {
   private val rowsPerBand = 4 // bands * rowsPerBand = nHashes
 
   /** MinHash + LSH banding with the affine family: 32-min signature in ONE
-    * grouped pass (32 agg columns — no 32× row explosion), 8×4 banding on a
-    * comma-joined band key, candidate pairs from the banded equi self-join,
-    * verified by signature agreement ≥ 0.5. Sub-quadratic exactly like
-    * [[TextOps.minhashCandidates]]; every number hash-matches DuckDB. */
+    * grouped pass (32 agg columns — no 32× row explosion; see
+    * [[shingleHashes]] for why this beats an array formulation), 8×4
+    * banding on a comma-joined band key, candidate pairs from the banded
+    * equi self-join, verified by signature agreement ≥ 0.5. Sub-quadratic
+    * exactly like [[TextOps.minhashCandidates]]; every number hash-matches
+    * DuckDB. */
   def minhashAffine(s: SparkSession, dir: String): DataFrame = {
     val mins = (0 until nHashes).map(i =>
       min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
