@@ -62,6 +62,43 @@ class AffineSketchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("affine twins agree with DuckDB on adversarial edge inputs") {
+    // The oracle gate proves cross-engine agreement on the real corpus,
+    // which contains no adversarial strings. This fixture pins the edge
+    // semantics against values computed by the independent DuckDB
+    // implementation offline: empty text, single-word text (no shingle),
+    // consecutive spaces (empty tokens in BOTH engines' split), texts of
+    // length 8..10 (grams exist but no full winnowing window), exact
+    // duplicates, and multi-byte UTF-8 (md5 over utf-8 bytes, substr over
+    // characters — identical in both engines).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("affine_edge").toString
+    Seq(
+      (0L, "a"),
+      (1L, ""),
+      (2L, "a  b"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "Ünïcödé tèxt with àccents répéated Ünïcödé tèxt with àccents"),
+      (6L, "abcdefghij") // 10 chars: grams exist, no full window
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val mh = AffineSketch.minhashAffine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(mh.toSeq == Seq((3L, 4L, 1.0))) // exact dup; no-shingle docs absent
+
+    val sh = AffineSketch.simhashAffine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sh.toSeq == Seq((3L, 4L, 0)))
+
+    val wn = AffineSketch.winnowAffine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical text => identical fingerprints (the winnowing guarantee);
+    // docs 0-2 and 6 produce no full window and are absent on BOTH engines
+    assert(wn.toSeq == Seq(
+      (3L, 22L, 1525963514L), (4L, 22L, 1525963514L), (5L, 19L, 1836006563L)))
+  }
+
   test("kmv affine twin reproduces the independent estimates") {
     val rows = AffineSketch.kmvAffine(spark, sf001).collect()
     val m = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
