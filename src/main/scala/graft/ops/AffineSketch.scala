@@ -296,21 +296,59 @@ object AffineSketch {
     * (h = 2^28 − (k >> 24)). The filter keeps docs with ≥ winW full
     * windows (length ≥ k+w−1), matching the twin's full-window mask. */
   def winnowAffine(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).filter(length(col("text")) >= winK + winW - 1)
-      .withColumn("kks", transform(
-        sequence(lit(1), length(col("text")) - (winK - 1)),
-        p => (lit(268435456L) - md5h(substr(col("text"), p, lit(winK)))) *
-          16777216L + p))
-      .withColumn("sel", array_distinct(transform(
-        sequence(lit(1), size(col("kks")) - (winW - 1)),
-        t => array_max(slice(col("kks"), t, lit(winW))))))
+    winnowSel(s, dir)
       .select(col("doc_id"),
         size(col("sel")).cast("long").as("n_fingerprints"),
         aggregate(col("sel"), lit(0L),
           (acc, k) => acc + lit(268435456L) - shiftright(k, 24)).as("fp_checksum"))
       .orderBy(col("doc_id"))
 
-  private def winnowAffineOracle: String =
+  /** (doc_id, sel: distinct selected combined keys) — the winnowing
+    * selection shared by [[winnowAffine]] and [[winnowPairs]]. */
+  private def winnowSel(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(length(col("text")) >= winK + winW - 1)
+      .withColumn("kks", transform(
+        sequence(lit(1), length(col("text")) - (winK - 1)),
+        p => (lit(268435456L) - md5h(substr(col("text"), p, lit(winK)))) *
+          16777216L + p))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("kks")) - (winW - 1)),
+        t => array_max(slice(col("kks"), t, lit(winW))))).as("sel"))
+
+  private val winnowDfCap = 8  // drop fingerprints shared by > 8 docs
+  private val winnowMinShared = 3
+
+  /** MOSS-style near-dup PAIR detection from the winnowing fingerprints
+    * (Schleimer–Wilkerson–Aiken '03 §5): strip positions to get each doc's
+    * distinct selected HASH VALUES (content-addressed — shared substrings
+    * ⇒ shared values), df-cap them (a fingerprint appearing in > 8 docs is
+    * boilerplate, and the cap bounds every inverted-index bucket — each
+    * hash contributes ≤ C(8,2) = 28 pairs, so the self-join is hub-proof
+    * at any corpus size), then count shared fingerprints per pair through
+    * the inverted-index equi join. Pairs with ≥ 3 shared fingerprints
+    * surface; the whole pipeline is the same affine arithmetic as
+    * [[winnowAffine]] and hash-matches its generated DuckDB twin. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds the df-cap aggregation and both join sides
+    val fp = winnowSel(s, dir)
+      .select(col("doc_id"), explode(array_distinct(transform(col("sel"),
+        k => lit(268435456L) - shiftright(k, 24)))).as("h"))
+      .persist()
+    val rareKeys = fp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= winnowDfCap).select(col("h"))
+    val rare = fp.join(rareKeys, "h")
+    rare.select(col("h"), col("doc_id").as("id1"))
+      .join(rare.select(col("h"), col("doc_id").as("id2")), "h")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Shared oracle prefix for the winnowing twins: grams → combined keys →
+    * full-window maxima → distinct selected keys per doc. */
+  private def winnowSelCte: String =
     s"""WITH g AS (
        |  SELECT doc_id, unnest(generate_series(1, length(text)-${winK - 1})) AS p, text
        |  FROM documents WHERE length(text) >= $winK
@@ -325,10 +363,28 @@ object AffineSketch {
        |  FROM k
        |), sel AS (
        |  SELECT DISTINCT doc_id, selk FROM w WHERE cnt = $winW
-       |)
+       |)""".stripMargin
+
+  private def winnowAffineOracle: String =
+    s"""$winnowSelCte
        |SELECT doc_id, count(*) AS n_fingerprints,
        |       CAST(sum(268435456 - selk//16777216) AS BIGINT) AS fp_checksum
        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def winnowPairsOracle: String =
+    s"""$winnowSelCte, fp AS (
+       |  SELECT DISTINCT doc_id, 268435456 - selk//16777216 AS h FROM sel
+       |), df AS (
+       |  SELECT h, count(*) AS ndocs FROM fp GROUP BY h
+       |), rare AS (
+       |  SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h) WHERE df.ndocs <= $winnowDfCap
+       |)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+       |FROM rare a JOIN rare b USING (h)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $winnowMinShared
+       |ORDER BY id1, id2""".stripMargin
 
   // -------------------------------------------------------------------- KMV
 
@@ -391,6 +447,7 @@ object AffineSketch {
     "q_simhash_affine" -> (simhashAffine _),
     "q_srp_affine" -> (srpAffine _),
     "q_winnow_affine" -> (winnowAffine _),
+    "q_winnow_pairs" -> (winnowPairs _),
     "q_kmv_affine" -> (kmvAffine _))
 
   val oracleSql: Map[String, String] = Map(
@@ -398,5 +455,6 @@ object AffineSketch {
     "q_simhash_affine" -> simhashAffineOracle,
     "q_srp_affine" -> srpAffineOracle,
     "q_winnow_affine" -> winnowAffineOracle,
+    "q_winnow_pairs" -> winnowPairsOracle,
     "q_kmv_affine" -> kmvAffineOracle)
 }

@@ -62,6 +62,16 @@ class AffineSketchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("winnow pair detection reproduces the independent 133-pair set") {
+    val rows = AffineSketch.winnowPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 133)
+    assert(rows.head == ((0L, 50L, 3L)))
+    assert(rows.last == ((474L, 498L, 28L)))
+    assert(rows.contains((8L, 12L, 26L)))
+    assert(rows.forall { case (a, b, n) => a < b && n >= 3 })
+  }
+
   test("affine twins agree with DuckDB on adversarial edge inputs") {
     // The oracle gate proves cross-engine agreement on the real corpus,
     // which contains no adversarial strings. This fixture pins the edge
