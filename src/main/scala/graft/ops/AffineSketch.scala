@@ -440,6 +440,101 @@ object AffineSketch {
        |ORDER BY scope""".stripMargin
   }
 
+  // -------------------------------------------------------------------- HLL
+
+  private val hllM = 256         // 2^8 registers → ~6.5% standard error
+  private val hllVBits = 20      // h < 2^28 (md5 prefix), h div 256 < 2^20
+  /** α₂₅₆·m² = 0.7213/(1+1.079/256)·256² (Flajolet et al. '07 Fig. 3) —
+    * kept as ONE decimal literal interpolated into both engines, so both
+    * parse the identical double (computing it at runtime could differ
+    * from the literal in the last ulp). */
+  private val hllAlphaMM = "47072.71267120224"
+
+  /** HyperLogLog (Flajolet–Fuchs–Gandouet–Meunier '07) with the affine
+    * hash — the deterministic twin of `q_approx_distinct`'s HLL++: the
+    * ESTIMATE itself hash-matches DuckDB, not just an error bound. Per
+    * scope (each event_type + 'all'), h = md5-prefix(event_id) — NOT the
+    * affine family: on sequential ids (a·x+b) mod p is an arithmetic
+    * progression whose tail bits are far from uniform, and the register
+    * maxima it feeds mis-estimated 'all' by 8σ; md5 mixes — split into an
+    * 8-bit register index (h mod 256) and a 20-bit tail v (h div 256);
+    * rho = leading-zeros(v)+1 = 21 − bitlength(v) via `bin()` string
+    * length, identical in both engines (v = 0 ⇒ rho = 21). Registers are
+    * max(rho) per bucket; Z = Σ 2^−M_j with absent registers contributing
+    * 2^0 = 1. Every 2^−M is an exact dyadic double (1.0/shiftleft), the
+    * ≤ 256-term sum is exact in 53-bit mantissa (256·2^24 < 2^53), and the final divide is
+    * correctly rounded — so est_raw is bit-identical across engines.
+    * Small-range (linear-counting) correction applies below 2.5·m when
+    * empty registers exist; the large-range correction is omitted (it
+    * starts at 2^28/30 ≈ 8.9M — the 28-bit twin is for oracle-provable
+    * correctness at test scale; the production `approx_count_distinct`
+    * path uses 64-bit HLL++ and has no such ceiling). Map-side-combinable
+    * shuffle of O(scopes·256) registers — the 100 TB shape; the production
+    * path stays `approx_count_distinct` (engine-native HLL++). */
+  def hllAffine(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("event_id"))
+    val scoped = ev.select(col("event_type").as("scope"), col("event_id"))
+      .union(ev.select(lit("all").as("scope"), col("event_id")))
+    val exact = scoped.groupBy(col("scope"))
+      .agg(countDistinct(col("event_id")).as("exact_n"))
+    val regs = scoped
+      .select(col("scope"), md5h(col("event_id").cast("string")).as("h"))
+      .select(col("scope"), (col("h") % hllM).as("bucket"),
+        expr(s"h div $hllM").as("v"))
+      .select(col("scope"), col("bucket"),
+        when(col("v") === 0L, lit(hllVBits + 1))
+          .otherwise(lit(hllVBits + 1) - length(bin(col("v")))).as("rho"))
+      .groupBy(col("scope"), col("bucket")).agg(max(col("rho")).as("m"))
+    val hll = regs.groupBy(col("scope")).agg(
+      sum(lit(1.0) / expr("shiftleft(1L, m)")).as("z_present"),
+      count(lit(1)).as("n_present"))
+    val z = col("z_present") + (lit(hllM) - col("n_present")).cast("double")
+    val zeros = lit(hllM) - col("n_present")
+    val estRaw = expr(hllAlphaMM) / z
+    val est = when(estRaw <= 2.5 * hllM && zeros > 0,
+      lit(hllM.toDouble) * log(lit(hllM.toDouble) / zeros.cast("double")))
+      .otherwise(estRaw)
+    exact.join(hll, "scope")
+      .select(col("scope"), col("exact_n"),
+        round(est, 1).as("hll_est"),
+        round(abs(est - col("exact_n")) / col("exact_n"), 4).as("rel_err"))
+      .orderBy(col("scope"))
+  }
+
+  private def hllAffineOracle: String = {
+    val rb = hllVBits + 1
+    s"""WITH scoped AS (
+       |  SELECT event_type AS scope, event_id FROM events
+       |  UNION ALL
+       |  SELECT 'all' AS scope, event_id FROM events
+       |), exact AS (
+       |  SELECT scope, count(DISTINCT event_id) AS exact_n FROM scoped GROUP BY 1
+       |), hv AS (
+       |  SELECT scope, h % $hllM AS bucket, h // $hllM AS v
+       |  FROM (SELECT scope,
+       |          ('0x'||substr(md5(event_id::VARCHAR),1,7))::BIGINT AS h
+       |        FROM scoped)
+       |), regs AS (
+       |  SELECT scope, bucket,
+       |    max(CASE WHEN v = 0 THEN $rb ELSE $rb - length(bin(v)) END) AS m
+       |  FROM hv GROUP BY scope, bucket
+       |), hll AS (
+       |  SELECT scope, sum(1.0::DOUBLE/(1::BIGINT << m)) AS z_present, count(*) AS n_present
+       |  FROM regs GROUP BY scope
+       |), est AS (
+       |  SELECT scope,
+       |    CASE WHEN $hllAlphaMM/(z_present + ($hllM - n_present)) <= ${2.5 * hllM}
+       |              AND $hllM - n_present > 0
+       |         THEN ${hllM.toDouble} * ln(${hllM.toDouble}/($hllM - n_present))
+       |         ELSE $hllAlphaMM/(z_present + ($hllM - n_present)) END AS e
+       |  FROM hll
+       |)
+       |SELECT x.scope, x.exact_n, round(est.e, 1) AS hll_est,
+       |       round(abs(est.e - x.exact_n)/x.exact_n, 4) AS rel_err
+       |FROM exact x JOIN est USING (scope)
+       |ORDER BY scope""".stripMargin
+  }
+
   // ------------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -448,7 +543,8 @@ object AffineSketch {
     "q_srp_affine" -> (srpAffine _),
     "q_winnow_affine" -> (winnowAffine _),
     "q_winnow_pairs" -> (winnowPairs _),
-    "q_kmv_affine" -> (kmvAffine _))
+    "q_kmv_affine" -> (kmvAffine _),
+    "q_hll_affine" -> (hllAffine _))
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_affine" -> minhashAffineOracle,
@@ -456,5 +552,6 @@ object AffineSketch {
     "q_srp_affine" -> srpAffineOracle,
     "q_winnow_affine" -> winnowAffineOracle,
     "q_winnow_pairs" -> winnowPairsOracle,
-    "q_kmv_affine" -> kmvAffineOracle)
+    "q_kmv_affine" -> kmvAffineOracle,
+    "q_hll_affine" -> hllAffineOracle)
 }

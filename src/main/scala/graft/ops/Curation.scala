@@ -1005,6 +1005,44 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Repeated-n-gram exposure (the exact-substring dedup signal of Lee et
+    * al. '22, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): for every word-8-gram position in every document,
+    * ask whether that 8-gram occurs anywhere else in the corpus (including
+    * elsewhere in the same document); per document report how much of it
+    * is duplicated text. Memorization risk scales with repeated spans, not
+    * whole-doc duplicates — this catches shared boilerplate and quotations
+    * that document-level MinHash misses.
+    *
+    * Plan: explode positions → one inverted-index groupBy on the gram →
+    * rejoin counts to positions → per-doc agg. Two shuffles keyed by gram
+    * text and doc_id, NO pair join anywhere — a gram occurring k times
+    * costs k rows, never k², so hub grams are safe at any corpus size
+    * (contrast suffix-array builds, which need a global sort; this is the
+    * aggregate-only formulation of the same signal). At 100 TB the gram
+    * key would be xxhash64(gram) to shrink the shuffle — kept as text here
+    * so the DuckDB twin matches byte-for-byte. */
+  def ngramRepeats(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    // persisted: feeds the corpus-wide gram counts and the per-doc rejoin
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(words) < $n THEN array()
+           |ELSE transform(sequence(0, size(words)-$n),
+           |              i -> concat_ws(' ', slice(words, i+1, $n))) END"""
+          .stripMargin)).as("gram"))
+      .persist()
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    grams.join(counts, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("cnt") >= 2).cast("long")).as("n_dup_grams"),
+        round(sum((col("cnt") >= 2).cast("long")) / count(lit(1)), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-k deterministic sample per language (k = 10): rank docs within
     * each language by md5 of a salted doc_id — a reproducible shuffle
     * order, unlike rand() — and keep the first 10. Per-group ranking via
@@ -1105,6 +1143,7 @@ object Curation {
     "q_jsonl_export" -> (jsonlExport _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_incremental_dedup" -> (incrementalDedup _),
+    "q_ngram_repeats" -> (ngramRepeats _),
     "q_per_lang_sample" -> (perLangSample _),
     "q_curation_e2e" -> (curationE2e _),
     "q_temperature_sample" -> (temperatureSample _),
@@ -1354,6 +1393,23 @@ object Curation {
         |  SELECT 1 FROM documents o
         |  WHERE o.doc_id % 3 <> 0 AND o.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ngram_repeats" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words)-6),
+        |                        i -> array_to_string(words[i:i+7], ' '))) AS gram
+        |  FROM w
+        |), c AS (
+        |  SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |       CAST(sum((c.cnt >= 2)::INT) AS BIGINT) AS n_dup_grams,
+        |       round(CAST(sum((c.cnt >= 2)::INT) AS DOUBLE)/count(*), 6) AS dup_frac
+        |FROM g JOIN c USING (gram)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "q_per_lang_sample" ->
       """WITH r AS (

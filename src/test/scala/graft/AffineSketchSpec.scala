@@ -109,6 +109,18 @@ class AffineSketchSpec extends SparkSpec {
       (3L, 22L, 1525963514L), (4L, 22L, 1525963514L), (5L, 19L, 1836006563L)))
   }
 
+  test("hll affine twin reproduces the independent estimates") {
+    val rows = AffineSketch.hllAffine(spark, sf001).collect()
+    val m = rows.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m.keySet == Set("all", "click", "error", "purchase", "signup", "view"))
+    assert(m("all") == ((1000L, 1040.8, 0.0408)))
+    assert(m("click") == ((210L, 202.6, 0.0350)))
+    assert(m("view") == ((188L, 191.8, 0.0204)))
+    // every scope within ~2.3 sigma of the m=256 standard error (6.5%)
+    assert(m.values.forall(_._3 <= 0.15))
+  }
+
   test("kmv affine twin reproduces the independent estimates") {
     val rows = AffineSketch.kmvAffine(spark, sf001).collect()
     val m = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

@@ -150,6 +150,22 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.06)
   }
 
+  test("ngramRepeats reproduces independent DuckDB totals and known dup docs") {
+    // literals from an offline DuckDB run of the twin SQL over sf0.001
+    val rows = Curation.ngramRepeats(spark, sf001).collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getLong(1)).sum == 24439L) // total 8-gram positions
+    assert(rows.map(_.getLong(2)).sum == 2382L)  // duplicated positions
+    val byDoc = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byDoc(474L) == ((89L, 88L))) // near-dup pair member: ~all spans shared
+    assert(byDoc(498L) == ((88L, 88L)))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("contamination containment bounded by (0, 1] and eval set disjoint") {
     val rows = Curation.contamination(spark, sf001).collect()
     rows.foreach { r =>
