@@ -125,40 +125,144 @@ object ElbQueries {
       .orderBy(col("client_ip"), col("session_id"))
   }
 
+  /** Round-trip twin of [[elbGoals]] with a true DuckDB oracle: the goal
+    * aggregates (reference Goals 2-4, README.md:11-13) computed over the
+    * parse→sessionize output of the events-derived lines, which the oracle
+    * re-derives from `events` directly. The most-engaged tie-break is
+    * (duration, ip) lexicographic on both engines. */
+  def elbGoalsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val lines = eventsAsElbLines(graft.Tables(s, dir, "events"))
+    Sessionize.sessions(LogParser.requests(lines),
+        col("client_ip"), col("ts"), col("client_port"), col("url"))
+      .agg(
+        round(avg(col("duration_sec")), 6).as("avg_session_sec"),
+        count(lit(1)).as("n_sessions"),
+        round(max(col("duration_sec")), 6).as("max_session_sec"),
+        max_by(col("user_id"), struct(col("duration_sec"), col("user_id")))
+          .as("most_engaged_ip"))
+  }
+
+  /** Formats each `events` row as an ELB line with VARIED operational
+    * fields, all derived from event_id so a DuckDB oracle can re-derive
+    * them: status 503 every 50th event, 404 every 23rd (else 200); backend
+    * time (event_id mod 1000)/1000 s, with every 97th event a `-1` timeout
+    * sentinel (→ null after parse — excluded from latency, counted in
+    * traffic); received/sent bytes event_id mod 100 / mod 10000. Exercises
+    * the sentinel and status paths of [[LogParser]] under a full
+    * rows+schema+hash gate, which the constant-field [[eventsAsElbLines]]
+    * round trip cannot. */
+  def eventsAsElbLinesVaried(events: DataFrame): DataFrame =
+    events.select(format_string(
+      "%s marketpalce-shop 10.%d.%d.%d:%d 10.0.4.7:80 0.000022 %s " +
+        "0.000020 %d %d %d %d \"GET https://example.shop:443/%s HTTP/1.1\" " +
+        "\"Mozilla/5.0 (round trip)\" - -",
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+      expr("user_id div 65536 % 256"), expr("user_id div 256 % 256"),
+      expr("user_id % 256"), expr("1024 + event_id % 60000"),
+      when(col("event_id") % 97 === 0, lit("-1"))
+        .otherwise(format_string("%.6f", (col("event_id") % 1000) / 1000.0)),
+      when(col("event_id") % 50 === 0, lit(503))
+        .when(col("event_id") % 23 === 0, lit(404)).otherwise(lit(200)),
+      when(col("event_id") % 50 === 0, lit(503))
+        .when(col("event_id") % 23 === 0, lit(404)).otherwise(lit(200)),
+      col("event_id") % 100, col("event_id") % 10000,
+      col("event_type")).as("value"))
+
+  /** Round-trip twin of [[elbOpsMetrics]] with a true DuckDB oracle:
+    * per-minute traffic, 5xx error rate, null-safe latency aggregates and
+    * exact p95 over the parsed [[eventsAsElbLinesVaried]] lines; the
+    * oracle computes the same from `events` arithmetic. Any drift in
+    * sentinel handling, status parsing, or byte-count typing breaks the
+    * hash. */
+  def elbOpsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val lines = eventsAsElbLinesVaried(graft.Tables(s, dir, "events"))
+    LogParser.requests(lines)
+      .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("requests"),
+        round(avg(when(col("elb_status") >= 500, 1.0).otherwise(0.0)), 6)
+          .as("error_rate"),
+        count(col("backend_time_sec")).as("n_with_latency"),
+        round(avg(col("backend_time_sec")), 6).as("avg_backend_sec"),
+        round(expr("percentile(backend_time_sec, 0.95)"), 6).as("p95_backend_sec"),
+        sum(col("sent_bytes")).as("bytes_out"))
+      .orderBy(col("minute_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_elb_sessionize" -> (elbSessionize _),
     "q_elb_goals" -> (elbGoals _),
     "q_elb_parse_stats" -> (elbParseStats _),
     "q_elb_ops_metrics" -> (elbOpsMetrics _),
     "q_elb_roundtrip" -> (elbRoundtripSessions _),
+    "q_elb_goals_rt" -> (elbGoalsRoundtrip _),
+    "q_elb_ops_rt" -> (elbOpsRoundtrip _),
   )
 
+  /** The DuckDB mirror of the events→lines→parse→sessionize pipeline:
+    * 15-min-gap sessions re-derived from `events` directly. Shared by the
+    * roundtrip and goals-roundtrip oracles. */
+  private val roundtripSessionsCte: String =
+    """WITH hits AS (
+      |  SELECT printf('10.%d.%d.%d', user_id // 65536 % 256,
+      |                user_id // 256 % 256, user_id % 256) AS client_ip,
+      |         epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events
+      |), lagged AS (
+      |  SELECT *, lag(ts_us) OVER (PARTITION BY client_ip ORDER BY ts_us, event_id) AS prev_us
+      |  FROM hits
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 900000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM lagged
+      |), numbered AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY client_ip ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT client_ip, session_id,
+      |         min(ts_us) AS session_start_us,
+      |         max(ts_us) AS session_end_us,
+      |         count(*) AS hit_count,
+      |         count(DISTINCT event_type) AS unique_urls,
+      |         (max(ts_us) - min(ts_us)) / 1000000.0 AS duration_sec
+      |  FROM numbered GROUP BY client_ip, session_id
+      |)""".stripMargin
+
   /** Synthetic-input queries have no driver-table oracle (rows-only, pinned
-    * by ElbSpec); the events round trip is fully oracle-checked. */
+    * by ElbSpec); the events round trips are fully oracle-checked. */
   val oracleSql: Map[String, String] = Map(
     "q_elb_roundtrip" ->
-      """WITH hits AS (
-        |  SELECT printf('10.%d.%d.%d', user_id // 65536 % 256,
-        |                user_id // 256 % 256, user_id % 256) AS client_ip,
-        |         epoch_us(ts) AS ts_us, event_id, event_type
+      s"""$roundtripSessionsCte
+         |SELECT client_ip, session_id, session_start_us, session_end_us,
+         |       hit_count, unique_urls, duration_sec
+         |FROM sess
+         |ORDER BY client_ip, session_id""".stripMargin,
+
+    "q_elb_goals_rt" ->
+      s"""$roundtripSessionsCte
+         |SELECT round(avg(duration_sec), 6) AS avg_session_sec,
+         |       count(*) AS n_sessions,
+         |       round(max(duration_sec), 6) AS max_session_sec,
+         |       (SELECT client_ip FROM sess
+         |        ORDER BY duration_sec DESC, client_ip DESC LIMIT 1)
+         |         AS most_engaged_ip
+         |FROM sess""".stripMargin,
+
+    "q_elb_ops_rt" ->
+      """WITH ops AS (
+        |  SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+        |         CASE WHEN event_id % 50 = 0 THEN 503
+        |              WHEN event_id % 23 = 0 THEN 404 ELSE 200 END AS status,
+        |         CASE WHEN event_id % 97 = 0 THEN NULL
+        |              ELSE (event_id % 1000)/1000.0 END AS backend_sec,
+        |         event_id % 10000 AS sent_bytes
         |  FROM events
-        |), lagged AS (
-        |  SELECT *, lag(ts_us) OVER (PARTITION BY client_ip ORDER BY ts_us, event_id) AS prev_us
-        |  FROM hits
-        |), flagged AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 900000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM lagged
-        |), numbered AS (
-        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY client_ip ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM flagged
         |)
-        |SELECT client_ip, session_id,
-        |       min(ts_us) AS session_start_us,
-        |       max(ts_us) AS session_end_us,
-        |       count(*) AS hit_count,
-        |       count(DISTINCT event_type) AS unique_urls,
-        |       (max(ts_us) - min(ts_us)) / 1000000.0 AS duration_sec
-        |FROM numbered GROUP BY client_ip, session_id
-        |ORDER BY client_ip, session_id""".stripMargin,
+        |SELECT minute_us, count(*) AS requests,
+        |       round(avg(CASE WHEN status >= 500 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS error_rate,
+        |       count(backend_sec) AS n_with_latency,
+        |       round(avg(backend_sec), 6) AS avg_backend_sec,
+        |       round(quantile_cont(backend_sec, 0.95), 6) AS p95_backend_sec,
+        |       CAST(sum(sent_bytes) AS BIGINT) AS bytes_out
+        |FROM ops GROUP BY minute_us
+        |ORDER BY minute_us""".stripMargin,
   )
 }

@@ -132,4 +132,27 @@ class ElbSpec extends SparkSpec {
     val rt = ElbQueries.elbRoundtripSessions(spark, sf001).collect().toSeq
     assert(rt === direct.collect().toSeq)
   }
+
+  test("goals round trip reproduces the independent DuckDB aggregates") {
+    // literals from an offline DuckDB run of the twin SQL over sf0.001
+    val r = ElbQueries.elbGoalsRoundtrip(spark, sf001).collect().head
+    assert(r.getDouble(0) === 13.914406)   // avg_session_sec
+    assert(r.getLong(1) === 968L)          // n_sessions
+    assert(r.getDouble(2) === 799.177398)  // max_session_sec
+    assert(r.getString(3) === "10.0.0.14") // most_engaged_ip
+  }
+
+  test("varied-line ops round trip: sentinel, status, and byte fields survive the parse") {
+    val ops = ElbQueries.elbOpsRoundtrip(spark, sf001)
+    val agg = ops.agg(
+      count(lit(1)), sum(col("requests")), sum(col("n_with_latency")),
+      round(sum(col("error_rate") * col("requests")) / sum(col("requests")), 6))
+      .collect().head
+    assert(agg.getLong(0) === 988L)  // distinct minutes (DuckDB literal)
+    assert(agg.getLong(1) === 1000L) // no line lost in the round trip
+    assert(agg.getLong(2) === 989L)  // 11 timeout sentinels -> null latency
+    // ~the event_id%50 share; the per-minute rates are rounded to 6dp
+    // before this re-weighting, so compare with tolerance
+    assert(math.abs(agg.getDouble(3) - 0.02) < 1e-4)
+  }
 }
