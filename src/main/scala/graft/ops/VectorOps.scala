@@ -706,6 +706,143 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  // ---------------------------------------------------------------- SemDeDup
+
+  private val semK = 8          // clusters (toy k; see scaladoc)
+  private val semIters = 2      // unrolled Lloyd iterations
+  private val semTau = 0.35     // within-cluster cosine dup threshold
+  private val semScale = 1048576L // 2^20 quantization (exact float->int)
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): k-means-cluster the
+    * embedding space, then call two documents semantic duplicates when
+    * they land in the SAME cluster with cosine ≥ τ; keep the lowest
+    * vec_id of each duplicate group. The expensive all-pairs comparison
+    * is confined to within-cluster blocks — the paper's trick for making
+    * embedding dedup sub-quadratic (block sizes ≈ n/k; production runs
+    * size k so blocks stay bounded, exactly like [[annIvfRecall]]'s IVF
+    * cell fit, and would fit centroids on a sample — here k = 8 and 2
+    * unrolled Lloyd iterations, deterministic by construction so the
+    * WHOLE pipeline — assignments, centroids, dup pairs — hash-matches a
+    * DuckDB twin).
+    *
+    * Exact-arithmetic recipe (no float accumulation anywhere an engine
+    * could order differently):
+    *   - coordinates quantized q_d = floor(x_d·2^20) — int64;
+    *   - distances Σ(q_d − m_d)² are int64 (≤ 64·2^44), summed over the
+    *     dims of ONE row — order-fixed, exact; argmin tie-breaks on
+    *     cluster id;
+    *   - centroids are FLOOR-divided integer means (error < 1 quantum =
+    *     2^−20 of coordinate scale — far below any cluster geometry),
+    *     via (s − ((s%n + n)%n)) div n so truncating `div` (Spark) and
+    *     floor `//` (DuckDB) agree on negatives;
+    *   - init = the quantized vectors of vec_id 0..k−1 (deterministic);
+    *   - cosine = int64 dot / (sqrt·sqrt), every step correctly-rounded
+    *     IEEE on identical inputs ⇒ identical doubles both engines.
+    *
+    * Plan: assignment = crossJoin(broadcast(k centroids)) + one
+    * map-side-combined min-struct agg per iteration; centroid update =
+    * posexplode + groupBy(c, pos) over k·64 cells; dup pairs = one
+    * within-cluster self-join. No driver collect, no corpus broadcast. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val qs = emb(s, dir).select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
+      .as("q")).persist()
+
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+    def assign(cent: DataFrame): DataFrame =
+      qs.crossJoin(broadcast(cent))
+        .withColumn("dist", sqDist(col("q"), col("m")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c"))).as("best"),
+          first(col("q")).as("q")) // q is constant per vec_id
+        .select(col("vec_id"), col("best.c").as("c"), col("q"))
+
+    def centroidsOf(assigned: DataFrame): DataFrame =
+      assigned.select(col("c"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("c"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
+        .groupBy(col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("m"))
+
+    val init = qs.filter(col("vec_id") < semK)
+      .select(col("vec_id").as("c"), col("q").as("m"))
+    val fitted = (1 to semIters).foldLeft(init) { (cent, _) =>
+      centroidsOf(assign(cent))
+    }
+    val finalAssign = assign(fitted)
+
+    val vec = finalAssign.withColumn("dd",
+      aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+      .persist()
+    val a = vec.select(col("c"), col("vec_id").as("id1"),
+      col("q").as("q1"), col("dd").as("d1"))
+    val b = vec.select(col("c"), col("vec_id").as("id2"),
+      col("q").as("q2"), col("dd").as("d2"))
+    val dupCounts = a.join(b, "c")
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos",
+        aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y), lit(0L), _ + _)
+          / (sqrt(col("d1")) * sqrt(col("d2"))))
+      .filter(col("cos") >= semTau)
+      .groupBy(col("id2")).agg(count(lit(1)).as("n_dups_below"))
+
+    vec.join(dupCounts, vec("vec_id") === dupCounts("id2"), "left")
+      .select(col("vec_id"), col("c").as("cluster"),
+        coalesce(col("n_dups_below"), lit(0L)).as("n_dups_below"),
+        (coalesce(col("n_dups_below"), lit(0L)) === 0).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def semDedupOracle: String = {
+    val distExpr = "list_sum(list_transform(range(1,65), i -> (q[i]-m[i])*(q[i]-m[i])))"
+    def assignCte(src: String, cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, q, c FROM (
+         |    SELECT qs.vec_id, qs.q, $cent.c,
+         |      row_number() OVER (PARTITION BY qs.vec_id ORDER BY $distExpr, $cent.c) AS rn
+         |    FROM $src qs, $cent) WHERE rn = 1
+         |)""".stripMargin
+    def centCte(src: String, out: String): String =
+      s"""$out AS (
+         |  SELECT c, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS m FROM (
+         |    SELECT c, pos, sum(v) AS s, count(*) AS n FROM (
+         |      SELECT c, unnest(q) AS v, unnest(range(1,65)) AS pos FROM $src)
+         |    GROUP BY c, pos)
+         |  GROUP BY c
+         |)""".stripMargin
+    s"""WITH qs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*$semScale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), init AS (
+       |  SELECT vec_id AS c, q AS m FROM qs WHERE vec_id < $semK
+       |), ${assignCte("qs", "init", "a1")},
+       |${centCte("a1", "c1")},
+       |${assignCte("qs", "c1", "a2")},
+       |${centCte("a2", "c2")},
+       |${assignCte("qs", "c2", "a3")},
+       |vec AS (
+       |  SELECT vec_id, c, q,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS dd
+       |  FROM a3
+       |), dups AS (
+       |  SELECT b.vec_id AS id2, count(*) AS nd
+       |  FROM vec a JOIN vec b ON a.c = b.c AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_sum(list_transform(range(1,65), i -> a.q[i]*b.q[i])) AS BIGINT)
+       |          / (sqrt(a.dd) * sqrt(b.dd)) >= $semTau
+       |  GROUP BY b.vec_id
+       |)
+       |SELECT v.vec_id, v.c AS cluster,
+       |       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dups_below,
+       |       coalesce(d.nd, 0) = 0 AS keep
+       |FROM vec v LEFT JOIN dups d ON v.vec_id = d.id2
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_mrl_recall" -> ((s, d) => annMrlRecall(s, d)),
     "q_vector_norms" -> (norms _),
@@ -720,6 +857,7 @@ object VectorOps {
     "q_pq_quantize" -> (pqQuantize _),
     "q_ann_pq_recall" -> (annPqRecall _),
     "q_hybrid_rrf" -> (hybridRrf _),
+    "q_semdedup" -> (semDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -857,6 +995,8 @@ object VectorOps {
         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
         |  FROM f)
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q_semdedup" -> semDedupOracle,
 
     "q_sq_quantize" ->
       """WITH ex AS (

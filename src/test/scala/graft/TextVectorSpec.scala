@@ -292,6 +292,36 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semDedup reproduces the independent DuckDB clustering and dup flags") {
+    // literals from an offline DuckDB run of the twin SQL over sf0.001
+    val rows = VectorOps.semDedup(spark, sf001).collect()
+    assert(rows.length == 500)
+    val byCluster = rows.groupBy(_.getLong(1)).map { case (c, v) => c -> v.length }
+    assert(byCluster == Map(0L -> 69, 1L -> 49, 2L -> 65, 3L -> 67,
+      4L -> 63, 5L -> 62, 6L -> 65, 7L -> 60))
+    val flagged = rows.filter(!_.getBoolean(3))
+    assert(flagged.length == 70)
+    assert(rows.map(_.getLong(2)).sum == 83L)
+    assert(flagged.take(2).map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((59L, 0L), (71L, 0L)))
+    // every flagged doc is genuinely a member of some tau-cosine pair:
+    // within-cluster dups are a SUBSET of the exact all-pairs relation
+    // (computed brute-force here, independent of any production path)
+    val vecs = Tables(spark, sf001, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairMembers = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b && cos(vecs(a), vecs(b)) >= 0.35
+    } yield Seq(a, b)).flatten.toSet
+    assert(flagged.forall(r => pairMembers.contains(r.getLong(0))))
+    spark.catalog.clearCache()
+  }
+
   test("cosine topk is symmetric-sane: self excluded, scores in [-1,1], k<=5") {
     val out = VectorOps.cosineTopK(spark, sf001).collect()
     assert(out.nonEmpty)
