@@ -387,6 +387,39 @@ object Relational {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic-sample quantile estimation — the fully-oracled twin of
+    * [[approxPercentile]] (which is rows-only by nature: KLL sketch
+    * internals differ per engine). Classical sample-based quantiles: an
+    * md5-keyed 1-in-8 row sample (deterministic, so BOTH engines pick the
+    * identical subset — no rand()) and EXACT percentiles over the sample
+    * next to exact percentiles over the full data, with the absolute
+    * error surfaced. Interpolation parity (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) is exercised at 6 dp on both the sampled and full
+    * paths. At 100 TB the sample side is the two-pass scalable shape
+    * (hash-filter scan → per-group sort of the 12.5% subset); the
+    * one-pass mergeable path stays [[approxPercentile]]'s sketch. */
+  def samplePercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("price", col("l_extendedprice").cast("double"))
+      .withColumn("in_sample",
+        conv(substring(md5(concat_ws(":",
+          col("l_orderkey"), col("l_linenumber"))), 1, 7), 16, 10)
+          .cast("long") % 8 === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("in_sample"), 1)).as("n_sample"),
+        round(expr("percentile(price, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(price, 0.5) FILTER (WHERE in_sample)"), 6)
+          .as("p50_sample"),
+        round(expr("percentile(price, 0.9)"), 6).as("p90_exact"),
+        round(expr("percentile(price, 0.9) FILTER (WHERE in_sample)"), 6)
+          .as("p90_sample"))
+      .withColumn("err50",
+        round(abs(col("p50_sample") - col("p50_exact")), 6))
+      .withColumn("err90",
+        round(abs(col("p90_sample") - col("p90_exact")), 6))
+      .orderBy(col("l_returnflag"))
+
   /** UNPIVOT / melt (wide → long): each lineitem's three charge
     * components become (metric, value) rows — the reshape feeding
     * metric-generic downstream aggregation. Spark's native `unpivot`
@@ -1344,6 +1377,7 @@ object Relational {
     "q_approx_distinct" -> (approxDistinct _),
     "q_stats_corr" -> (statsCorr _),
     "q_approx_percentile" -> (approxPercentile _),
+    "q_sample_percentile" -> (samplePercentile _),
     "q_udaf_sumsq" -> (udafSumSq _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_local_supplier_volume" -> (localSupplierVolume _),
@@ -1855,6 +1889,26 @@ object Relational {
     "q_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10""".stripMargin,
+
+    "q_sample_percentile" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price,
+        |    ('0x'||substr(md5(concat_ws(':', l_orderkey, l_linenumber)),1,7))::BIGINT % 8 = 0
+        |      AS in_sample
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  count(*) FILTER (WHERE in_sample) AS n_sample,
+        |  round(quantile_cont(price, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(price, 0.5) FILTER (WHERE in_sample), 6) AS p50_sample,
+        |  round(quantile_cont(price, 0.9), 6) AS p90_exact,
+        |  round(quantile_cont(price, 0.9) FILTER (WHERE in_sample), 6) AS p90_sample,
+        |  round(abs(round(quantile_cont(price, 0.5) FILTER (WHERE in_sample), 6)
+        |            - round(quantile_cont(price, 0.5), 6)), 6) AS err50,
+        |  round(abs(round(quantile_cont(price, 0.9) FILTER (WHERE in_sample), 6)
+        |            - round(quantile_cont(price, 0.9), 6)), 6) AS err90
+        |FROM l GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // the portable UNION ALL spelling of the same long relation
     "q_unpivot" ->

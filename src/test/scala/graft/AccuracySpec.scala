@@ -43,6 +43,23 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("deterministic-sample percentiles within 20% of exact per group") {
+    // the fully-oracled twin of q_approx_percentile: a 1-in-8 md5 sample
+    // gives rank error ~1/sqrt(n/8); at sf0.001 (~250 sampled rows per
+    // flag) the worst observed value-space error is ~11%, so 20% bounds
+    // it with slack while still catching a broken sample predicate
+    // (whole-population or near-empty samples push errors to 0 or blow
+    // past the bound via n_sample below)
+    val rows = Relational.queries("q_sample_percentile")(spark, sf001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (n, ns) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(ns.toDouble / n - 0.125) < 0.03, s"sample fraction $ns/$n")
+      assert(r.getDouble(7) / r.getDouble(3) <= 0.2) // err50 / p50_exact
+      assert(r.getDouble(8) / r.getDouble(5) <= 0.2) // err90 / p90_exact
+    }
+  }
+
   test("ivf-ann recall@5 holds at sf0.1 (2000-vector corpus)") {
     // TextVectorSpec pins the floor on the 500-vector sf0.001 fixture;
     // this re-checks the same 6/16-cell multiprobe config at the bench
