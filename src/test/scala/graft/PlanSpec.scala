@@ -110,6 +110,27 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semdedup: only the k-row centroid relation nested-loops; pair stage is keyed") {
+    // assignment deliberately crossJoins broadcast(8 centroids) — that BNLJ
+    // is the wanted plan (k rows never grow with the corpus). What must
+    // NOT appear is a CartesianProduct (two big sides) anywhere, and the
+    // within-cluster dup stage must be an equi join on the cluster key.
+    val p = graft.ops.VectorOps.semDedup(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), // the k-row assignment join
+      "expected the broadcast-k assignment crossJoin in the plan")
+    spark.catalog.clearCache()
+  }
+
+  test("ngram repeats joins on the gram key only (no BNLJ, no cartesian)") {
+    val p = graft.ops.Curation.ngramRepeats(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("edit-distance DP stays OUT of the join condition") {
     // regression: predicate pushdown substituted the levenshtein filter
     // into the join condition, where pushed conjuncts are ordered BEFORE
