@@ -166,6 +166,25 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ngramRepeats edge semantics: short docs absent, empty tokens counted, exact dups fully flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("ngram_edge").toString
+    Seq(
+      (1L, "a b c d e f g"),           // 7 words -> no 8-gram, absent
+      (2L, "a b c d e f g h"),         // exactly one gram, unique
+      (3L, "x x x x x x x x x x"),     // 3 identical grams...
+      (4L, "x x x x x x x x x x"),     // ...duplicated across docs -> frac 1.0
+      (5L, "a  b c d e f g")           // double space -> empty token counts as a word
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Curation.ngramRepeats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(2L, 3L, 4L, 5L)) // doc 1 has no gram on EITHER engine
+    assert(rows(2L) == ((1L, 0L, 0.0)))
+    assert(rows(3L) == ((3L, 3L, 1.0))) // within+across-doc repeats all count
+    assert(rows(4L) == ((3L, 3L, 1.0)))
+    assert(rows(5L) == ((1L, 0L, 0.0))) // 8 tokens incl. the empty one
+    spark.catalog.clearCache()
+  }
+
   test("contamination containment bounded by (0, 1] and eval set disjoint") {
     val rows = Curation.contamination(spark, sf001).collect()
     rows.foreach { r =>

@@ -322,6 +322,28 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semDedup edge: exact-duplicate vector flagged, tiny corpus shrinks k gracefully") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_edge").toString
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+    // 5 vectors < k=8: init centroid set shrinks to the corpus; v4 is an
+    // exact copy of v0 — distance ties to centroids 0 and 4 break to the
+    // LOWER cluster id, so both land in cluster 0 and v4 gets flagged
+    Seq(
+      (0L, basis(0), 0), (1L, basis(1), 1), (2L, basis(2), 2),
+      (3L, basis(3), 3), (4L, basis(0), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = VectorOps.semDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(rows(0L) == ((0L, 0L, true)))  // canonical kept
+    assert(rows(4L) == ((0L, 1L, false))) // exact dup flagged, same cluster
+    assert(Seq(1L, 2L, 3L).forall(i => rows(i)._3)) // orthogonal vecs keep
+    spark.catalog.clearCache()
+  }
+
   test("cosine topk is symmetric-sane: self excluded, scores in [-1,1], k<=5") {
     val out = VectorOps.cosineTopK(spark, sf001).collect()
     assert(out.nonEmpty)
