@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.elb.ElbQueries
-import graft.ops.{AffineSketch, Analytics, Audit, Curation, EventOps, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
+import graft.ops.{AffineSketch, Analytics, Audit, Curation, EventOps, MlPrep, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     SessionQueries.queries ++ Relational.queries ++ EventOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ ElbQueries.queries ++
       Multimodal.queries ++ Curation.queries ++ Analytics.queries ++
-      Audit.queries ++ AffineSketch.queries
+      Audit.queries ++ AffineSketch.queries ++ MlPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
     SessionQueries.oracleSql ++ Relational.oracleSql ++ EventOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ ElbQueries.oracleSql ++
       Multimodal.oracleSql ++ Curation.oracleSql ++ Analytics.oracleSql ++
-      Audit.oracleSql ++ AffineSketch.oracleSql
+      Audit.oracleSql ++ AffineSketch.oracleSql ++ MlPrep.oracleSql
 }

@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_topk"), info("graft_topk"),
       (exprs: Seq[Expression]) => TopKByValue(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_nfc"), info("graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_strip_accents"), info("graft_strip_accents"),
+      (exprs: Seq[Expression]) => StripAccents(exprs(0))))
     // optimizer rewrite: free length-difference gates ahead of bounded
     // levenshtein predicates (see graft.plans.LevenshteinGuard)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)

@@ -396,6 +396,10 @@ object GraftFunctions {
       exprs => WinnowFingerprint(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_strip_accents",
+      exprs => StripAccents(exprs(0)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

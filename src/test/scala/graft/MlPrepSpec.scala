@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextNormalizers
+import graft.ops.MlPrep
+
+/** Semantics pins for the ML-prep family (ops/MlPrep.scala). The driver
+  * oracle proves DuckDB parity at sf0.01; these tests pin the CONTRACTS —
+  * kernel-level Unicode behavior, leakage-safety of the target encoding,
+  * linkage score bounds, and the substring-dedup detection guarantee. */
+class MlPrepSpec extends SparkSpec {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("nfc composes combining marks; idempotent and ASCII-stable") {
+    assert(TextNormalizers.nfc(u("a\u0301")).toString == "\u00e1")
+    assert(TextNormalizers.nfc(u("\u00e1")).toString == "\u00e1")
+    assert(TextNormalizers.nfc(u("plain ascii")).toString == "plain ascii")
+    // decomposed e + grave inside a word
+    assert(TextNormalizers.nfc(u("cafe\u0300")).toString == "caf\u00e8")
+  }
+
+  test("stripAccents drops marks from composed AND decomposed forms") {
+    assert(TextNormalizers.stripAccents(u("\u00e1\u00e9\u00ee\u00f1\u00fc"))
+      .toString == "aeinu")
+    assert(TextNormalizers.stripAccents(u("a\u0301b\u0300")).toString == "ab")
+    assert(TextNormalizers.stripAccents(u("no accents")).toString == "no accents")
+  }
+
+  test("normalization expressions resolve from SQL via extensions registry") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('a\u0301') AS n, graft_strip_accents('\u00e4b') AS s")
+      .head()
+    assert(r.getString(0) == "\u00e1")
+    assert(r.getString(1) == "ab")
+  }
+
+  test("substring dedup only reports cross-document grams") {
+    val out = MlPrep.substringDedup(spark, sf001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_docs")) >= 2))
+    assert(out.forall(r =>
+      r.getLong(r.fieldIndex("n_occ")) >= r.getLong(r.fieldIndex("n_docs"))))
+  }
+
+  test("substring dedup detects any shared run >= GramLen+Stride-1 chars") {
+    // the sampling guarantee: windows at stride 10 of length 40 must align
+    // inside a shared run of 49+ chars wherever it starts in either doc
+    import spark.implicits._
+    val shared = "x" * 49
+    val docs = Seq(
+      (1L, "A" * 7 + shared + "B" * 20),  // run starts at offset 7
+      (2L, "C" * 13 + shared + "D" * 5))  // run starts at offset 13
+      .toDF("doc_id", "text")
+    val grams = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 39, lit(10))).as("p"))
+      .select(col("doc_id"), expr("substring(text, p, 40)").as("gram"))
+      .groupBy("gram").agg(countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= 2).count()
+    assert(grams >= 1)
+  }
+
+  test("linkage scores stay inside the committed weight envelope") {
+    val hist = MlPrep.linkageHist(spark, sf001).collect()
+    val scores = hist.map(_.getInt(0))
+    assert(scores.min >= -24 && scores.max <= 82)
+    // matched pairs are exactly the histogram mass at score >= 60
+    val linked = MlPrep.recordLinkage(spark, sf001).count()
+    val expected = hist.filter(_.getInt(0) >= 60).map(_.getLong(1)).sum
+    assert(linked == expected)
+  }
+
+  test("target encoding is leakage-safe: own fold excluded from the mean") {
+    // recompute one (cat, fold) cell from raw rows and compare
+    val enc = MlPrep.targetEncoding(spark, sf001)
+      .where(col("cat") === "1-URGENT" && col("fold") === 0).head()
+    val base = Tables(spark, sf001, "orders")
+      .select(col("o_orderpriority").as("cat"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 5).cast("int").as("fold"),
+        col("o_totalprice"))
+      .where(col("cat") === "1-URGENT")
+    val others = base.where(col("fold") =!= 0)
+      .agg(sum("o_totalprice").as("s"), count(lit(1)).as("n")).head()
+    val expected = others.getDouble(0) / others.getLong(1)
+    assert(math.abs(enc.getDouble(enc.fieldIndex("enc")) - expected) < 1e-4)
+  }
+
+  test("woe/iv: iv_total is the sum of per-bin iv terms") {
+    val rows = MlPrep.woeIv(spark, sf001).collect()
+    val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
+    assert(rows.forall(r => r.getDouble(r.fieldIndex("iv_total")) == ivTotal))
+    val sumTerms = rows.map(r => r.getDouble(r.fieldIndex("iv_term"))).sum
+    assert(math.abs(ivTotal - sumTerms) < 1e-4)
+    assert(ivTotal >= 0.0) // IV is a sum of (p-q)ln(p/q) terms, each >= 0
+  }
+}
