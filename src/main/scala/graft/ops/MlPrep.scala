@@ -194,6 +194,93 @@ object MlPrep {
       .orderBy("cat", "fold")
   }
 
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "events")
+
+  // ------------------------------------------------- release & splitting
+
+  /** Differentially-private released aggregate (ε=1 Laplace mechanism over
+    * per-(type, day) counts, sensitivity 1) with small-count suppression —
+    * the governance-side release path next to k-anonymity/l-diversity.
+    * The noise here is DETERMINISTIC (inverse-CDF Laplace over an
+    * md5-derived uniform) so the whole release is oracle-checkable; a
+    * production release swaps the uniform for a secure RNG and keeps every
+    * other line. Plan: one grouped pass; noise is a per-group projection. */
+  def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .groupBy(col("event_type"),
+        to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val u = ((conv(substring(md5(concat(col("event_type"), lit("|"),
+      col("day").cast("string"))), 1, 7), 16, 10).cast("long") % 1000000L)
+      .cast("double") + 0.5) / 1000000.0
+    val sgn = when(col("u") < 0.5, -1.0).otherwise(1.0)
+    g.withColumn("u", u)
+      .where(col("n") >= 10) // small-count suppression before release
+      .select(col("event_type"), col("day"),
+        round(col("n") - lit(1.0) * sgn *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6).as("dp_count"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Embargo window between temporal splits (µs): rows within one hour
+    * after each cutoff belong to NO split, so windowed/lagged features
+    * computed at the end of train cannot leak into val/test (purged
+    * split, cf. López de Prado's embargoed cross-validation). */
+  private val EmbargoUs = 3600000000L
+
+  /** Temporal train/val/test split with embargo: cutoffs at 60 % / 80 % of
+    * the observed time span in exact integer µs arithmetic (`DIV` — both
+    * engines floor on positives), embargoed rows labeled for audit rather
+    * than silently dropped. Plan: a 1-row min/max aggregate cross-joined
+    * into the scan, then one grouped pass — no window, no second scan. */
+  def embargoSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"))
+    val bounds = e.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("split", expr(
+        s"""CASE WHEN t < mn + ((mx-mn)*3) DIV 5 THEN 'train'
+           |     WHEN t < mn + ((mx-mn)*3) DIV 5 + $EmbargoUs THEN 'embargo1'
+           |     WHEN t < mn + ((mx-mn)*4) DIV 5 THEN 'val'
+           |     WHEN t < mn + ((mx-mn)*4) DIV 5 + $EmbargoUs THEN 'embargo2'
+           |     ELSE 'test' END""".stripMargin))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min(col("t")).as("min_ts_us"), max(col("t")).as("max_ts_us"))
+      .orderBy("split")
+  }
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * every 50th doc is an anchor; its k=5 negatives are drawn from a
+    * global md5 permutation of the corpus by POSITION —
+    * negative j of anchor i is perm[(5i + j) mod n] — so sampling is an
+    * equi join against the permutation, never an anchor×corpus cross
+    * join, and each anchor gets exactly k slots. Positions come from
+    * [[ScaledRank.withGlobalRanks]] (range-partitioned two-phase rank, no
+    * single-partition window). Rare self-draws are dropped (both engines
+    * drop the same rows). */
+  def negativeSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id")
+    val perm = ScaledRank.withGlobalRanks(
+        d.withColumn("_h",
+          md5(concat(lit("neg-"), col("doc_id").cast("string")))),
+        Seq(col("_h"), col("doc_id")), Seq(col("_h"), col("doc_id")))
+      .select(col("doc_id").as("neg_id"), (col("rn") - 1).as("pos"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val anchors = ScaledRank.withGlobalRanks(
+        d.where(col("doc_id") % 50 === 0),
+        Seq(col("doc_id")), Seq(col("doc_id")))
+      .select(col("doc_id").as("anchor_id"), (col("rn") - 1).as("ai"))
+    anchors.crossJoin(broadcast(total))
+      .withColumn("neg_idx", explode(sequence(lit(0), lit(4))))
+      .withColumn("pos", (col("ai") * 5 + col("neg_idx")) % col("n_total"))
+      .join(perm, "pos")
+      .where(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_idx"), col("neg_id"))
+      .orderBy("anchor_id", "neg_idx")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -202,7 +289,10 @@ object MlPrep {
     "q_linkage_hist" -> (linkageHist _),
     "q_text_normalize" -> (textNormalize _),
     "q_woe_iv" -> (woeIv _),
-    "q_target_encoding" -> (targetEncoding _))
+    "q_target_encoding" -> (targetEncoding _),
+    "q_dp_release" -> (dpRelease _),
+    "q_embargo_split" -> (embargoSplit _),
+    "q_negative_sample" -> (negativeSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q_substring_dedup" ->
@@ -278,7 +368,57 @@ object MlPrep {
         |  FROM base GROUP BY cat, fold)
         |SELECT cat, fold, n_f AS n_rows,
         |  round(CAST(s_cat - s_f AS DOUBLE) / (n_cat - n_f), 6) AS enc
-        |FROM per_fold JOIN per_cat USING (cat) ORDER BY cat, fold""".stripMargin)
+        |FROM per_fold JOIN per_cat USING (cat) ORDER BY cat, fold""".stripMargin,
+
+    "q_dp_release" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |noised AS (
+        |  SELECT event_type, day, n,
+        |    ((('0x' || substr(md5(event_type || '|' || day), 1, 7))::BIGINT
+        |      % 1000000) + 0.5) / 1000000.0 AS u
+        |  FROM g)
+        |SELECT event_type, day,
+        |  round(n - 1.0 * CASE WHEN u < 0.5 THEN -1 ELSE 1 END
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS dp_count
+        |FROM noised WHERE n >= 10 ORDER BY event_type, day""".stripMargin,
+
+    "q_embargo_split" ->
+      s"""WITH b AS (
+         |  SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events),
+         |lab AS (
+         |  SELECT CASE
+         |    WHEN epoch_us(ts) < mn + ((mx-mn)*3)//5 THEN 'train'
+         |    WHEN epoch_us(ts) < mn + ((mx-mn)*3)//5 + $EmbargoUs THEN 'embargo1'
+         |    WHEN epoch_us(ts) < mn + ((mx-mn)*4)//5 THEN 'val'
+         |    WHEN epoch_us(ts) < mn + ((mx-mn)*4)//5 + $EmbargoUs THEN 'embargo2'
+         |    ELSE 'test' END AS split, ts, user_id
+         |  FROM events, b)
+         |SELECT split, count(*) AS n,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+         |FROM lab GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_negative_sample" ->
+      """WITH perm AS (
+        |  SELECT doc_id AS neg_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('neg-' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |anch AS (
+        |  SELECT doc_id AS anchor_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS ai
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |tgt AS (
+        |  SELECT anchor_id, CAST(j AS INT) AS neg_idx,
+        |    (ai*5 + j) % (SELECT n FROM nn) AS pos
+        |  FROM anch, UNNEST(range(0, 5)) AS t(j))
+        |SELECT anchor_id, neg_idx, neg_id
+        |FROM tgt JOIN perm USING (pos) WHERE neg_id <> anchor_id
+        |ORDER BY anchor_id, neg_idx""".stripMargin)
 
   /** Shared oracle CTE: the blocked Fellegi–Sunter pair scoring, weights
     * interpolated from the same committed constants the Spark side uses. */

@@ -90,6 +90,52 @@ class MlPrepSpec extends SparkSpec {
     assert(math.abs(enc.getDouble(enc.fieldIndex("enc")) - expected) < 1e-4)
   }
 
+  test("dp release: suppression holds and noise stays in the u-envelope") {
+    val rel = MlPrep.dpRelease(spark, sf001).collect()
+    assert(rel.nonEmpty)
+    val truth = Tables(spark, sf001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rel.foreach { r =>
+      val n = truth((r.getString(0), r.getString(1)))
+      assert(n >= 10, "released a suppressed cell")
+      // u is >= 5e-7 from both ends, so |laplace noise| <= ln(1e6) ~ 13.9
+      assert(math.abs(r.getDouble(2) - n) <= 14.0)
+    }
+    // no small cell from the truth map escaped into the release
+    assert(rel.length == truth.count(_._2 >= 10))
+  }
+
+  test("embargo split: no row lands within an embargo of a later split") {
+    val rows = MlPrep.embargoSplit(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet.subsetOf(
+      Set("train", "embargo1", "val", "embargo2", "test")))
+    val e = 3600000000L
+    def us(split: String, f: String) =
+      rows(split).getLong(rows(split).fieldIndex(f))
+    // train ends at least one embargo before val begins, same for val/test
+    if (rows.contains("train") && rows.contains("val"))
+      assert(us("val", "min_ts_us") - us("train", "max_ts_us") > e)
+    if (rows.contains("val") && rows.contains("test"))
+      assert(us("test", "min_ts_us") - us("val", "max_ts_us") > e)
+  }
+
+  test("negative sampling: k slots per anchor, distinct, deterministic") {
+    val negs = MlPrep.negativeSample(spark, sf001).collect()
+    val byAnchor = negs.groupBy(_.getLong(0))
+    assert(byAnchor.nonEmpty)
+    byAnchor.foreach { case (a, rs) =>
+      assert(rs.length >= 4 && rs.length <= 5) // 5 slots minus rare self-draw
+      val ids = rs.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length)
+      assert(!ids.contains(a))
+    }
+    val again = MlPrep.negativeSample(spark, sf001).collect()
+    assert(negs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("woe/iv: iv_total is the sum of per-bin iv terms") {
     val rows = MlPrep.woeIv(spark, sf001).collect()
     val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
