@@ -281,6 +281,99 @@ object MlPrep {
       .orderBy("anchor_id", "neg_idx")
   }
 
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings")
+
+  // --------------------------------------------- features & evaluation
+
+  /** Feature-hashing dimensionality (HashingTF-style). */
+  private val HashDim = 1024
+
+  /** Feature hashing (the HashingTF trick): token → md5-prefix hash mod a
+    * fixed dimension, per-doc sparse counts. Collisions are the accepted
+    * trade for a vocabulary-free, single-pass featurizer — no vocabulary
+    * build, no broadcast dictionary, O(tokens) work. Output is the sparse
+    * COO triple (doc, feature, count); plan is explode → one
+    * map-side-combined groupBy. */
+  def featureHash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("t")), 1, 7), 16, 10).cast("long")
+          % HashDim).cast("int").as("feat"))
+      .groupBy("doc_id", "feat").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "feat")
+
+  private val EvalScale = 1048576L // 2^20 exact float→int quantization
+
+  /** Nearest-label-centroid classifier + full per-class evaluation:
+    * confusion counts, precision, recall, F1. The fit is one grouped pass
+    * (per-label integer centroid means, [[VectorOps.semDedup]]'s exact
+    * floor-div arithmetic so both engines agree bit-for-bit); predict is
+    * a broadcast of the |labels| centroids into the corpus scan with a
+    * min-struct argmin — no corpus self-join. Metrics are ratios of
+    * exact integer counts (6-dp). */
+  def evalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val qs = embeddings(s, dir).select(col("vec_id"), col("label"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $EvalScale) AS BIGINT))")
+      .as("q"))
+    val cent = qs
+      .select(col("label").as("cl"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cl", "pos").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
+      .groupBy("cl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("m"))
+    val pred = qs.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        aggregate(zip_with(col("q"), col("m"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cl"))).as("best"),
+        first(col("label")).as("label"))
+      .select(col("label"), col("best.cl").as("pred"))
+    val conf = pred.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val act = conf.groupBy("label").agg(sum(col("n")).as("n_act"))
+    val prd = conf.groupBy("pred").agg(sum(col("n")).as("n_prd"))
+    val tp = conf.where(col("label") === col("pred"))
+      .select(col("label"), col("n").as("tp"))
+    val tpc = coalesce(col("tp"), lit(0L))
+    val prdc = coalesce(col("n_prd"), lit(0L))
+    act.join(prd, act("label") === prd("pred"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"), tpc.as("tp"), (prdc - tpc).as("fp"),
+        (col("n_act") - tpc).as("fn"),
+        round(when(prdc === 0, 0.0)
+          .otherwise(tpc.cast("double") / col("n_prd")), 6).as("precision"),
+        round(tpc.cast("double") / col("n_act"), 6).as("recall"),
+        round(when(tpc === 0, 0.0)
+          .otherwise(lit(2.0) * tpc / (prdc + col("n_act"))), 6).as("f1"))
+      .orderBy("label")
+  }
+
+  /** ROC AUC as the Mann–Whitney rank statistic, computed distributed:
+    * global ranks over (score, vec_id) come from
+    * [[ScaledRank.withGlobalRanks]] (range-partitioned two-phase rank —
+    * never a single-partition Window.orderBy), then
+    * AUC = (Σ ranks(pos) − n⁺(n⁺+1)/2) / (n⁺·n⁻) in one aggregate.
+    * The vec_id tie-break makes the statistic deterministic on both
+    * engines (fixture scores are tie-free, so it equals the classic
+    * mid-rank AUC here). */
+  def aucRank(s: SparkSession, dir: String): DataFrame = {
+    val scored = embeddings(s, dir).select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("score"),
+      when(col("label") < 5, 1).otherwise(0).as("pos"))
+    ScaledRank.withGlobalRanks(scored,
+        Seq(col("score"), col("vec_id")), Seq(col("score"), col("vec_id")))
+      .agg(sum(when(col("pos") === 1, col("rn")).otherwise(0L)).as("rsum"),
+        sum(col("pos")).cast("long").as("np"),
+        sum(lit(1) - col("pos")).cast("long").as("nn"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("rsum").cast("double") -
+          col("np").cast("double") * (col("np") + 1) / 2) /
+          (col("np").cast("double") * col("nn")), 6).as("auc"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,7 +385,10 @@ object MlPrep {
     "q_target_encoding" -> (targetEncoding _),
     "q_dp_release" -> (dpRelease _),
     "q_embargo_split" -> (embargoSplit _),
-    "q_negative_sample" -> (negativeSample _))
+    "q_negative_sample" -> (negativeSample _),
+    "q_feature_hash" -> (featureHash _),
+    "q_eval_metrics" -> (evalMetrics _),
+    "q_auc" -> (aucRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q_substring_dedup" ->
@@ -418,7 +514,70 @@ object MlPrep {
         |  FROM anch, UNNEST(range(0, 5)) AS t(j))
         |SELECT anchor_id, neg_idx, neg_id
         |FROM tgt JOIN perm USING (pos) WHERE neg_id <> anchor_id
-        |ORDER BY anchor_id, neg_idx""".stripMargin)
+        |ORDER BY anchor_id, neg_idx""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |t2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         |h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(t), 1, 7))::BIGINT % $HashDim AS feat
+         |  FROM t2)
+         |SELECT doc_id, CAST(feat AS INT) AS feat, count(*) AS cnt
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, feat""".stripMargin,
+
+    "q_eval_metrics" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE)*$EvalScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS cl, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS m
+         |  FROM (
+         |    SELECT label, pos, sum(v) AS s, count(*) AS n FROM (
+         |      SELECT label, unnest(q) AS v, unnest(range(1,65)) AS pos FROM qs)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |pred AS (
+         |  SELECT vec_id, label, cl AS pred FROM (
+         |    SELECT qs.vec_id, qs.label, cent.cl,
+         |      row_number() OVER (PARTITION BY qs.vec_id
+         |        ORDER BY list_sum(list_transform(range(1,65),
+         |          i -> (q[i]-m[i])*(q[i]-m[i]))), cent.cl) AS rn
+         |    FROM qs, cent) WHERE rn = 1),
+         |conf AS (SELECT label, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+         |act AS (SELECT label, sum(n) AS n_act FROM conf GROUP BY 1),
+         |prd AS (SELECT pred, sum(n) AS n_prd FROM conf GROUP BY 1),
+         |tp AS (SELECT label, n AS tp FROM conf WHERE label = pred)
+         |SELECT a.label, CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+         |  CAST(coalesce(p.n_prd, 0) - coalesce(t.tp, 0) AS BIGINT) AS fp,
+         |  CAST(a.n_act - coalesce(t.tp, 0) AS BIGINT) AS fn,
+         |  round(CASE WHEN coalesce(p.n_prd, 0) = 0 THEN 0.0
+         |    ELSE CAST(coalesce(t.tp, 0) AS DOUBLE)/p.n_prd END, 6) AS precision,
+         |  round(CAST(coalesce(t.tp, 0) AS DOUBLE)/a.n_act, 6) AS recall,
+         |  round(CASE WHEN coalesce(t.tp, 0) = 0 THEN 0.0
+         |    ELSE 2.0*coalesce(t.tp, 0)/(coalesce(p.n_prd, 0)+a.n_act) END, 6) AS f1
+         |FROM act a LEFT JOIN prd p ON a.label = p.pred
+         |           LEFT JOIN tp t ON a.label = t.label
+         |ORDER BY a.label""".stripMargin,
+
+    "q_auc" ->
+      """WITH scored AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT pos, row_number() OVER (ORDER BY score, vec_id) AS rn
+        |  FROM scored),
+        |agg AS (
+        |  SELECT sum(CASE WHEN pos = 1 THEN rn ELSE 0 END) AS rsum,
+        |    sum(pos) AS np, sum(1-pos) AS nn FROM ranked)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  round((CAST(rsum AS DOUBLE) - CAST(np AS DOUBLE)*(np+1)/2)
+        |    /(CAST(np AS DOUBLE)*nn), 6) AS auc
+        |FROM agg""".stripMargin)
 
   /** Shared oracle CTE: the blocked Fellegi–Sunter pair scoring, weights
     * interpolated from the same committed constants the Spark side uses. */

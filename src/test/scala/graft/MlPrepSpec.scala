@@ -136,6 +136,56 @@ class MlPrepSpec extends SparkSpec {
     assert(negs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("feature hashing conserves token mass inside the fixed dim") {
+    val fh = MlPrep.featureHash(spark, sf001).collect()
+    assert(fh.forall { r =>
+      val f = r.getInt(r.fieldIndex("feat")); f >= 0 && f < 1024
+    })
+    val hashedTokens = fh.map(_.getLong(2)).sum
+    val rawTokens = Tables(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").count()
+    assert(hashedTokens == rawTokens)
+  }
+
+  test("eval metrics: counts reconcile and classifier beats chance") {
+    val m = MlPrep.evalMetrics(spark, sf001).collect()
+    val total = Tables(spark, sf001, "embeddings").count()
+    // tp+fn per class = class size; summed over classes = corpus
+    assert(m.map(r => r.getLong(1) + r.getLong(3)).sum == total)
+    // tp+fp summed = corpus too (every vector predicted exactly once)
+    assert(m.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    m.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("precision"))
+      val rc = r.getDouble(r.fieldIndex("recall"))
+      assert(p >= 0.0 && p <= 1.0 && rc >= 0.0 && rc <= 1.0)
+    }
+    // label-clustered fixture: nearest-centroid must beat 10-class chance
+    val accuracy = m.map(_.getLong(1)).sum.toDouble / total
+    assert(accuracy > 0.2, s"accuracy $accuracy not above chance")
+  }
+
+  test("auc is a proper rank statistic: bounded and complement-symmetric") {
+    val r = MlPrep.aucRank(spark, sf001).head()
+    val auc = r.getDouble(r.fieldIndex("auc"))
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(r.getLong(0) + r.getLong(1) ==
+      Tables(spark, sf001, "embeddings").count())
+    // recompute with labels flipped: tie-free scores => auc' = 1 - auc
+    import graft.ops.ScaledRank
+    val flipped = ScaledRank.withGlobalRanks(
+        Tables(spark, sf001, "embeddings").select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") >= 5, 1).otherwise(0).as("pos")),
+        Seq(col("score"), col("vec_id")), Seq(col("score"), col("vec_id")))
+      .agg(sum(when(col("pos") === 1, col("rn")).otherwise(0L)).as("rsum"),
+        sum(col("pos")).cast("double").as("np"),
+        sum(lit(1) - col("pos")).cast("double").as("nn"))
+      .select(((col("rsum").cast("double") - col("np") * (col("np") + 1) / 2) /
+        (col("np") * col("nn"))).as("auc")).head().getDouble(0)
+    assert(math.abs(auc + flipped - 1.0) < 1e-5)
+  }
+
   test("woe/iv: iv_total is the sum of per-bin iv terms") {
     val rows = MlPrep.woeIv(spark, sf001).collect()
     val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
