@@ -280,4 +280,38 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final ObjectHashAggregate:\n${p.take(3000)}")
     assert(!p.contains("Window"), s"window leaked into the heap-agg plan:\n${p.take(3000)}")
   }
+
+  test("substring dedup and feature hashing are join-free single passes") {
+    // both are explode → map-side-combined groupBy; any Join node means a
+    // pair formulation leaked in
+    Seq("q_substring_dedup", "q_feature_hash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(3000)}")
+    }
+  }
+
+  test("record linkage joins on the block key only (no all-pairs)") {
+    val p = plan("q_record_linkage")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("negative sampling joins the permutation by position, never anchor x corpus") {
+    // the single tolerated BNLJ is the 1-row n_total aggregate crossJoin
+    val p = plan("q_negative_sample")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(3000))
+  }
+
+  test("eval metrics: only the |labels|-row centroid relation nested-loops") {
+    // same contract as semdedup's assignment stage: broadcast-k BNLJ is
+    // the wanted plan; a CartesianProduct (two corpus-sized sides) is not
+    val p = plan("q_eval_metrics")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("woe/iv broadcasts the part dimension into the fact scan") {
+    val p = plan("q_woe_iv")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
