@@ -374,6 +374,76 @@ object MlPrep {
           (col("np").cast("double") * col("nn")), 6).as("auc"))
   }
 
+  /** Reliability diagram + expected calibration error: min-max-normalize
+    * the score into [0,1] "confidence", 10 equi-width bins, per-bin mean
+    * confidence vs empirical positive rate, ECE = Σ (n_b/N)·|conf−rate|.
+    * The standard post-training calibration audit. Plan: 1-row min/max
+    * crossJoin + one grouped pass; ECE is a window over the 10 bin rows. */
+  def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val scored = embeddings(s, dir).select(
+      element_at(col("embedding"), 1).cast("double").as("score"),
+      when(col("label") < 5, 1).otherwise(0).as("pos"))
+    val b = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"),
+      count(lit(1)).as("total"))
+    val conf = (col("score") - col("mn")) / (col("mx") - col("mn"))
+    scored.crossJoin(broadcast(b))
+      .select(least(floor(conf * 10).cast("int"), lit(9)).as("bin"),
+        conf.as("conf"), col("pos"), col("total"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), max(col("total")).as("total"),
+        round(avg(col("conf")), 6).as("avg_conf"),
+        round(sum(col("pos")).cast("double") / count(lit(1)), 6).as("pos_rate"),
+        abs(avg(col("conf")) -
+          sum(col("pos")).cast("double") / count(lit(1))).as("gap_raw"))
+      .select(col("bin"), col("n"), col("avg_conf"), col("pos_rate"),
+        round(col("gap_raw"), 6).as("gap"),
+        round(sum(col("gap_raw") * col("n") / col("total"))
+          .over(Window.partitionBy(lit(1))), 6).as("ece"))
+      .orderBy("bin")
+  }
+
+  /** ANALYZE-style column profile (nulls, distinct counts, min/max, top
+    * value) over six mixed-type lineitem columns in TWO scans regardless
+    * of column count: one multi-aggregate pass (the countDistincts expand
+    * rows, not scans) reshaped by `stack`, plus one stacked
+    * values pass for the mode (distinct-value space is bounded, and the
+    * top-1 window partitions by column — keyed, never global). Numerics
+    * are canonicalized through decimal(18,2) before stringifying so both
+    * engines render identical text. */
+  def dataProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_shipdate", "l_orderkey")
+    // canonical text form: 2-dp decimal for the money/quantity doubles so
+    // both engines render identical strings; plain CAST elsewhere
+    def canon(inner: String, c: String): String = c match {
+      case "l_quantity" | "l_extendedprice" =>
+        s"CAST(CAST($inner AS DECIMAL(18,2)) AS STRING)"
+      case _ => s"CAST($inner AS STRING)"
+    }
+    val aggExprs = cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        expr(canon(s"min($c)", c)).as(s"min_$c"),
+        expr(canon(s"max($c)", c)).as(s"max_$c"))
+    }
+    val stackStats = cols.map(c =>
+      s"'$c', null_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    val stats = li.agg(aggExprs.head, aggExprs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stackStats) AS " +
+        "(col, n_null, n_distinct, min_val, max_val)")
+    val stackVals = cols.map(c => s"'$c', ${canon(c, c)}").mkString(", ")
+    val top = li
+      .selectExpr(s"stack(${cols.length}, $stackVals) AS (col, v)")
+      .groupBy("col", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("col"))
+          .orderBy(col("cnt").desc, col("v"))))
+      .where(col("rn") === 1)
+      .select(col("col"), col("v").as("top_val"), col("cnt").as("top_freq"))
+    stats.join(top, "col").orderBy("col")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -388,7 +458,9 @@ object MlPrep {
     "q_negative_sample" -> (negativeSample _),
     "q_feature_hash" -> (featureHash _),
     "q_eval_metrics" -> (evalMetrics _),
-    "q_auc" -> (aucRank _))
+    "q_auc" -> (aucRank _),
+    "q_calibration_bins" -> (calibrationBins _),
+    "q_data_profile" -> (dataProfile _))
 
   val oracleSql: Map[String, String] = Map(
     "q_substring_dedup" ->
@@ -577,7 +649,62 @@ object MlPrep {
         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
         |  round((CAST(rsum AS DOUBLE) - CAST(np AS DOUBLE)*(np+1)/2)
         |    /(CAST(np AS DOUBLE)*nn), 6) AS auc
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+
+    "q_calibration_bins" ->
+      """WITH scored AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |b AS (SELECT min(s) AS mn, max(s) AS mx, count(*) AS total FROM scored),
+        |binned AS (
+        |  SELECT least(CAST(floor((s - mn)/(mx - mn)*10) AS INT), 9) AS bin,
+        |    (s - mn)/(mx - mn) AS conf, pos, total
+        |  FROM scored, b),
+        |agg AS (
+        |  SELECT bin, count(*) AS n, max(total) AS total,
+        |    round(avg(conf), 6) AS avg_conf,
+        |    round(CAST(sum(pos) AS DOUBLE)/count(*), 6) AS pos_rate,
+        |    abs(avg(conf) - CAST(sum(pos) AS DOUBLE)/count(*)) AS gap_raw
+        |  FROM binned GROUP BY bin)
+        |SELECT CAST(bin AS INT) AS bin, n, avg_conf, pos_rate,
+        |  round(gap_raw, 6) AS gap,
+        |  round(sum(gap_raw * n / total) OVER (), 6) AS ece
+        |FROM agg ORDER BY bin""".stripMargin,
+
+    "q_data_profile" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_shipdate", "l_orderkey")
+      def canon(inner: String, c: String): String = c match {
+        case "l_quantity" | "l_extendedprice" =>
+          s"CAST(CAST($inner AS DECIMAL(18,2)) AS VARCHAR)"
+        case _ => s"CAST($inner AS VARCHAR)"
+      }
+      val statsSelects = cols.map { c =>
+        s"""  SELECT '$c' AS col, count(*) - count($c) AS n_null,
+           |    CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |    ${canon(s"min($c)", c)} AS min_val,
+           |    ${canon(s"max($c)", c)} AS max_val
+           |  FROM lineitem""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val valSelects = cols.map { c =>
+        s"    SELECT '$c' AS col, ${canon(c, c)} AS v FROM lineitem"
+      }.mkString("\n    UNION ALL\n")
+      s"""WITH stats AS (
+         |$statsSelects),
+         |vals AS (
+         |  SELECT col, v, count(*) AS cnt FROM (
+         |$valSelects)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT col, v AS top_val, cnt AS top_freq FROM (
+         |    SELECT col, v, cnt,
+         |      row_number() OVER (PARTITION BY col ORDER BY cnt DESC, v) AS rn
+         |    FROM vals) WHERE rn = 1)
+         |SELECT s.col, s.n_null, s.n_distinct, s.min_val, s.max_val,
+         |  t.top_val, t.top_freq
+         |FROM stats s JOIN top t ON s.col = t.col ORDER BY s.col""".stripMargin
+    })
 
   /** Shared oracle CTE: the blocked Fellegi–Sunter pair scoring, weights
     * interpolated from the same committed constants the Spark side uses. */

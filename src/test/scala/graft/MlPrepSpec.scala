@@ -186,6 +186,41 @@ class MlPrepSpec extends SparkSpec {
     assert(math.abs(auc + flipped - 1.0) < 1e-5)
   }
 
+  test("calibration bins: mass conserved, ece is the weighted gap sum") {
+    val rows = MlPrep.calibrationBins(spark, sf001).collect()
+    val total = Tables(spark, sf001, "embeddings").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n"))).sum == total)
+    assert(rows.forall { r =>
+      val b = r.getInt(0); b >= 0 && b <= 9
+    })
+    val ece = rows.head.getDouble(rows.head.fieldIndex("ece"))
+    assert(ece >= 0.0 && ece <= 1.0)
+    val recomputed = rows.map { r =>
+      r.getDouble(r.fieldIndex("gap")) *
+        r.getLong(r.fieldIndex("n")) / total.toDouble
+    }.sum
+    assert(math.abs(ece - recomputed) < 1e-4)
+  }
+
+  test("data profile reports exact per-column facts") {
+    val prof = MlPrep.dataProfile(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 6)
+    val rf = prof("l_returnflag")
+    assert(rf.getLong(rf.fieldIndex("n_null")) == 0L)
+    assert(rf.getLong(rf.fieldIndex("n_distinct")) == 3L)
+    assert(rf.getString(rf.fieldIndex("min_val")) == "A")
+    assert(rf.getString(rf.fieldIndex("max_val")) == "R")
+    val total = Tables(spark, sf001, "lineitem").count()
+    prof.values.foreach { r =>
+      assert(r.getLong(r.fieldIndex("top_freq")) <= total)
+      assert(r.getLong(r.fieldIndex("n_distinct")) <= total)
+    }
+    // orderkey is near-unique: its top value frequency is tiny vs flags
+    assert(prof("l_orderkey").getLong(rf.fieldIndex("top_freq")) <
+      prof("l_returnflag").getLong(rf.fieldIndex("top_freq")))
+  }
+
   test("woe/iv: iv_total is the sum of per-bin iv terms") {
     val rows = MlPrep.woeIv(spark, sf001).collect()
     val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
