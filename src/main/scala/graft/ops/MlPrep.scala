@@ -313,7 +313,10 @@ object MlPrep {
     * a broadcast of the |labels| centroids into the corpus scan with a
     * min-struct argmin — no corpus self-join. Metrics are ratios of
     * exact integer counts (6-dp). */
-  def evalMetrics(s: SparkSession, dir: String): DataFrame = {
+  /** Shared fit-predict stage: per-label integer centroids (one grouped
+    * pass) then broadcast-centroid argmin assignment. Feeds both
+    * [[evalMetrics]] and [[evalSummary]]. */
+  private def centroidPred(s: SparkSession, dir: String): DataFrame = {
     val qs = embeddings(s, dir).select(col("vec_id"), col("label"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $EvalScale) AS BIGINT))")
       .as("q"))
@@ -324,7 +327,7 @@ object MlPrep {
       .groupBy("cl")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("m"))
-    val pred = qs.crossJoin(broadcast(cent))
+    qs.crossJoin(broadcast(cent))
       .withColumn("dist",
         aggregate(zip_with(col("q"), col("m"), (x, y) => (x - y) * (x - y)),
           lit(0L), _ + _))
@@ -332,6 +335,10 @@ object MlPrep {
       .agg(min(struct(col("dist"), col("cl"))).as("best"),
         first(col("label")).as("label"))
       .select(col("label"), col("best.cl").as("pred"))
+  }
+
+  def evalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val pred = centroidPred(s, dir)
     val conf = pred.groupBy("label", "pred").agg(count(lit(1)).as("n"))
     val act = conf.groupBy("label").agg(sum(col("n")).as("n_act"))
     val prd = conf.groupBy("pred").agg(sum(col("n")).as("n_prd"))
@@ -372,6 +379,59 @@ object MlPrep {
         round((col("rsum").cast("double") -
           col("np").cast("double") * (col("np") + 1) / 2) /
           (col("np").cast("double") * col("nn")), 6).as("auc"))
+  }
+
+  /** Whole-classifier evaluation summary: accuracy, macro-F1, and Cohen's
+    * kappa (chance-corrected agreement via the marginal product) from the
+    * same confusion counts as [[evalMetrics]] — all exact-integer-count
+    * ratios, one row out. */
+  def evalSummary(s: SparkSession, dir: String): DataFrame = {
+    val conf = centroidPred(s, dir)
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val tot = conf.agg(sum(col("n")).as("nn"),
+      sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+        .as("agree"))
+    val act = conf.groupBy("label").agg(sum(col("n")).as("n_act"))
+    val prd = conf.groupBy("pred").agg(sum(col("n")).as("n_prd"))
+    val tpc = coalesce(col("tp"), lit(0L))
+    val prdc = coalesce(col("n_prd"), lit(0L))
+    val f1s = act
+      .join(prd, act("label") === prd("pred"), "left")
+      .join(conf.where(col("label") === col("pred"))
+        .select(col("label"), col("n").as("tp")), Seq("label"), "left")
+      .select(when(tpc === 0, 0.0)
+        .otherwise(lit(2.0) * tpc / (prdc + col("n_act"))).as("f1"))
+      .agg(avg(col("f1")).as("macro_f1_raw"))
+    val marg = act.join(prd, act("label") === prd("pred"))
+      .agg(sum(col("n_act") * col("n_prd")).as("chance_num"))
+    val pe = col("chance_num").cast("double") /
+      (col("nn").cast("double") * col("nn"))
+    val po = col("agree").cast("double") / col("nn")
+    tot.crossJoin(marg).crossJoin(f1s)
+      .select(round(po, 6).as("accuracy"),
+        round(col("macro_f1_raw"), 6).as("macro_f1"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Gram / scatter matrix Xᵀ X over 2^10-quantized embedding coordinates
+    * — the one-pass linear-algebra primitive under PCA/whitening/ridge at
+    * scale: d² cells aggregate map-side (never a row-pair join), the
+    * 64×64 result is driver-collectable for any dense eigensolver.
+    * Integer quantization makes every cell exact in both engines
+    * ([[VectorOps.semDedup]]'s recipe, coarser scale so products stay
+    * far inside int64). Upper triangle only (symmetric). */
+  def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val qs = embeddings(s, dir).select(expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+      .as("q"))
+    qs.select(col("q"), posexplode(col("q")).as(Seq("i0", "vi")))
+      .select(col("i0"), col("vi"), posexplode(col("q")).as(Seq("j0", "vj")))
+      .where(col("i0") <= col("j0"))
+      .select((col("i0") + 1).cast("int").as("i"),
+        (col("j0") + 1).cast("int").as("j"),
+        (col("vi") * col("vj")).as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("gram"))
+      .orderBy("i", "j")
   }
 
   /** Reliability diagram + expected calibration error: min-max-normalize
@@ -460,7 +520,9 @@ object MlPrep {
     "q_eval_metrics" -> (evalMetrics _),
     "q_auc" -> (aucRank _),
     "q_calibration_bins" -> (calibrationBins _),
-    "q_data_profile" -> (dataProfile _))
+    "q_data_profile" -> (dataProfile _),
+    "q_eval_summary" -> (evalSummary _),
+    "q_gram_matrix" -> (gramMatrix _))
 
   val oracleSql: Map[String, String] = Map(
     "q_substring_dedup" ->
@@ -704,7 +766,65 @@ object MlPrep {
          |SELECT s.col, s.n_null, s.n_distinct, s.min_val, s.max_val,
          |  t.top_val, t.top_freq
          |FROM stats s JOIN top t ON s.col = t.col ORDER BY s.col""".stripMargin
-    })
+    },
+
+    "q_eval_summary" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE)*$EvalScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS cl, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS m
+         |  FROM (
+         |    SELECT label, pos, sum(v) AS s, count(*) AS n FROM (
+         |      SELECT label, unnest(q) AS v, unnest(range(1,65)) AS pos FROM qs)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |pred AS (
+         |  SELECT vec_id, label, cl AS pred FROM (
+         |    SELECT qs.vec_id, qs.label, cent.cl,
+         |      row_number() OVER (PARTITION BY qs.vec_id
+         |        ORDER BY list_sum(list_transform(range(1,65),
+         |          i -> (q[i]-m[i])*(q[i]-m[i]))), cent.cl) AS rn
+         |    FROM qs, cent) WHERE rn = 1),
+         |conf AS (SELECT label, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) AS nn,
+         |  sum(CASE WHEN label = pred THEN n ELSE 0 END) AS agree FROM conf),
+         |marg AS (
+         |  SELECT sum(a.n_act * p.n_prd) AS chance_num FROM
+         |    (SELECT label, sum(n) AS n_act FROM conf GROUP BY 1) a
+         |    JOIN (SELECT pred, sum(n) AS n_prd FROM conf GROUP BY 1) p
+         |      ON a.label = p.pred),
+         |f1s AS (
+         |  SELECT avg(CASE WHEN coalesce(t.tp, 0) = 0 THEN 0.0
+         |    ELSE 2.0*coalesce(t.tp, 0)/(coalesce(p.n_prd, 0)+a.n_act) END)
+         |    AS macro_f1_raw
+         |  FROM (SELECT label, sum(n) AS n_act FROM conf GROUP BY 1) a
+         |  LEFT JOIN (SELECT pred, sum(n) AS n_prd FROM conf GROUP BY 1) p
+         |    ON a.label = p.pred
+         |  LEFT JOIN (SELECT label, n AS tp FROM conf WHERE label = pred) t
+         |    ON a.label = t.label)
+         |SELECT round(CAST(agree AS DOUBLE)/nn, 6) AS accuracy,
+         |  round(macro_f1_raw, 6) AS macro_f1,
+         |  round((CAST(agree AS DOUBLE)/nn
+         |      - CAST(chance_num AS DOUBLE)/(CAST(nn AS DOUBLE)*nn))
+         |    / (1.0 - CAST(chance_num AS DOUBLE)/(CAST(nn AS DOUBLE)*nn)), 6)
+         |    AS kappa
+         |FROM tot, marg, f1s""".stripMargin,
+
+    "q_gram_matrix" ->
+      """WITH qs AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT i, j, q[i]*q[j] AS p
+        |  FROM qs, UNNEST(range(1,65)) AS a(i), UNNEST(range(1,65)) AS b(j)
+        |  WHERE i <= j)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(sum(p) AS BIGINT) AS gram
+        |FROM cells GROUP BY 1, 2 ORDER BY i, j""".stripMargin)
 
   /** Shared oracle CTE: the blocked Fellegi–Sunter pair scoring, weights
     * interpolated from the same committed constants the Spark side uses. */

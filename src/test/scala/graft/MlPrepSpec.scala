@@ -221,6 +221,37 @@ class MlPrepSpec extends SparkSpec {
       prof("l_returnflag").getLong(rf.fieldIndex("top_freq")))
   }
 
+  test("eval summary agrees with the per-class metrics table") {
+    val sum = MlPrep.evalSummary(spark, sf001).head()
+    val perClass = MlPrep.evalMetrics(spark, sf001).collect()
+    val total = perClass.map(r => r.getLong(1) + r.getLong(3)).sum // tp+fn
+    val acc = perClass.map(_.getLong(1)).sum.toDouble / total
+    assert(math.abs(sum.getDouble(sum.fieldIndex("accuracy")) - acc) < 1e-5)
+    val macroF1 = perClass.map(_.getDouble(perClass.head.fieldIndex("f1"))).sum /
+      perClass.length
+    assert(math.abs(sum.getDouble(sum.fieldIndex("macro_f1")) - macroF1) < 1e-4)
+    val kappa = sum.getDouble(sum.fieldIndex("kappa"))
+    assert(kappa > -1.0 && kappa < 1.0)
+    assert(kappa < acc) // kappa discounts chance agreement
+  }
+
+  test("gram matrix is the exact quantized scatter (diag positive, symmetric half)") {
+    val g = MlPrep.gramMatrix(spark, sf001).collect()
+    assert(g.length == 64 * 65 / 2) // upper triangle incl. diagonal
+    g.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      assert(i >= 1 && j >= i && j <= 64)
+      if (i == j) assert(r.getLong(2) >= 0L) // Σ v² never negative
+    }
+    // spot-check one diagonal cell against a direct recompute
+    val direct = Tables(spark, sf001, "embeddings")
+      .select(expr(
+        "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1024) AS BIGINT)").as("v"))
+      .agg(sum(col("v") * col("v"))).head().getLong(0)
+    val cell11 = g.find(r => r.getInt(0) == 1 && r.getInt(1) == 1).get.getLong(2)
+    assert(cell11 == direct)
+  }
+
   test("woe/iv: iv_total is the sum of per-bin iv terms") {
     val rows = MlPrep.woeIv(spark, sf001).collect()
     val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
