@@ -535,9 +535,98 @@ object AffineSketch {
        |ORDER BY scope""".stripMargin
   }
 
+  /** Sketch MERGEABILITY, proven end-to-end: HLL registers computed per
+    * epoch-week (`epoch_µs div 604800000000` — exact integers, no
+    * calendar-week engine differences) and max-merged per bucket MUST
+    * equal the registers computed over the whole period, because register
+    * max is associative — the property that lets 100 TB pipelines
+    * pre-aggregate sketches per partition/day and re-aggregate to any
+    * coarser grain without rescanning. Both the merged and the direct
+    * estimate are emitted and hash-matched; `merge_exact` is proven true
+    * by BOTH engines, not asserted. */
+  def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    val rb = hllVBits + 1
+    val base = events(s, dir)
+      .select(col("event_type").as("scope"),
+        expr("unix_micros(ts) div 604800000000").as("wk"),
+        md5h(col("event_id").cast("string")).as("h"))
+      .select(col("scope"), col("wk"), (col("h") % hllM).as("bucket"),
+        expr(s"h div $hllM").as("v"))
+      .select(col("scope"), col("wk"), col("bucket"),
+        when(col("v") === 0L, lit(rb))
+          .otherwise(lit(rb) - length(bin(col("v")))).as("rho"))
+    val weekly = base.groupBy(col("scope"), col("wk"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    def estimate(regs: DataFrame, out: String): DataFrame = {
+      val hll = regs.groupBy(col("scope")).agg(
+        sum(lit(1.0) / expr("shiftleft(1L, m)")).as("z_present"),
+        count(lit(1)).as("n_present"))
+      val z = col("z_present") + (lit(hllM) - col("n_present")).cast("double")
+      val zeros = lit(hllM) - col("n_present")
+      val estRaw = expr(hllAlphaMM) / z
+      val est = when(estRaw <= 2.5 * hllM && zeros > 0,
+        lit(hllM.toDouble) * log(lit(hllM.toDouble) / zeros.cast("double")))
+        .otherwise(estRaw)
+      hll.select(col("scope"), round(est, 1).as(out))
+    }
+    val merged = estimate(
+      weekly.groupBy(col("scope"), col("bucket")).agg(max(col("m")).as("m")),
+      "est_merged")
+    val direct = estimate(
+      base.groupBy(col("scope"), col("bucket")).agg(max(col("rho")).as("m")),
+      "est_direct")
+    val weeks = weekly.groupBy(col("scope"))
+      .agg(countDistinct(col("wk")).as("n_weeks"))
+    weeks.join(merged, "scope").join(direct, "scope")
+      .select(col("scope"), col("n_weeks"), col("est_direct"),
+        col("est_merged"),
+        (col("est_merged") === col("est_direct")).as("merge_exact"))
+      .orderBy("scope")
+  }
+
+  private def hllMergeOracle: String = {
+    val rb = hllVBits + 1
+    def estCte(src: String, out: String): String =
+      s"""  SELECT scope,
+         |    round(CASE WHEN $hllAlphaMM/(z_present + ($hllM - n_present)) <= ${2.5 * hllM}
+         |              AND $hllM - n_present > 0
+         |         THEN ${hllM.toDouble} * ln(${hllM.toDouble}/($hllM - n_present))
+         |         ELSE $hllAlphaMM/(z_present + ($hllM - n_present)) END, 1) AS $out
+         |  FROM (SELECT scope, sum(1.0::DOUBLE/(1::BIGINT << m)) AS z_present,
+         |          count(*) AS n_present
+         |        FROM $src GROUP BY scope)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT event_type AS scope, epoch_us(ts) // 604800000000 AS wk,
+       |    h % $hllM AS bucket,
+       |    CASE WHEN h // $hllM = 0 THEN $rb
+       |         ELSE $rb - length(bin(h // $hllM)) END AS rho
+       |  FROM (SELECT event_type, ts,
+       |          ('0x'||substr(md5(event_id::VARCHAR),1,7))::BIGINT AS h
+       |        FROM events)
+       |), weekly AS (
+       |  SELECT scope, wk, bucket, max(rho) AS m FROM base GROUP BY 1, 2, 3
+       |), mergedregs AS (
+       |  SELECT scope, bucket, max(m) AS m FROM weekly GROUP BY 1, 2
+       |), directregs AS (
+       |  SELECT scope, bucket, max(rho) AS m FROM base GROUP BY 1, 2
+       |), merged AS (
+       |${estCte("mergedregs", "est_merged")}
+       |), direct AS (
+       |${estCte("directregs", "est_direct")}
+       |), weeks AS (
+       |  SELECT scope, CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks
+       |  FROM weekly GROUP BY 1
+       |)
+       |SELECT w.scope, w.n_weeks, d.est_direct, m.est_merged,
+       |  m.est_merged = d.est_direct AS merge_exact
+       |FROM weeks w JOIN merged m USING (scope) JOIN direct d USING (scope)
+       |ORDER BY scope""".stripMargin
+  }
+
   // ------------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_merge" -> (hllMerge _),
     "q_minhash_affine" -> (minhashAffine _),
     "q_simhash_affine" -> (simhashAffine _),
     "q_srp_affine" -> (srpAffine _),
@@ -553,5 +642,6 @@ object AffineSketch {
     "q_winnow_affine" -> winnowAffineOracle,
     "q_winnow_pairs" -> winnowPairsOracle,
     "q_kmv_affine" -> kmvAffineOracle,
-    "q_hll_affine" -> hllAffineOracle)
+    "q_hll_affine" -> hllAffineOracle,
+    "q_hll_merge" -> hllMergeOracle)
 }

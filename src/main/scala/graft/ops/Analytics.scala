@@ -1312,7 +1312,54 @@ object Analytics {
         round(col("sc") * col("sc") + col("ss") * col("ss"), 3).as("power"))
       .orderBy(col("period"))
 
+  /** Grid-bucketed spatial self-join (the geohash pattern): deterministic
+    * lat/lon derived per customer (md5 over a ±5° lattice — the testdata
+    * carries no coordinates, so position is a committed pure function of
+    * the key), bucketed into 1°×1° cells; candidate pairs come from an
+    * equi join of each point's 3×3 neighbor cells against cell owners —
+    * never an all-pairs distance join — then exact haversine ≤ 30 km
+    * filters and a per-cell aggregate summarizes. The lattice quantizes
+    * distances ≥ 1.39 km away from the threshold (probed at every SF), so
+    * last-ulp libm differences can never flip membership. At 100 TB the
+    * cell edge tracks the radius (edge ≥ radius ⇒ 9 cells suffice) and
+    * cells shard evenly by construction. */
+  def geoPairs(s: SparkSession, dir: String): DataFrame = {
+    def h(tag: String): Column =
+      conv(substring(md5(concat(lit(tag), col("c_custkey").cast("string"))),
+        1, 7), 16, 10).cast("long")
+    val cells = Tables(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        ((h("lat-") % 100).cast("double") / 10.0 - 5.0).as("lat"),
+        ((h("lon-") % 100).cast("double") / 10.0 - 5.0).as("lon"))
+      .withColumn("cx", floor(col("lat")).cast("int"))
+      .withColumn("cy", floor(col("lon")).cast("int"))
+    val probes = cells
+      .select(col("id"), col("lat"), col("lon"), col("cx"), col("cy"),
+        explode(expr("array(-1, 0, 1)")).as("dx"))
+      .select(col("id"), col("lat"), col("lon"),
+        (col("cx") + col("dx")).as("jx"), col("cy"),
+        explode(expr("array(-1, 0, 1)")).as("dy"))
+      .select(col("id"), col("lat"), col("lon"), col("jx"),
+        (col("cy") + col("dy")).as("jy"))
+    val cand = probes.alias("a").join(cells.alias("b"),
+      col("a.jx") === col("b.cx") && col("a.jy") === col("b.cy") &&
+        col("a.id") < col("b.id"))
+    val dLat = radians(col("b.lat") - col("a.lat")) / 2
+    val dLon = radians(col("b.lon") - col("a.lon")) / 2
+    val km = lit(12742.0) * asin(sqrt(
+      sin(dLat) * sin(dLat) +
+        cos(radians(col("a.lat"))) * cos(radians(col("b.lat"))) *
+          sin(dLon) * sin(dLon)))
+    cand.select(col("b.cx").as("cx"), col("b.cy").as("cy"), km.as("km"))
+      .where(col("km") <= 30.0)
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n_pairs"), round(min(col("km")), 6).as("min_km"),
+        round(avg(col("km")), 6).as("avg_km"))
+      .orderBy("cx", "cy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_pairs" -> (geoPairs _),
     "q_periodogram" -> (periodogram _),
     "q_peak_concurrency" -> (peakConcurrency _),
     "q_interval_union" -> (intervalUnion _),
@@ -1358,6 +1405,34 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_geo_pairs" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    (('0x'||substr(md5('lat-'||CAST(c_custkey AS VARCHAR)),1,7))::BIGINT
+        |      % 100)/10.0 - 5.0 AS lat,
+        |    (('0x'||substr(md5('lon-'||CAST(c_custkey AS VARCHAR)),1,7))::BIGINT
+        |      % 100)/10.0 - 5.0 AS lon
+        |  FROM customer),
+        |cells AS (
+        |  SELECT id, lat, lon, CAST(floor(lat) AS INT) AS cx,
+        |    CAST(floor(lon) AS INT) AS cy
+        |  FROM pts),
+        |cand AS (
+        |  SELECT b.cx, b.cy, a.lat AS la, a.lon AS oa, b.lat AS lb, b.lon AS ob
+        |  FROM (SELECT id, lat, lon, cx + dx AS jx, cy + dy AS jy
+        |        FROM cells, UNNEST([-1,0,1]) AS t1(dx),
+        |             UNNEST([-1,0,1]) AS t2(dy)) a
+        |  JOIN cells b ON a.jx = b.cx AND a.jy = b.cy AND a.id < b.id),
+        |dist AS (
+        |  SELECT cx, cy,
+        |    12742.0 * asin(sqrt(
+        |      sin(radians(lb - la)/2)*sin(radians(lb - la)/2)
+        |      + cos(radians(la))*cos(radians(lb))
+        |        * sin(radians(ob - oa)/2)*sin(radians(ob - oa)/2))) AS km
+        |  FROM cand)
+        |SELECT cx, cy, count(*) AS n_pairs, round(min(km), 6) AS min_km,
+        |  round(avg(km), 6) AS avg_km
+        |FROM dist WHERE km <= 30.0 GROUP BY cx, cy ORDER BY cx, cy""".stripMargin,
     "q_periodogram" ->
       """WITH mm AS (
         |  SELECT CAST(floor(epoch_us(ts) / 60000000.0) AS BIGINT) - 28401120 AS m

@@ -252,6 +252,49 @@ class MlPrepSpec extends SparkSpec {
     assert(cell11 == direct)
   }
 
+  test("geo grid join finds exactly the brute-force close pairs") {
+    import graft.ops.Analytics
+    val out = Analytics.geoPairs(spark, sf001).collect()
+    assert(out.forall { r =>
+      val cx = r.getInt(0); val cy = r.getInt(1)
+      cx >= -5 && cx <= 4 && cy >= -5 && cy <= 4 &&
+        r.getDouble(r.fieldIndex("min_km")) <=
+          r.getDouble(r.fieldIndex("avg_km")) &&
+        r.getDouble(r.fieldIndex("avg_km")) <= 30.0
+    })
+    // 30 km < 1 degree everywhere on the +-5 degree lattice, so the 3x3
+    // neighbor probe must find every close pair the all-pairs scan finds
+    val pts = Tables(spark, sf001, "customer").select(
+      col("c_custkey").as("id"),
+      ((conv(substring(md5(concat(lit("lat-"),
+        col("c_custkey").cast("string"))), 1, 7), 16, 10).cast("long") % 100)
+        .cast("double") / 10.0 - 5.0).as("lat"),
+      ((conv(substring(md5(concat(lit("lon-"),
+        col("c_custkey").cast("string"))), 1, 7), 16, 10).cast("long") % 100)
+        .cast("double") / 10.0 - 5.0).as("lon"))
+    val a = pts.select(col("id").as("ia"), col("lat").as("la"), col("lon").as("oa"))
+    val b = pts.select(col("id").as("ib"), col("lat").as("lb"), col("lon").as("ob"))
+    val dLat = radians(col("lb") - col("la")) / 2
+    val dLon = radians(col("ob") - col("oa")) / 2
+    val km = lit(12742.0) * asin(sqrt(sin(dLat) * sin(dLat) +
+      cos(radians(col("la"))) * cos(radians(col("lb"))) * sin(dLon) * sin(dLon)))
+    val brute = a.crossJoin(b).where(col("ia") < col("ib"))
+      .where(km <= 30.0).count()
+    assert(out.map(_.getLong(out.head.fieldIndex("n_pairs"))).sum == brute)
+  }
+
+  test("hll merge: weekly max-merged registers equal the direct sketch") {
+    import graft.ops.AffineSketch
+    val rows = AffineSketch.hllMerge(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("merge_exact")),
+        s"merge broke associativity for ${r.getString(0)}")
+      assert(r.getLong(r.fieldIndex("n_weeks")) >= 2)
+      assert(r.getDouble(r.fieldIndex("est_direct")) > 0.0)
+    }
+  }
+
   test("woe/iv: iv_total is the sum of per-bin iv terms") {
     val rows = MlPrep.woeIv(spark, sf001).collect()
     val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
