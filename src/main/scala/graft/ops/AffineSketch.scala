@@ -535,6 +535,92 @@ object AffineSketch {
        |ORDER BY scope""".stripMargin
   }
 
+  /** KMV set algebra (Beyer et al. SIGMOD '07): two activity sets — the
+    * distinct (user, day) grains with a click vs with a purchase — each
+    * sketched by its k=64 minimum affine-hash values; the union sketch is
+    * the k smallest of S_A ∪ S_B, |A∪B| ≈ (k−1)·p/h_(k), Jaccard ≈ the
+    * fraction of union-sketch members present in BOTH per-set sketches,
+    * and |A∩B| ≈ J·|A∪B|. This is the estimator that answers
+    * intersection/overlap questions from per-partition sketches WITHOUT
+    * rescanning either side — the set-operation complement to
+    * [[hllMerge]]'s union-only merge. Exact values computed alongside;
+    * everything deterministic ⇒ estimates hash-match DuckDB. Grain ids
+    * stay < 2^28 so the affine product is exact in int64. */
+  def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val k = kmvK
+    val grains = events(s, dir).select(col("event_type"),
+      (col("user_id") * 100000 + expr("unix_micros(ts) div 86400000000"))
+        .as("g"))
+    def setOf(t: String, sid: String) =
+      grains.where(col("event_type") === t)
+        .select(lit(sid).as("sid"), col("g")).distinct()
+    val sets = setOf("click", "A").union(setOf("purchase", "B"))
+    val exact = sets.groupBy(col("g"))
+      .agg(count(lit(1)).as("nsets"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("nsets") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    val kmin = sets
+      .select(col("sid"), ((col("g") * A(0) + B(0)) % P).as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("sid")).orderBy(col("h"))))
+      .where(col("rn") <= k).select(col("sid"), col("h"))
+    val unionK = kmin.select(col("h")).distinct().orderBy(col("h")).limit(k)
+    val inBoth = unionK
+      .join(kmin.where(col("sid") === "A").select(col("h")), Seq("h"), "left_semi")
+      .join(kmin.where(col("sid") === "B").select(col("h")), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("k_inter"))
+    val uStats = unionK.agg(max(col("h")).as("hk"), count(lit(1)).as("ku"))
+    val estUnion = when(col("ku") < k, col("ku").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * P / col("hk"))
+    val jEst = col("k_inter").cast("double") / col("ku")
+    exact.crossJoin(uStats).crossJoin(inBoth)
+      .select(col("exact_union"), col("exact_inter"),
+        round(estUnion, 1).as("est_union"),
+        round(jEst * estUnion, 1).as("est_inter"),
+        round(col("exact_inter").cast("double") / col("exact_union"), 6)
+          .as("jaccard_exact"),
+        round(jEst, 6).as("jaccard_est"))
+  }
+
+  private def kmvIntersectOracle: String = {
+    val k = kmvK
+    s"""WITH grains AS (
+       |  SELECT event_type,
+       |    user_id*100000 + epoch_us(ts) // 86400000000 AS g
+       |  FROM events
+       |), sets AS (
+       |  SELECT DISTINCT 'A' AS sid, g FROM grains WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT DISTINCT 'B' AS sid, g FROM grains WHERE event_type = 'purchase'
+       |), exact AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(CASE WHEN nsets = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+       |  FROM (SELECT g, count(*) AS nsets FROM sets GROUP BY g)
+       |), kmin AS (
+       |  SELECT sid, h FROM (
+       |    SELECT sid, (g*${A(0)}+${B(0)})%$P AS h,
+       |      row_number() OVER (PARTITION BY sid ORDER BY (g*${A(0)}+${B(0)})%$P) AS rn
+       |    FROM sets) WHERE rn <= $k
+       |), unionk AS (
+       |  SELECT DISTINCT h FROM kmin ORDER BY h LIMIT $k
+       |), ustats AS (
+       |  SELECT max(h) AS hk, count(*) AS ku FROM unionk
+       |), inboth AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_inter FROM unionk u
+       |  WHERE EXISTS (SELECT 1 FROM kmin a WHERE a.sid = 'A' AND a.h = u.h)
+       |    AND EXISTS (SELECT 1 FROM kmin b WHERE b.sid = 'B' AND b.h = u.h)
+       |)
+       |SELECT e.exact_union, e.exact_inter,
+       |  round(CASE WHEN s.ku < $k THEN CAST(s.ku AS DOUBLE)
+       |    ELSE ${(k - 1).toDouble}*$P/s.hk END, 1) AS est_union,
+       |  round((CAST(i.k_inter AS DOUBLE)/s.ku)
+       |    * CASE WHEN s.ku < $k THEN CAST(s.ku AS DOUBLE)
+       |      ELSE ${(k - 1).toDouble}*$P/s.hk END, 1) AS est_inter,
+       |  round(CAST(e.exact_inter AS DOUBLE)/e.exact_union, 6) AS jaccard_exact,
+       |  round(CAST(i.k_inter AS DOUBLE)/s.ku, 6) AS jaccard_est
+       |FROM exact e, ustats s, inboth i""".stripMargin
+  }
+
   /** Sketch MERGEABILITY, proven end-to-end: HLL registers computed per
     * epoch-week (`epoch_µs div 604800000000` — exact integers, no
     * calendar-week engine differences) and max-merged per bucket MUST
@@ -627,6 +713,7 @@ object AffineSketch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_merge" -> (hllMerge _),
+    "q_kmv_intersect" -> (kmvIntersect _),
     "q_minhash_affine" -> (minhashAffine _),
     "q_simhash_affine" -> (simhashAffine _),
     "q_srp_affine" -> (srpAffine _),
@@ -643,5 +730,6 @@ object AffineSketch {
     "q_winnow_pairs" -> winnowPairsOracle,
     "q_kmv_affine" -> kmvAffineOracle,
     "q_hll_affine" -> hllAffineOracle,
-    "q_hll_merge" -> hllMergeOracle)
+    "q_hll_merge" -> hllMergeOracle,
+    "q_kmv_intersect" -> kmvIntersectOracle)
 }

@@ -295,6 +295,21 @@ class MlPrepSpec extends SparkSpec {
     }
   }
 
+  test("kmv set algebra: estimates track the exact union/intersection") {
+    import graft.ops.AffineSketch
+    val r = AffineSketch.kmvIntersect(spark, sf001).head()
+    val exactU = r.getLong(r.fieldIndex("exact_union"))
+    val exactI = r.getLong(r.fieldIndex("exact_inter"))
+    assert(exactU > 0 && exactI >= 0 && exactI <= exactU)
+    val estU = r.getDouble(r.fieldIndex("est_union"))
+    val jE = r.getDouble(r.fieldIndex("jaccard_exact"))
+    val jS = r.getDouble(r.fieldIndex("jaccard_est"))
+    // k=64 => sigma(J) ~ sqrt(J(1-J)/64) < 0.07; allow 3 sigma
+    assert(math.abs(jS - jE) < 0.2, s"jaccard est $jS vs exact $jE")
+    assert(math.abs(estU - exactU) / exactU < 0.4,
+      s"union est $estU vs exact $exactU")
+  }
+
   test("woe/iv: iv_total is the sum of per-bin iv terms") {
     val rows = MlPrep.woeIv(spark, sf001).collect()
     val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
