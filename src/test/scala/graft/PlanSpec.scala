@@ -314,4 +314,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_woe_iv")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("gram matrix is a join-free double-generate aggregate") {
+    val p = plan("q_gram_matrix")
+    assert(!p.contains("Join"), s"outer-product pair join leaked in:\n${p.take(3000)}")
+    assert("Generate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("geo pairs join only on cell keys (never an all-pairs distance join)") {
+    val p = plan("q_geo_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
