@@ -39,8 +39,13 @@ object Bench {
     // events table, ~90 s at sf0.1) — not a perf-representative workload; it
     // still runs in Verify/CORRECTNESS every round (ADVICE r3).
     val benchSkip = Set("q_elb_roundtrip")
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed loop for
+    // solo-query profiling; unset (the driver's invocation) runs everything
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(kv => benchSkip(kv._1)).map { case (name, fn) =>
+      .filterNot(kv => benchSkip(kv._1))
+      .filter(kv => only.forall(_(kv._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
