@@ -1358,8 +1358,69 @@ object Analytics {
       .orderBy("cx", "cy")
   }
 
+  /** Grid-DBSCAN (density-based clustering, the cell/STING approximation
+    * that scales): points land on a deterministic BIMODAL lattice (each
+    * axis a quadratic md5 transform toward one of two ends — a density
+    * gradient that survives any corpus size, unlike uniform noise whose
+    * relative fluctuations vanish as n grows), cells aggregate counts, a
+    * cell is CORE when its 3×3 neighborhood holds ≥ 10 % of all mass
+    * (exact integer compare, corpus-relative so the clustering is
+    * SF-invariant: 4 corner clusters at every test SF), and clusters are
+    * connected components of adjacent core cells via
+    * [[Curation.connectedComponents]] (pointer-jumping min-label, loud
+    * non-convergence). All heavy work is ONE grouped pass over points;
+    * everything after operates on ≤ 100 cell rows. Oracle: the same
+    * pipeline with a recursive-CTE closure in DuckDB. */
+  def gridDbscan(s: SparkSession, dir: String): DataFrame = {
+    def coordCol(tag: String): Column = {
+      val h = conv(substring(md5(concat(lit(s"$tag-"),
+        col("c_custkey").cast("string"))), 1, 7), 16, 10).cast("long")
+      val m = (h % 100).cast("double")
+      when(h % 2 === 0, m * m / 2000.0 - 5.0)
+        .otherwise(lit(4.999) - m * m / 2000.0)
+    }
+    val cells = Tables(s, dir, "customer")
+      .select(floor(coordCol("lat")).cast("int").as("cx"),
+        floor(coordCol("lon")).cast("int").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("t"))
+    val probes = cells
+      .select(col("cx"), col("cy"), col("n"),
+        explode(expr("array(-1, 0, 1)")).as("dx"))
+      .select(col("cx"), col("cy"), col("n"),
+        (col("cx") + col("dx")).as("jx"),
+        explode(expr("array(-1, 0, 1)")).as("dy"))
+      .select(col("cx"), col("cy"), col("n"), col("jx"),
+        (col("cy") + col("dy")).as("jy"))
+    val neigh = probes.alias("a")
+      .join(cells.select(col("cx").as("bx"), col("cy").as("by"),
+        col("n").as("bn")), col("jx") === col("bx") && col("jy") === col("by"))
+      .groupBy(col("a.cx"), col("a.cy"))
+      .agg(max(col("a.n")).as("n"), sum(col("bn")).as("nn"))
+    val core = neigh.crossJoin(broadcast(tot))
+      .where(col("nn") * 100 >= col("t") * 10)
+      .select(col("cx"), col("cy"), col("n"),
+        ((col("cx") + 5) * 10 + col("cy") + 5).cast("long").as("cid"))
+      .persist()
+    val edges = core.alias("a").join(
+        core.select(col("cid").as("cid2"), col("cx").as("bx"),
+          col("cy").as("by")),
+        abs(col("a.cx") - col("bx")) <= 1 && abs(col("a.cy") - col("by")) <= 1
+          && col("a.cid") =!= col("cid2"))
+      .select(col("a.cid").as("id1"), col("cid2").as("id2"))
+    val labels = Curation.connectedComponents(
+      core.select(col("cid").as("id")), edges)
+    core.join(labels, core("cid") === labels("id"))
+      .groupBy(col("lab").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"),
+        min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+        min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_pairs" -> (geoPairs _),
+    "q_grid_dbscan" -> (gridDbscan _),
     "q_periodogram" -> (periodogram _),
     "q_peak_concurrency" -> (peakConcurrency _),
     "q_interval_union" -> (intervalUnion _),
@@ -1405,6 +1466,40 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_grid_dbscan" -> {
+      def coord(tag: String): String = {
+        val h = s"(('0x'||substr(md5('$tag-'||CAST(c_custkey AS VARCHAR)),1,7))::BIGINT)"
+        val m = s"($h % 100)"
+        s"CASE WHEN $h % 2 = 0 THEN ($m*$m)/2000.0 - 5.0 ELSE 4.999 - ($m*$m)/2000.0 END"
+      }
+      s"""WITH RECURSIVE cells AS (
+         |  SELECT CAST(floor(${coord("lat")}) AS INT) AS cx,
+         |         CAST(floor(${coord("lon")}) AS INT) AS cy, count(*) AS n
+         |  FROM customer GROUP BY 1, 2
+         |), tot AS (SELECT sum(n) AS t FROM cells),
+         |neigh AS (
+         |  SELECT a.cx, a.cy, max(a.n) AS n, sum(b.n) AS nn
+         |  FROM cells a JOIN cells b
+         |    ON b.cx BETWEEN a.cx-1 AND a.cx+1 AND b.cy BETWEEN a.cy-1 AND a.cy+1
+         |  GROUP BY 1, 2
+         |), core AS (
+         |  SELECT cx, cy, n, CAST((cx+5)*10 + cy+5 AS BIGINT) AS cid
+         |  FROM neigh, tot WHERE nn*100 >= t*10
+         |), edges AS (
+         |  SELECT a.cid AS c1, b.cid AS c2 FROM core a JOIN core b
+         |  ON abs(a.cx-b.cx) <= 1 AND abs(a.cy-b.cy) <= 1 AND a.cid <> b.cid
+         |), reach(id, lab) AS (
+         |  SELECT cid, cid FROM core
+         |  UNION
+         |  SELECT r.id, e.c2 FROM reach r JOIN edges e ON r.lab = e.c1
+         |), cl AS (SELECT id AS cid, min(lab) AS cluster FROM reach GROUP BY id)
+         |SELECT cl.cluster, count(*) AS n_cells,
+         |  CAST(sum(c.n) AS BIGINT) AS n_points,
+         |  min(c.cx) AS min_cx, max(c.cx) AS max_cx,
+         |  min(c.cy) AS min_cy, max(c.cy) AS max_cy
+         |FROM core c JOIN cl ON c.cid = cl.cid
+         |GROUP BY cl.cluster ORDER BY cl.cluster""".stripMargin
+    },
     "q_geo_pairs" ->
       """WITH pts AS (
         |  SELECT c_custkey AS id,

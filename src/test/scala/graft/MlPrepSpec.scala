@@ -310,6 +310,22 @@ class MlPrepSpec extends SparkSpec {
       s"union est $estU vs exact $exactU")
   }
 
+  test("grid dbscan finds the four corner density clusters") {
+    import graft.ops.Analytics
+    val cl = Analytics.gridDbscan(spark, sf001).collect()
+    assert(cl.length == 4, s"expected 4 corner clusters, got ${cl.length}")
+    cl.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_points")) > 0)
+      assert(r.getLong(r.fieldIndex("n_cells")) > 0)
+      // each cluster stays inside one quadrant: its bounding box must not
+      // straddle an axis (the bimodal transform leaves the middle sparse)
+      assert(r.getInt(r.fieldIndex("max_cx")) < 0 ||
+        r.getInt(r.fieldIndex("min_cx")) >= 0)
+      assert(r.getInt(r.fieldIndex("max_cy")) < 0 ||
+        r.getInt(r.fieldIndex("min_cy")) >= 0)
+    }
+  }
+
   test("woe/iv: iv_total is the sum of per-bin iv terms") {
     val rows = MlPrep.woeIv(spark, sf001).collect()
     val ivTotal = rows.head.getDouble(rows.head.fieldIndex("iv_total"))
