@@ -5,22 +5,29 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ML-prep operators a large-scale training pipeline runs between raw text
-  * and the trainer: exact long-substring duplication (the char-level dedup
-  * signal of Lee et al. 2022, "Deduplicating Training Data Makes Language
-  * Models Better"), Fellegi–Sunter probabilistic record linkage over
-  * blocked candidate pairs, Unicode canonicalization (via the native
-  * [[graft.functions.NfcNormalize]] / [[graft.functions.StripAccents]]
-  * expressions), and two supervised-feature-engineering classics —
-  * WOE/IV predictive-power binning and K-fold leakage-safe target
-  * encoding. Reference behavior: the MLE goals of
+  * and the trainer, end to end: dedup signals (exact long-substring
+  * duplication — the char-level signal of Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better"), record linkage
+  * (Fellegi–Sunter scoring over blocked candidate pairs), Unicode
+  * canonicalization (native [[graft.functions.NfcNormalize]] /
+  * [[graft.functions.StripAccents]] expressions), feature engineering
+  * (WOE/IV predictive-power binning, K-fold leakage-safe target encoding,
+  * HashingTF-style feature hashing, the exact-integer Gram matrix under
+  * PCA/whitening), dataset assembly (embargoed temporal splits,
+  * positional negative sampling for contrastive pairs, an ε=1 DP count
+  * release with suppression), evaluation (nearest-centroid
+  * confusion/P/R/F1, accuracy/macro-F1/Cohen's-kappa summary,
+  * rank-statistic ROC AUC, reliability bins with ECE), and an
+  * ANALYZE-style column profile. Reference behavior: the MLE goals of
   * /root/reference/README.md:47-52 (dedup/feature prep before prediction).
   *
   * Every query here is fully DuckDB-oracle-checkable: hashes are md5
   * (bit-identical across engines), money sums go through exact
   * decimal(18,2) accumulation before any double division (the
-  * [[Relational.decimalExact]] convention), and log-ratio statistics are
-  * ratios of exact integer counts rounded at 6 dp (the
-  * [[TextOps]] KL/perplexity convention).
+  * [[Relational.decimalExact]] convention), log-ratio statistics are
+  * ratios of exact integer counts rounded at 6 dp (the [[TextOps]]
+  * KL/perplexity convention), and vector arithmetic is integer-quantized
+  * (the [[VectorOps.semDedup]] recipe).
   */
 object MlPrep {
 
