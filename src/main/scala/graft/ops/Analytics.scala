@@ -1418,7 +1418,52 @@ object Analytics {
       .orderBy("cluster")
   }
 
+  /** Minimum co-purchase support / result size for [[itemCf]]. */
+  private val CfMinCo = 2
+  private val CfTopN = 50
+
+  /** Item–item collaborative filtering over the order history — the
+    * "customers who bought X also bought Y" primitive (Linden et al.,
+    * IEEE Internet Computing 2003, Amazon item-to-item CF). Baskets are
+    * per-customer DISTINCT part sets (orders ⋈ lineitem); a basket
+    * self-join generates co-purchase pairs, and each surviving pair is
+    * scored with set cosine co / √(n_a·n_b) — exact integer counts, so
+    * fully oracle-checkable.
+    *
+    * 100 TB shape: the basket relation shuffles once on customer; pair
+    * generation is the per-key self-join, O(Σ basket²) — bounded because
+    * baskets are per-CUSTOMER (human-scale, hundreds not millions; a
+    * pathological bot basket would be capped upstream the same way
+    * [[TextOps]] caps hub shingles). The pair aggregate is
+    * map-side-combined on (i1, i2); item totals are an items-sized dim
+    * broadcast back onto the surviving pairs; the final top-N rides
+    * TakeOrderedAndProject, not a global sort. */
+  def itemCf(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+      .persist()
+    val itemCnt = baskets.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val a = baskets.select(col("cust"), col("item").as("i1"))
+    val b = baskets.select(col("cust"), col("item").as("i2"))
+    val co = a.join(b, Seq("cust"))
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= CfMinCo)
+    co.join(broadcast(itemCnt.select(col("item").as("i1"), col("n").as("n1"))), Seq("i1"))
+      .join(broadcast(itemCnt.select(col("item").as("i2"), col("n").as("n2"))), Seq("i2"))
+      .withColumn("cosine",
+        round(col("co") / sqrt(col("n1") * col("n2")), 6))
+      .select(col("i1"), col("i2"), col("co"), col("n1"), col("n2"),
+        col("cosine"))
+      .orderBy(col("cosine").desc, col("i1"), col("i2"))
+      .limit(CfTopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_item_cf" -> (itemCf _),
     "q_geo_pairs" -> (geoPairs _),
     "q_grid_dbscan" -> (gridDbscan _),
     "q_periodogram" -> (periodogram _),
@@ -1466,6 +1511,22 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_item_cf" ->
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |cnt AS (SELECT item, count(*) AS n FROM baskets GROUP BY item),
+         |co AS (
+         |  SELECT a.item AS i1, b.item AS i2, count(*) AS co
+         |  FROM baskets a JOIN baskets b
+         |    ON a.cust = b.cust AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCo)
+         |SELECT i1, i2, co, c1.n AS n1, c2.n AS n2,
+         |  round(co / sqrt(c1.n * c2.n), 6) AS cosine
+         |FROM co JOIN cnt c1 ON co.i1 = c1.item
+         |        JOIN cnt c2 ON co.i2 = c2.item
+         |ORDER BY cosine DESC, i1, i2 LIMIT $CfTopN""".stripMargin,
+
     "q_grid_dbscan" -> {
       def coord(tag: String): String = {
         val h = s"(('0x'||substr(md5('$tag-'||CAST(c_custkey AS VARCHAR)),1,7))::BIGINT)"

@@ -843,6 +843,61 @@ object VectorOps {
        |ORDER BY v.vec_id""".stripMargin
   }
 
+  /** Margin-denominator depth for [[mutualKnn]]: each side's local density
+    * estimate is the mean cosine of its 4 nearest neighbors. */
+  private val MknnK = 4
+
+  /** Reciprocal-nearest-neighbor pair mining with margin scoring — the
+    * parallel-corpus / semantic-pair mining primitive (Artetxe & Schwenk,
+    * ACL'19 margin-based bitext mining): a pair (a, b) is emitted only
+    * when b is a's single nearest neighbor AND a is b's — mutuality kills
+    * hub vectors that are "everyone's neighbor" — and the raw cosine is
+    * re-scored as a RATIO margin against both sides' local density
+    * (mean cos of each side's 4-NN), so a 0.8-cos pair in a dense region
+    * ranks below a 0.6-cos pair in a sparse one.
+    *
+    * Exact within-label blocks (the [[cosinePairs]] oracle-checkable
+    * convention): one block self-join scores O(block²) candidate pairs,
+    * one window ranks each row's neighbors, and the mutual join is over
+    * the n-row top-1 relation — nothing bigger than the block join ever
+    * shuffles. 100 TB: labels are the shard key (blocks are
+    * corpus/|labels|); for unbounded corpora swap the block join for the
+    * SRP-banded candidate generation of [[cosinePairsLsh]] — ranking,
+    * mutuality, and margin are unchanged downstream. */
+  def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("norm").as("nb"))
+    val scored = a.join(b, Seq("label"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .select(col("label"), col("id_a"), col("id_b"), col("cos"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    val knn = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MknnK)
+      .groupBy(col("label"), col("id_a"))
+      // knn_mean stays UNROUNDED: an avg of 4 six-dp values lands on a
+      // 0.25e-6 lattice, and round(x, 6) at the exact .5 boundary is
+      // engine-dependent; the margin quotient below is lattice-free.
+      .agg(avg(col("cos")).as("knn_mean"),
+        max(when(col("rk") === 1, col("id_b"))).as("nn"),
+        max(when(col("rk") === 1, col("cos"))).as("nn_cos"))
+    val l = knn
+    val r = knn.select(col("id_a").as("nn"), col("nn").as("r_nn"),
+      col("knn_mean").as("r_mean"))
+    l.join(r, "nn")
+      .filter(col("r_nn") === col("id_a") && col("id_a") < col("nn"))
+      .select(col("label"), col("id_a"), col("nn").as("id_b"),
+        col("nn_cos").as("cos"),
+        round(lit(2.0) * col("nn_cos") /
+          (col("knn_mean") + col("r_mean")), 6).as("margin"))
+      .orderBy(col("id_a"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_mrl_recall" -> ((s, d) => annMrlRecall(s, d)),
     "q_vector_norms" -> (norms _),
@@ -858,9 +913,33 @@ object VectorOps {
     "q_ann_pq_recall" -> (annPqRecall _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_semdedup" -> (semDedup _),
+    "q_mutual_knn" -> (mutualKnn _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mutual_knn" ->
+      s"""WITH e AS (
+         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY cos DESC, id_b) AS rk FROM p),
+         |knn AS (
+         |  SELECT label, id_a, avg(cos) AS knn_mean,
+         |    max(CASE WHEN rk = 1 THEN id_b END) AS nn,
+         |    max(CASE WHEN rk = 1 THEN cos END) AS nn_cos
+         |  FROM rk WHERE rk <= $MknnK GROUP BY 1, 2)
+         |SELECT l.label, l.id_a, l.nn AS id_b, l.nn_cos AS cos,
+         |  round(2.0 * l.nn_cos / (l.knn_mean + r.knn_mean), 6) AS margin
+         |FROM knn l JOIN knn r ON l.nn = r.id_a AND r.nn = l.id_a
+         |  AND l.id_a < l.nn
+         |ORDER BY l.id_a""".stripMargin,
     "q_ann_mrl_recall" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -136,4 +136,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(97) < n.toDouble,
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
+
+  test("itemCf counts co-purchases at basket (distinct-part) grain") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf").toString
+    // c10 buys part 1 twice across two orders: basket grain must dedup it,
+    // so co(1,2)=3 customers (c10,c11,c12), co(1,3)=co(2,3)=1 (< support)
+    val ords = Seq((100L, 10L), (101L, 10L), (102L, 11L), (103L, 12L),
+      (104L, 13L)).map { case (o, c) =>
+      (o, c, "F", 1.0, ts("2015-07-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val li = Seq((100L, 1L), (100L, 2L), (101L, 1L), (101L, 3L),
+      (102L, 1L), (102L, 2L), (103L, 1L), (103L, 2L), (104L, 4L))
+      .zipWithIndex.map { case ((o, p), i) =>
+        (o, p, 1L, i, 1.0, 10.0, 0.0, 0.0, "N", "O", ts("2015-07-02 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    ords.write.parquet(s"$tmp/orders.parquet")
+    li.write.parquet(s"$tmp/lineitem.parquet")
+    val rows = Analytics.itemCf(spark, tmp).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(r.fieldIndex("i1")), r.getLong(r.fieldIndex("i2")),
+      r.getLong(r.fieldIndex("co"))) == ((1L, 2L, 3L)))
+    assert(r.getLong(r.fieldIndex("n1")) == 3L) // part 1: c10,c11,c12
+    assert(r.getLong(r.fieldIndex("n2")) == 3L)
+    assert(r.getDouble(r.fieldIndex("cosine")) == 1.0)
+    spark.catalog.clearCache()
+  }
 }

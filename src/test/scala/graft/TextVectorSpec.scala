@@ -359,4 +359,31 @@ class TextVectorSpec extends SparkSpec {
       assert(cs.zip(cs.drop(1)).forall { case (x, y) => x >= y })
     }
   }
+
+  test("mutualKnn keeps only reciprocal top-1 pairs and drops the hub endpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mknn").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // v0↔v1 reciprocal; v3↔v4 reciprocal (cos .987 > each one's cos to
+    // v2); v2's top-1 is v3 but v3's is v4 → v2 joins NO pair (the hub /
+    // asymmetric case mutuality is there to kill)
+    Seq(
+      (0L, mix(Map(0 -> 1.0)), 0),
+      (1L, mix(Map(0 -> 0.9, 1 -> 0.1)), 0),
+      (2L, mix(Map(2 -> 1.0)), 0),
+      (3L, mix(Map(2 -> 0.8, 3 -> 0.2)), 0),
+      (4L, mix(Map(2 -> 0.7, 3 -> 0.3)), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = VectorOps.mutualKnn(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(r.fieldIndex("id_a")),
+      r.getLong(r.fieldIndex("id_b")))).toSet
+    assert(pairs == Set((0L, 1L), (3L, 4L)))
+    // margin > 1: a reciprocal pair's cos beats both sides' 4-NN mean
+    assert(rows.forall(_.getDouble(rows.head.fieldIndex("margin")) > 1.0))
+    // canonical orientation and no vector on both sides of the relation
+    assert(rows.forall(r => r.getLong(r.fieldIndex("id_a"))
+      < r.getLong(r.fieldIndex("id_b"))))
+  }
 }
