@@ -73,6 +73,47 @@ object MlPrep {
       .orderBy("gram_md5")
   }
 
+  /** Segment width (tokens) for [[lineDedup]] — the "line" granularity. */
+  private val SegTok = 10
+
+  /** C4-style line-level corpus dedup APPLIED (Raffel et al. 2020 §2.2
+    * kept only the first occurrence of any three-sentence span;
+    * newline-free fixture text segments at [[SegTok]]-token grain
+    * instead): every segment occurrence that is not the global first
+    * occurrence — ordered by (doc_id, position), the deterministic
+    * first-writer-wins rule — is REMOVED, and each document is
+    * reassembled from its surviving segments. Where [[substringDedup]]
+    * only flags duplication, this is the apply step: per doc the
+    * segment/survivor counts plus an md5 of the cleaned text, so the
+    * oracle hash-checks the reconstruction itself.
+    *
+    * 100 TB shape: one narrow generate-project per doc (len/SegTok
+    * segment rows), ONE hash exchange on segment content for the
+    * first-occurrence window, then a per-doc aggregate rebuilds the text
+    * — no pair join anywhere; segment-frequency skew is bounded because a
+    * hub segment's window only ranks occurrences of that one segment. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("nseg",
+        ceil(size(col("t")) / lit(SegTok.toDouble)).cast("int"))
+    val segs = t.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, nseg - 1), " +
+          s"i -> array_join(slice(t, i * $SegTok + 1, $SegTok), ' '))"))
+      .as(Seq("pos", "seg")))
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("kept_ratio"),
+        substring(md5(array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ")), 1, 16).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- record linkage
 
   /** Fellegi–Sunter agreement weights (scaled-integer log-odds, committed
@@ -117,6 +158,47 @@ object MlPrep {
   def linkageHist(s: SparkSession, dir: String): DataFrame =
     fsPairs(s, dir).groupBy("score").agg(count(lit(1)).as("n_pairs"))
       .orderBy("score")
+
+  /** Golden-record survivorship — the step after linkage in every MDM /
+    * entity-resolution pipeline: matched pairs ([[recordLinkage]], the
+    * same ≥ 60 threshold) become edges, [[Curation.connectedComponents]]
+    * resolves them into entities, and each multi-record entity is
+    * collapsed to ONE canonical record with per-field survivorship rules
+    * — most-frequent market segment (ties break lexicographically),
+    * highest account balance, lexicographically-first name. Singleton
+    * entities pass through unchanged upstream, so only resolved groups
+    * (n_records ≥ 2) are emitted.
+    *
+    * Plan: the linkage join shuffles on the nation block key, CC runs
+    * O(log diameter) pointer-jump rounds over the 2·|matches| edge
+    * relation (match graphs are tiny relative to the corpus), and
+    * survivorship is two grouped passes (mode needs its own count+rank)
+    * joined back on the entity label. The oracle re-resolves the same
+    * entities with a recursive CTE, so the component structure itself is
+    * hash-checked, not just the aggregates. */
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val edges = fsPairs(s, dir).where(col("score") >= 60)
+      .select(col("id_a").as("id1"), col("id_b").as("id2"))
+    val labels = Curation.connectedComponents(
+      c.select(col("c_custkey").as("id")), edges)
+    val j = c.join(labels, col("c_custkey") === col("id"))
+    val segCnt = j.groupBy(col("lab"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    val wm = Window.partitionBy(col("lab"))
+      .orderBy(col("n").desc, col("segment"))
+    val segMode = segCnt.withColumn("rn", row_number().over(wm))
+      .where(col("rn") === 1).select(col("lab"), col("segment"))
+    j.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_records"),
+        max(col("c_acctbal")).as("max_bal"),
+        min(col("c_name")).as("first_name"))
+      .where(col("n_records") >= 2)
+      .join(segMode, "lab")
+      .select(col("lab").as("entity_id"), col("n_records"), col("segment"),
+        col("max_bal"), col("first_name"))
+      .orderBy(col("entity_id"))
+  }
 
   // ------------------------------------------------------- normalization
 
@@ -527,6 +609,8 @@ object MlPrep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> (substringDedup _),
+    "q_line_dedup" -> (lineDedup _),
+    "q_golden_record" -> (goldenRecord _),
     "q_record_linkage" -> (recordLinkage _),
     "q_linkage_hist" -> (linkageHist _),
     "q_text_normalize" -> (textNormalize _),
@@ -560,6 +644,55 @@ object MlPrep {
       s"""${linkagePairsSql}
          |SELECT id_a, id_b, score FROM pairs WHERE score >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_line_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |seg AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |    array_to_string(t[(CAST(i AS INT) * $SegTok + 1):(CAST(i AS INT) * $SegTok + $SegTok)], ' ') AS seg
+         |  FROM tok, UNNEST(range(0, CAST(ceil(len(t) / $SegTok.0) AS BIGINT))) AS u(i)),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY seg
+         |    ORDER BY doc_id, pos) AS rn
+         |  FROM seg)
+         |SELECT doc_id, count(*) AS n_seg,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS kept_ratio,
+         |  substr(md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+         |    ' ' ORDER BY pos), '')), 1, 16) AS clean_md5
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_golden_record" ->
+      s"""${linkagePairsSql.replaceFirst("WITH pairs", "WITH RECURSIVE pairs")},
+         |edges AS (
+         |  SELECT id_a AS id1, id_b AS id2 FROM pairs WHERE score >= 60
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs WHERE score >= 60),
+         |reach(id, lab) AS (
+         |  SELECT c_custkey, c_custkey FROM customer
+         |  UNION
+         |  SELECT r.id, e.id2 FROM reach r JOIN edges e ON r.lab = e.id1),
+         |cl AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+         |j AS (
+         |  SELECT cl.lab, c.* FROM cl JOIN customer c ON cl.id = c.c_custkey),
+         |segc AS (
+         |  SELECT lab, c_mktsegment AS segment, count(*) AS n
+         |  FROM j GROUP BY 1, 2),
+         |segm AS (
+         |  SELECT lab, segment FROM (
+         |    SELECT lab, segment,
+         |      row_number() OVER (PARTITION BY lab ORDER BY n DESC, segment) AS rn
+         |    FROM segc) WHERE rn = 1),
+         |agg AS (
+         |  SELECT lab, count(*) AS n_records, max(c_acctbal) AS max_bal,
+         |    min(c_name) AS first_name
+         |  FROM j GROUP BY lab)
+         |SELECT agg.lab AS entity_id, CAST(n_records AS BIGINT) AS n_records,
+         |  segm.segment, max_bal, first_name
+         |FROM agg JOIN segm ON agg.lab = segm.lab
+         |WHERE n_records >= 2 ORDER BY entity_id""".stripMargin,
 
     "q_linkage_hist" ->
       s"""${linkagePairsSql}

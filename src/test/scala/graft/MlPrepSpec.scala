@@ -334,4 +334,56 @@ class MlPrepSpec extends SparkSpec {
     assert(math.abs(ivTotal - sumTerms) < 1e-4)
     assert(ivTotal >= 0.0) // IV is a sum of (p-q)ln(p/q) terms, each >= 0
   }
+
+  test("line dedup: first occurrence wins globally, within-doc dups removed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("linededup").toString
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    Seq(
+      (0L, s"$segA $segB", "en", "web", 0L),   // both segments original
+      (1L, s"$segA $segC", "en", "web", 0L),   // segA is doc0's → removed
+      (2L, s"$segC $segC", "en", "web", 0L))   // 2nd copy: within-doc dup
+                                               //  AND segC first seen in doc1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = MlPrep.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))).toMap
+    def md5p(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString.take(16)
+    assert(rows(0L) == ((2L, 2L, 1.0, md5p(s"$segA $segB"))))
+    assert(rows(1L) == ((2L, 1L, 0.5, md5p(segC))))
+    assert(rows(2L) == ((2L, 0L, 0.0, md5p(""))))
+  }
+
+  test("golden record resolves transitive chains and applies survivorship") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("golden").toString
+    // all nation 7, same trailing name digit, same 1k balance band:
+    // c1~c2 (|Δbal|=50 → 24+33+10+15=82) and c2~c5 (|Δbal|=90 → 82) match;
+    // c1~c5 (|Δbal|=140 → 24-12+10+15=37) does NOT — the entity {1,2,5}
+    // exists only through transitive closure. c3 is a different band and
+    // segment everywhere → singleton, suppressed by n_records >= 2.
+    Seq(
+      (1L, "Customer#000000011", 7L, 1500.00, "BUILDING"),
+      (2L, "Customer#000000021", 7L, 1550.00, "BUILDING"),
+      (5L, "Customer#000000051", 7L, 1640.00, "BUILDING"),
+      (3L, "Customer#000000033", 7L, 9700.00, "HOUSEHOLD"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val rows = MlPrep.goldenRecord(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("entity_id")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_records")) == 3L)
+    // segment mode (entities are segment-pure under the committed weights:
+    // without the +24 seg-agree term a pair maxes at 54 < 60, so any
+    // matched chain shares one segment); max balance; min name
+    assert(r.getString(r.fieldIndex("segment")) == "BUILDING")
+    assert(r.getDouble(r.fieldIndex("max_bal")) == 1640.00)
+    assert(r.getString(r.fieldIndex("first_name")) == "Customer#000000011")
+  }
 }
