@@ -391,6 +391,71 @@ object Curation {
     visited.orderBy(col("node"))
   }
 
+  /** Oracle-side path-cost cap for [[sssp]]: true shortest costs are
+    * bounded by hop-diameter × max weight (≈ 8 × 5 on this topology), so
+    * 60 leaves slack while keeping the recursive oracle's (node, dist)
+    * state space finite. The Spark side PROVES the bound — it throws if
+    * any converged distance exceeds it. */
+  private val SsspCostCap = 60
+
+  /** Weighted single-source shortest paths (source = node 0) over the
+    * derived doc graph ([[graphBfs]]'s edge set) with deterministic
+    * per-edge weights w = 1 + (u·7 + v·13) mod 5 on the canonical u<v
+    * orientation — distributed Bellman–Ford with frontier pruning: each
+    * round relaxes ONLY edges out of nodes whose tentative distance
+    * improved last round (Δ-stepping's degenerate single-bucket form), so
+    * a converged region stops generating traffic. Rounds ≤ weighted
+    * diameter; each is one frontier⋈edges join + a min-merge — the
+    * Pregel/GraphX SSSP shape without driver-side state, lineage cut per
+    * round via localCheckpoint exactly like [[connectedComponents]].
+    * The oracle re-derives every distance through a recursive CTE whose
+    * UNION-dedup on (node, dist) is kept finite by [[SsspCostCap]]. */
+  def sssp(s: SparkSession, dir: String, maxRounds: Int = 30): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("n")).as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") + 2) % col("n")).as("v")))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .withColumn("w", lit(1) + (col("u") * 7 + col("v") * 13) % 5)
+    val edges = und.union(und.select(col("v"), col("u"), col("w")))
+      .persist()
+    var best = d.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = best
+    var rounds = 0
+    var active = 1L
+    while (active > 0 && rounds < maxRounds) {
+      val relaxed = frontier.join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val merged = best.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val improved = merged
+        .join(best, Seq("node", "dist"), "left_anti")
+        .localCheckpoint()
+      active = improved.count()
+      best = merged
+      frontier = improved
+      rounds += 1
+    }
+    if (active > 0)
+      throw new IllegalStateException(
+        s"sssp did not converge within $maxRounds rounds")
+    val over = best.filter(col("dist") > SsspCostCap).count()
+    if (over > 0)
+      throw new IllegalStateException(
+        s"sssp: $over nodes exceed the $SsspCostCap oracle cost cap")
+    best.orderBy(col("node"))
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003)
     * over the derived doc graph (same edges as [[triangleCount]]): for
     * each NON-adjacent pair with ≥1 common neighbor, score =
@@ -1152,6 +1217,7 @@ object Curation {
     "q_ppr" -> (personalizedPageRank _),
     "q_triangle_count" -> (triangleCount _),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
+    "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_adamic_adar" -> (adamicAdar _),
     "q_kcore" -> (kCore _),
     "q_label_prop" -> (labelPropagation _),
@@ -1353,6 +1419,28 @@ object Curation {
         |    AS confirmed
         |FROM jp JOIN e a ON jp.id1 = a.vec_id JOIN e b ON jp.id2 = b.vec_id
         |ORDER BY id1, id2""".stripMargin,
+
+    "q_sssp" ->
+      s"""WITH RECURSIVE nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |we AS (SELECT u, v, 1 + (u * 7 + v * 13) % 5 AS w FROM e),
+        |ed AS (SELECT u, v, w FROM we UNION ALL SELECT v, u, w FROM we),
+        |r(node, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT ed.v, r.dist + ed.w FROM r JOIN ed ON ed.u = r.node
+        |  WHERE r.dist + ed.w <= $SsspCostCap)
+        |SELECT node, min(dist) AS dist
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
 
     "q_graph_bfs" ->
       """WITH RECURSIVE nn AS (

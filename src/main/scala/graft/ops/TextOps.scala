@@ -619,6 +619,56 @@ object TextOps {
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 
+  /** Sparse-vector retrieval top-k — the TF-IDF twin of
+    * [[VectorOps.cosineTopK]]: each query DOCUMENT (doc_id < 10) is itself
+    * the sparse query vector, scored against the corpus through an
+    * inverted-index join (posting lists keyed by term), a grouped
+    * dot-product, and cosine normalization — the related-documents /
+    * more-like-this primitive every retrieval stack runs next to its
+    * dense-ANN path.
+    *
+    * Exact-zero terms (df = N ⇒ idf = ln((N+1)/(N+1)) = 0) are pruned
+    * from the index — provably lossless, and it is what keeps posting
+    * lists off the corpus-wide stop terms. 100 TB shape: the index join
+    * fans out Σ_t df_t(query-side) · df_t rows — bounded by the Q query
+    * docs on one side; a df cap (drop near-universal terms, standard
+    * impact-ordered-index practice) is the knob when posting lists grow;
+    * the per-query top-k collapses through one window over Q·N rows max. */
+  def tfidfRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tfc = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val wgt = tfc.join(dfc, "term").crossJoin(broadcast(n))
+      .filter(col("df") < col("n_docs")) // idf=0 terms: zero weight, prune
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))).as("w"))
+      .persist()
+    val norms = wgt.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    val q = wgt.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))
+    val dots = q.join(wgt.select(col("doc_id").as("cand_id"), col("term"),
+        col("w").as("cw")), "term")
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qw") * col("cw")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("query_id"), col("nm").as("qn")),
+        "query_id")
+      .join(norms.select(col("doc_id").as("cand_id"), col("nm").as("cn")),
+        "cand_id")
+      .withColumn("cos", round(col("dot") / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Stratified downsampling with per-stratum rates (corpus rebalancing:
     * keep 1/2 of English, 1/5 of everything else). Deterministic modulus
     * on the stable doc_id rather than rand() — reproducible across runs
@@ -1045,6 +1095,7 @@ object TextOps {
     "q_edit_distance_pairs" -> (editDistancePairs _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_tfidf" -> (tfidf _),
+    "q_tfidf_retrieval" -> (tfidfRetrieval _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_mix" -> (sourceMix _),
     "q_fuzzy_match" -> (fuzzyNameMatch _),
@@ -1426,6 +1477,36 @@ object TextOps {
         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
         |  round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_tfidf_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |        WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfc AS (SELECT term AS dterm, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, term, tf * ln((n_docs + 1.0) / (df + 1.0)) AS w
+        |  FROM tfc JOIN dfc ON tfc.term = dfc.dterm CROSS JOIN n
+        |  WHERE df < n_docs),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, sum(q.w * c.w) AS dot
+        |  FROM w q JOIN w c ON q.term = c.term
+        |    AND q.doc_id < 10 AND q.doc_id <> c.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(dot / (x.nm * y.nm), 6) AS cos
+        |  FROM dots JOIN nrm x ON query_id = x.doc_id
+        |            JOIN nrm y ON cand_id = y.doc_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -260,4 +260,21 @@ class CurationSpec extends SparkSpec {
     // 230 of 500 nodes survive the k=3 peel
     assert(rows.length === 230)
   }
+
+  test("sssp: weighted distances bracketed by hop counts, source at zero") {
+    val dist = Curation.sssp(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hops = Curation.graphBfs(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // same edge set + connected graph: identical coverage
+    assert(dist.keySet == hops.keySet)
+    assert(dist(0L) == 0L)
+    // weights are in [1, 5]: hops <= dist <= 5 * hops, per node
+    dist.foreach { case (n, d) =>
+      assert(d >= hops(n) && d <= 5L * hops(n), s"node $n: d=$d hops=${hops(n)}")
+    }
+    // a weighted path may be strictly cheaper than greedy-by-hops: the
+    // max weighted distance stays under the oracle cost cap with margin
+    assert(dist.values.max <= 60L)
+  }
 }

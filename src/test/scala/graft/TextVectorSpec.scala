@@ -360,6 +360,32 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("tfidfRetrieval: universal terms pruned, ties break on cand_id, no-overlap docs absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfidfret").toString
+    // 'the' appears in all 4 docs → idf = 0 → pruned from the index, so
+    // d3 (sharing ONLY 'the') never pairs with anyone
+    Seq(
+      (0L, "the alpha beta", "en", "web", 0L),
+      (1L, "the alpha gamma", "en", "web", 0L),
+      (2L, "the delta gamma", "en", "web", 0L),
+      (3L, "the epsilon", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.tfidfRetrieval(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L), "d3 has no indexed overlap")
+    def top(q: Long) = byQuery(q).minBy(_.getInt(1)).getLong(2)
+    assert(top(0L) == 1L) // shares 'alpha'
+    assert(top(2L) == 1L) // shares 'gamma'
+    // d1 ties with d0 (via alpha) and d2 (via gamma) at identical cos —
+    // deterministic tie-break keeps the smaller cand_id first
+    val q1 = byQuery(1L).sortBy(_.getInt(1))
+    assert(q1.map(_.getLong(2)).toSeq == Seq(0L, 2L))
+    assert(q1.map(_.getDouble(3)).distinct.length == 1, "exact tie")
+    assert(rows.forall(_.getDouble(3) > 0.0))
+  }
+
   test("mutualKnn keeps only reciprocal top-1 pairs and drops the hub endpoint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mknn").toString
