@@ -150,7 +150,59 @@ object Audit {
     s.sql(lDiversitySql("customer_v"))
   }
 
+  /** Zone-map (data-skipping) effectiveness audit — the layout-advisor
+    * query behind [[Layout]]'s range-sorted/Z-ordered writes: simulate
+    * per-file min/max statistics (the parquet row-group / Iceberg-manifest
+    * zone maps a 100 TB scan prunes with) under TWO layouts of the same
+    * fact — 100-order ingestion buckets (uncorrelated with ship date, the
+    * "files as they arrived" layout) vs ship-month ranges (the
+    * date-sorted layout) — and report how many files a one-year ship-date
+    * predicate could skip under each. The point the numbers make: zone
+    * maps on an unsorted layout skip ~nothing (every file's min/max spans
+    * the domain), the sorted layout skips ~5/6 of the data — which is WHY
+    * the write side sorts. Shared SQL text runs on both engines, so the
+    * full per-zone stat computation is hash-checked, not just the
+    * summary. */
+  private def zoneMapSql(table: String): String =
+    s"""WITH z1 AS (
+       |  SELECT CAST(floor(l_orderkey / 100.0) AS BIGINT) AS zone,
+       |    count(*) AS n_rows,
+       |    min(CAST(l_shipdate AS DATE)) AS mn,
+       |    max(CAST(l_shipdate AS DATE)) AS mx
+       |  FROM $table GROUP BY CAST(floor(l_orderkey / 100.0) AS BIGINT)),
+       |z2 AS (
+       |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+       |      AS zone,
+       |    count(*) AS n_rows,
+       |    min(CAST(l_shipdate AS DATE)) AS mn,
+       |    max(CAST(l_shipdate AS DATE)) AS mx
+       |  FROM $table
+       |  GROUP BY CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)),
+       |zl AS (
+       |  SELECT 'orderkey_bucket' AS layout, * FROM z1
+       |  UNION ALL
+       |  SELECT 'ship_month' AS layout, * FROM z2)
+       |SELECT layout, count(*) AS n_zones,
+       |  CAST(sum(CASE WHEN mx < DATE '1996-01-01'
+       |                  OR mn >= DATE '1997-01-01'
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_prunable,
+       |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       |  CAST(coalesce(sum(CASE WHEN mx < DATE '1996-01-01'
+       |                           OR mn >= DATE '1997-01-01'
+       |                      THEN n_rows END), 0) AS BIGINT) AS rows_skipped,
+       |  round(CAST(coalesce(sum(CASE WHEN mx < DATE '1996-01-01'
+       |                                 OR mn >= DATE '1997-01-01'
+       |                            THEN n_rows END), 0) AS DOUBLE)
+       |    / sum(n_rows), 6) AS skip_ratio
+       |FROM zl GROUP BY layout ORDER BY layout""".stripMargin
+
+  def zoneMap(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(zoneMapSql("lineitem_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zone_map" -> (zoneMap _),
     "q_l_diversity" -> (lDiversity _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_null_audit" -> (nullAudit _),
@@ -159,6 +211,7 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_zone_map" -> zoneMapSql("lineitem"),
     "q_l_diversity" -> lDiversitySql("customer"),
     "q_k_anonymity" -> kAnonymitySql("customer"),
     "q_null_audit" -> nullAuditSql("events"),

@@ -222,6 +222,53 @@ object MlPrep {
       .orderBy("doc_id")
   }
 
+  /** Quantile normalization across feature columns (Bolstad et al.,
+    * Bioinformatics 2003 — the standard cross-sample distribution
+    * equalizer, here over the lineitem features quantity / price /
+    * discount): rank every value within its feature, average the three
+    * features' values AT EACH RANK into one reference distribution, and
+    * map each value to the reference value at its rank — afterwards all
+    * features share the reference distribution exactly. Emitted at 11
+    * decile probe points per feature (raw vs normalized value), so the
+    * oracle checks the rank machinery, the reference average, and the
+    * remap in one 33-row relation.
+    *
+    * 100 TB shape: the per-feature global rank is
+    * [[ScaledRank.withGroupedRowNumbers]] — range-partition + local pass
+    * + O(#partitions) offsets, NOT a single-partition window; the
+    * reference average is one grouped pass on rank; ties break on the
+    * stable (value, orderkey, linenumber) triple so ranks are
+    * deterministic on both engines. Rounding the reference avg is safe
+    * by construction: the 3 summands have ≤ 2 decimals, and m/100/3
+    * can never land on a 0.5e-6 lattice point (3·odd/2 is not an
+    * integer). */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    def feat(name: String, c: String): DataFrame =
+      li.select(lit(name).as("feature"), col(c).cast("double").as("value"),
+        col("l_orderkey"), col("l_linenumber"))
+    val long = feat("discount", "l_discount")
+      .unionAll(feat("price", "l_extendedprice"))
+      .unionAll(feat("quantity", "l_quantity"))
+    val ranked = ScaledRank.withGroupedRowNumbers(long, Seq(col("feature")),
+      Seq(col("value"), col("l_orderkey"), col("l_linenumber")))
+      .persist()
+    val ref = ranked.groupBy(col("grn"))
+      .agg(round(avg(col("value")), 6).as("norm_value"))
+    val n = ranked.groupBy(col("feature")).agg(count(lit(1)).as("nf"))
+    val pos = n.select(col("feature"), explode(sequence(lit(0), lit(10)))
+        .as("decile"), col("nf"))
+      .withColumn("pos", expr("1L + ((nf - 1) * decile) div 10"))
+      .select(col("feature"), col("decile").cast("int").as("decile"),
+        col("pos").cast("long").as("pos"))
+    ranked.join(pos.withColumnRenamed("feature", "pfeature"),
+        col("feature") === col("pfeature") && col("grn") === col("pos"))
+      .join(ref, "grn")
+      .select(col("feature"), col("decile"),
+        round(col("value"), 6).as("raw_value"), col("norm_value"))
+      .orderBy(col("feature"), col("decile"))
+  }
+
   // ------------------------------------------- supervised feature prep
 
   /** Weight-of-evidence / information-value binning: per feature bin
@@ -611,6 +658,7 @@ object MlPrep {
     "q_substring_dedup" -> (substringDedup _),
     "q_line_dedup" -> (lineDedup _),
     "q_golden_record" -> (goldenRecord _),
+    "q_quantile_norm" -> (quantileNorm _),
     "q_record_linkage" -> (recordLinkage _),
     "q_linkage_hist" -> (linkageHist _),
     "q_text_normalize" -> (textNormalize _),
@@ -644,6 +692,33 @@ object MlPrep {
       s"""${linkagePairsSql}
          |SELECT id_a, id_b, score FROM pairs WHERE score >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH long AS (
+        |  SELECT 'discount' AS feature, CAST(l_discount AS DOUBLE) AS value,
+        |         l_orderkey, l_linenumber FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price', CAST(l_extendedprice AS DOUBLE),
+        |         l_orderkey, l_linenumber FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity', CAST(l_quantity AS DOUBLE),
+        |         l_orderkey, l_linenumber FROM lineitem),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY feature
+        |    ORDER BY value, l_orderkey, l_linenumber) AS grn
+        |  FROM long),
+        |ref AS (SELECT grn, round(avg(value), 6) AS norm_value
+        |        FROM rk GROUP BY grn),
+        |n AS (SELECT feature, count(*) AS nf FROM long GROUP BY feature),
+        |pos AS (
+        |  SELECT feature, CAST(d AS INT) AS decile,
+        |    1 + ((nf - 1) * d) // 10 AS pos
+        |  FROM n, UNNEST(range(0, 11)) AS t(d))
+        |SELECT rk.feature, decile, round(rk.value, 6) AS raw_value,
+        |  ref.norm_value
+        |FROM rk JOIN pos ON rk.feature = pos.feature AND rk.grn = pos.pos
+        |        JOIN ref ON rk.grn = ref.grn
+        |ORDER BY rk.feature, decile""".stripMargin,
 
     "q_line_dedup" ->
       s"""WITH tok AS (

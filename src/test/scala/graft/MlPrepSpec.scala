@@ -359,6 +359,28 @@ class MlPrepSpec extends SparkSpec {
     assert(rows(2L) == ((2L, 0L, 0.0, md5p(""))))
   }
 
+  test("quantile normalization: all features share the reference distribution") {
+    val rows = MlPrep.quantileNorm(spark, sf001).collect()
+    assert(rows.length == 33)
+    val byDecile = rows.groupBy(_.getInt(1))
+    // the defining property: at each rank probe, every feature maps to the
+    // SAME reference value — after the remap the distributions are equal
+    byDecile.foreach { case (d, rs) =>
+      assert(rs.map(_.getDouble(3)).distinct.length == 1, s"decile $d")
+      assert(rs.length == 3)
+    }
+    // raw deciles are monotone within each feature (rank machinery sane)
+    rows.groupBy(_.getString(0)).foreach { case (f, rs) =>
+      val raw = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(raw.zip(raw.drop(1)).forall { case (a, b) => a <= b }, f)
+    }
+    // reference distribution is monotone too (it is a sorted average)
+    val ref = rows.filter(_.getString(0) == "price").sortBy(_.getInt(1))
+      .map(_.getDouble(3))
+    assert(ref.zip(ref.drop(1)).forall { case (a, b) => a <= b })
+    spark.catalog.clearCache()
+  }
+
   test("golden record resolves transitive chains and applies survivorship") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("golden").toString

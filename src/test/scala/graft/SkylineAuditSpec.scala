@@ -196,4 +196,21 @@ class SkylineAuditSpec extends SparkSpec {
       assert(math.abs(cnt - sum) < 1e-3, s"hour ${r.getAs[Long]("hour_us")}")
     }
   }
+
+  test("zone map: date-sorted layout skips most files, ingest layout skips none") {
+    val rows = graft.ops.Audit.zoneMap(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("orderkey_bucket", "ship_month"))
+    val ingest = rows("orderkey_bucket")
+    val sorted = rows("ship_month")
+    // both layouts cover the identical fact exactly once
+    assert(ingest.getAs[Long]("rows_total") == sorted.getAs[Long]("rows_total"))
+    // ingestion buckets are uncorrelated with ship date: min/max spans the
+    // domain, nothing prunes; month zones are tight by construction and a
+    // 1-year predicate over a ~7-year domain skips the bulk of the data
+    assert(ingest.getAs[Long]("rows_skipped") == 0L)
+    assert(sorted.getAs[Double]("skip_ratio") > 0.5)
+    assert(sorted.getAs[Long]("n_prunable") < sorted.getAs[Long]("n_zones"),
+      "the selected year's zones must survive")
+  }
 }
