@@ -1462,7 +1462,48 @@ object Analytics {
       .limit(CfTopN)
   }
 
+  /** Delete-one-group jackknife (Tukey 1958; the grouped form survey
+    * statisticians run when rows are clustered): for the mean order value,
+    * drop each nation in turn, recompute the mean on what remains, and
+    * derive pseudovalues plus the jackknife standard error from the
+    * spread of the deletion estimates — uncertainty quantification with
+    * NO resampling randomness, so it is exactly reproducible and fully
+    * oracle-checkable (money sums ride the exact decimal(18,2) path
+    * before any double division, the [[Relational.decimalExact]]
+    * convention).
+    *
+    * Scale shape: ONE grouped pass over the fact (per-nation sum/count),
+    * a 1-row totals broadcast, and all deletion estimates computed
+    * algebraically as (S−S_g)/(N−n_g) — the naive "re-aggregate G times"
+    * formulation never runs; the final windows range over G = 25 rows. */
+  def jackknife(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val tot = o.agg(sum(col("p")).as("s_all"), count(lit(1)).as("n_all"))
+    val byG = o.groupBy(col("nation"))
+      .agg(sum(col("p")).as("s_g"), count(lit(1)).as("n_g"))
+    val wAll = Window.partitionBy(lit(1))
+    byG.crossJoin(broadcast(tot))
+      .withColumn("mean_excl",
+        round((col("s_all") - col("s_g")).cast("double")
+          / (col("n_all") - col("n_g")), 6))
+      .withColumn("g", count(lit(1)).over(wAll))
+      .withColumn("pseudovalue",
+        round(col("g") * col("s_all").cast("double") / col("n_all")
+          - (col("g") - 1) * col("mean_excl"), 6))
+      .withColumn("jk_se",
+        round(sqrt((col("g") - 1).cast("double") / col("g")
+          * sum(pow(col("mean_excl") - avg(col("mean_excl")).over(wAll), 2))
+            .over(wAll)), 6))
+      .select(col("nation"), col("n_g"), col("mean_excl"),
+        col("pseudovalue"), col("jk_se"))
+      .orderBy(col("nation"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jackknife" -> (jackknife _),
     "q_item_cf" -> (itemCf _),
     "q_geo_pairs" -> (geoPairs _),
     "q_grid_dbscan" -> (gridDbscan _),
@@ -1511,6 +1552,33 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_jackknife" ->
+      """WITH o AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tot AS (SELECT sum(p) AS s_all, count(*) AS n_all FROM o),
+        |g AS (SELECT nation, sum(p) AS s_g, count(*) AS n_g
+        |      FROM o GROUP BY nation),
+        |est AS (
+        |  SELECT nation, n_g,
+        |    round(CAST(s_all - s_g AS DOUBLE) / (n_all - n_g), 6)
+        |      AS mean_excl,
+        |    CAST(s_all AS DOUBLE) / n_all AS m_all
+        |  FROM g CROSS JOIN tot),
+        |wd AS (
+        |  SELECT nation, n_g, mean_excl,
+        |    count(*) OVER () AS gg,
+        |    avg(mean_excl) OVER () AS mbar,
+        |    CAST(m_all AS DOUBLE) AS m_all
+        |  FROM est)
+        |SELECT nation, n_g,
+        |  mean_excl,
+        |  round(gg * m_all - (gg - 1) * mean_excl, 6) AS pseudovalue,
+        |  round(sqrt(CAST(gg - 1 AS DOUBLE) / gg *
+        |    sum(pow(mean_excl - mbar, 2)) OVER ()), 6) AS jk_se
+        |FROM wd ORDER BY nation""".stripMargin,
+
     "q_item_cf" ->
       s"""WITH baskets AS (
          |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item

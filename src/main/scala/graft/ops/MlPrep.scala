@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -267,6 +267,62 @@ object MlPrep {
       .select(col("feature"), col("decile"),
         round(col("value"), 6).as("raw_value"), col("norm_value"))
       .orderBy(col("feature"), col("decile"))
+  }
+
+  /** Candidate split grid for [[decisionStump]]: (feature, threshold). */
+  private val StumpGrid: Seq[(String, Double)] = Seq(
+    ("quantity", 10), ("quantity", 20), ("quantity", 30), ("quantity", 40),
+    ("discount", 0.02), ("discount", 0.04), ("discount", 0.06),
+    ("discount", 0.08),
+    ("price", 20000), ("price", 40000), ("price", 60000))
+
+  /** Decision stump search — the CART root-node split (Breiman et al.
+    * 1984), the primitive behind every tree/GBM feature-importance pass:
+    * for each (feature, threshold) candidate, partition the fact at the
+    * threshold and score the split by weighted Gini impurity against the
+    * return-flag target; rank candidates within each feature and flag the
+    * global best. All impurities are ratios of exact integer counts, so
+    * the full grid is hash-checked.
+    *
+    * Scale shape: the grid is a tiny broadcast dim crossed into ONE fact
+    * scan — every candidate's four counts come out of a single
+    * map-side-combined aggregate over |grid| groups; no per-candidate
+    * re-scan, no sort of the raw fact. A dense threshold sweep (every
+    * distinct value) would swap the committed grid for per-feature
+    * quantiles from [[ScaledRank]] — the aggregate shape is unchanged. */
+  def decisionStump(s: SparkSession, dir: String): DataFrame = {
+    val grid = s.createDataFrame(StumpGrid).toDF("feature", "thr")
+    val base = lineitem(s, dir).select(
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val j = base.crossJoin(broadcast(grid))
+      .withColumn("v",
+        when(col("feature") === "quantity", col("l_quantity"))
+          .when(col("feature") === "discount", col("l_discount"))
+          .otherwise(col("l_extendedprice")))
+      .withColumn("lft", when(col("v") <= col("thr"), 1L).otherwise(0L))
+    val agg = j.groupBy(col("feature"), col("thr"))
+      .agg(sum(col("lft")).as("nl"), sum(col("lft") * col("y")).as("pl"),
+        count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("pr", col("p") - col("pl"))
+    def gini(n: Column, p: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(
+        lit(1.0) - pow(p.cast("double") / n, 2)
+          - pow(lit(1.0) - p.cast("double") / n, 2))
+    val scored = agg.withColumn("gini_split",
+      round(col("nl").cast("double") / col("n") * gini(col("nl"), col("pl"))
+        + col("nr").cast("double") / col("n") * gini(col("nr"), col("pr")), 6))
+    val w = Window.partitionBy(col("feature"))
+      .orderBy(col("gini_split"), col("thr"))
+    val wg = Window.partitionBy(lit(1))
+    scored
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .withColumn("is_best",
+        col("gini_split") === min(col("gini_split")).over(wg))
+      .select(col("feature"), col("thr"), col("nl"), col("nr"),
+        col("gini_split"), col("rk"), col("is_best"))
+      .orderBy(col("feature"), col("thr"))
   }
 
   // ------------------------------------------- supervised feature prep
@@ -659,6 +715,7 @@ object MlPrep {
     "q_line_dedup" -> (lineDedup _),
     "q_golden_record" -> (goldenRecord _),
     "q_quantile_norm" -> (quantileNorm _),
+    "q_decision_stump" -> (decisionStump _),
     "q_record_linkage" -> (recordLinkage _),
     "q_linkage_hist" -> (linkageHist _),
     "q_text_normalize" -> (textNormalize _),
@@ -692,6 +749,48 @@ object MlPrep {
       s"""${linkagePairsSql}
          |SELECT id_a, id_b, score FROM pairs WHERE score >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decision_stump" -> {
+      val gridValues = StumpGrid
+        .map { case (f, t) => s"('$f', CAST($t AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH grid(feature, thr) AS (VALUES $gridValues),
+         |base AS (
+         |  SELECT l_quantity, l_extendedprice, l_discount,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |j AS (
+         |  SELECT feature, thr,
+         |    CASE feature WHEN 'quantity' THEN l_quantity
+         |                 WHEN 'discount' THEN l_discount
+         |                 ELSE l_extendedprice END AS v, y
+         |  FROM base CROSS JOIN grid),
+         |agg AS (
+         |  SELECT feature, thr,
+         |    CAST(sum(CASE WHEN v <= thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(sum(CASE WHEN v <= thr THEN y ELSE 0 END) AS BIGINT) AS pl,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+         |  FROM j GROUP BY 1, 2),
+         |ext AS (SELECT *, n - nl AS nr, p - pl AS pr FROM agg),
+         |scored AS (
+         |  SELECT feature, thr, nl, nr,
+         |    round(
+         |      CAST(nl AS DOUBLE) / n *
+         |        (CASE WHEN nl = 0 THEN 0.0 ELSE
+         |          1.0 - pow(CAST(pl AS DOUBLE) / nl, 2)
+         |              - pow(1.0 - CAST(pl AS DOUBLE) / nl, 2) END)
+         |      + CAST(nr AS DOUBLE) / n *
+         |        (CASE WHEN nr = 0 THEN 0.0 ELSE
+         |          1.0 - pow(CAST(pr AS DOUBLE) / nr, 2)
+         |              - pow(1.0 - CAST(pr AS DOUBLE) / nr, 2) END), 6)
+         |      AS gini_split
+         |  FROM ext)
+         |SELECT feature, thr, nl, nr, gini_split,
+         |  CAST(row_number() OVER (PARTITION BY feature
+         |    ORDER BY gini_split, thr) AS INTEGER) AS rk,
+         |  gini_split = min(gini_split) OVER () AS is_best
+         |FROM scored ORDER BY feature, thr""".stripMargin
+    },
 
     "q_quantile_norm" ->
       """WITH long AS (

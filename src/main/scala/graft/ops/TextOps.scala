@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -619,6 +619,64 @@ object TextOps {
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 
+  /** Committed BPE merge table for [[bpeEncode]], in rank order (the
+    * order IS the algorithm — each rank is applied corpus-wide before the
+    * next, Sennrich et al. ACL'16). Keys are the two adjacent subtokens,
+    * values the merged token. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t a" -> "ta", "ta b" -> "tab", "l e" -> "le", "tab le" -> "table",
+    "s c" -> "sc", "a n" -> "an", "sc an" -> "scan",
+    "v a" -> "va", "va l" -> "val", "u e" -> "ue", "val ue" -> "value",
+    "o w" -> "ow", "r o" -> "ro", "ro w" -> "row")
+
+  /** One BPE merge rank as pure string algebra on a space-separated
+    * subtoken string: double every boundary space, replace the padded
+    * pair pattern, collapse doubles. The doubling step is what makes
+    * replace-all EXACTLY the non-overlapping greedy merge: adjacent
+    * candidate pairs share a boundary space, and doubling gives each
+    * match its own copy, so a chain "a n a n" merges both pairs in one
+    * rank exactly like the reference algorithm. */
+  private def bpeStep(c: Column, pair: String, merged: String): Column =
+    replace(
+      replace(
+        replace(c, lit(" "), lit("  ")),
+        lit(" " + pair.replace(" ", "  ") + " "), lit(" " + merged + " ")),
+      lit("  "), lit(" "))
+
+  private def bpeStepSql(e: String, pair: String, merged: String): String = {
+    val pd = pair.replace(" ", "  ")
+    s"replace(replace(replace($e, ' ', '  '), ' $pd ', ' $merged '), '  ', ' ')"
+  }
+
+  /** BPE tokenizer APPLY — encode every word with the committed merge
+    * table ([[bpeMergeCandidates]] is the learner side; this is the
+    * deployment side that turns text into trainer-ready subtokens):
+    * split each word to characters, then apply each merge rank in order
+    * as three nested `replace` calls (see [[bpeStep]] — straight-line
+    * string algebra, no loops, no UDF, fully codegen'd and identical in
+    * both engines). Output is the resulting subtoken vocabulary (top 30).
+    *
+    * 100 TB shape: a single narrow projection per token — the merge
+    * chain is ~3·|merges| codegen'd string ops fused into one
+    * WholeStageCodegen stage — followed by one map-side-combined count.
+    * Nothing joins, nothing broadcasts; merge tables of real tokenizers
+    * (~50k ranks) would compile the same chain into a generated-code
+    * trie instead, but the dataflow shape does not change. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val spaced = concat(lit(" "),
+      trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+    val encoded = trim(BpeMerges.foldLeft(spaced: Column) {
+      case (c, (p, r)) => bpeStep(c, p, r)
+    })
+    tok.select(explode(split(encoded, " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(30)
+  }
+
   /** Sparse-vector retrieval top-k — the TF-IDF twin of
     * [[VectorOps.cosineTopK]]: each query DOCUMENT (doc_id < 10) is itself
     * the sparse query vector, scored against the corpus through an
@@ -1096,6 +1154,7 @@ object TextOps {
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_tfidf" -> (tfidf _),
     "q_tfidf_retrieval" -> (tfidfRetrieval _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_mix" -> (sourceMix _),
     "q_fuzzy_match" -> (fuzzyNameMatch _),
@@ -1477,6 +1536,20 @@ object TextOps {
         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
         |  round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bpe_encode" -> {
+      val expr = BpeMerges.foldLeft(
+        "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '") {
+        case (e, (p, r)) => bpeStepSql(e, p, r)
+      }
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |enc AS (
+         |  SELECT trim($expr) AS enc FROM tok WHERE length(w) > 0),
+         |sub AS (SELECT unnest(string_split(enc, ' ')) AS token FROM enc)
+         |SELECT token, count(*) AS n_occ FROM sub GROUP BY token
+         |ORDER BY n_occ DESC, token LIMIT 30""".stripMargin
+    },
+
     "q_tfidf_retrieval" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -843,6 +843,45 @@ object VectorOps {
        |ORDER BY v.vec_id""".stripMargin
   }
 
+  /** kNN classification with exact neighbor search — the lazy-learner
+    * baseline every embedding-quality eval starts from (Cover & Hart
+    * 1967): for each held-out query vector (vec_id < 50), the 5 nearest
+    * corpus vectors by cosine (self excluded) vote on the label; majority
+    * wins, vote ties break to the smaller label id. Output is per-query
+    * (true vs predicted, vote share), so the oracle checks neighbor
+    * ranking, the vote count, and the argmax tie-break — not just an
+    * accuracy scalar. Same broadcast-probe scoring pass as
+    * [[cosineTopK]] (Q queries ride map-side against the corpus scan);
+    * the vote is a Q·k-row grouped argmax. Swap the scorer for
+    * [[annIvfRecall]]'s probe to trade exactness for sub-linear scan. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qv"), col("norm").as("qnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("label").as("cand_label"), col("embedding").as("cv"),
+      col("norm").as("cnorm"))
+    val scored = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val top = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    val votes = top.groupBy(col("query_id"), col("true_label"),
+        col("cand_label")).agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("cand_label"))
+    votes.withColumn("vrk", row_number().over(wv))
+      .filter(col("vrk") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("cand_label").as("pred_label"), col("n_votes"),
+        round(col("n_votes").cast("double") / 5, 6).as("vote_share"),
+        (col("true_label") === col("cand_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** Margin-denominator depth for [[mutualKnn]]: each side's local density
     * estimate is the mean cosine of its 4 nearest neighbors. */
   private val MknnK = 4
@@ -914,9 +953,37 @@ object VectorOps {
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_semdedup" -> (semDedup _),
     "q_mutual_knn" -> (mutualKnn _),
+    "q_knn_classify" -> (knnClassify _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_knn_classify" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS true_label,
+        |    c.vec_id AS cand_id, c.label AS cand_label,
+        |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rk FROM scored)
+        |  WHERE rk <= 5),
+        |votes AS (
+        |  SELECT query_id, true_label, cand_label, count(*) AS n_votes
+        |  FROM top GROUP BY 1, 2, 3)
+        |SELECT query_id, true_label, cand_label AS pred_label,
+        |  n_votes, round(CAST(n_votes AS DOUBLE) / 5, 6) AS vote_share,
+        |  true_label = cand_label AS correct
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n_votes DESC, cand_label) AS vrk FROM votes)
+        |WHERE vrk = 1 ORDER BY query_id""".stripMargin,
+
     "q_mutual_knn" ->
       s"""WITH e AS (
          |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,

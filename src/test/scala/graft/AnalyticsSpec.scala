@@ -137,6 +137,32 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("jackknife matches the hand computation on two equal groups") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jk").toString
+    // nations {0: 10, 20}, {1: 30, 40}: grand mean 25; deletion means
+    // 35 and 15; SE = sqrt((G-1)/G * sum((m_g - 25)^2)) = sqrt(100) = 10;
+    // pseudovalues 2*25-35=15 and 2*25-15=35
+    val cust = Seq((1L, "Customer#000000001", 0L, 0.0, "BUILDING"),
+      (2L, "Customer#000000002", 0L, 0.0, "BUILDING"),
+      (3L, "Customer#000000003", 1L, 0.0, "BUILDING"),
+      (4L, "Customer#000000004", 1L, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ords = Seq((10L, 1L, 10.0), (11L, 2L, 20.0), (12L, 3L, 30.0),
+      (13L, 4L, 40.0)).map { case (o, c, p) =>
+      (o, c, "F", p, ts("2015-07-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cust.write.parquet(s"$tmp/customer.parquet")
+    ords.write.parquet(s"$tmp/orders.parquet")
+    val rows = Analytics.jackknife(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getDouble(rows(0L).fieldIndex("mean_excl")) == 35.0)
+    assert(rows(1L).getDouble(rows(1L).fieldIndex("mean_excl")) == 15.0)
+    assert(rows(0L).getDouble(rows(0L).fieldIndex("pseudovalue")) == 15.0)
+    assert(rows(1L).getDouble(rows(1L).fieldIndex("pseudovalue")) == 35.0)
+    assert(rows.values.forall(_.getDouble(rows(0L).fieldIndex("jk_se")) == 10.0))
+  }
+
   test("itemCf counts co-purchases at basket (distinct-part) grain") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cf").toString
     // c10 buys part 1 twice across two orders: basket grain must dedup it,

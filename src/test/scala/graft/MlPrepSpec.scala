@@ -359,6 +359,34 @@ class MlPrepSpec extends SparkSpec {
     assert(rows(2L) == ((2L, 0L, 0.0, md5p(""))))
   }
 
+  test("decision stump finds a perfect split when one exists") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stump").toString
+    // y = R exactly when quantity <= 15: the quantity<=20 candidate is a
+    // PERFECT split (gini 0); every other candidate is impure
+    val li = (1 to 40).map { i =>
+      val qty = if (i <= 20) 10.0 else 30.0
+      val flag = if (i <= 20) "R" else "N"
+      (i.toLong, 1L, 1L, i, qty, 50000.0, 0.05, 0.0, flag, "O",
+        ts("2015-07-02 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    li.write.parquet(s"$tmp/lineitem.parquet")
+    val rows = MlPrep.decisionStump(spark, tmp).collect()
+    val best = rows.filter(_.getBoolean(rows.head.fieldIndex("is_best")))
+    // with values only {10, 30}, thresholds 10 AND 20 both isolate the R
+    // rows exactly (gini 0) — exact ties SHARE the is_best flag; within
+    // the feature the rank tie-break prefers the smaller threshold
+    assert(best.map(r => (r.getString(0),
+      r.getDouble(r.fieldIndex("thr")))).toSet ==
+      Set(("quantity", 10.0), ("quantity", 20.0)))
+    assert(best.forall(_.getDouble(best.head.fieldIndex("gini_split")) == 0.0))
+    assert(best.map(_.getInt(best.head.fieldIndex("rk"))).sorted.toSeq ==
+      Seq(1, 2))
+    spark.catalog.clearCache()
+  }
+
   test("quantile normalization: all features share the reference distribution") {
     val rows = MlPrep.quantileNorm(spark, sf001).collect()
     assert(rows.length == 33)

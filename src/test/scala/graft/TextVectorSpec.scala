@@ -386,6 +386,42 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) > 0.0))
   }
 
+  test("bpeEncode applies merges in rank order and handles adjacent chains") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // 'row' probes rank order: 'o w' ranks before 'r o', so row → [r, ow];
+    // 'tata' probes the doubled-space chain fix: BOTH 't a' pairs must
+    // merge in the same rank pass → [ta, ta]
+    Seq((0L, "table scan value row tata", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val vocab = TextOps.bpeEncode(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("table" -> 1L, "scan" -> 1L, "value" -> 1L,
+      "r" -> 1L, "ow" -> 1L, "ta" -> 2L))
+  }
+
+  test("knnClassify: majority of 5 exact neighbors recovers cluster labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("knncls").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // two orthogonal 4-vector clusters: every query's top-5 is its 3
+    // cluster-mates (cos≈1) + 2 strangers (cos≈0) → votes 3-2, all correct
+    val rows = (0 to 3).map(i =>
+      (i.toLong, mix(Map(0 -> 1.0, 1 -> 0.01 * i)), 0)) ++
+      (4 to 7).map(i => (i.toLong, mix(Map(2 -> 1.0, 3 -> 0.01 * i)), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.knnClassify(spark, dir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("correct")), s"query ${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("n_votes")) == 3L)
+      assert(r.getDouble(r.fieldIndex("vote_share")) == 0.6)
+    }
+  }
+
   test("mutualKnn keeps only reciprocal top-1 pairs and drops the hub endpoint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mknn").toString
