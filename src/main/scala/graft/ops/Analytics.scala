@@ -1502,7 +1502,47 @@ object Analytics {
       .orderBy(col("nation"))
   }
 
+  /** Difference-in-differences estimator (Card & Krueger 1994 two-period
+    * two-group form) over the event stream: outcome = mean event value,
+    * periods split at mid-month, treatment assignment by the committed
+    * deterministic rule user_id % 3 = 0 (a real pipeline reads the
+    * experiment's assignment table; the estimator is the operator under
+    * test). Emits the 2×2 cell means plus the DiD point estimate and its
+    * unpooled two-sample standard error — the parallel-trends-adjusted
+    * causal read a growth team runs on every rollout.
+    *
+    * Shape: one scan, CASE-bucketed into 4 cells, a single
+    * map-side-combined aggregate (count/sum/sumsq per cell), then all
+    * estimator algebra over the 4-row relation — nothing after the first
+    * aggregate is corpus-sized. */
+  def did(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val cells = events(s, dir)
+      .select((col("user_id") % 3 === 0).as("treated"),
+        (col("ts") >= cut).as("post"), col("value"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+        (sum(col("value") * col("value")) / count(lit(1))
+          - pow(avg(col("value")), 2)).as("v"))
+    val w = Window.partitionBy(lit(1))
+    def cell(t: Boolean, p: Boolean, c: Column): Column =
+      max(when(col("treated") === t && col("post") === p, c)).over(w)
+    cells
+      .withColumn("did", round(
+        (cell(true, true, col("m")) - cell(true, false, col("m")))
+          - (cell(false, true, col("m")) - cell(false, false, col("m"))), 6))
+      .withColumn("se", round(sqrt(
+        cell(true, true, col("v")) / cell(true, true, col("n"))
+          + cell(true, false, col("v")) / cell(true, false, col("n"))
+          + cell(false, true, col("v")) / cell(false, true, col("n"))
+          + cell(false, false, col("v")) / cell(false, false, col("n"))), 6))
+      .select(col("treated"), col("post"), col("n"),
+        round(col("m"), 6).as("mean_value"), col("did"), col("se"))
+      .orderBy(col("treated"), col("post"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_did" -> (did _),
     "q_jackknife" -> (jackknife _),
     "q_item_cf" -> (itemCf _),
     "q_geo_pairs" -> (geoPairs _),
@@ -1552,6 +1592,30 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_did" ->
+      """WITH cells AS (
+        |  SELECT user_id % 3 = 0 AS treated,
+        |    ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+        |    count(*) AS n, avg(value) AS m,
+        |    sum(value * value) / count(*) - pow(avg(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |wd AS (
+        |  SELECT *,
+        |    max(CASE WHEN treated AND post THEN m END) OVER () AS mtp,
+        |    max(CASE WHEN treated AND NOT post THEN m END) OVER () AS mtb,
+        |    max(CASE WHEN NOT treated AND post THEN m END) OVER () AS mcp,
+        |    max(CASE WHEN NOT treated AND NOT post THEN m END) OVER () AS mcb,
+        |    max(CASE WHEN treated AND post THEN v / n END) OVER () AS stp,
+        |    max(CASE WHEN treated AND NOT post THEN v / n END) OVER () AS stb,
+        |    max(CASE WHEN NOT treated AND post THEN v / n END) OVER () AS scp,
+        |    max(CASE WHEN NOT treated AND NOT post THEN v / n END) OVER ()
+        |      AS scb
+        |  FROM cells)
+        |SELECT treated, post, n, round(m, 6) AS mean_value,
+        |  round((mtp - mtb) - (mcp - mcb), 6) AS did,
+        |  round(sqrt(stp + stb + scp + scb), 6) AS se
+        |FROM wd ORDER BY treated, post""".stripMargin,
+
     "q_jackknife" ->
       """WITH o AS (
         |  SELECT c_nationkey AS nation,

@@ -325,6 +325,51 @@ object MlPrep {
       .orderBy(col("feature"), col("thr"))
   }
 
+  /** Split-conformal prediction (Vovk et al.; Lei et al. JASA 2018) —
+    * the distribution-free way to wrap ANY point predictor with a finite-
+    * sample-valid interval: fit on the train split (per-brand mean
+    * price), take the ⌈(n+1)(1−α)⌉-th smallest absolute residual on the
+    * calibration split as the radius q̂ (α = 0.1), and measure empirical
+    * coverage of ŷ ± q̂ on the held-out test split. Splits are the
+    * committed deterministic l_orderkey % 10 rule (0–5 train, 6–7 cal,
+    * 8–9 test). The guarantee this checks: test coverage ≥ 1 − α up to
+    * finite-sample noise, NO distributional assumptions on the model.
+    *
+    * Shape: fit = one grouped pass; scoring = broadcast of the
+    * brands-sized model; the order statistic is an exact rank over the
+    * calibration split via [[ScaledRank.withGroupedRowNumbers]] (range
+    * partition + local pass — not a single-partition sort); coverage =
+    * one more map-side aggregate. Fitted means round at 6 dp so residual
+    * ranks are engine-stable. */
+  def conformal(s: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(s, dir)
+      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_extendedprice").as("y"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 10).as("slot"))
+      .persist()
+    val model = base.filter(col("slot") <= 5)
+      .groupBy(col("brand")).agg(round(avg(col("y")), 6).as("yhat"))
+    val scoredAll = base.join(broadcast(model), "brand")
+      .withColumn("res", abs(col("y") - col("yhat")))
+    val cal = scoredAll.filter(col("slot").isin(6, 7))
+      .select(lit(1).as("g"), col("res"), col("l_orderkey"),
+        col("l_linenumber"))
+    val ranked = ScaledRank.withGroupedRowNumbers(cal, Seq(col("g")),
+      Seq(col("res"), col("l_orderkey"), col("l_linenumber")))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val qhat = ranked.crossJoin(broadcast(nCal))
+      .filter(col("grn") === ceil((col("n_cal") + 1) * 0.9).cast("long"))
+      .select(col("n_cal"), round(col("res"), 6).as("qhat"))
+    scoredAll.filter(col("slot") >= 8)
+      .crossJoin(broadcast(qhat))
+      .agg(first(col("n_cal")).as("n_cal"), first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        round(sum(when(col("res") <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("coverage"))
+      .select(col("n_cal"), col("n_test"), col("qhat"), col("coverage"))
+  }
+
   // ------------------------------------------- supervised feature prep
 
   /** Weight-of-evidence / information-value binning: per feature bin
@@ -716,6 +761,7 @@ object MlPrep {
     "q_golden_record" -> (goldenRecord _),
     "q_quantile_norm" -> (quantileNorm _),
     "q_decision_stump" -> (decisionStump _),
+    "q_conformal" -> (conformal _),
     "q_record_linkage" -> (recordLinkage _),
     "q_linkage_hist" -> (linkageHist _),
     "q_text_normalize" -> (textNormalize _),
@@ -749,6 +795,32 @@ object MlPrep {
       s"""${linkagePairsSql}
          |SELECT id_a, id_b, score FROM pairs WHERE score >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_conformal" ->
+      """WITH base AS (
+        |  SELECT p_brand AS brand, l_extendedprice AS y,
+        |    l_orderkey, l_linenumber, l_orderkey % 10 AS slot
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |model AS (
+        |  SELECT brand, round(avg(y), 6) AS yhat
+        |  FROM base WHERE slot <= 5 GROUP BY brand),
+        |scored AS (
+        |  SELECT base.*, abs(y - yhat) AS res
+        |  FROM base JOIN model USING (brand)),
+        |cal AS (
+        |  SELECT res, row_number() OVER (
+        |    ORDER BY res, l_orderkey, l_linenumber) AS grn
+        |  FROM scored WHERE slot IN (6, 7)),
+        |nc AS (SELECT count(*) AS n_cal FROM cal),
+        |q AS (
+        |  SELECT n_cal, round(res, 6) AS qhat
+        |  FROM cal CROSS JOIN nc
+        |  WHERE grn = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
+        |SELECT n_cal, count(*) AS n_test, qhat,
+        |  round(CAST(sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS coverage
+        |FROM scored CROSS JOIN q
+        |WHERE slot >= 8 GROUP BY n_cal, qhat""".stripMargin,
 
     "q_decision_stump" -> {
       val gridValues = StumpGrid

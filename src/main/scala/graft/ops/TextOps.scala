@@ -619,6 +619,52 @@ object TextOps {
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 
+  /** Absolute-discount constant for [[knBigram]] — Kneser–Ney's standard
+    * D (an exact binary quarter, so both engines' arithmetic is
+    * bit-identical). */
+  private val KnD = 0.75
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney ICASSP'95;
+    * Chen & Goodman '98 eq. 4.25) — the smoothing every production n-gram
+    * LM shipped before neural LMs, and still the tokenizer-pipeline
+    * baseline: discount every observed bigram count by D and redistribute
+    * the held-out mass through the CONTINUATION unigram (how many distinct
+    * left contexts a word follows — the "San Francisco" fix: 'Francisco'
+    * is frequent but follows almost nothing, so its continuation weight is
+    * tiny). Emits the top-30 conditional probabilities with their three
+    * ingredient counts, so the oracle checks the count plumbing and the
+    * interpolation algebra.
+    *
+    * Shape: one bigram explode + three map-side-combined aggregates
+    * (bigram counts, per-context totals+types via one grouped pass,
+    * continuation types per word) joined back on their natural keys —
+    * context stats are vocab-sized, the bigram relation is the only
+    * corpus-scale exchange. */
+  def knBigram(s: SparkSession, dir: String): DataFrame = {
+    val big = docs(s, dir)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist()
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1plus"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val types = c12.agg(count(lit(1)).as("ntypes"))
+    c12.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(types))
+      .withColumn("p_kn", round(
+        (col("c12") - KnD) / col("c1")
+          + lit(KnD) * col("n1plus") / col("c1")
+            * (col("ncont").cast("double") / col("ntypes")), 6))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("ncont"),
+        col("p_kn"))
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
   /** Committed BPE merge table for [[bpeEncode]], in rank order (the
     * order IS the algorithm — each rank is applied corpus-wide before the
     * next, Sennrich et al. ACL'16). Keys are the two adjacent subtokens,
@@ -1155,6 +1201,7 @@ object TextOps {
     "q_tfidf" -> (tfidf _),
     "q_tfidf_retrieval" -> (tfidfRetrieval _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_kn_bigram" -> (knBigram _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_mix" -> (sourceMix _),
     "q_fuzzy_match" -> (fuzzyNameMatch _),
@@ -1536,6 +1583,27 @@ object TextOps {
         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
         |  round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_kn_bigram" ->
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |big AS (
+         |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+         |  FROM t, UNNEST(range(1, len(t))) AS u(i)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+         |ctx AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1plus
+         |  FROM c12 GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS ncont FROM c12 GROUP BY w2),
+         |types AS (SELECT count(*) AS ntypes FROM c12)
+         |SELECT c12.w1, c12.w2, c12.c12, ctx.c1, cont.ncont,
+         |  round((c12.c12 - $KnD) / ctx.c1
+         |    + $KnD * ctx.n1plus / ctx.c1
+         |      * (CAST(cont.ncont AS DOUBLE) / types.ntypes), 6) AS p_kn
+         |FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2)
+         |     CROSS JOIN types
+         |ORDER BY p_kn DESC, w1, w2 LIMIT 30""".stripMargin,
+
     "q_bpe_encode" -> {
       val expr = BpeMerges.foldLeft(
         "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '") {

@@ -137,6 +137,28 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("did recovers a constructed treatment effect exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_did").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    // treated = user 3 (3 % 3 == 0), control = user 1; control flat at
+    // mean 5 both periods, treated jumps 5 → 15 post ⇒ DiD = 10 exactly;
+    // each cell holds {m-1, m+1} so every cell variance is 1 and
+    // se = sqrt(4 * 1/2) = sqrt(2)
+    val rows = Seq(
+      (1L, "2024-01-05 10:00:00", 1L, 4.0), (2L, "2024-01-06 10:00:00", 1L, 6.0),
+      (3L, "2024-01-20 10:00:00", 1L, 4.0), (4L, "2024-01-21 10:00:00", 1L, 6.0),
+      (5L, "2024-01-05 10:00:00", 3L, 4.0), (6L, "2024-01-06 10:00:00", 3L, 6.0),
+      (7L, "2024-01-20 10:00:00", 3L, 14.0), (8L, "2024-01-21 10:00:00", 3L, 16.0))
+      .map { case (id, t, u, v) => (id, us(t), u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.did(spark, tmp).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getDouble(out.head.fieldIndex("did")) == 10.0))
+    assert(out.forall(r => math.abs(r.getDouble(r.fieldIndex("se"))
+      - math.sqrt(2.0)) < 1e-5))
+  }
+
   test("jackknife matches the hand computation on two equal groups") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jk").toString
     // nations {0: 10, 20}, {1: 30, 40}: grand mean 25; deletion means

@@ -359,6 +359,18 @@ class MlPrepSpec extends SparkSpec {
     assert(rows(2L) == ((2L, 0L, 0.0, md5p(""))))
   }
 
+  test("conformal: interval coverage honors the 1-alpha guarantee") {
+    val r = MlPrep.conformal(spark, sf001).collect().head
+    val cov = r.getDouble(r.fieldIndex("coverage"))
+    // distribution-free guarantee: >= 0.9 in expectation; finite-sample
+    // slack at sf0.001 (~1200 test rows) is a few percent
+    assert(cov >= 0.85 && cov <= 0.97, s"coverage $cov")
+    assert(r.getDouble(r.fieldIndex("qhat")) > 0.0)
+    assert(r.getLong(r.fieldIndex("n_cal")) > 0 &&
+      r.getLong(r.fieldIndex("n_test")) > 0)
+    spark.catalog.clearCache()
+  }
+
   test("decision stump finds a perfect split when one exists") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("stump").toString

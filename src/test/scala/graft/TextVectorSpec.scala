@@ -386,6 +386,27 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) > 0.0))
   }
 
+  test("knBigram matches the hand-computed Chen-Goodman values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("knlm").toString
+    // corpus "a b a b a c": c(ab)=2 c(ba)=2 c(ac)=1; ctx a: c1=3 types=2,
+    // ctx b: c1=2 types=1; continuations all 1; 3 bigram types total.
+    // P(b|a) = (2-.75)/3 + .75*(2/3)*(1/3) = 0.583333
+    // P(c|a) = (1-.75)/3 + .75*(2/3)*(1/3) = 0.25
+    // P(a|b) = (2-.75)/2 + .75*(1/2)*(1/3) = 0.75
+    Seq((0L, "a b a b a c", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = TextOps.knBigram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(r.fieldIndex("p_kn"))).toMap
+    assert(p == Map(("a", "b") -> 0.583333, ("a", "c") -> 0.25,
+      ("b", "a") -> 0.75))
+    // discounted mass is strictly redistributed: every observed bigram
+    // keeps less than its ML estimate... plus a positive continuation term
+    assert(p.values.forall(v => v > 0 && v < 1))
+  }
+
   test("bpeEncode applies merges in rank order and handles adjacent chains") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
