@@ -671,6 +671,60 @@ object MlPrep {
       .orderBy("i", "j")
   }
 
+  /** Vector normalization scale for [[powerIteration]] (chosen so the
+    * worst-case accumulator |Σ_j G·v|·S = 64·500·1024²·S² stays inside
+    * Long: 3.4e18 < 2^63). */
+  private val PowScale = 10000L
+  private val PowIters = 3
+
+  /** Dominant-eigenvector extraction by power iteration (von Mises 1929;
+    * the first principal direction under PCA once the data are centered/
+    * whitened upstream) over the SAME integer-quantized Gram matrix as
+    * [[gramMatrix]] — v ← G·v, renormalized each step to L∞ = [[PowScale]]
+    * entirely in integer arithmetic: the normalization is the exact
+    * floor division (w·S − ((w·S mod m + m) mod m)) / m, whose numerator
+    * is an exact multiple of m, so truncating (Spark `div`) and flooring
+    * (DuckDB `//`) division agree even for negative components — every
+    * iterate is bit-identical on both engines, and the k-step trajectory
+    * itself is hash-checked (the committed-round convention of
+    * [[Curation.pageRank]]: the iteration count is part of the contract —
+    * convergence RATE is data-dependent, (λ2/λ1)^k, and this fixture's
+    * random embeddings have a near-flat top spectrum). The L∞ growth
+    * factor of the last step (÷ S) is the eigenvalue estimate.
+    *
+    * Shape per iteration: one 4096-row-matrix ⋈ 64-row-vector join plus a
+    * 1-row max broadcast — after the single corpus-scale pass that builds
+    * G, iteration cost is INDEPENDENT of corpus size, which is the whole
+    * point of sketch-then-iterate spectral methods at 100 TB. */
+  def powerIteration(s: SparkSession, dir: String): DataFrame = {
+    val qs = embeddings(s, dir).select(expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+      .as("q"))
+    val g = qs.select(col("q"), posexplode(col("q")).as(Seq("i0", "vi")))
+      .select(col("i0"), col("vi"), posexplode(col("q")).as(Seq("j0", "vj")))
+      .select((col("i0") + 1).cast("int").as("i"),
+        (col("j0") + 1).cast("int").as("j"),
+        (col("vi") * col("vj")).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+      .persist()
+    var v = s.range(1, 65)
+      .select(col("id").cast("int").as("j"), lit(PowScale).as("x"))
+    var lastM: DataFrame = null
+    for (_ <- 1 to PowIters) {
+      val w = g.join(v, "j")
+        .groupBy(col("i")).agg(sum(col("g") * col("x")).as("w"))
+      lastM = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(lastM))
+        .select(col("i").as("j"),
+          expr(s"(w * $PowScale - (((w * $PowScale) % m + m) % m)) div m")
+            .as("x"))
+    }
+    v.crossJoin(broadcast(lastM))
+      .select(col("j").as("dim"), col("x").as("v"),
+        round(col("m").cast("double") / PowScale, 6).as("growth"))
+      .orderBy(col("dim"))
+  }
+
   /** Reliability diagram + expected calibration error: min-max-normalize
     * the score into [0,1] "confidence", 10 equi-width bins, per-bin mean
     * confidence vs empirical positive rate, ECE = Σ (n_b/N)·|conf−rate|.
@@ -762,6 +816,7 @@ object MlPrep {
     "q_quantile_norm" -> (quantileNorm _),
     "q_decision_stump" -> (decisionStump _),
     "q_conformal" -> (conformal _),
+    "q_power_iteration" -> (powerIteration _),
     "q_record_linkage" -> (recordLinkage _),
     "q_linkage_hist" -> (linkageHist _),
     "q_text_normalize" -> (textNormalize _),
@@ -795,6 +850,38 @@ object MlPrep {
       s"""${linkagePairsSql}
          |SELECT id_a, id_b, score FROM pairs WHERE score >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_power_iteration" -> {
+      val S = PowScale
+      val iters = (1 to PowIters).map { k =>
+        s"""w$k AS (
+           |  SELECT g.i, CAST(sum(g.g * v${k - 1}.x) AS BIGINT) AS w
+           |  FROM g JOIN v${k - 1} ON g.j = v${k - 1}.j GROUP BY g.i),
+           |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS (
+           |  SELECT i AS j,
+           |    CAST((w * $S - (((w * $S) % m + m) % m)) // m AS BIGINT) AS x
+           |  FROM w$k, m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qs AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT i, j, q[i]*q[j] AS p
+         |  FROM qs, UNNEST(range(1,65)) AS a(i), UNNEST(range(1,65)) AS b(j)),
+         |g AS (
+         |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+         |    CAST(sum(p) AS BIGINT) AS g
+         |  FROM cells GROUP BY 1, 2),
+         |v0 AS (
+         |  SELECT CAST(i AS INT) AS j, CAST($S AS BIGINT) AS x
+         |  FROM range(1, 65) t(i)),
+         |$iters
+         |SELECT v$PowIters.j AS dim, v$PowIters.x AS v,
+         |  round(CAST(m$PowIters.m AS DOUBLE) / $S, 6) AS growth
+         |FROM v$PowIters, m$PowIters ORDER BY dim""".stripMargin
+    },
 
     "q_conformal" ->
       """WITH base AS (

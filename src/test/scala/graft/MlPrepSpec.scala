@@ -359,6 +359,38 @@ class MlPrepSpec extends SparkSpec {
     assert(rows(2L) == ((2L, 0L, 0.0, md5p(""))))
   }
 
+  test("power iteration trajectory matches an exact integer JVM recompute") {
+    val out = MlPrep.powerIteration(spark, sf001).collect()
+    assert(out.length == 64)
+    val v = out.sortBy(_.getInt(0)).map(_.getLong(1))
+    // independent reference: same quantized gram, same 3 integer steps
+    // with the exact floor-division normalization — bit-for-bit equality
+    // (direction CONVERGENCE is data-dependent: this fixture's random
+    // embeddings give a near-flat top spectrum, so the contract — like
+    // pageRank's fixed 5 rounds — is the k-step trajectory itself)
+    val q = graft.Tables(spark, sf001, "embeddings").collect()
+      .map(_.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1024).toLong).toArray)
+    val g = Array.ofDim[Long](64, 64)
+    for (row <- q; i <- 0 until 64; j <- 0 until 64) g(i)(j) += row(i) * row(j)
+    val S = 10000L
+    var ref = Array.fill(64)(S)
+    var lastM = 0L
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(64)(i =>
+        (0 until 64).map(j => g(i)(j) * ref(j)).sum)
+      lastM = w.map(math.abs).max
+      ref = w.map { x =>
+        val ws = x * S
+        (ws - (((ws % lastM) + lastM) % lastM)) / lastM
+      }
+    }
+    assert(v.toSeq == ref.toSeq)
+    val growth = out.head.getDouble(out.head.fieldIndex("growth"))
+    assert(growth == math.rint(lastM.toDouble / S * 1e6) / 1e6)
+    spark.catalog.clearCache()
+  }
+
   test("conformal: interval coverage honors the 1-alpha guarantee") {
     val r = MlPrep.conformal(spark, sf001).collect().head
     val cov = r.getDouble(r.fieldIndex("coverage"))
