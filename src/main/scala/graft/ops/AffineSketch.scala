@@ -118,11 +118,25 @@ object AffineSketch {
     * exactly like [[TextOps.minhashCandidates]]; every number hash-matches
     * DuckDB. */
   def minhashAffine(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    estJaccard(sig, bandedCand(sig))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Persisted 32-column MinHash signature relation (feeds banding and
+    * both sides of the verification join). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val mins = (0 until nHashes).map(i =>
       min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
-    // persisted: feeds banding plus both verification joins
-    val sig = shingleHashes(s, dir)
+    shingleHashes(s, dir)
       .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+  }
+
+  /** Distinct banded candidate pairs from an 8×4 LSH banding of the
+    * signature relation. */
+  private def bandedCand(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(j => col(s"m${rowsPerBand * b + j}")): _*)
@@ -131,11 +145,15 @@ object AffineSketch {
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("id1"))
+    banded.select(col("band"), col("bkey"), col("doc_id").as("id1"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id2")),
         Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Signature-agreement Jaccard estimate for each candidate pair. */
+  private def estJaccard(sig: DataFrame, cand: DataFrame): DataFrame = {
     val s1 = sig.select(col("doc_id").as("id1") +:
       (0 until nHashes).map(i => col(s"m$i").as(s"x$i")): _*)
     val s2 = sig.select(col("doc_id").as("id2") +:
@@ -144,12 +162,12 @@ object AffineSketch {
       .map(i => (col(s"x$i") === col(s"y$i")).cast("int")).reduce(_ + _)
     cand.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard", round(agree / 32.0, 6))
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("id1"), col("id2"), col("est_jaccard"))
-      .orderBy(col("id1"), col("id2"))
   }
 
-  private def minhashAffineOracle: String = {
+  /** Shared oracle midsection: signature, banding, candidate, and
+    * estimate CTEs (everything after [[shingleHashCte]]) — used by the
+    * MinHash twin and the dedup-PR evaluation. */
+  private def minhashCandCtes: String = {
     val mins = (0 until nHashes)
       .map(i => s"min((h*${A(i)}+${B(i)})%$P) AS m$i").mkString(",\n    ")
     val banded = (0 until bands).map { b =>
@@ -157,7 +175,7 @@ object AffineSketch {
       s"  SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n")
     val agree = (0 until nHashes).map(i => s"(s1.m$i=s2.m$i)::INT").mkString(" + ")
-    s"""$shingleHashCte, sig AS (
+    s"""sig AS (
        |  SELECT doc_id, $mins
        |  FROM hh GROUP BY doc_id
        |), banded AS (
@@ -166,14 +184,89 @@ object AffineSketch {
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM banded a JOIN banded b USING (band, bkey)
        |  WHERE a.doc_id < b.doc_id
-       |)
-       |SELECT id1, id2, est_jaccard FROM (
+       |), est AS (
        |  SELECT id1, id2, round(($agree)/32.0, 6) AS est_jaccard
        |  FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id
-       |            JOIN sig s2 ON cand.id2 = s2.doc_id)
+       |            JOIN sig s2 ON cand.id2 = s2.doc_id
+       |)""".stripMargin
+  }
+
+  private def minhashAffineOracle: String =
+    s"""$shingleHashCte, $minhashCandCtes
+       |SELECT id1, id2, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5
        |ORDER BY id1, id2""".stripMargin
+
+  /** End-to-end dedup quality evaluation — the funnel audit a pipeline
+    * owner reads before trusting a sketch-based dedup pass: ground truth
+    * = EXACT shingle-set Jaccard ≥ 0.5 pairs (computed corpus-wide from
+    * the same shingle relation), measured against (a) the raw LSH banded
+    * candidate set (recall of the banding) and (b) the post-verification
+    * predicted set (precision lift of the signature-agreement check).
+    * Both stages' precision/recall hash-match DuckDB, so the evaluation
+    * itself — not just the sketch — is oracle-grade.
+    *
+    * Scale shape: truth pairs come from the inverted shingle join
+    * (Σ df² — the exact-Jaccard cost the sketch exists to avoid; run it
+    * on an audit SAMPLE at 100 TB, the metric algebra is unchanged);
+    * the two confusion joins are candidate-set-sized; all six metrics
+    * collapse through 1-row aggregates. */
+  def dedupPr(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val cand = bandedCand(sig).persist()
+    val pred = estJaccard(sig, cand).filter(col("est_jaccard") >= 0.5)
+      .select(col("id1"), col("id2")).persist()
+    val ex = shingleHashes(s, dir).distinct().persist()
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = ex.select(col("doc_id").as("id1"), col("h"))
+      .join(ex.select(col("doc_id").as("id2"), col("h")), "h")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(round(col("i").cast("double")
+        / (col("n1") + col("n2") - col("i")), 6) >= 0.5)
+      .select(col("id1"), col("id2")).persist()
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cand.join(truth, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("tp_cand")))
+      .crossJoin(pred.join(truth, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("tp_pred")))
+      .select(col("n_cand"), col("n_pred"), col("n_truth"),
+        col("tp_cand"), col("tp_pred"),
+        round(col("tp_cand").cast("double") / col("n_cand"), 6).as("prec_cand"),
+        round(col("tp_cand").cast("double") / col("n_truth"), 6).as("recall_cand"),
+        round(col("tp_pred").cast("double") / col("n_pred"), 6).as("prec_pred"),
+        round(col("tp_pred").cast("double") / col("n_truth"), 6).as("recall_pred"))
   }
+
+  private def dedupPrOracle: String =
+    s"""$shingleHashCte, $minhashCandCtes,
+       |pred AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |exd AS (SELECT DISTINCT doc_id, h FROM hh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM exd GROUP BY 1),
+       |truth AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |    FROM exd a JOIN exd b ON a.h = b.h AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) iv
+       |  JOIN sz s1 ON iv.id1 = s1.doc_id JOIN sz s2 ON iv.id2 = s2.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.5),
+       |m AS (
+       |  SELECT
+       |    (SELECT count(*) FROM cand) AS n_cand,
+       |    (SELECT count(*) FROM pred) AS n_pred,
+       |    (SELECT count(*) FROM truth) AS n_truth,
+       |    (SELECT count(*) FROM cand JOIN truth USING (id1, id2)) AS tp_cand,
+       |    (SELECT count(*) FROM pred JOIN truth USING (id1, id2)) AS tp_pred)
+       |SELECT n_cand, n_pred, n_truth, tp_cand, tp_pred,
+       |  round(CAST(tp_cand AS DOUBLE) / n_cand, 6) AS prec_cand,
+       |  round(CAST(tp_cand AS DOUBLE) / n_truth, 6) AS recall_cand,
+       |  round(CAST(tp_pred AS DOUBLE) / n_pred, 6) AS prec_pred,
+       |  round(CAST(tp_pred AS DOUBLE) / n_truth, 6) AS recall_pred
+       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- SimHash
 
@@ -715,6 +808,7 @@ object AffineSketch {
     "q_hll_merge" -> (hllMerge _),
     "q_kmv_intersect" -> (kmvIntersect _),
     "q_minhash_affine" -> (minhashAffine _),
+    "q_dedup_pr" -> (dedupPr _),
     "q_simhash_affine" -> (simhashAffine _),
     "q_srp_affine" -> (srpAffine _),
     "q_winnow_affine" -> (winnowAffine _),
@@ -724,6 +818,7 @@ object AffineSketch {
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_affine" -> minhashAffineOracle,
+    "q_dedup_pr" -> dedupPrOracle,
     "q_simhash_affine" -> simhashAffineOracle,
     "q_srp_affine" -> srpAffineOracle,
     "q_winnow_affine" -> winnowAffineOracle,

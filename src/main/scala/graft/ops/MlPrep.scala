@@ -725,6 +725,54 @@ object MlPrep {
       .orderBy(col("dim"))
   }
 
+  /** Learning rate for [[logregStep]] (committed so both engines step
+    * identically). */
+  private val LrEta = 0.1
+
+  /** Two synchronous gradient-descent steps of logistic regression — the
+    * core dataflow of every distributed trainer (parameter-server /
+    * all-reduce SGD reduces to exactly this): per step, broadcast the
+    * current 64-weight model into the fact scan, compute per-row
+    * predictions, and all-reduce the gradient as ONE map-side-combined
+    * 64-group aggregate. Step 1 starts from w = 0, where σ(0) = ½ makes
+    * the gradient a pure data moment; weights round at 6 dp between
+    * steps so the trajectory is engine-stable. Emits per-dimension
+    * w₁/w₂ plus the exact ln 2 initial loss and the measured post-step-1
+    * loss — the oracle hash-checks that training MOVED the loss, not
+    * just the algebra.
+    *
+    * 100 TB shape: cost per step = one corpus scan + a d-group
+    * aggregate; the model is a d-row broadcast, never a shuffle; more
+    * steps = more passes, nothing else grows. */
+  def logregStep(s: SparkSession, dir: String): DataFrame = {
+    val ex = embeddings(s, dir)
+      .select(col("vec_id"),
+        when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
+        posexplode(col("embedding")).as(Seq("dim0", "xf")))
+      .select(col("vec_id"), col("y"), (col("dim0") + 1).cast("int").as("dim"),
+        col("xf").cast("double").as("x"))
+      .persist()
+    val w1 = ex.groupBy(col("dim"))
+      .agg(round(lit(LrEta) * sum(col("x") * (col("y") - 0.5))
+        / count(lit(1)), 6).as("w1"))
+    val p = ex.join(broadcast(w1), "dim")
+      .groupBy(col("vec_id"), col("y"))
+      .agg(sum(col("x") * col("w1")).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      .persist()
+    val loss1 = p.agg(round(-avg(col("y") * log(col("p"))
+      + (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))), 6).as("loss1"))
+    val w2 = ex.join(p.select(col("vec_id"), col("p")), "vec_id")
+      .groupBy(col("dim"))
+      .agg((lit(LrEta) * sum(col("x") * (col("y") - col("p")))
+        / count(lit(1))).as("g2"))
+    w1.join(w2, "dim").crossJoin(broadcast(loss1))
+      .select(col("dim"), col("w1"),
+        round(col("w1") + col("g2"), 6).as("w2"),
+        round(log(lit(2.0)), 6).as("loss0"), col("loss1"))
+      .orderBy(col("dim"))
+  }
+
   /** Reliability diagram + expected calibration error: min-max-normalize
     * the score into [0,1] "confidence", 10 equi-width bins, per-bin mean
     * confidence vs empirical positive rate, ECE = Σ (n_b/N)·|conf−rate|.
@@ -817,6 +865,7 @@ object MlPrep {
     "q_decision_stump" -> (decisionStump _),
     "q_conformal" -> (conformal _),
     "q_power_iteration" -> (powerIteration _),
+    "q_logreg_step" -> (logregStep _),
     "q_record_linkage" -> (recordLinkage _),
     "q_linkage_hist" -> (linkageHist _),
     "q_text_normalize" -> (textNormalize _),
@@ -850,6 +899,34 @@ object MlPrep {
       s"""${linkagePairsSql}
          |SELECT id_a, id_b, score FROM pairs WHERE score >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_logreg_step" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id,
+         |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+         |    CAST(i AS INT) AS dim,
+         |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+         |w1 AS (
+         |  SELECT dim,
+         |    round($LrEta * sum(x * (y - 0.5)) / count(*), 6) AS w1
+         |  FROM ex GROUP BY dim),
+         |p AS (
+         |  SELECT vec_id, y,
+         |    1.0 / (1.0 + exp(-sum(x * w1.w1))) AS p
+         |  FROM ex JOIN w1 USING (dim) GROUP BY vec_id, y),
+         |loss1 AS (
+         |  SELECT round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6)
+         |    AS loss1
+         |  FROM p),
+         |w2 AS (
+         |  SELECT dim,
+         |    $LrEta * sum(x * (ex.y - p.p)) / count(*) AS g2
+         |  FROM ex JOIN p USING (vec_id) GROUP BY dim)
+         |SELECT dim, w1.w1, round(w1.w1 + w2.g2, 6) AS w2,
+         |  round(ln(2.0), 6) AS loss0, loss1.loss1
+         |FROM w1 JOIN w2 USING (dim) CROSS JOIN loss1
+         |ORDER BY dim""".stripMargin,
 
     "q_power_iteration" -> {
       val S = PowScale

@@ -129,4 +129,26 @@ class AffineSketchSpec extends SparkSpec {
     assert(m("signup") == ((199L, 166.2)))
     assert(m("view") == ((188L, 180.9)))
   }
+
+  test("dedup PR funnel: verification only ever raises precision, never recall") {
+    val r = AffineSketch.dedupPr(spark, sf001).collect().head
+    def l(n: String) = r.getLong(r.fieldIndex(n))
+    def d(n: String) = r.getDouble(r.fieldIndex(n))
+    // pred ⊆ cand ⇒ the verified stage cannot beat banding's recall, and
+    // dropping low-agreement candidates cannot lower precision
+    assert(l("n_pred") <= l("n_cand"))
+    assert(l("tp_pred") <= l("tp_cand"))
+    assert(d("recall_pred") <= d("recall_cand"))
+    assert(d("prec_pred") >= d("prec_cand"))
+    // near-exact planted dups: the sketch should recover the truth set
+    assert(l("n_truth") > 0)
+    assert(d("recall_cand") == 1.0, "banding must not lose a true pair here")
+    // a 32-hash estimate has ±1/32 granularity at the threshold, so one
+    // borderline pair may survive (measured 14/15 at sf0.001) — but the
+    // verification stage must still remove the bulk of the band noise
+    assert(d("prec_pred") >= 0.9, s"prec_pred ${d("prec_pred")}")
+    assert(d("prec_pred") >= 2 * d("prec_cand"),
+      "verification must deliver a real precision lift")
+    spark.catalog.clearCache()
+  }
 }

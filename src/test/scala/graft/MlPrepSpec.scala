@@ -391,6 +391,21 @@ class MlPrepSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("logreg gradient steps strictly reduce the training loss") {
+    val out = MlPrep.logregStep(spark, sf001).collect()
+    assert(out.length == 64)
+    val loss0 = out.head.getDouble(out.head.fieldIndex("loss0"))
+    val loss1 = out.head.getDouble(out.head.fieldIndex("loss1"))
+    assert(loss0 == 0.693147) // ln 2 exactly, the w=0 log-loss
+    assert(loss1 < loss0, s"step 1 must descend: $loss1 vs $loss0")
+    // gradient is a real signal: some dimension moved
+    assert(out.exists(_.getDouble(out.head.fieldIndex("w1")) != 0.0))
+    // step 2 keeps moving in SOME direction (w2 != w1 somewhere)
+    assert(out.exists(r => r.getDouble(r.fieldIndex("w2"))
+      != r.getDouble(r.fieldIndex("w1"))))
+    spark.catalog.clearCache()
+  }
+
   test("conformal: interval coverage honors the 1-alpha guarantee") {
     val r = MlPrep.conformal(spark, sf001).collect().head
     val cov = r.getDouble(r.fieldIndex("coverage"))
