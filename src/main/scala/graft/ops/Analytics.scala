@@ -1541,7 +1541,53 @@ object Analytics {
       .orderBy(col("treated"), col("post"))
   }
 
+  /** SPRT log-likelihood increments in exact integer micro-nats —
+    * committed so the running sum is integer arithmetic on both engines:
+    * round(ln(0.6/0.5)·10⁶), round(ln(0.4/0.5)·10⁶), round(ln 19·10⁶)
+    * for α = β = 0.05. */
+  private val SprtUp = 182322L
+  private val SprtDown = -223144L
+  private val SprtBound = 2944439L
+
+  /** Wald's sequential probability ratio test (Wald 1945) — the
+    * anytime-valid A/B monitor that lets an experimenter peek
+    * continuously without alpha inflation: each purchase event is a
+    * Bernoulli trial (value > 50), the running log-likelihood ratio of
+    * H1 (p=0.6) vs H0 (p=0.5) accumulates the committed micro-nat
+    * increments, and the test decides at the first crossing of ±ln 19.
+    * Emits every-250th-trial probe points plus the decision row, so the
+    * oracle hash-checks the whole trajectory shape AND the stopping
+    * time, not a final verdict.
+    *
+    * Shape: the running LLR is [[ScaledRank.withGlobalCumSum]] over
+    * exact integers (range exchange + local prefix pass + O(#partitions)
+    * offsets — no single-partition window), trial ordinals ride
+    * [[ScaledRank.withGroupedRowNumbers]], and the stopping time is a
+    * 1-row min broadcast back onto the probe filter. */
+  def sprt(s: SparkSession, dir: String): DataFrame = {
+    val trials = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        when(col("value") > 50, SprtUp).otherwise(SprtDown).as("inc"))
+    val cum = ScaledRank.withGlobalCumSum(trials, Seq(col("event_id")),
+      col("inc"))
+    val numbered = ScaledRank.withGroupedRowNumbers(
+      cum.withColumn("g", lit(1)), Seq(col("g")), Seq(col("event_id")))
+    val cross = numbered.filter(abs(col("cumsum")) >= SprtBound)
+      .agg(coalesce(min(col("grn")), lit(Long.MaxValue)).as("cross_trial"))
+    numbered.crossJoin(broadcast(cross))
+      .filter(col("grn") % 250 === 0 || col("grn") === col("cross_trial"))
+      .select(col("grn").as("trial_no"),
+        round(col("cumsum").cast("double") / 1000000.0, 6).as("llr"),
+        when(col("cumsum") >= SprtBound, "accept_h1")
+          .when(col("cumsum") <= -SprtBound, "accept_h0")
+          .otherwise("continue").as("state"),
+        (col("grn") === col("cross_trial")).as("is_decision"))
+      .orderBy(col("trial_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sprt" -> (sprt _),
     "q_did" -> (did _),
     "q_jackknife" -> (jackknife _),
     "q_item_cf" -> (itemCf _),
@@ -1592,6 +1638,28 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sprt" ->
+      s"""WITH t AS (
+         |  SELECT event_id,
+         |    CASE WHEN value > 50 THEN $SprtUp ELSE $SprtDown END AS inc
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT event_id,
+         |    sum(inc) OVER (ORDER BY event_id) AS cumsum,
+         |    row_number() OVER (ORDER BY event_id) AS grn
+         |  FROM t),
+         |x AS (
+         |  SELECT coalesce(min(grn), 9223372036854775807) AS cross_trial
+         |  FROM c WHERE abs(cumsum) >= $SprtBound)
+         |SELECT grn AS trial_no,
+         |  round(CAST(cumsum AS DOUBLE) / 1000000.0, 6) AS llr,
+         |  CASE WHEN cumsum >= $SprtBound THEN 'accept_h1'
+         |       WHEN cumsum <= -$SprtBound THEN 'accept_h0'
+         |       ELSE 'continue' END AS state,
+         |  grn = cross_trial AS is_decision
+         |FROM c, x WHERE grn % 250 = 0 OR grn = cross_trial
+         |ORDER BY trial_no""".stripMargin,
+
     "q_did" ->
       """WITH cells AS (
         |  SELECT user_id % 3 = 0 AS treated,

@@ -882,6 +882,51 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** NDCG@10 retrieval-quality evaluation (Järvelin & Kekäläinen TOIS'02)
+    * — the ranking metric that grades WHERE the relevant hits land, not
+    * just how many: for each query vector (vec_id < 10), rank the corpus
+    * by exact cosine, mark relevance by label agreement, discount each
+    * hit by 1/log₂(rank+1), and normalize by the ideal DCG computed from
+    * the query's full relevant-pool size (capped at the cutoff). The
+    * per-query ingredient columns (hits, DCG, IDCG) are all emitted so
+    * the oracle checks the metric plumbing, not one averaged scalar.
+    * Same broadcast-probe scoring pass as [[cosineTopK]]; the DCG is a
+    * Q·k-row aggregate, the ideal a label-count dim join. */
+  def ndcg(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("norm").as("qnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("label").as("clabel"), col("embedding").as("cv"),
+      col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val top = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+    val dcg = top.groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("clabel") === col("qlabel"),
+          lit(1.0) / log2(col("rk") + 1)).otherwise(0.0)).as("dcg_raw"),
+        sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("hits_topk"))
+    val pool = e.groupBy(col("label").as("qlabel"))
+      .agg((count(lit(1)) - 1).as("n_rel")) // self excluded from the pool
+    val ideal = pool
+      .select(col("qlabel"), least(col("n_rel"), lit(10L)).as("m"))
+      .withColumn("i", explode(sequence(lit(1L), col("m"))))
+      .groupBy(col("qlabel"))
+      .agg(sum(lit(1.0) / log2(col("i") + 1)).as("idcg_raw"))
+    dcg.join(broadcast(ideal), "qlabel")
+      .select(col("query_id"), col("hits_topk"),
+        round(col("dcg_raw"), 6).as("dcg"),
+        round(col("idcg_raw"), 6).as("idcg"),
+        round(col("dcg_raw") / col("idcg_raw"), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Margin-denominator depth for [[mutualKnn]]: each side's local density
     * estimate is the mean cosine of its 4 nearest neighbors. */
   private val MknnK = 4
@@ -954,9 +999,44 @@ object VectorOps {
     "q_semdedup" -> (semDedup _),
     "q_mutual_knn" -> (mutualKnn _),
     "q_knn_classify" -> (knnClassify _),
+    "q_ndcg" -> (ndcg _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ndcg" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |      c.label AS clabel,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6)
+        |          DESC, c.vec_id) AS rk
+        |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rk <= 10),
+        |dcg AS (
+        |  SELECT query_id, qlabel,
+        |    sum(CASE WHEN clabel = qlabel
+        |        THEN 1.0 / log2(rk + 1) ELSE 0.0 END) AS dcg_raw,
+        |    CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits_topk
+        |  FROM top GROUP BY 1, 2),
+        |pool AS (
+        |  SELECT label AS qlabel, count(*) - 1 AS n_rel FROM e GROUP BY 1),
+        |ideal AS (
+        |  SELECT qlabel, sum(1.0 / log2(CAST(i AS BIGINT) + 1)) AS idcg_raw
+        |  FROM pool, UNNEST(range(1, least(n_rel, 10) + 1)) AS t(i)
+        |  GROUP BY qlabel)
+        |SELECT query_id, hits_topk,
+        |  round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+        |  round(dcg_raw / idcg_raw, 6) AS ndcg
+        |FROM dcg JOIN ideal USING (qlabel)
+        |ORDER BY query_id""".stripMargin,
+
     "q_knn_classify" ->
       """WITH e AS (
         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -137,6 +137,26 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("sprt stops at the first boundary crossing of an all-success run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sprt").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    // 20 straight successes: LLR climbs by 0.182322/trial and first
+    // clears ln(19) = 2.944439 at trial ceil(2944439/182322) = 17
+    val rows = (1 to 20).map(i =>
+      (i.toLong, us("2024-01-05 10:00:00") + i * 1000000L, 1L,
+        "purchase", 60.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.sprt(spark, tmp).collect()
+    assert(out.length == 1, "only the decision row (no %250 probe in 20 trials)")
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("trial_no")) == 17L)
+    assert(r.getDouble(r.fieldIndex("llr")) == 3.099474) // 17 * 0.182322
+    assert(r.getString(r.fieldIndex("state")) == "accept_h1")
+    assert(r.getBoolean(r.fieldIndex("is_decision")))
+    spark.catalog.clearCache()
+  }
+
   test("did recovers a constructed treatment effect exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_did").toString
     def us(t: String) = ts(t).getTime * 1000L * 1000L

@@ -422,6 +422,27 @@ class TextVectorSpec extends SparkSpec {
       "r" -> 1L, "ow" -> 1L, "ta" -> 2L))
   }
 
+  test("ndcg is exactly 1 when every relevant doc outranks every irrelevant one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // two orthogonal clusters: each query's 3 same-label mates score
+    // cos≈1 and the 4 strangers cos≈0 → the ranking is ideal, so
+    // DCG@10 = IDCG (n_rel = 3) and NDCG = 1.0 for every query
+    val rows = (0 to 3).map(i =>
+      (i.toLong, mix(Map(0 -> 1.0, 1 -> 0.01 * i)), 0)) ++
+      (4 to 7).map(i => (i.toLong, mix(Map(2 -> 1.0, 3 -> 0.01 * i)), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.ndcg(spark, dir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("hits_topk")) == 3L)
+      assert(r.getDouble(r.fieldIndex("ndcg")) == 1.0, s"q ${r.getLong(0)}")
+    }
+  }
+
   test("knnClassify: majority of 5 exact neighbors recovers cluster labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("knncls").toString
