@@ -927,6 +927,161 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Active-learning acquisition by margin uncertainty (Lewis & Gale
+    * SIGIR'94 uncertainty sampling, the smallest-margin variant): score
+    * every vector by the gap between its squared distances to the two
+    * NEAREST label centroids — a small gap means the current classifier
+    * is torn between two classes, which is exactly the row a labeling
+    * budget should buy next. Emits the 20 most ambiguous rows with both
+    * contending classes.
+    *
+    * Shape: centroids = one grouped pass to a |labels|·d dim (rounded at
+    * 6 dp so both engines score against identical centroids), broadcast
+    * into the fact explode; per-row class distances collapse through one
+    * (vec, class) aggregate; the global bottom-20 is
+    * TakeOrderedAndProject. */
+  def activeMargin(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "x")))
+    val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+    val dist = ex.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(round(sum(pow(col("x") - col("m"), 2)), 6).as("dist"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("clabel"))
+    dist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("rk") === 1, col("clabel"))).as("nearest"),
+        max(when(col("rk") === 2, col("clabel"))).as("second"),
+        max(when(col("rk") === 1, col("dist"))).as("d1"),
+        max(when(col("rk") === 2, col("dist"))).as("d2"))
+      .withColumn("margin", round(col("d2") - col("d1"), 6))
+      .select(col("vec_id"), col("label").as("true_label"), col("nearest"),
+        col("second"), col("margin"))
+      .orderBy(col("margin"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** SMOTE synthetic minority oversampling (Chawla et al. JAIR'02) made
+    * deterministic: for every vector of the RAREST label (ties to the
+    * smaller label id), interpolate a synthetic sample at the exact
+    * integer-quantized midpoint with its nearest same-class neighbor —
+    * floor division spelled so Spark `div` and DuckDB `//` agree (the
+    * [[VectorOps.semDedup]] / power-iteration convention) — and emit the
+    * synthetic vector's md5 fingerprint, so the oracle hash-checks the
+    * GENERATED data itself, not just pair choices. (Production SMOTE
+    * draws a random interpolation coefficient; the committed midpoint is
+    * the reproducible-pipeline variant.)
+    *
+    * Shape: minority selection is a 1-row broadcast; the NN search is an
+    * exact self-join over the minority block only (by construction the
+    * smallest class — never corpus²); synthesis is one narrow
+    * projection. */
+  def smote(s: SparkSession, dir: String): DataFrame = {
+    val cnt = emb(s, dir).groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val minority = cnt.orderBy(col("n"), col("label")).limit(1)
+      .select(col("label"))
+    val mv = withNorm(emb(s, dir))
+      .join(broadcast(minority), "label")
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))"))
+    val a = mv.select(col("vec_id").as("src_id"), col("embedding").as("va"),
+      col("norm").as("na"), col("q").as("qa"))
+    val b = mv.select(col("vec_id").as("nn_id"), col("embedding").as("vb"),
+      col("norm").as("nb"), col("q").as("qb"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    a.join(b, col("src_id") =!= col("nn_id"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .withColumn("mid", expr(
+        "transform(zip_with(qa, qb, (x, y) -> x + y), " +
+          "s -> (s - ((s % 2 + 2) % 2)) div 2)"))
+      .select(col("src_id"), col("nn_id"), col("cos"),
+        substring(md5(array_join(
+          expr("transform(mid, x -> CAST(x AS STRING))"), ",")), 1, 16)
+          .as("synth_md5"))
+      .orderBy(col("src_id"))
+  }
+
+  /** MMR balance (exact binary 3/4) / pool width / picks for
+    * [[mmrDiversify]]. */
+  private val MmrLambda = 0.75
+  private val MmrPool = 8
+  private val MmrK = 4
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98) — the diversification pass between retrieval and the
+    * user: greedily pick, K times, the candidate maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so near
+    * duplicates of an already-chosen result are demoted even when their
+    * raw relevance is high. Greedy selection is INHERENTLY sequential in
+    * K — but K is small and per-step work is pool-sized, so each step is
+    * a few joins over Q·pool rows; the corpus-scale work (scoring +
+    * per-query top-pool cut) happens once up front. Determinism without
+    * output rounding: rel and pairwise sims are rounded at 6 dp going
+    * IN, λ = 3/4 is an exact binary fraction, so every score is the
+    * same IEEE double on both engines and the oracle (the same K-step
+    * greedy unrolled as generated CTEs) hash-matches scores bit-exactly. */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qnorm"))
+    val scored = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("norm").as("cnorm"))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("rel",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
+    val pool = scored.withColumn("prk", row_number().over(wq))
+      .filter(col("prk") <= MmrPool)
+      .select(col("query_id"), col("cand_id"), col("rel"), col("cv"),
+        col("cnorm"))
+      .persist()
+    val sims = pool.select(col("query_id"), col("cand_id").as("id1"),
+        col("cv").as("v1"), col("cnorm").as("n1"))
+      .join(pool.select(col("query_id"), col("cand_id").as("id2"),
+        col("cv").as("v2"), col("cnorm").as("n2")), Seq("query_id"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("sim",
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .select(col("query_id"), col("id1"), col("id2"), col("sim"))
+      .persist()
+    var selected = spark.range(0)
+      .select(col("id").as("query_id"), col("id").as("cand_id"),
+        lit(0).cast("int").as("rnk"), lit(0.0).as("score"))
+    for (k <- 1 to MmrK) {
+      val remaining = pool.select(col("query_id"), col("cand_id"), col("rel"))
+        .join(selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+      val ms = sims
+        .join(selected.select(col("query_id"), col("cand_id").as("id2")),
+          Seq("query_id", "id2"))
+        .groupBy(col("query_id"), col("id1").as("cand_id"))
+        .agg(max(col("sim")).as("ms"))
+      val wpick = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      val pick = remaining.join(ms, Seq("query_id", "cand_id"), "left")
+        .withColumn("score", lit(MmrLambda) * col("rel")
+          - lit(1 - MmrLambda) * coalesce(col("ms"), lit(0.0)))
+        .withColumn("rn", row_number().over(wpick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"),
+          lit(k).cast("int").as("rnk"), col("score"))
+      selected = selected.union(pick)
+    }
+    selected.orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Margin-denominator depth for [[mutualKnn]]: each side's local density
     * estimate is the mean cosine of its 4 nearest neighbors. */
   private val MknnK = 4
@@ -1000,9 +1155,121 @@ object VectorOps {
     "q_mutual_knn" -> (mutualKnn _),
     "q_knn_classify" -> (knnClassify _),
     "q_ndcg" -> (ndcg _),
+    "q_active_margin" -> (activeMargin _),
+    "q_smote" -> (smote _),
+    "q_mmr_diversify" -> (mmrDiversify _),
   )
 
+  private def mmrOracle: String = {
+    val steps = (1 to MmrK).map { k =>
+      val prev = s"sel${k - 1}"
+      s"""c$k AS (
+         |  SELECT p.query_id, p.cand_id,
+         |    $MmrLambda * p.rel - ${1 - MmrLambda} * coalesce(mx.ms, 0.0)
+         |      AS score
+         |  FROM pool p
+         |  LEFT JOIN (
+         |    SELECT m.query_id, m.id1 AS cand_id, max(m.sim) AS ms
+         |    FROM sims m JOIN $prev s
+         |      ON m.query_id = s.query_id AND m.id2 = s.cand_id
+         |    GROUP BY 1, 2) mx
+         |    ON p.query_id = mx.query_id AND p.cand_id = mx.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |    WHERE s.query_id = p.query_id AND s.cand_id = p.cand_id)),
+         |p$k AS (
+         |  SELECT query_id, cand_id, CAST($k AS INTEGER) AS rnk, score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS rn FROM c$k)
+         |  WHERE rn = 1),
+         |sel$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings),
+       |pool AS (
+       |  SELECT query_id, cand_id, rel FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6)
+       |        AS rel,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6)
+       |          DESC, c.vec_id) AS prk
+       |    FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+       |  WHERE prk <= $MmrPool),
+       |sims AS (
+       |  SELECT p1.query_id, p1.cand_id AS id1, p2.cand_id AS id2,
+       |    round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS sim
+       |  FROM pool p1 JOIN pool p2
+       |    ON p1.query_id = p2.query_id AND p1.cand_id <> p2.cand_id
+       |  JOIN e x ON p1.cand_id = x.vec_id
+       |  JOIN e y ON p2.cand_id = y.vec_id),
+       |sel0 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS query_id,
+       |    CAST(NULL AS BIGINT) AS cand_id, CAST(0 AS INTEGER) AS rnk,
+       |    CAST(0.0 AS DOUBLE) AS score
+       |  WHERE false),
+       |$steps
+       |SELECT query_id, cand_id, rnk, score FROM sel$MmrK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_mmr_diversify" -> mmrOracle,
+    "q_active_margin" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(i AS INT) AS pos,
+        |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        |cent AS (
+        |  SELECT label AS clabel, pos, round(avg(x), 6) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT vec_id, label, clabel,
+        |    round(sum(pow(x - m, 2)), 6) AS dist
+        |  FROM ex JOIN cent USING (pos) GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, clabel) AS rk FROM dist),
+        |agg AS (
+        |  SELECT vec_id, label AS true_label,
+        |    max(CASE WHEN rk = 1 THEN clabel END) AS nearest,
+        |    max(CASE WHEN rk = 2 THEN clabel END) AS second,
+        |    max(CASE WHEN rk = 1 THEN dist END) AS d1,
+        |    max(CASE WHEN rk = 2 THEN dist END) AS d2
+        |  FROM rk WHERE rk <= 2 GROUP BY 1, 2)
+        |SELECT vec_id, true_label, nearest, second,
+        |  round(d2 - d1, 6) AS margin
+        |FROM agg ORDER BY margin, vec_id LIMIT 20""".stripMargin,
+
+    "q_smote" ->
+      """WITH cnt AS (
+        |  SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |mn AS (SELECT label FROM cnt ORDER BY n, label LIMIT 1),
+        |mv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings e JOIN mn USING (label)),
+        |p AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS nn_id,
+        |    round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos,
+        |    a.q AS qa, b.q AS qb,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+        |        DESC, b.vec_id) AS rk
+        |  FROM mv a JOIN mv b ON a.vec_id <> b.vec_id)
+        |SELECT src_id, nn_id, cos,
+        |  substr(md5(array_to_string(list_transform(range(1, 65),
+        |    i -> (qa[i] + qb[i]
+        |          - (((qa[i] + qb[i]) % 2 + 2) % 2)) // 2), ',')), 1, 16)
+        |    AS synth_md5
+        |FROM p WHERE rk = 1 ORDER BY src_id""".stripMargin,
+
     "q_ndcg" ->
       """WITH e AS (
         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -443,6 +443,73 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("mmr demotes a duplicate of the first pick in favor of a diverse result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // query 0 = (e0+e1)/sqrt2; A=e0, B=2·e0 (exact duplicate direction of
+    // A), C=e1. All three tie on relevance .707107, so plain top-2 keeps
+    // the duplicate {A, B}; MMR picks A (tie → smaller id), then C
+    // (sim(A,C)=0 beats B's sim(A,B)=1 penalty), then B last.
+    Seq(
+      (0L, mix(Map(0 -> 0.7071, 1 -> 0.7071)), 0),
+      (1L, mix(Map(0 -> 1.0)), 0),
+      (2L, mix(Map(0 -> 2.0)), 0),
+      (3L, mix(Map(1 -> 1.0)), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val q0 = VectorOps.mmrDiversify(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getInt(r.fieldIndex("rnk")) ->
+        r.getLong(r.fieldIndex("cand_id"))).sortBy(_._1)
+    assert(q0.toSeq == Seq(1 -> 1L, 2 -> 3L, 3 -> 2L))
+  }
+
+  test("activeMargin surfaces nonnegative margins between distinct classes") {
+    val rows = VectorOps.activeMargin(spark, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("margin")) >= 0.0)
+      assert(r.getInt(r.fieldIndex("nearest"))
+        != r.getInt(r.fieldIndex("second")))
+    }
+    // output is the ASCENDING margin head: sorted by ambiguity
+    val ms = rows.map(_.getDouble(rows.head.fieldIndex("margin")))
+    assert(ms.zip(ms.drop(1)).forall { case (a, b) => a <= b })
+  }
+
+  test("smote synthesizes the exact quantized midpoint, symmetrically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("smote").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // minority label 1 = {v4, v5}; their synthetic midpoints must agree
+    // (midpoint is symmetric) and equal the independent JVM computation
+    Seq(
+      (0L, mix(Map(2 -> 1.0)), 0), (1L, mix(Map(3 -> 1.0)), 0),
+      (2L, mix(Map(4 -> 1.0)), 0),
+      (4L, mix(Map(0 -> 1.0)), 1),
+      (5L, mix(Map(0 -> 0.9, 1 -> 0.1)), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = VectorOps.smote(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(rows.keySet == Set(4L, 5L))
+    assert(rows(4L)._1 == 5L && rows(5L)._1 == 4L)
+    val q4 = mix(Map(0 -> 1.0)).map(x => math.floor(x.toDouble * 1024).toLong)
+    val q5 = mix(Map(0 -> 0.9, 1 -> 0.1))
+      .map(x => math.floor(x.toDouble * 1024).toLong)
+    val mid = q4.zip(q5).map { case (a, b) =>
+      val ss = a + b; (ss - ((ss % 2 + 2) % 2)) / 2
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(mid.mkString(",").getBytes)
+      .map("%02x".format(_)).mkString.take(16)
+    assert(rows(4L)._2 == md5)
+    assert(rows(5L)._2 == md5, "midpoint is symmetric")
+  }
+
   test("knnClassify: majority of 5 exact neighbors recovers cluster labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("knncls").toString
