@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -201,7 +202,51 @@ object Audit {
     s.sql(zoneMapSql("lineitem_v"))
   }
 
+  /** Rendezvous (highest-random-weight) sharding audit — Thaler &
+    * Ravishankar '98, the stateless consistent-hashing scheme behind
+    * cache rings and shard routers: every key routes to the shard with
+    * the highest hash(shard, key), so GROWING the fleet from 8 to 9
+    * shards moves only the keys whose new shard wins (≈ 1/9 of them),
+    * while naive mod-N routing reshuffles ≈ 8/9 of the corpus. The audit
+    * measures both movement ratios over the real user-id population —
+    * the number that decides whether adding capacity to a 100 TB keyed
+    * store is a rebalance or a full rewrite. Hashes are the md5-prefix
+    * family of [[AffineSketch]], identical in both engines; the winner
+    * is an explicit (weight, shard) lexicographic argmax, so ties (never
+    * observed, but defined) break the same way everywhere.
+    *
+    * Shape: |keys|·9 hash rows through ONE grouped argmax per scheme —
+    * map-side combined, no joins bigger than the key set. */
+  def rendezvous(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(s, dir, "events").select(col("user_id")).distinct()
+    def hw(shard: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(shard.cast("string"), lit("-"),
+        col("user_id").cast("string"))), 1, 7), 16, 10).cast("long")
+    def hrw(n: Int, out: String) =
+      keys.select(col("user_id"),
+          explode(sequence(lit(0), lit(n - 1))).as("shard"))
+        .withColumn("w", hw(col("shard")))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("w"), col("shard"))).as("m"))
+        .select(col("user_id"), col("m.shard").as(out))
+    val r = hrw(8, "s8").join(hrw(9, "s9"), "user_id")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+      .select(lit("rendezvous").as("scheme"), col("n_keys"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_keys"), 6)
+          .as("moved_ratio"))
+    val m = keys
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("user_id") % 8 =!= col("user_id") % 9, 1L)
+          .otherwise(0L)).as("n_moved"))
+      .select(lit("mod").as("scheme"), col("n_keys"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_keys"), 6)
+          .as("moved_ratio"))
+    m.unionAll(r).orderBy(col("scheme"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rendezvous" -> (rendezvous _),
     "q_zone_map" -> (zoneMap _),
     "q_l_diversity" -> (lDiversity _),
     "q_k_anonymity" -> (kAnonymity _),
@@ -211,6 +256,37 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rendezvous" -> {
+      def hrwCte(n: Int, out: String): String =
+        s"""$out AS (
+           |  SELECT user_id, shard FROM (
+           |    SELECT k.user_id, CAST(i AS INT) AS shard,
+           |      ('0x'||substr(md5(CAST(i AS INT) || '-' ||
+           |        CAST(k.user_id AS VARCHAR)), 1, 7))::BIGINT AS w,
+           |      row_number() OVER (PARTITION BY k.user_id
+           |        ORDER BY ('0x'||substr(md5(CAST(i AS INT) || '-' ||
+           |          CAST(k.user_id AS VARCHAR)), 1, 7))::BIGINT DESC,
+           |          CAST(i AS INT) DESC) AS rn
+           |    FROM keys k, UNNEST(range(0, $n)) AS t(i))
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH keys AS (SELECT DISTINCT user_id FROM events),
+         |${hrwCte(8, "h8")},
+         |${hrwCte(9, "h9")},
+         |r AS (
+         |  SELECT 'rendezvous' AS scheme, count(*) AS n_keys,
+         |    CAST(sum(CASE WHEN h8.shard <> h9.shard THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved
+         |  FROM h8 JOIN h9 USING (user_id)),
+         |m AS (
+         |  SELECT 'mod' AS scheme, count(*) AS n_keys,
+         |    CAST(sum(CASE WHEN user_id % 8 <> user_id % 9
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM keys)
+         |SELECT scheme, n_keys, n_moved,
+         |  round(CAST(n_moved AS DOUBLE) / n_keys, 6) AS moved_ratio
+         |FROM (SELECT * FROM m UNION ALL SELECT * FROM r)
+         |ORDER BY scheme""".stripMargin
+    },
     "q_zone_map" -> zoneMapSql("lineitem"),
     "q_l_diversity" -> lDiversitySql("customer"),
     "q_k_anonymity" -> kAnonymitySql("customer"),

@@ -1010,6 +1010,60 @@ object VectorOps {
       .orderBy(col("src_id"))
   }
 
+  /** Neighborhood size for [[lof]]. */
+  private val LofK = 3
+
+  /** Local outlier factor (Breunig et al. SIGMOD'00) — density-RELATIVE
+    * outlier detection: a point is anomalous not because it is far from
+    * everything (that is [[Analytics.madOutliers]]'s global view) but
+    * because its local density is low compared to its own neighbors'
+    * densities, which catches outliers sitting next to a tight cluster
+    * that global methods miss. Exact k-NN within label blocks (the
+    * [[cosinePairs]] convention — blocks are the shard key; swap in the
+    * SRP-banded candidate generation for unbounded corpora), Euclidean
+    * distances rounded at 6 dp before every comparison so neighbor sets,
+    * reachability distances, lrd, and the final scores are
+    * engine-identical. Emits the top-20 scores with their ingredients
+    * (k-distance, lrd) — LOF ≈ 1 means inlier, ≫ 1 means outlier.
+    *
+    * Shape: one block self-join scores O(block²) pairs, one window keeps
+    * each point's k nearest, and everything after is joins over the
+    * n·k neighbor relation. */
+  def lof(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val a = e.select(col("label"), col("vec_id").as("p"),
+      col("embedding").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("o"),
+      col("embedding").as("vb"), col("norm").as("nb"))
+    val wnn = Window.partitionBy(col("p")).orderBy(col("d"), col("o"))
+    val nn = a.join(b, Seq("label"))
+      .filter(col("p") =!= col("o"))
+      .withColumn("d", round(sqrt(greatest(lit(0.0),
+        col("na") * col("na") + col("nb") * col("nb")
+          - lit(2.0) * dot(col("va"), col("vb")))), 6))
+      .withColumn("rk", row_number().over(wnn))
+      .filter(col("rk") <= LofK)
+      .select(col("label"), col("p"), col("o"), col("d"))
+      .persist()
+    val kd = nn.groupBy(col("p")).agg(max(col("d")).as("kdist"))
+    val reach = nn
+      .join(kd.select(col("p").as("o"), col("kdist").as("kdist_o")), "o")
+      .withColumn("reach", greatest(col("kdist_o"), col("d")))
+    val lrd = reach.groupBy(col("p"), col("label"))
+      .agg(round(lit(1.0) / avg(col("reach")), 6).as("lrd"))
+    val scores = nn.select(col("p"), col("o"))
+      .join(lrd.select(col("p").as("o"), col("lrd").as("lrd_o")), "o")
+      .groupBy(col("p")).agg(avg(col("lrd_o")).as("mean_lrd_o"))
+      .join(lrd, "p")
+      .select(col("p").as("vec_id"), col("label"), col("lrd"),
+        round(col("mean_lrd_o") / col("lrd"), 6).as("lof"))
+    scores.join(kd.select(col("p").as("vec_id"), col("kdist")), "vec_id")
+      .select(col("vec_id"), col("label"), col("kdist"), col("lrd"),
+        col("lof"))
+      .orderBy(col("lof").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** MMR balance (exact binary 3/4) / pool width / picks for
     * [[mmrDiversify]]. */
   private val MmrLambda = 0.75
@@ -1158,6 +1212,7 @@ object VectorOps {
     "q_active_margin" -> (activeMargin _),
     "q_smote" -> (smote _),
     "q_mmr_diversify" -> (mmrDiversify _),
+    "q_lof" -> (lof _),
   )
 
   private def mmrOracle: String = {
@@ -1217,6 +1272,41 @@ object VectorOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_lof" ->
+      s"""WITH e AS (
+         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |nn AS (
+         |  SELECT label, p, o, d FROM (
+         |    SELECT a.label, a.vec_id AS p, b.vec_id AS o,
+         |      round(sqrt(greatest(0.0,
+         |        a.norm * a.norm + b.norm * b.norm
+         |          - 2.0 * list_dot_product(a.v, b.v))), 6) AS d,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        round(sqrt(greatest(0.0,
+         |          a.norm * a.norm + b.norm * b.norm
+         |            - 2.0 * list_dot_product(a.v, b.v))), 6),
+         |        b.vec_id) AS rk
+         |    FROM e a JOIN e b
+         |      ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |  WHERE rk <= $LofK),
+         |kd AS (SELECT p, max(d) AS kdist FROM nn GROUP BY p),
+         |reach AS (
+         |  SELECT nn.p, nn.label, greatest(ko.kdist, nn.d) AS reach
+         |  FROM nn JOIN kd ko ON nn.o = ko.p),
+         |lrd AS (
+         |  SELECT p, label, round(1.0 / avg(reach), 6) AS lrd
+         |  FROM reach GROUP BY 1, 2),
+         |mo AS (
+         |  SELECT nn.p, avg(lo.lrd) AS mean_lrd_o
+         |  FROM nn JOIN lrd lo ON nn.o = lo.p GROUP BY nn.p)
+         |SELECT lrd.p AS vec_id, lrd.label, kd.kdist, lrd.lrd,
+         |  round(mo.mean_lrd_o / lrd.lrd, 6) AS lof
+         |FROM lrd JOIN mo ON lrd.p = mo.p JOIN kd ON lrd.p = kd.p
+         |ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin,
+
     "q_mmr_diversify" -> mmrOracle,
     "q_active_margin" ->
       """WITH ex AS (

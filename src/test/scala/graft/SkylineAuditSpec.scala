@@ -197,6 +197,22 @@ class SkylineAuditSpec extends SparkSpec {
     }
   }
 
+  test("rendezvous hashing moves ~1/(n+1) of keys; mod-N moves almost all") {
+    val rows = graft.ops.Audit.rendezvous(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val hrw = rows("rendezvous").getDouble(
+      rows("rendezvous").fieldIndex("moved_ratio"))
+    val mod = rows("mod").getDouble(rows("mod").fieldIndex("moved_ratio"))
+    // theory: 1/9 = 0.111 for HRW vs 8/9 for mod-N on uniform keys; the
+    // sf0.001 key population is ~30 sparse ids, so assert the ORDER of
+    // magnitude and the relative gap rather than the asymptotic ratios
+    // (sf0.01 measures 0.113 vs 0.853, right on theory)
+    assert(hrw < 0.25, s"hrw moved $hrw")
+    assert(mod >= 2 * hrw, s"mod moved $mod vs hrw $hrw")
+    assert(rows("rendezvous").getAs[Long]("n_keys")
+      == rows("mod").getAs[Long]("n_keys"))
+  }
+
   test("zone map: date-sorted layout skips most files, ingest layout skips none") {
     val rows = graft.ops.Audit.zoneMap(spark, sf001).collect()
       .map(r => r.getString(0) -> r).toMap

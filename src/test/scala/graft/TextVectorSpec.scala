@@ -443,6 +443,27 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("lof flags the density outlier next to a tight cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lof").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // 5-point tight grid (spacing 0.01 along e1) + one point 0.5 away:
+    // the straggler's local density is far below its neighbors' → LOF >> 1;
+    // cluster members' LOF ~ 1 (their neighborhoods look like themselves)
+    val rows = (0 to 4).map(i =>
+      (i.toLong, mix(Map(0 -> 1.0, 1 -> 0.01 * i)), 0)) :+
+      ((9L, mix(Map(0 -> 1.0, 1 -> 0.5)), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.lof(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("lof"))).toMap
+    assert(out(9L) > 2.0, s"straggler lof ${out(9L)}")
+    assert((0 to 4).forall(i => out(i.toLong) < 1.5),
+      "cluster members are inliers")
+    assert(out.values.max == out(9L))
+  }
+
   test("mmr demotes a duplicate of the first pick in favor of a diverse result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mmr").toString
