@@ -1438,16 +1438,21 @@ object Analytics {
     * map-side-combined on (i1, i2); item totals are an items-sized dim
     * broadcast back onto the surviving pairs; the final top-N rides
     * TakeOrderedAndProject, not a global sort. */
-  def itemCf(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables(s, dir, "orders")
+  /** Per-customer distinct (cust, item) purchase sets. */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
       .distinct()
       .persist()
-    val itemCnt = baskets.groupBy(col("item")).agg(count(lit(1)).as("n"))
-    val a = baskets.select(col("cust"), col("item").as("i1"))
-    val b = baskets.select(col("cust"), col("item").as("i2"))
+
+  /** All co-purchase pairs at min support with their set cosine —
+    * the shared model relation behind [[itemCf]] and [[userRecs]]. */
+  private def coCosine(bk: DataFrame): DataFrame = {
+    val itemCnt = bk.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val a = bk.select(col("cust"), col("item").as("i1"))
+    val b = bk.select(col("cust"), col("item").as("i2"))
     val co = a.join(b, Seq("cust"))
       .filter(col("i1") < col("i2"))
       .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("co"))
@@ -1456,10 +1461,49 @@ object Analytics {
       .join(broadcast(itemCnt.select(col("item").as("i2"), col("n").as("n2"))), Seq("i2"))
       .withColumn("cosine",
         round(col("co") / sqrt(col("n1") * col("n2")), 6))
+  }
+
+  def itemCf(s: SparkSession, dir: String): DataFrame =
+    coCosine(baskets(s, dir))
       .select(col("i1"), col("i2"), col("co"), col("n1"), col("n2"),
         col("cosine"))
       .orderBy(col("cosine").desc, col("i1"), col("i2"))
       .limit(CfTopN)
+
+  /** Batch recommendation inference on top of the [[itemCf]] model —
+    * the nightly scoring job a recsys actually ships: for each customer
+    * in the audience (custkey < 500), every neighbor of an owned item is
+    * a candidate, its score the SUM of item-item cosines over the owned
+    * items that vouch for it (Linden et al.'s aggregation), already-owned
+    * items anti-joined away, top-3 per customer kept. Sum-of-6-dp-cosines
+    * is engine-stable at 6 dp output rounding.
+    *
+    * Shape: audience baskets ⋈ the symmetrized pair model on item (the
+    * model is the co-pair relation, NOT corpus-sized per user), one
+    * (cust, candidate) aggregate, an owned anti-join, and a per-customer
+    * window top-3. */
+  def userRecs(s: SparkSession, dir: String): DataFrame = {
+    val bk = baskets(s, dir)
+    val model = coCosine(bk)
+    val sym = model.select(col("i1").as("owned"), col("i2").as("cand"),
+        col("cosine"))
+      .unionAll(model.select(col("i2").as("owned"), col("i1").as("cand"),
+        col("cosine")))
+    val audience = bk.filter(col("cust") < 500)
+    val scores = audience.withColumnRenamed("item", "owned")
+      .join(sym, "owned")
+      .groupBy(col("cust"), col("cand"))
+      .agg(round(sum(col("cosine")), 6).as("score"),
+        count(lit(1)).as("n_vouchers"))
+      .join(bk.select(col("cust"), col("item").as("cand")),
+        Seq("cust", "cand"), "left_anti")
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("cand"))
+    scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("cust"), col("rk").cast("int").as("rk"), col("cand"),
+        col("score"), col("n_vouchers"))
+      .orderBy(col("cust"), col("rk"))
   }
 
   /** Delete-one-group jackknife (Tukey 1958; the grouped form survey
@@ -1586,7 +1630,99 @@ object Analytics {
       .orderBy(col("trial_no"))
   }
 
+  /** Bot/automation detection from traffic shape — the filter the
+    * reference's "unique visitors" goal needs before counting humans: a
+    * scripted client's inter-arrival gaps are too REGULAR (coefficient
+    * of variation ≪ 1; a Poisson human is ≈ 1) or its sustained rate too
+    * high. Emits per-user gap statistics with both flags for every user
+    * with ≥ 20 events — the full evidence table, not just the verdict.
+    * One hash-by-user exchange for the lag window, then a per-user
+    * aggregate; thresholds are committed (CV < 0.3, > 5 events/min). */
+  def botFlags(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val gaps = events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap",
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("gap")) / 1e6, 6).as("mean_gap_s"),
+        round(stddev_pop(col("gap")) / 1e6, 6).as("sd_gap_s"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / 1000000L).as("span_s"))
+      .filter(col("n_events") >= 20)
+      .withColumn("cv", round(col("sd_gap_s") / col("mean_gap_s"), 6))
+      .withColumn("rate_per_min",
+        round(col("n_events") * 60.0 / col("span_s"), 6))
+      .withColumn("flag_regular", col("cv") < 0.3)
+      .withColumn("flag_rate", col("rate_per_min") > 5.0)
+      .select(col("user_id"), col("n_events"), col("mean_gap_s"),
+        col("sd_gap_s"), col("cv"), col("rate_per_min"),
+        col("flag_regular"), col("flag_rate"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Wilson lower-confidence-bound ranking (Wilson 1927; the "how not to
+    * sort by average rating" fix): order part brands by the LOWER bound
+    * of their return-rate interval instead of the raw rate, so a brand
+    * with 3/3 returns does not outrank one with 95/100 — small samples
+    * get pulled toward the prior. z = 1.96 committed; all inputs are
+    * exact integer counts, so the algebra is engine-identical. One
+    * broadcast-dim join + one grouped pass over the fact. */
+  def wilsonRank(s: SparkSession, dir: String): DataFrame = {
+    val z = 1.96
+    val base = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val p = col("r").cast("double") / col("n")
+    val z2n = lit(z * z) / col("n")
+    base
+      .withColumn("p_hat", round(p, 6))
+      .withColumn("wilson_lcb", round(
+        (p + z2n / 2 - lit(z) * sqrt(p * (lit(1.0) - p) / col("n")
+          + lit(z * z) / (lit(4.0) * col("n") * col("n"))))
+          / (lit(1.0) + z2n), 6))
+      .select(col("brand"), col("n"), col("r"), col("p_hat"),
+        col("wilson_lcb"))
+      .orderBy(col("wilson_lcb").desc, col("brand"))
+  }
+
+  /** A/B sample-size calculator (two-proportion z-test power analysis)
+    * fed by MEASURED baseline conversion: p₁ = purchase share of events,
+    * MDE = +1pp absolute, α = .05 two-sided, power = .8 (z constants
+    * committed to 6 dp). n/arm = (z_α√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/δ² —
+    * the number a growth team reads before launching the experiment the
+    * [[did]]/[[sprt]] queries later analyze. One aggregate → 1-row
+    * algebra. */
+  def abPower(s: SparkSession, dir: String): DataFrame = {
+    val za = 1.959964
+    val zb = 0.841621
+    val delta = 0.01
+    val base = events(s, dir).agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purchase"))
+    val p1 = col("n_purchase").cast("double") / col("n_events")
+    val p2 = p1 + delta
+    val pbar = (p1 + p2) / 2
+    val nArm = pow(
+      lit(za) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar))
+        + lit(zb) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)),
+      2) / lit(delta * delta)
+    base.select(
+      round(p1, 6).as("p_baseline"),
+      lit(delta).as("mde_abs"),
+      ceil(nArm).cast("long").as("n_per_arm"),
+      ceil(nArm * 2).cast("long").as("n_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bot_flags" -> (botFlags _),
+    "q_user_recs" -> (userRecs _),
+    "q_wilson_rank" -> (wilsonRank _),
+    "q_ab_power" -> (abPower _),
     "q_sprt" -> (sprt _),
     "q_did" -> (did _),
     "q_jackknife" -> (jackknife _),
@@ -1638,6 +1774,98 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bot_flags" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts)) AS DOUBLE) AS gap,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    round(avg(gap) / 1e6, 6) AS mean_gap_s,
+        |    round(stddev_pop(gap) / 1e6, 6) AS sd_gap_s,
+        |    (max(ts_us) - min(ts_us)) // 1000000 AS span_s
+        |  FROM g GROUP BY user_id HAVING count(*) >= 20)
+        |SELECT user_id, n_events, mean_gap_s, sd_gap_s,
+        |  round(sd_gap_s / mean_gap_s, 6) AS cv,
+        |  round(n_events * 60.0 / span_s, 6) AS rate_per_min,
+        |  round(sd_gap_s / mean_gap_s, 6) < 0.3 AS flag_regular,
+        |  round(n_events * 60.0 / span_s, 6) > 5.0 AS flag_rate
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    "q_user_recs" ->
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |cnt AS (SELECT item, count(*) AS n FROM baskets GROUP BY item),
+         |co AS (
+         |  SELECT a.item AS i1, b.item AS i2, count(*) AS co
+         |  FROM baskets a JOIN baskets b
+         |    ON a.cust = b.cust AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCo),
+         |model AS (
+         |  SELECT i1, i2, round(co / sqrt(c1.n * c2.n), 6) AS cosine
+         |  FROM co JOIN cnt c1 ON co.i1 = c1.item
+         |          JOIN cnt c2 ON co.i2 = c2.item),
+         |sym AS (
+         |  SELECT i1 AS owned, i2 AS cand, cosine FROM model
+         |  UNION ALL
+         |  SELECT i2, i1, cosine FROM model),
+         |scores AS (
+         |  SELECT b.cust, s.cand, round(sum(s.cosine), 6) AS score,
+         |    count(*) AS n_vouchers
+         |  FROM baskets b JOIN sym s ON b.item = s.owned
+         |  WHERE b.cust < 500
+         |  GROUP BY 1, 2),
+         |fresh AS (
+         |  SELECT sc.* FROM scores sc
+         |  WHERE NOT EXISTS (SELECT 1 FROM baskets o
+         |    WHERE o.cust = sc.cust AND o.item = sc.cand))
+         |SELECT cust, CAST(rk AS INTEGER) AS rk, cand, score, n_vouchers
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cust
+         |  ORDER BY score DESC, cand) AS rk FROM fresh)
+         |WHERE rk <= 3 ORDER BY cust, rk""".stripMargin,
+
+    "q_wilson_rank" ->
+      """WITH base AS (
+        |  SELECT p_brand AS brand, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT brand, n, r,
+        |  round(CAST(r AS DOUBLE) / n, 6) AS p_hat,
+        |  round((CAST(r AS DOUBLE) / n + (1.96 * 1.96 / n) / 2
+        |    - 1.96 * sqrt((CAST(r AS DOUBLE) / n)
+        |        * (1.0 - CAST(r AS DOUBLE) / n) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)))
+        |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lcb
+        |FROM base ORDER BY wilson_lcb DESC, brand""".stripMargin,
+
+    "q_ab_power" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchase
+        |  FROM events),
+        |calc AS (
+        |  SELECT CAST(n_purchase AS DOUBLE) / n_events AS p1 FROM base),
+        |f AS (
+        |  SELECT p1, p1 + 0.01 AS p2, (p1 + (p1 + 0.01)) / 2 AS pbar
+        |  FROM calc),
+        |n AS (
+        |  SELECT p1,
+        |    pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |      + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+        |      / (0.01 * 0.01) AS n_arm
+        |  FROM f)
+        |SELECT round(p1, 6) AS p_baseline,
+        |  CAST(0.01 AS DOUBLE) AS mde_abs,
+        |  CAST(ceil(n_arm) AS BIGINT) AS n_per_arm,
+        |  CAST(ceil(n_arm * 2) AS BIGINT) AS n_total
+        |FROM n""".stripMargin,
+
     "q_sprt" ->
       s"""WITH t AS (
          |  SELECT event_id,

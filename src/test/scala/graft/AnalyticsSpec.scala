@@ -137,6 +137,75 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("bot flags: metronome client flagged, irregular human not") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bot").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    val t0 = us("2024-01-05 10:00:00")
+    // user 1: exactly 10s apart, 30 events → CV = 0, rate 6/min (both
+    // flags); user 2: 30 events with erratic gaps → CV ≈ 1, slow rate
+    val human = Seq(1L, 5, 2, 9, 3, 60, 7, 31, 2, 44, 11, 90, 4, 2, 17,
+      120, 9, 33, 6, 21, 2, 75, 13, 41, 8, 3, 29, 55, 10)
+      .scanLeft(0L)(_ + _ * 1000000000L) // gap seconds → ns
+    val rows = ((1 to 30).map(i =>
+      (i.toLong, t0 + i * 10000000000L, 1L, "view", 1.0, "{}")) ++
+      human.zipWithIndex.map { case (off, i) =>
+        (100L + i, t0 + off, 2L, "view", 1.0, "{}") })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.botFlags(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val bot = out(1L)
+    assert(bot.getDouble(bot.fieldIndex("cv")) == 0.0)
+    assert(bot.getBoolean(bot.fieldIndex("flag_regular")))
+    assert(bot.getBoolean(bot.fieldIndex("flag_rate")))
+    val hum = out(2L)
+    assert(hum.getDouble(hum.fieldIndex("cv")) > 0.3)
+    assert(!hum.getBoolean(hum.fieldIndex("flag_regular")))
+    assert(!hum.getBoolean(hum.fieldIndex("flag_rate")))
+  }
+
+  test("user recs never recommend an owned item; scores descend per user") {
+    val recs = Analytics.userRecs(spark, sf001).collect()
+    assert(recs.nonEmpty)
+    val owned = graft.Tables(spark, sf001, "orders")
+      .join(graft.Tables(spark, sf001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    recs.foreach { r =>
+      val cust = r.getLong(r.fieldIndex("cust"))
+      val cand = r.getLong(r.fieldIndex("cand"))
+      assert(!owned.contains((cust, cand)), s"recommended owned: $cust/$cand")
+      assert(r.getDouble(r.fieldIndex("score")) > 0.0)
+    }
+    recs.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(rs.head.fieldIndex("rk")))
+      val sc = byRank.map(_.getDouble(byRank.head.fieldIndex("score")))
+      assert(sc.zip(sc.drop(1)).forall { case (a, b) => a >= b })
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("wilson lcb is a strict shrinkage of the raw rate") {
+    val rows = Analytics.wilsonRank(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("p_hat"))
+      val lcb = r.getDouble(r.fieldIndex("wilson_lcb"))
+      assert(lcb < p || (p == 0.0 && lcb <= 0.0), s"${r.getString(0)}")
+      assert(lcb >= -1e-9 && lcb <= 1.0)
+    }
+  }
+
+  test("ab power: sample size is in the analytic ballpark for p~0.2, mde 1pp") {
+    val r = Analytics.abPower(spark, sf001).collect().head
+    val p = r.getDouble(r.fieldIndex("p_baseline"))
+    assert(p > 0.1 && p < 0.3, s"baseline $p")
+    val n = r.getLong(r.fieldIndex("n_per_arm"))
+    assert(n > 15000 && n < 45000, s"n/arm $n")
+    assert(r.getLong(r.fieldIndex("n_total")) == 2 * n)
+  }
+
   test("sprt stops at the first boundary crossing of an all-success run") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sprt").toString
     def us(t: String) = ts(t).getTime * 1000L * 1000L
