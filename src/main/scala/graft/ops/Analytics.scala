@@ -1718,7 +1718,47 @@ object Analytics {
       ceil(nArm * 2).cast("long").as("n_total"))
   }
 
+  /** Erlang-C capacity planning (Erlang 1917; the M/M/c wait-probability
+    * formula every on-call capacity review still uses): measure the PEAK
+    * per-minute arrival rate from the event stream, convert to offered
+    * load A = λ·service-time erlangs (committed 10 s service budget),
+    * and for each fleet size c compute the probability an arrival has to
+    * queue — the smallest c with P(wait) < 0.2 is the capacity answer.
+    * A^k/k! terms use exact `factorial` (integers ≤ 12! — exact in both
+    * engines) and `pow`, so the 12-row algebra is engine-stable at 6 dp.
+    * Everything after the per-minute aggregate is a 12·c-row relation. */
+  def erlangC(s: SparkSession, dir: String): DataFrame = {
+    val peak = events(s, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("peak_per_min"))
+    val a = peak.select(col("peak_per_min"),
+      (col("peak_per_min") / 60.0 * 10.0).as("a"))
+    val byC = a.select(col("peak_per_min"), col("a"),
+      explode(sequence(lit(1), lit(12))).as("c"))
+    val terms = byC
+      .select(col("peak_per_min"), col("a"), col("c"),
+        explode(sequence(lit(0), col("c") - 1)).as("k"))
+      .withColumn("t", pow(col("a"), col("k"))
+        / factorial(col("k")).cast("double"))
+      .groupBy(col("peak_per_min"), col("a"), col("c"))
+      .agg(sum(col("t")).as("s0"))
+    terms
+      .withColumn("tc", pow(col("a"), col("c"))
+        / factorial(col("c")).cast("double"))
+      .withColumn("rho", col("a") / col("c"))
+      .withColumn("p_wait", round(
+        when(col("rho") >= 1.0, 1.0)
+          .otherwise(col("tc")
+            / (col("tc") + (lit(1.0) - col("rho")) * col("s0"))), 6))
+      .select(col("c").cast("int").as("c"), col("peak_per_min"),
+        round(col("a"), 6).as("a_erlangs"), round(col("rho"), 6).as("rho"),
+        col("p_wait"), (col("p_wait") < 0.2).as("meets_slo"))
+      .orderBy(col("c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_erlang_c" -> (erlangC _),
     "q_bot_flags" -> (botFlags _),
     "q_user_recs" -> (userRecs _),
     "q_wilson_rank" -> (wilsonRank _),
@@ -1774,6 +1814,34 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_erlang_c" ->
+      """WITH peak AS (
+        |  SELECT max(n) AS peak_per_min FROM (
+        |    SELECT date_trunc('minute', ts) AS m, count(*) AS n
+        |    FROM events GROUP BY 1)),
+        |base AS (
+        |  SELECT peak_per_min, peak_per_min / 60.0 * 10.0 AS a FROM peak),
+        |byc AS (
+        |  SELECT peak_per_min, a, CAST(c AS INT) AS c
+        |  FROM base, UNNEST(range(1, 13)) AS t(c)),
+        |terms AS (
+        |  SELECT peak_per_min, a, c,
+        |    sum(pow(a, CAST(k AS INT))
+        |        / CAST(factorial(CAST(k AS INT)) AS DOUBLE)) AS s0
+        |  FROM byc, UNNEST(range(0, c)) AS u(k)
+        |  GROUP BY 1, 2, 3),
+        |calc AS (
+        |  SELECT c, peak_per_min, a, a / c AS rho,
+        |    pow(a, c) / CAST(factorial(c) AS DOUBLE) AS tc, s0
+        |  FROM terms)
+        |SELECT c, peak_per_min, round(a, 6) AS a_erlangs,
+        |  round(rho, 6) AS rho,
+        |  round(CASE WHEN rho >= 1.0 THEN 1.0
+        |    ELSE tc / (tc + (1.0 - rho) * s0) END, 6) AS p_wait,
+        |  round(CASE WHEN rho >= 1.0 THEN 1.0
+        |    ELSE tc / (tc + (1.0 - rho) * s0) END, 6) < 0.2 AS meets_slo
+        |FROM calc ORDER BY c""".stripMargin,
+
     "q_bot_flags" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -137,6 +137,22 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("erlang c: M/M/1 identity holds and waiting decays monotonically") {
+    val rows = Analytics.erlangC(spark, sf001).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 12)
+    val a = rows.head.getDouble(rows.head.fieldIndex("a_erlangs"))
+    // classic M/M/1 special case: P(wait) = rho = A when c = 1 (A < 1)
+    if (a < 1.0)
+      assert(rows.head.getDouble(rows.head.fieldIndex("p_wait")) == a)
+    val pw = rows.map(_.getDouble(rows.head.fieldIndex("p_wait")))
+    assert(pw.zip(pw.drop(1)).forall { case (x, y) => x >= y },
+      "more servers can never increase waiting")
+    // SLO flag is monotone: once met, stays met
+    val slo = rows.map(_.getBoolean(rows.head.fieldIndex("meets_slo")))
+    assert(!slo.zip(slo.drop(1)).exists { case (x, y) => x && !y })
+  }
+
   test("bot flags: metronome client flagged, irregular human not") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bot").toString
     def us(t: String) = ts(t).getTime * 1000L * 1000L
