@@ -1757,7 +1757,139 @@ object Analytics {
       .orderBy(col("c"))
   }
 
+  /** Abramowitz & Stegun 7.1.26 normal-tail helper: committed 5-term erf
+    * polynomial, so two-sided p-values are pure arithmetic both engines
+    * compute identically (no engine erf needed). Returns
+    * p = 2·(1 − Φ(|z|)). */
+  private def pTwoSided(z: Column): Column = {
+    val x = abs(z) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (lit(0.254829592) * t - lit(0.284496736) * t * t
+      + lit(1.421413741) * t * t * t - lit(1.453152027) * t * t * t * t
+      + lit(1.061405429) * t * t * t * t * t)
+    val erf = lit(1.0) - poly * exp(-x * x)
+    lit(1.0) - erf
+  }
+
+  private def pTwoSidedSql(z: String): String = {
+    val x = s"(abs($z) / sqrt(2.0))"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"""(1.0 - (1.0 - (0.254829592 * $t - 0.284496736 * $t * $t
+       | + 1.421413741 * $t * $t * $t - 1.453152027 * $t * $t * $t * $t
+       | + 1.061405429 * $t * $t * $t * $t * $t) * exp(-$x * $x)))"""
+      .stripMargin.replace("\n", "")
+  }
+
+  /** CUPED variance reduction (Deng et al. WSDM'13 — the pre-experiment
+    * covariate adjustment every mature experimentation platform applies
+    * before reading a metric): per-user PRE-period revenue X predicts
+    * POST-period revenue Y; θ = cov(X,Y)/var(X), Y_adj = Y − θ(X − X̄),
+    * and the variance of the adjusted metric drops by exactly ρ² — the
+    * emitted reduction percentage is how much experiment traffic the
+    * covariate just saved. One by-(user, period) aggregate → a users-
+    * sized relation → 1-row moment algebra. */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val per = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, col("value")).otherwise(0.0)).as("x"),
+        sum(when(col("ts") >= cut, col("value")).otherwise(0.0)).as("y"))
+    per.agg(count(lit(1)).as("n_users"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        avg(col("x") * col("x")).as("mxx"),
+        avg(col("y") * col("y")).as("myy"),
+        avg(col("x") * col("y")).as("mxy"))
+      .withColumn("var_x", col("mxx") - col("mx") * col("mx"))
+      .withColumn("var_y", col("myy") - col("my") * col("my"))
+      .withColumn("cov_xy", col("mxy") - col("mx") * col("my"))
+      .withColumn("theta", col("cov_xy") / col("var_x"))
+      .withColumn("var_adj",
+        col("var_y") - col("cov_xy") * col("cov_xy") / col("var_x"))
+      .select(col("n_users"), round(col("theta"), 6).as("theta"),
+        round(col("var_y"), 6).as("var_y"),
+        round(col("var_adj"), 6).as("var_adj"),
+        round((lit(1.0) - col("var_adj") / col("var_y")) * 100, 6)
+          .as("var_reduction_pct"))
+  }
+
+  /** Benjamini–Hochberg FDR control (JRSS-B 1995) over a family of
+    * per-nation two-proportion z-tests (each nation's return rate vs the
+    * global rate): p-values from the committed A&S erf polynomial, ranked
+    * ascending, rejected up to the LARGEST rank with p ≤ (i/m)·q — the
+    * step-up rule (note: every test below that rank is rejected too,
+    * even those above their own threshold). q = 0.10. The multiple-
+    * testing gate any per-segment metric sweep needs before announcing
+    * "nation 17 is different". Facts aggregate once; everything after is
+    * a 25-row relation with two windows. */
+  def benjaminiHochberg(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val wAll = Window.partitionBy(lit(1))
+    val g = base
+      .withColumn("n_tot", sum(col("n")).over(wAll))
+      .withColumn("r_tot", sum(col("r")).over(wAll))
+      .withColumn("p0", col("r_tot").cast("double") / col("n_tot"))
+      .withColumn("z", (col("r").cast("double") / col("n") - col("p0"))
+        / sqrt(col("p0") * (lit(1.0) - col("p0")) / col("n")))
+      .withColumn("p_value", round(pTwoSided(col("z")), 6))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("p_value"), col("nation"))
+    val ranked = g.withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("bh_thresh",
+        round(col("rk") * 0.10 / col("m"), 6))
+      .withColumn("passes", col("p_value") <= col("bh_thresh"))
+    val cutoff = ranked
+      .withColumn("max_pass_rk",
+        max(when(col("passes"), col("rk"))).over(wAll))
+    cutoff
+      .select(col("nation"), col("n"), col("r"), round(col("z"), 6).as("z"),
+        col("p_value"), col("rk").cast("int").as("rk"), col("bh_thresh"),
+        (col("rk") <= coalesce(col("max_pass_rk"), lit(0))).as("rejected"))
+      .orderBy(col("rk"))
+  }
+
+  /** Mann–Whitney U rank-sum test (1947) — the nonparametric two-sample
+    * location test next to the parametric [[abTest]]: do BUILDING and
+    * MACHINERY customers' order values come from the same distribution?
+    * Ranks are GLOBAL over the pooled sample via
+    * [[ScaledRank.withGroupedRowNumbers]] (range partition + local pass —
+    * the no-single-task rank path; (price, orderkey) tie-break makes
+    * ranks exact on this continuous metric), then U, its normal
+    * approximation z, and the A&S p-value are 1-row algebra. */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val pool = Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(lit(1).as("g"), col("c_mktsegment").as("seg"),
+        col("o_totalprice").as("v"), col("o_orderkey"))
+    val ranked = ScaledRank.withGroupedRowNumbers(pool, Seq(col("g")),
+      Seq(col("v"), col("o_orderkey")))
+    ranked.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("grn")).as("rank_sum"))
+      .agg(
+        max(when(col("seg") === "BUILDING", col("n"))).as("n1"),
+        max(when(col("seg") === "MACHINERY", col("n"))).as("n2"),
+        max(when(col("seg") === "BUILDING", col("rank_sum"))).as("r1"))
+      .withColumn("u", expr("r1 - (n1 * (n1 + 1)) div 2"))
+      .withColumn("mu", col("n1").cast("double") * col("n2") / 2)
+      .withColumn("sigma", sqrt(col("n1").cast("double") * col("n2")
+        * (col("n1") + col("n2") + 1) / 12))
+      .withColumn("z", (col("u") - col("mu")) / col("sigma"))
+      .select(col("n1"), col("n2"), col("u"), round(col("z"), 6).as("z"),
+        round(pTwoSided(col("z")), 6).as("p_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cuped" -> (cuped _),
+    "q_benjamini_hochberg" -> (benjaminiHochberg _),
+    "q_mann_whitney" -> (mannWhitney _),
     "q_erlang_c" -> (erlangC _),
     "q_bot_flags" -> (botFlags _),
     "q_user_recs" -> (userRecs _),
@@ -1814,6 +1946,96 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN value ELSE 0.0 END) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN value ELSE 0.0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*) AS n_users, avg(x) AS mx, avg(y) AS my,
+        |    avg(x * x) AS mxx, avg(y * y) AS myy, avg(x * y) AS mxy
+        |  FROM per),
+        |d AS (
+        |  SELECT n_users,
+        |    mxx - mx * mx AS var_x, myy - my * my AS var_y,
+        |    mxy - mx * my AS cov_xy
+        |  FROM m)
+        |SELECT n_users, round(cov_xy / var_x, 6) AS theta,
+        |  round(var_y, 6) AS var_y,
+        |  round(var_y - cov_xy * cov_xy / var_x, 6) AS var_adj,
+        |  round((1.0 - (var_y - cov_xy * cov_xy / var_x) / var_y) * 100,
+        |    6) AS var_reduction_pct
+        |FROM d""".stripMargin,
+
+    "q_benjamini_hochberg" -> {
+      val p = pTwoSidedSql("z")
+      s"""WITH base AS (
+         |  SELECT c_nationkey AS nation, count(*) AS n,
+         |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS r
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |                JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1),
+         |g AS (
+         |  SELECT *,
+         |    (CAST(r AS DOUBLE) / n
+         |      - CAST(sum(r) OVER () AS DOUBLE) / sum(n) OVER ())
+         |    / sqrt((CAST(sum(r) OVER () AS DOUBLE) / sum(n) OVER ())
+         |      * (1.0 - CAST(sum(r) OVER () AS DOUBLE) / sum(n) OVER ())
+         |      / n) AS z
+         |  FROM base),
+         |pv AS (SELECT nation, n, r, z, round($p, 6) AS p_value FROM g),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY p_value, nation) AS rk,
+         |    count(*) OVER () AS m
+         |  FROM pv),
+         |th AS (
+         |  SELECT *, round(rk * 0.10 / m, 6) AS bh_thresh,
+         |    p_value <= round(rk * 0.10 / m, 6) AS passes
+         |  FROM rk),
+         |cut AS (
+         |  SELECT *, max(CASE WHEN passes THEN rk END) OVER ()
+         |    AS max_pass_rk
+         |  FROM th)
+         |SELECT nation, n, r, round(z, 6) AS z, p_value,
+         |  CAST(rk AS INTEGER) AS rk, bh_thresh,
+         |  rk <= coalesce(max_pass_rk, 0) AS rejected
+         |FROM cut ORDER BY rk""".stripMargin
+    },
+
+    "q_mann_whitney" -> {
+      val p = pTwoSidedSql("z")
+      s"""WITH pool AS (
+         |  SELECT c_mktsegment AS seg, o_totalprice AS v, o_orderkey
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         |ranked AS (
+         |  SELECT seg,
+         |    row_number() OVER (ORDER BY v, o_orderkey) AS grn
+         |  FROM pool),
+         |agg AS (
+         |  SELECT
+         |    max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+         |    max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+         |    max(CASE WHEN seg = 'BUILDING' THEN rank_sum END) AS r1
+         |  FROM (SELECT seg, count(*) AS n,
+         |          CAST(sum(grn) AS BIGINT) AS rank_sum
+         |        FROM ranked GROUP BY seg)),
+         |calc AS (
+         |  SELECT n1, n2, r1 - n1 * (n1 + 1) // 2 AS u,
+         |    CAST(n1 AS DOUBLE) * n2 / 2 AS mu,
+         |    sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12) AS sigma
+         |  FROM agg),
+         |z AS (SELECT n1, n2, u, (u - mu) / sigma AS z FROM calc)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(u AS BIGINT) AS u, round(z, 6) AS z,
+         |  round($p, 6) AS p_value
+         |FROM z""".stripMargin
+    },
+
     "q_erlang_c" ->
       """WITH peak AS (
         |  SELECT max(n) AS peak_per_min FROM (

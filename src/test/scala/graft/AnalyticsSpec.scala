@@ -137,6 +137,55 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("cuped: a perfectly predictive covariate removes all variance") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cuped").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    // y = 2x exactly per user → theta = 2, adjusted variance 0, 100% win
+    val rows = Seq(
+      (1L, "2024-01-05 10:00:00", 1L, 1.0), (2L, "2024-01-20 10:00:00", 1L, 2.0),
+      (3L, "2024-01-05 10:00:00", 2L, 2.0), (4L, "2024-01-20 10:00:00", 2L, 4.0),
+      (5L, "2024-01-05 10:00:00", 3L, 3.0), (6L, "2024-01-20 10:00:00", 3L, 6.0))
+      .map { case (id, t, u, v) => (id, us(t), u, "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val r = Analytics.cuped(spark, tmp).collect().head
+    assert(r.getDouble(r.fieldIndex("theta")) == 2.0)
+    assert(r.getDouble(r.fieldIndex("var_adj")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("var_reduction_pct")) == 100.0)
+  }
+
+  test("mann-whitney: fully separated samples give the extreme U") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mw").toString
+    val cust = (1 to 8).map(i => (i.toLong, f"Customer#$i%09d", 0L, 0.0,
+      if (i <= 4) "BUILDING" else "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // every BUILDING order value above every MACHINERY one
+    val ords = (1 to 8).map(i => (100L + i, i.toLong, "F",
+      if (i <= 4) 1000.0 + i else 10.0 + i,
+      ts("2024-01-05 10:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    cust.write.parquet(s"$tmp/customer.parquet")
+    ords.write.parquet(s"$tmp/orders.parquet")
+    val r = Analytics.mannWhitney(spark, tmp).collect().head
+    // ranks 5..8 all BUILDING → R1 = 26, U = 26 - 10 = 16 = n1·n2 (max)
+    assert(r.getLong(r.fieldIndex("u")) == 16L)
+    assert(r.getDouble(r.fieldIndex("z")) > 2.0)
+    assert(r.getDouble(r.fieldIndex("p_value")) < 0.05)
+    spark.catalog.clearCache()
+  }
+
+  test("bh rejection set is a prefix of the p-value ranking") {
+    val all = Analytics.benjaminiHochberg(spark, sf001).collect()
+    val byRk = all.sortBy(_.getInt(all.head.fieldIndex("rk")))
+    val ps = byRk.map(_.getDouble(byRk.head.fieldIndex("p_value")))
+    assert(ps.zip(ps.drop(1)).forall { case (a, b) => a <= b })
+    val rej = byRk.map(_.getBoolean(byRk.head.fieldIndex("rejected")))
+    assert(!rej.zip(rej.drop(1)).exists { case (a, b) => !a && b },
+      "step-up rule: rejections form a prefix")
+    spark.catalog.clearCache()
+  }
+
   test("erlang c: M/M/1 identity holds and waiting decays monotonically") {
     val rows = Analytics.erlangC(spark, sf001).collect()
       .sortBy(_.getInt(0))
