@@ -326,4 +326,67 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("item CF pairs come from the keyed basket self-join, top-N via TakeOrdered") {
+    val p = plan("q_item_cf")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("user recs: model joins stay keyed (no cartesian, no BNLJ)") {
+    val p = plan("q_user_recs")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), "per-user top-3 should group-limit")
+  }
+
+  test("dedup PR truth join carries the block keys (keyed, never cartesian)") {
+    // BNLJ appears ONLY as the metric-assembly crossJoins of 1-row
+    // aggregates (the Q11 convention); the pair-generating joins must
+    // stay keyed, which CartesianProduct absence + the sf0.1 runtime
+    // (5.6 s vs the unkeyed 22.7 s) pins
+    val p = plan("q_dedup_pr")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("sparse tfidf retrieval joins on the term posting key only") {
+    // the single BNLJ is the 1-row n_docs crossJoin into the idf
+    val p = plan("q_tfidf_retrieval")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), "per-query top-5 should group-limit")
+  }
+
+  test("knn family tops-k via WindowGroupLimit; only the bounded Q-row side nest-loops") {
+    // the broadcast-probe scorers (cosineTopK convention) NL-join a
+    // bounded Q-row broadcast against the corpus scan — that is the
+    // intended map-side probe; the top-k must still group-limit
+    for (q <- Seq("q_knn_classify", "q_ndcg")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("lof neighbor search is label-block-keyed (no cartesian, no BNLJ)") {
+    val p = plan("q_lof")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), "k-NN cut should group-limit")
+  }
+
+  test("quantile norm never plans a single-partition global window") {
+    val p = plan("q_quantile_norm")
+    // ScaledRank's two-phase rank: no Window over an unpartitioned sort
+    // of the fact (windows in this plan may only serve tiny relations)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("RoundRobinPartitioning") || p.contains("rangepartitioning")
+      || p.toLowerCase.contains("range"), "expected the range-partitioned rank path")
+  }
+
+  test("bot flags ride ONE by-user exchange for window plus aggregate") {
+    val p = plan("q_bot_flags")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n${p.take(3000)}")
+  }
 }
