@@ -1889,7 +1889,66 @@ object Analytics {
         round(pTwoSided(col("z")), 6).as("p_value"))
   }
 
+  /** ALS ridge regularizer for [[alsStep]]. */
+  private val AlsLambda = 0.1
+
+  /** One exact ALS half-step (Koren/Bell/Volinsky; THE canonical Spark
+    * MLlib recommender workload, here as pure DataFrame algebra): hold
+    * rank-2 item factors fixed (deterministic md5-derived, committed) and
+    * solve every user's ridge regression in closed form — u =
+    * (Σvvᵀ + λI)⁻¹ Σv·r via the explicit 2×2 inverse, so the whole
+    * training step is grouped sums + scalar algebra, no iterative solver
+    * and no driver-side matrix work. Ratings r = ln(1+Σqty) per
+    * (customer, part). Emits the first 100 users' factors plus the
+    * global RMSE before (zero factors) and after the step — the oracle
+    * hash-checks that ONE step of training measurably fits, exactly.
+    *
+    * 100 TB shape: one grouped pass builds the 5 normal-equation moments
+    * per user (map-side combined), the solve is per-row projection
+    * arithmetic, and the RMSE audit is one more scan — the ALS dataflow
+    * with the linear algebra inlined into Catalyst expressions. */
+  def alsStep(s: SparkSession, dir: String): DataFrame = {
+    def itemF(k: Int): Column =
+      ((conv(substring(md5(concat(lit(s"als$k-"),
+        col("item").cast("string"))), 1, 7), 16, 10).cast("long") % 2001)
+        - 1000).cast("double") / 1000.0
+    val ratings = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .agg(log(lit(1.0) + sum(col("l_quantity"))).as("r"))
+      .withColumn("v1", itemF(1)).withColumn("v2", itemF(2))
+      .persist()
+    val moments = ratings.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("v1") * col("v1")).as("s11"),
+        sum(col("v1") * col("v2")).as("s12"),
+        sum(col("v2") * col("v2")).as("s22"),
+        sum(col("v1") * col("r")).as("b1"),
+        sum(col("v2") * col("r")).as("b2"))
+    val det = ((col("s11") + AlsLambda) * (col("s22") + AlsLambda)
+      - col("s12") * col("s12"))
+    val solved = moments
+      .withColumn("u1", ((col("s22") + AlsLambda) * col("b1")
+        - col("s12") * col("b2")) / det)
+      .withColumn("u2", ((col("s11") + AlsLambda) * col("b2")
+        - col("s12") * col("b1")) / det)
+      .persist()
+    val audit = ratings.join(solved.select(col("cust"), col("u1"),
+        col("u2")), "cust")
+      .agg(round(sqrt(avg(col("r") * col("r"))), 6).as("rmse_before"),
+        round(sqrt(avg(pow(col("r") - (col("u1") * col("v1")
+          + col("u2") * col("v2")), 2))), 6).as("rmse_after"))
+    solved.filter(col("cust") < 100)
+      .crossJoin(broadcast(audit))
+      .select(col("cust"), col("n_items"), round(col("u1"), 6).as("u1"),
+        round(col("u2"), 6).as("u2"), col("rmse_before"),
+        col("rmse_after"))
+      .orderBy(col("cust"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_als_step" -> (alsStep _),
     "q_cuped" -> (cuped _),
     "q_benjamini_hochberg" -> (benjaminiHochberg _),
     "q_mann_whitney" -> (mannWhitney _),
@@ -1949,6 +2008,41 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_als_step" ->
+      s"""WITH ratings AS (
+         |  SELECT o_custkey AS cust, l_partkey AS item,
+         |    ln(1.0 + sum(l_quantity)) AS r
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |rf AS (
+         |  SELECT cust, item, r,
+         |    CAST((('0x'||substr(md5('als1-' || CAST(item AS VARCHAR)),
+         |      1, 7))::BIGINT % 2001) - 1000 AS DOUBLE) / 1000.0 AS v1,
+         |    CAST((('0x'||substr(md5('als2-' || CAST(item AS VARCHAR)),
+         |      1, 7))::BIGINT % 2001) - 1000 AS DOUBLE) / 1000.0 AS v2
+         |  FROM ratings),
+         |m AS (
+         |  SELECT cust, count(*) AS n_items,
+         |    sum(v1 * v1) AS s11, sum(v1 * v2) AS s12,
+         |    sum(v2 * v2) AS s22, sum(v1 * r) AS b1, sum(v2 * r) AS b2
+         |  FROM rf GROUP BY cust),
+         |solved AS (
+         |  SELECT cust, n_items,
+         |    ((s22 + $AlsLambda) * b1 - s12 * b2)
+         |      / ((s11 + $AlsLambda) * (s22 + $AlsLambda) - s12 * s12) AS u1,
+         |    ((s11 + $AlsLambda) * b2 - s12 * b1)
+         |      / ((s11 + $AlsLambda) * (s22 + $AlsLambda) - s12 * s12) AS u2
+         |  FROM m),
+         |audit AS (
+         |  SELECT round(sqrt(avg(r * r)), 6) AS rmse_before,
+         |    round(sqrt(avg(pow(r - (u1 * v1 + u2 * v2), 2))), 6)
+         |      AS rmse_after
+         |  FROM rf JOIN solved USING (cust))
+         |SELECT cust, n_items, round(u1, 6) AS u1, round(u2, 6) AS u2,
+         |  rmse_before, rmse_after
+         |FROM solved CROSS JOIN audit
+         |WHERE cust < 100 ORDER BY cust""".stripMargin,
+
     "q_cuped" ->
       """WITH per AS (
         |  SELECT user_id,

@@ -137,6 +137,44 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("als step strictly reduces rmse and matches the 1-rating closed form") {
+    val rows = Analytics.alsStep(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val r0 = rows.head
+    assert(r0.getDouble(r0.fieldIndex("rmse_after"))
+      < r0.getDouble(r0.fieldIndex("rmse_before")),
+      "one ALS half-step must fit better than zero factors")
+
+    // closed-form cross-check on a 1-customer / 1-item corpus:
+    // u = (vv' + lambda I)^-1 v r, computed independently in the JVM
+    val tmp = java.nio.file.Files.createTempDirectory("graft_als").toString
+    import spark.implicits._
+    Seq((10L, 7L, "F", 1.0, ts("2024-01-05 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$tmp/orders.parquet")
+    Seq((10L, 42L, 1L, 1, math.E - 1.0, 1.0, 0.0, 0.0, "N", "O",
+      ts("2024-01-06 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    def f(k: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"als$k-42".getBytes).map("%02x".format(_)).mkString.take(7)
+      (java.lang.Long.parseLong(h, 16) % 2001 - 1000) / 1000.0
+    }
+    val (v1, v2) = (f(1), f(2))
+    val r = math.log(1.0 + (math.E - 1.0)) // = 1 exactly up to libm
+    val det = (v1 * v1 + 0.1) * (v2 * v2 + 0.1) - v1 * v2 * v1 * v2
+    val eu1 = ((v2 * v2 + 0.1) * (v1 * r) - v1 * v2 * (v2 * r)) / det
+    val eu2 = ((v1 * v1 + 0.1) * (v2 * r) - v1 * v2 * (v1 * r)) / det
+    val out = Analytics.alsStep(spark, tmp).collect().head
+    assert(math.abs(out.getDouble(out.fieldIndex("u1")) - eu1) < 1e-6)
+    assert(math.abs(out.getDouble(out.fieldIndex("u2")) - eu2) < 1e-6)
+    spark.catalog.clearCache()
+  }
+
   test("cuped: a perfectly predictive covariate removes all variance") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cuped").toString
     def us(t: String) = ts(t).getTime * 1000L * 1000L
