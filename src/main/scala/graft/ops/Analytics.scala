@@ -1947,7 +1947,152 @@ object Analytics {
       .orderBy(col("cust"))
   }
 
+  /** Tiny expression algebra so the Cramer's-rule expansions below are
+    * generated ONCE and rendered to both Spark Columns and oracle SQL
+    * text with identical association — the cross-engine-determinism
+    * trick: same expression tree ⇒ same IEEE result bit-for-bit. */
+  private trait Alg[E] {
+    def mul(a: E, b: E): E; def sub(a: E, b: E): E; def add(a: E, b: E): E
+    def div(a: E, b: E): E; def const(d: Double): E
+  }
+  private object ColAlg extends Alg[Column] {
+    def mul(a: Column, b: Column) = a * b
+    def sub(a: Column, b: Column) = a - b
+    def add(a: Column, b: Column) = a + b
+    def div(a: Column, b: Column) = a / b
+    def const(d: Double) = lit(d)
+  }
+  private object SqlAlg extends Alg[String] {
+    def mul(a: String, b: String) = s"($a * $b)"
+    def sub(a: String, b: String) = s"($a - $b)"
+    def add(a: String, b: String) = s"($a + $b)"
+    def div(a: String, b: String) = s"($a / $b)"
+    def const(d: Double) = d.toString
+  }
+  private def det2[E](a: E, b: E, c: E, d: E)(A: Alg[E]): E =
+    A.sub(A.mul(a, d), A.mul(b, c))
+  private def det3[E](m: Seq[Seq[E]])(A: Alg[E]): E = {
+    val (a, b, c) = (m(0)(0), m(0)(1), m(0)(2))
+    A.add(
+      A.sub(A.mul(a, det2(m(1)(1), m(1)(2), m(2)(1), m(2)(2))(A)),
+        A.mul(b, det2(m(1)(0), m(1)(2), m(2)(0), m(2)(2))(A))),
+      A.mul(c, det2(m(1)(0), m(1)(1), m(2)(0), m(2)(1))(A)))
+  }
+  private def det4[E](m: Seq[Seq[E]])(A: Alg[E]): E = {
+    def minor(j: Int): Seq[Seq[E]] =
+      m.drop(1).map(r => r.zipWithIndex.filterNot(_._2 == j).map(_._1))
+    val t = (0 until 4).map(j => A.mul(m(0)(j), det3(minor(j))(A)))
+    A.add(A.sub(t(0), t(1)), A.sub(t(2), t(3)))
+  }
+
+  private val MkChannels = Seq("click", "error", "signup", "view")
+
+  /** Shared Cramer machinery for [[markovAttribution]]: given accessors
+    * for the transition probabilities, produce (conv_base, per-channel
+    * removal conv) expressions in either algebra. Absorption
+    * probabilities x solve (I−Q)x = b with b = p(·→CONV); removing a
+    * channel deletes its row/column WITHOUT renormalizing (its inbound
+    * flow is lost to END — the standard removal-effect counterfactual,
+    * Anderl et al. 2016). */
+  private def markovConv[E](p: (String, String) => E, A: Alg[E])
+    : (E, Map[String, E]) = {
+    def system(states: Seq[String]): E = {
+      val mat = states.map(i => states.map { j =>
+        val kron = if (i == j) A.const(1.0) else A.const(0.0)
+        A.sub(kron, p(i, j))
+      })
+      val b = states.map(i => p(i, "CONV"))
+      val detA = if (states.length == 4) det4(mat)(A) else det3(mat)(A)
+      val xs = states.indices.map { k =>
+        val rep = mat.zipWithIndex.map { case (row, ri) =>
+          row.zipWithIndex.map { case (e, ci) => if (ci == k) b(ri) else e }
+        }
+        val dk = if (states.length == 4) det4(rep)(A) else det3(rep)(A)
+        A.div(dk, detA)
+      }
+      // conv from START: direct + through each retained transient state
+      states.indices.foldLeft(p("START", "CONV")) { (acc, k) =>
+        A.add(acc, A.mul(p("START", states(k)), xs(k)))
+      }
+    }
+    val base = system(MkChannels)
+    val removed = MkChannels.map(c =>
+      c -> system(MkChannels.filterNot(_ == c))).toMap
+    (base, removed)
+  }
+
+  /** Markov removal-effect attribution (Anderl et al., IJRM 2016 — the
+    * data-driven replacement for last-touch heuristics the existing
+    * [[attribution]] query implements): user journeys (events up to the
+    * first purchase) become a first-order Markov chain over the four
+    * channels with CONV/END absorbing; the chain's conversion
+    * probability is solved EXACTLY via Cramer's rule (no value-iteration
+    * rounds to commit — the 4×4 and 3×3 determinant expansions are
+    * generated from one shared algebra and rendered identically into
+    * Spark Columns and oracle SQL, so every float matches bit-for-bit),
+    * and each channel's attribution is its removal effect: how much
+    * conversion collapses when that channel's state is deleted.
+    *
+    * Shape: ONE by-user exchange builds ordered journeys, one grouped
+    * pass counts transitions, and the entire solve is straight-line
+    * arithmetic over a single 25-cell probability row — corpus-scale
+    * work ends at the transition counts. */
+  def markovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ranked = events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id"), col("event_type"), col("rn"))
+    val fp = ranked.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fprn"))
+    val j = ranked.join(fp, Seq("user_id"), "left")
+      .filter(col("fprn").isNull || col("rn") < col("fprn"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val steps = j
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .withColumn("jrn", row_number().over(w2))
+      .persist()
+    val trans = steps.select(col("event_type").as("src"),
+        coalesce(col("nxt"),
+          when(col("fprn").isNotNull, "CONV").otherwise("END")).as("dst"))
+      .unionAll(steps.filter(col("jrn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst")))
+      .unionAll(fp.filter(col("fprn") === 1)
+        .select(lit("START").as("src"), lit("CONV").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    val wsrc = Window.partitionBy(col("src"))
+    val probs = trans
+      .withColumn("p", col("c").cast("double") / sum(col("c")).over(wsrc))
+    val srcs = "START" +: MkChannels
+    val dsts = MkChannels :+ "CONV"
+    val cells = for (a <- srcs; b <- dsts) yield
+      coalesce(max(when(col("src") === a && col("dst") === b, col("p"))),
+        lit(0.0)).as(s"p_${a}_$b")
+    val row = probs.agg(cells.head, cells.tail: _*)
+    def pc(a: String, b: String): Column = col(s"p_${a}_$b")
+    val (base, removed) = markovConv[Column](pc, ColAlg)
+    val channelStructs = MkChannels.map { c =>
+      struct(lit(c).as("channel"),
+        round(lit(1.0) - removed(c) / base, 6).as("removal_effect"))
+    }
+    val long = row.withColumn("conv_base", round(base, 6))
+      .select(col("conv_base"),
+        explode(array(channelStructs: _*)).as("x"))
+      .select(col("x.channel").as("channel"),
+        col("x.removal_effect").as("removal_effect"), col("conv_base"))
+    val wAll = Window.partitionBy(lit(1))
+    long
+      .withColumn("attribution_share",
+        round(col("removal_effect")
+          / sum(col("removal_effect")).over(wAll), 6))
+      .select(col("channel"), col("removal_effect"),
+        col("attribution_share"), col("conv_base"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_attribution" -> (markovAttribution _),
     "q_als_step" -> (alsStep _),
     "q_cuped" -> (cuped _),
     "q_benjamini_hochberg" -> (benjaminiHochberg _),
@@ -2007,7 +2152,66 @@ object Analytics {
     "q_ewma_load" -> (ewmaLoad _),
   )
 
+  private def markovOracle: String = {
+    val srcs = "START" +: MkChannels
+    val dsts = MkChannels :+ "CONV"
+    val cells = (for (a <- srcs; b <- dsts) yield
+      s"""coalesce(max(CASE WHEN src='$a' AND dst='$b' THEN p END), 0.0)
+         |    AS p_${a}_$b""".stripMargin).mkString(",\n  ")
+    val (base, removed) =
+      markovConv[String]((a, b) => s"p_${a}_$b", SqlAlg)
+    val longRows = MkChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  round((1.0 - (${removed(c)} / $base)), 6) AS removal_effect,
+         |  round($base, 6) AS conv_base FROM pv""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |fp AS (
+       |  SELECT user_id, min(rn) AS fprn FROM ranked
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |jj AS (
+       |  SELECT r.user_id, r.event_type, r.rn, fp.fprn
+       |  FROM ranked r LEFT JOIN fp USING (user_id)
+       |  WHERE fp.fprn IS NULL OR r.rn < fp.fprn),
+       |steps AS (
+       |  SELECT user_id, event_type, fprn,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS jrn
+       |  FROM jj),
+       |trans AS (
+       |  SELECT src, dst, count(*) AS c FROM (
+       |    SELECT event_type AS src,
+       |      coalesce(nxt, CASE WHEN fprn IS NOT NULL
+       |        THEN 'CONV' ELSE 'END' END) AS dst
+       |    FROM steps
+       |    UNION ALL
+       |    SELECT 'START', event_type FROM steps WHERE jrn = 1
+       |    UNION ALL
+       |    SELECT 'START', 'CONV' FROM fp WHERE fprn = 1)
+       |  GROUP BY 1, 2),
+       |probs AS (
+       |  SELECT src, dst,
+       |    CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY src) AS p
+       |  FROM trans),
+       |pv AS (
+       |  SELECT
+       |  $cells
+       |  FROM probs),
+       |lng AS (
+       |  $longRows)
+       |SELECT channel, removal_effect,
+       |  round(removal_effect / sum(removal_effect) OVER (), 6)
+       |    AS attribution_share,
+       |  conv_base
+       |FROM lng ORDER BY channel""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_markov_attribution" -> markovOracle,
     "q_als_step" ->
       s"""WITH ratings AS (
          |  SELECT o_custkey AS cust, l_partkey AS item,

@@ -137,6 +137,30 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("markov attribution: removal effect isolates the converting channel") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mkv").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    // user 1: view → purchase (converts); user 2: click → END.
+    // Chain: p(START→view)=p(START→click)=.5, p(view→CONV)=1 → base=.5;
+    // removing view kills ALL conversion (effect 1), removing click
+    // changes nothing (effect 0); absent channels get effect 0.
+    val rows = Seq(
+      (1L, "2024-01-05 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-05 10:01:00", 1L, "purchase", 1.0, "{}"),
+      (3L, "2024-01-05 10:00:00", 2L, "click", 1.0, "{}"))
+      .map { case (id, t, u, e, v, p) => (id, us(t), u, e, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val out = Analytics.markovAttribution(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("view").getDouble(out("view").fieldIndex("conv_base")) == 0.5)
+    assert(out("view").getDouble(out("view").fieldIndex("removal_effect")) == 1.0)
+    assert(out("click").getDouble(out("click").fieldIndex("removal_effect")) == 0.0)
+    assert(out("signup").getDouble(out("signup").fieldIndex("removal_effect")) == 0.0)
+    assert(out("view").getDouble(out("view").fieldIndex("attribution_share")) == 1.0)
+    spark.catalog.clearCache()
+  }
+
   test("als step strictly reduces rmse and matches the 1-rating closed form") {
     val rows = Analytics.alsStep(spark, sf001).collect()
     assert(rows.nonEmpty)
