@@ -1912,13 +1912,17 @@ object Analytics {
       ((conv(substring(md5(concat(lit(s"als$k-"),
         col("item").cast("string"))), 1, 7), 16, 10).cast("long") % 2001)
         - 1000).cast("double") / 1000.0
-    val ratings = Tables(s, dir, "orders")
+    val base = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
       .agg(log(lit(1.0) + sum(col("l_quantity"))).as("r"))
+    // factors live as their own items-sized dim (real ALS keeps factor
+    // tables separate) and broadcast into the ratings — two md5s per
+    // DISTINCT item, not per rating row (4.4 -> ~3 s at sf0.1)
+    val factors = base.select(col("item")).distinct()
       .withColumn("v1", itemF(1)).withColumn("v2", itemF(2))
-      .persist()
+    val ratings = base.join(broadcast(factors), "item").persist()
     val moments = ratings.groupBy(col("cust"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("v1") * col("v1")).as("s11"),
