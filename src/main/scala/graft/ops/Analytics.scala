@@ -2160,7 +2160,110 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Time-weighted average value per day (TWAP — the fair-average
+    * convention whenever observations arrive irregularly: each value
+    * holds until the NEXT event, so it is weighted by its holding
+    * duration, not counted once). Contrast column: the plain
+    * event-weighted mean, which over-counts bursts. One by-user… no —
+    * one by-day exchange for the lead window; weights in exact integer
+    * µs. Last event of each day holds until midnight. */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("day")).orderBy(col("ts_us"), col("event_id"))
+    val held = events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("day_end_us",
+        unix_micros(col("day") + expr("INTERVAL 1 DAY")))
+      .withColumn("hold_us",
+        coalesce(lead(col("ts_us"), 1).over(w), col("day_end_us"))
+          - col("ts_us"))
+    held.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("hold_us"))
+          / sum(col("hold_us")), 6).as("twap"),
+        round(avg(col("value")), 6).as("event_mean"))
+      .withColumn("day", to_date(col("day")).cast("string"))
+      .orderBy(col("day"))
+  }
+
+  /** Rank correlations over the per-nation revenue/customer aggregate —
+    * Spearman ρ (Pearson on ranks) and Kendall τ (concordant-minus-
+    * discordant pairs): the distribution-free complements to the
+    * parametric `regr_*`/corr family, robust to the heavy-tailed money
+    * amounts. Ranks are dense over the 25-row nation relation, and the
+    * τ pair scan is the 25²/2 self-join of that TINY relation — the
+    * corpus-scale work ends at the first aggregate. */
+  def rankCorr(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+    val wr = Window.orderBy(col("rev"), col("nation"))
+    val wc = Window.orderBy(col("n_cust"), col("nation"))
+    val ranked = nat
+      .withColumn("rr", row_number().over(wr).cast("double"))
+      .withColumn("rc", row_number().over(wc).cast("double"))
+      .persist()
+    val n = ranked.count().toDouble // 25: bounded by the nation dim
+    val spearman = ranked
+      .agg((lit(1.0) - lit(6.0) * sum(pow(col("rr") - col("rc"), 2))
+        / lit(n * (n * n - 1))).as("rho"))
+    val pairs = ranked.select(col("rr").as("r1"), col("rc").as("c1"),
+        col("nation").as("n1"))
+      .join(ranked.select(col("rr").as("r2"), col("rc").as("c2"),
+        col("nation").as("n2")), col("n1") < col("n2"))
+      .agg(sum(when((col("r1") - col("r2")) * (col("c1") - col("c2")) > 0,
+          1L).otherwise(-1L)).as("s"))
+    spearman.crossJoin(pairs)
+      .select(lit(n.toLong).as("n_groups"),
+        round(col("rho"), 6).as("spearman_rho"),
+        round(col("s") / lit(n * (n - 1) / 2), 6).as("kendall_tau"))
+  }
+
+  /** Target compaction-group size (bytes-proxy: row count). */
+  private val CompactTarget = 8000L
+
+  /** Small-file compaction planning — the OPTIMIZE step every lakehouse
+    * table needs once streaming writers fragment it: simulated files =
+    * per-(day, event-type) row groups (realistically skewed), ordered by
+    * their key so groups stay range-contiguous (zone maps survive
+    * compaction), and assigned to output groups by exclusive-running-
+    * size ÷ target — the streaming bin-packing that needs ONE
+    * [[ScaledRank.withGlobalCumSum]] pass, not a driver-side packer.
+    * Emits per-group file/row counts plus the before/after small-file
+    * ratio that justifies running the job. */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("nrows"))
+      .withColumn("file_id",
+        concat(to_date(col("d")).cast("string"), lit("/"),
+          col("event_type")))
+    val summed = ScaledRank.withGlobalCumSum(
+      files.select(col("file_id"), col("d"), col("event_type"),
+        col("nrows")),
+      Seq(col("d"), col("event_type")), col("nrows"))
+    val grouped = summed
+      .withColumn("grp", expr(s"(cumsum - nrows) div $CompactTarget"))
+    val wAll = Window.partitionBy(lit(1))
+    grouped.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("nrows")).as("n_rows"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .withColumn("files_before", sum(col("n_files")).over(wAll))
+      .withColumn("files_after", count(lit(1)).over(wAll))
+      .select(col("grp"), col("n_files"), col("n_rows"),
+        col("first_file"), col("last_file"), col("files_before"),
+        col("files_after"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap" -> (twap _),
+    "q_rank_corr" -> (rankCorr _),
+    "q_compaction_plan" -> (compactionPlan _),
     "q_srm" -> (srm _),
     "q_backtest" -> (backtest _),
     "q_markov_attribution" -> (markovAttribution _),
@@ -2282,6 +2385,75 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH held AS (
+        |  SELECT date_trunc('day', ts) AS day, value, event_id,
+        |    epoch_us(ts) AS ts_us,
+        |    epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS day_end_us
+        |  FROM events),
+        |g AS (
+        |  SELECT day, value,
+        |    coalesce(lead(ts_us) OVER (PARTITION BY day
+        |      ORDER BY ts_us, event_id), day_end_us) - ts_us AS hold_us
+        |  FROM held)
+        |SELECT CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n_events,
+        |  round(sum(value * hold_us) / sum(hold_us), 6) AS twap,
+        |  round(avg(value), 6) AS event_mean
+        |FROM g GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_rank_corr" ->
+      """WITH nat AS (
+        |  SELECT c_nationkey AS nation,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |    count(DISTINCT o_custkey) AS n_cust
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT nation,
+        |    CAST(row_number() OVER (ORDER BY rev, nation) AS DOUBLE) AS rr,
+        |    CAST(row_number() OVER (ORDER BY n_cust, nation) AS DOUBLE)
+        |      AS rc
+        |  FROM nat),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ranked),
+        |sp AS (
+        |  SELECT (1.0 - 6.0 * sum(pow(rr - rc, 2))
+        |    / (n * (n * n - 1))) AS rho
+        |  FROM ranked CROSS JOIN nn GROUP BY n),
+        |kd AS (
+        |  SELECT CAST(sum(CASE WHEN (a.rr - b.rr) * (a.rc - b.rc) > 0
+        |    THEN 1 ELSE -1 END) AS BIGINT) AS s
+        |  FROM ranked a JOIN ranked b ON a.nation < b.nation)
+        |SELECT CAST(nn.n AS BIGINT) AS n_groups,
+        |  round(sp.rho, 6) AS spearman_rho,
+        |  round(kd.s / (nn.n * (nn.n - 1) / 2), 6) AS kendall_tau
+        |FROM sp CROSS JOIN kd CROSS JOIN nn""".stripMargin,
+
+    "q_compaction_plan" ->
+      s"""WITH files AS (
+         |  SELECT date_trunc('day', ts) AS d, event_type,
+         |    count(*) AS rows_,
+         |    CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+         |      || '/' || event_type AS file_id
+         |  FROM events GROUP BY 1, 2),
+         |summed AS (
+         |  SELECT file_id, rows_,
+         |    sum(rows_) OVER (ORDER BY d, event_type) AS cumsum
+         |  FROM files),
+         |grouped AS (
+         |  SELECT CAST((cumsum - rows_) // $CompactTarget AS BIGINT) AS grp,
+         |    file_id, rows_
+         |  FROM summed),
+         |agg AS (
+         |  SELECT grp, count(*) AS n_files,
+         |    CAST(sum(rows_) AS BIGINT) AS n_rows,
+         |    min(file_id) AS first_file, max(file_id) AS last_file
+         |  FROM grouped GROUP BY grp)
+         |SELECT grp, n_files, n_rows, first_file, last_file,
+         |  CAST(sum(n_files) OVER () AS BIGINT) AS files_before,
+         |  count(*) OVER () AS files_after
+         |FROM agg ORDER BY grp""".stripMargin,
+
     "q_srm" -> {
       val p = pTwoSidedSql("z")
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),

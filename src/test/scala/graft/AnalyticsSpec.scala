@@ -137,6 +137,49 @@ class AnalyticsSpec extends SparkSpec {
       s"incoherent control should stay far below n², got ${rows(97)}")
   }
 
+  test("twap weights by holding time, not event count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    // v=10 held 23h then v=100 held 1h: twap = (10·23 + 100)/24 = 13.75
+    // while the naive event mean is 55
+    val rows = Seq(
+      (1L, "2024-01-05 00:00:00", 1L, "view", 10.0),
+      (2L, "2024-01-05 23:00:00", 1L, "view", 100.0))
+      .map { case (id, t, u, e, v) => (id, us(t), u, e, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val r = Analytics.twap(spark, tmp).collect().head
+    assert(r.getDouble(r.fieldIndex("twap")) == 13.75)
+    assert(r.getDouble(r.fieldIndex("event_mean")) == 55.0)
+  }
+
+  test("rank correlations are bounded and mutually consistent") {
+    val r = Analytics.rankCorr(spark, sf001).collect().head
+    val rho = r.getDouble(r.fieldIndex("spearman_rho"))
+    val tau = r.getDouble(r.fieldIndex("kendall_tau"))
+    assert(rho >= -1.0 && rho <= 1.0)
+    assert(tau >= -1.0 && tau <= 1.0)
+    // revenue and customer count are strongly linked per nation: both
+    // statistics must agree on a clearly positive association
+    assert(rho > 0.5 && tau > 0.3, s"rho=$rho tau=$tau")
+    assert(r.getLong(r.fieldIndex("n_groups")) == 25L)
+    spark.catalog.clearCache()
+  }
+
+  test("compaction plan conserves rows and strictly shrinks the file count") {
+    val rows = Analytics.compactionPlan(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val totalRows = rows.map(_.getLong(rows.head.fieldIndex("n_rows"))).sum
+    val nEvents = graft.Tables(spark, sf001, "events").count()
+    assert(totalRows == nEvents, "every input row lands in exactly one group")
+    val filesBefore = rows.head.getLong(rows.head.fieldIndex("files_before"))
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_files"))).sum
+      == filesBefore)
+    assert(rows.head.getLong(rows.head.fieldIndex("files_after"))
+      < filesBefore, "compaction must reduce file count")
+    spark.catalog.clearCache()
+  }
+
   test("srm fires on a corrupted assignment and stays quiet on a clean one") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_srm").toString
     def us(t: String) = ts(t).getTime * 1000L * 1000L
