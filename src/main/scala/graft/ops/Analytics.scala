@@ -2260,7 +2260,95 @@ object Analytics {
       .orderBy(col("grp"))
   }
 
+  private val ShapBits = Map("click" -> 1, "error" -> 2, "signup" -> 4,
+    "view" -> 8)
+
+  /** Closed-form Shapley sum over the 16-coalition lattice, rendered via
+    * [[Alg]] so both engines compute the identical expression tree. */
+  private def shapleyPhi[E](v: Int => E, A: Alg[E]): Map[String, E] = {
+    def fact(k: Int): Double = (1 to k).product.toDouble
+    ShapBits.map { case (ch, b) =>
+      val terms = (0 until 16).filter(sm => (sm & b) == 0).map { sm =>
+        val sz = Integer.bitCount(sm)
+        val wgt = fact(sz) * fact(4 - 1 - sz) / fact(4)
+        A.mul(A.const(wgt), A.sub(v(sm | b), v(sm)))
+      }
+      ch -> terms.reduce(A.add)
+    }
+  }
+
+  /** Exact Shapley-value attribution (Shapley 1953; the order-free
+    * counterpart of [[markovAttribution]] and the method modern
+    * marketing-measurement stacks moved to): each user's pre-conversion
+    * channel SET is a coalition; v(S) = share of users converting whose
+    * touched set ⊆ S (channels outside S switched off leave those
+    * journeys intact); a channel's Shapley value is its exactly-weighted
+    * average marginal contribution over all 2³ sub-coalitions — n = 4
+    * channels means 16 coalition values and the CLOSED-FORM sum, no
+    * sampling. The efficiency axiom Σφ = v(all) − v(∅) is emitted as a
+    * column, so the oracle hash-checks the axiomatics, not just numbers.
+    * Weights s!(n−1−s)!/n! and every sum are generated once and rendered
+    * to both engines ([[markovConv]]'s bit-exactness trick).
+    *
+    * Shape: one by-user journey pass → 32-row (mask, converted) counts →
+    * a 16-cell subset-sum over a 256-row mask lattice join → straight-
+    * line arithmetic on one pivoted row. */
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ranked = events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id"), col("event_type"), col("rn"))
+    val fp = ranked.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fprn"))
+    // distinct-channel bitmask per user
+    val userMask = ranked.join(fp, Seq("user_id"), "left")
+      .filter(col("fprn").isNull || col("rn") < col("fprn"))
+      .select(col("user_id"), col("fprn"), expr(
+        """CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+          |WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"""
+          .stripMargin).as("bit"))
+      .distinct()
+      .groupBy(col("user_id"), col("fprn"))
+      .agg(sum(col("bit")).as("mask"))
+      .unionAll(fp.filter(col("fprn") === 1)
+        .select(col("user_id"), col("fprn"), lit(0L).as("mask")))
+    val total = events(s, dir).select(col("user_id")).distinct().count()
+    val byMask = userMask
+      .groupBy(col("mask"))
+      .agg(sum(when(col("fprn").isNotNull, 1L).otherwise(0L)).as("conv"))
+    val lattice = s.range(16).select(col("id").cast("long").as("setm"))
+    val subsetConv = lattice.join(byMask,
+        (col("mask").bitwiseAND(col("setm"))) === col("mask"), "left")
+      .groupBy(col("setm"))
+      .agg(coalesce(sum(col("conv")), lit(0L)).as("c"))
+      .withColumn("v", col("c").cast("double") / total)
+    val cells = (0 until 16).map(m =>
+      coalesce(max(when(col("setm") === m, col("v"))), lit(0.0))
+        .as(s"v_$m"))
+    val row = subsetConv.agg(cells.head, cells.tail: _*)
+    def vc(m: Int): Column = col(s"v_$m")
+    val phi = shapleyPhi[Column](vc, ColAlg)
+    val structs = ShapBits.keys.toSeq.sorted.map(ch =>
+      struct(lit(ch).as("channel"), round(phi(ch), 6).as("shapley")))
+    val wAll = Window.partitionBy(lit(1))
+    row
+      .withColumn("v_full", round(vc(15), 6))
+      .withColumn("v_empty", round(vc(0), 6))
+      .select(col("v_full"), col("v_empty"),
+        explode(array(structs: _*)).as("x"))
+      .select(col("x.channel").as("channel"), col("x.shapley").as("shapley"),
+        col("v_full"), col("v_empty"))
+      .withColumn("share",
+        round(col("shapley") / sum(col("shapley")).over(wAll), 6))
+      .select(col("channel"), col("shapley"), col("share"), col("v_full"),
+        col("v_empty"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shapley_attribution" -> (shapleyAttribution _),
     "q_twap" -> (twap _),
     "q_rank_corr" -> (rankCorr _),
     "q_compaction_plan" -> (compactionPlan _),
@@ -2384,7 +2472,62 @@ object Analytics {
        |FROM lng ORDER BY channel""".stripMargin
   }
 
+  private def shapleyOracle: String = {
+    val cells = (0 until 16).map(m =>
+      s"coalesce(max(CASE WHEN setm = $m THEN v END), 0.0) AS v_$m")
+      .mkString(",\n  ")
+    val phi = shapleyPhi[String](m => s"v_$m", SqlAlg)
+    val longRows = ShapBits.keys.toSeq.sorted.map { ch =>
+      s"""SELECT '$ch' AS channel, round(${phi(ch)}, 6) AS shapley,
+         |  round(v_15, 6) AS v_full, round(v_0, 6) AS v_empty FROM pv"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |fp AS (
+       |  SELECT user_id, min(rn) AS fprn FROM ranked
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |um AS (
+       |  SELECT user_id, fprn, CAST(sum(bit) AS BIGINT) AS mask FROM (
+       |    SELECT DISTINCT r.user_id, fp.fprn,
+       |      CASE r.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+       |        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END AS bit
+       |    FROM ranked r LEFT JOIN fp USING (user_id)
+       |    WHERE fp.fprn IS NULL OR r.rn < fp.fprn)
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT user_id, fprn, 0 FROM fp WHERE fprn = 1),
+       |tot AS (
+       |  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM events),
+       |bm AS (
+       |  SELECT mask,
+       |    CAST(sum(CASE WHEN fprn IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM um GROUP BY mask),
+       |sc AS (
+       |  SELECT s.setm,
+       |    CAST(coalesce(sum(bm.conv), 0) AS DOUBLE) / max(tot.n) AS v
+       |  FROM range(0, 16) AS s(setm)
+       |  LEFT JOIN bm ON (bm.mask & s.setm) = bm.mask
+       |  CROSS JOIN tot
+       |  GROUP BY s.setm),
+       |pv AS (
+       |  SELECT
+       |  $cells
+       |  FROM sc),
+       |lng AS (
+       |  $longRows)
+       |SELECT channel, shapley,
+       |  round(shapley / sum(shapley) OVER (), 6) AS share,
+       |  v_full, v_empty
+       |FROM lng ORDER BY channel""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_shapley_attribution" -> shapleyOracle,
     "q_twap" ->
       """WITH held AS (
         |  SELECT date_trunc('day', ts) AS day, value, event_id,

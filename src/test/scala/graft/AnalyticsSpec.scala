@@ -207,6 +207,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(mape < mapeNaive, s"trend $mape vs naive $mapeNaive")
   }
 
+  test("shapley attribution satisfies the efficiency axiom") {
+    val rows = Analytics.shapleyAttribution(spark, sf001).collect()
+    assert(rows.length == 4)
+    val phiSum = rows.map(_.getDouble(rows.head.fieldIndex("shapley"))).sum
+    val vFull = rows.head.getDouble(rows.head.fieldIndex("v_full"))
+    val vEmpty = rows.head.getDouble(rows.head.fieldIndex("v_empty"))
+    // Shapley efficiency: the values exactly split v(all) - v(empty)
+    assert(math.abs(phiSum - (vFull - vEmpty)) < 4e-6,
+      s"sum $phiSum vs ${vFull - vEmpty}")
+    val shares = rows.map(_.getDouble(rows.head.fieldIndex("share"))).sum
+    assert(math.abs(shares - 1.0) < 4e-6)
+    spark.catalog.clearCache()
+  }
+
   test("markov attribution: removal effect isolates the converting channel") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mkv").toString
     def us(t: String) = ts(t).getTime * 1000L * 1000L
