@@ -391,6 +391,50 @@ object Curation {
     visited.orderBy(col("node"))
   }
 
+  /** Degree assortativity (Newman PRL 2002) over the tree + quadratic-
+    * hash doc graph ([[kCore]]'s edge set — chosen over [[graphBfs]]'s
+    * ring graph, which is exactly 6-regular and therefore has UNDEFINED
+    * assortativity): the Pearson correlation of endpoint degrees across
+    * all directed edge instances — positive means hubs attach to hubs
+    * (social-network-like), negative means hub-and-spoke
+    * (internet-like); the one-number structural summary that decides
+    * whether degree-ordered orientation ([[triangleCount]]) or hub
+    * splitting ([[Skew]]) is the right skew defense. Degrees are exact
+    * integers from one grouped pass; the correlation is moment algebra
+    * over the edge relation. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.filter(col("doc_id") > 0)
+      .select(col("doc_id").as("u"), expr("doc_id div 2").as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * col("doc_id") + 1) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val ed = sym
+      .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
+      .select(col("dx").cast("double").as("x"),
+        col("dy").cast("double").as("y"))
+    ed.agg(count(lit(1)).as("n_edges"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        avg(col("x") * col("x")).as("mxx"),
+        avg(col("y") * col("y")).as("myy"),
+        avg(col("x") * col("y")).as("mxy"))
+      .select(col("n_edges"), round(col("mx"), 6).as("mean_deg"),
+        round((col("mxy") - col("mx") * col("my"))
+          / (sqrt(col("mxx") - col("mx") * col("mx"))
+            * sqrt(col("myy") - col("my") * col("my"))), 6)
+          .as("assortativity"))
+  }
+
   /** Oracle-side path-cost cap for [[sssp]]: true shortest costs are
     * bounded by hop-diameter × max weight (≈ 8 × 5 on this topology), so
     * 60 leaves slack while keeping the recursive oracle's (node, dist)
@@ -1218,6 +1262,7 @@ object Curation {
     "q_triangle_count" -> (triangleCount _),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_sssp" -> ((s, d) => sssp(s, d)),
+    "q_assortativity" -> (assortativity _),
     "q_adamic_adar" -> (adamicAdar _),
     "q_kcore" -> (kCore _),
     "q_label_prop" -> (labelPropagation _),
@@ -1419,6 +1464,33 @@ object Curation {
         |    AS confirmed
         |FROM jp JOIN e a ON jp.id1 = a.vec_id JOIN e b ON jp.id2 = b.vec_id
         |ORDER BY id1, id2""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, doc_id // 2 AS v
+        |  FROM documents WHERE doc_id > 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * doc_id + 1) % (SELECT n FROM nn)
+        |  FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+        |ed AS (
+        |  SELECT CAST(du.deg AS DOUBLE) AS x, CAST(dv.deg AS DOUBLE) AS y
+        |  FROM sym JOIN deg du ON sym.u = du.node
+        |           JOIN deg dv ON sym.v = dv.node),
+        |m AS (
+        |  SELECT count(*) AS n_edges, avg(x) AS mx, avg(y) AS my,
+        |    avg(x * x) AS mxx, avg(y * y) AS myy, avg(x * y) AS mxy
+        |  FROM ed)
+        |SELECT n_edges, round(mx, 6) AS mean_deg,
+        |  round((mxy - mx * my)
+        |    / (sqrt(mxx - mx * mx) * sqrt(myy - my * my)), 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
 
     "q_sssp" ->
       s"""WITH RECURSIVE nn AS (

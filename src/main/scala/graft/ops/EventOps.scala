@@ -97,6 +97,46 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST-neighbor as-of (completing the family: [[asofSignup]] is
+    * backward-≤, `q_asof_forward` is forward-≥, this picks whichever
+    * signup is temporally CLOSER to each purchase, ties to the earlier
+    * one — the sensor-fusion alignment rule when causality does not
+    * dictate a direction): both directional candidates come from the
+    * same ONE hash-by-user window exchange (last-before via a running
+    * last, first-after via the mirrored frame), and the winner is a
+    * per-row `least` on the absolute gaps — no second exchange, no
+    * union. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_signup_us",
+        last(when(col("event_type") === "signup", col("ts_us")),
+          ignoreNulls = true).over(back))
+      .withColumn("next_signup_us",
+        first(when(col("event_type") === "signup", col("ts_us")),
+          ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_prev", col("ts_us") - col("prev_signup_us"))
+      .withColumn("gap_next", col("next_signup_us") - col("ts_us"))
+      .withColumn("nearest_signup_us",
+        when(col("prev_signup_us").isNull, col("next_signup_us"))
+          .when(col("next_signup_us").isNull, col("prev_signup_us"))
+          .when(col("gap_prev") <= col("gap_next"), col("prev_signup_us"))
+          .otherwise(col("next_signup_us")))
+      .withColumn("gap_us", least(
+        coalesce(col("gap_prev"), col("gap_next")),
+        coalesce(col("gap_next"), col("gap_prev"))))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("nearest_signup_us"), col("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** The SAME nearest-≤ join as [[asofSignup]], executed by the engine's
     * native [[graft.plans.AsOfJoinExec]] operator instead of the
     * union+window workaround: two co-partitioned sorted children, one
@@ -552,6 +592,7 @@ object EventOps {
     "q_load_per_minute" -> (loadPerMinute _),
     "q_sliding_load" -> (slidingLoad _),
     "q_asof_signup" -> (asofSignup _),
+    "q_asof_nearest" -> (asofNearest _),
     "q_asof_native" -> (asofNative _),
     "q_asof_forward" -> (asofForward _),
     "q_user_stats" -> (userStats _),
@@ -723,6 +764,35 @@ object EventOps {
         |SELECT event_id, user_id, ts_us, last_signup_us,
         |       ts_us - last_signup_us AS since_signup_us
         |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'signup'
+        |      THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS prev_signup_us,
+        |    first_value(CASE WHEN event_type = 'signup'
+        |      THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_signup_us
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    ts_us - prev_signup_us AS gap_prev,
+        |    next_signup_us - ts_us AS gap_next,
+        |    prev_signup_us, next_signup_us
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN prev_signup_us IS NULL THEN next_signup_us
+        |       WHEN next_signup_us IS NULL THEN prev_signup_us
+        |       WHEN gap_prev <= gap_next THEN prev_signup_us
+        |       ELSE next_signup_us END AS nearest_signup_us,
+        |  least(coalesce(gap_prev, gap_next),
+        |        coalesce(gap_next, gap_prev)) AS gap_us
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "q_asof_native" ->
       """SELECT event_id, user_id, ts_us, last_signup_us,

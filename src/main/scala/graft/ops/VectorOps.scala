@@ -1010,6 +1010,52 @@ object VectorOps {
       .orderBy(col("src_id"))
   }
 
+  /** Simplified silhouette (Hruschka et al. 2004 — centroid-based, the
+    * O(N·k) form production clustering evals use instead of the O(N²)
+    * pairwise original): score how well the LABEL partition separates
+    * the embedding space — a(i) = distance to own label centroid, b(i) =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]
+    * (negative ⇒ the point sits closer to a foreign cluster; the eval
+    * [[semDedup]]'s k-means and any labeling audit needs). All geometry
+    * is exact-integer over 2¹⁰-quantized coords with floor-divided
+    * centroids (the semDedup recipe), so a², b², and every score are
+    * engine-identical before the final 6-dp rounding.
+    *
+    * Shape: one posexplode pass to k·64 centroid cells, a broadcast-k
+    * crossJoin scored map-side, one per-point aggregate, one per-label
+    * aggregate. */
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir).select(col("vec_id"), col("label"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+      .as("q")).persist()
+    val cent = q.select(col("label").as("clabel"),
+        posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(sv - ((sv % n + n) % n)) div n"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("m"))
+    val d2 = aggregate(zip_with(col("q"), col("m"),
+      (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val scored = q.crossJoin(broadcast(cent))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+      .withColumn("sil",
+        when(col("a2") === 0 && col("b2") === 0, lit(0.0))
+          .otherwise((sqrt(col("b2")) - sqrt(col("a2")))
+            / greatest(sqrt(col("a2")), sqrt(col("b2")))))
+    val wAll = Window.partitionBy(lit(1))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("sil")), 6).as("mean_sil"))
+      .withColumn("overall_sil",
+        round(sum(col("mean_sil") * col("n")).over(wAll)
+          / sum(col("n")).over(wAll), 6))
+      .orderBy(col("label"))
+  }
+
   /** Neighborhood size for [[lof]]. */
   private val LofK = 3
 
@@ -1217,6 +1263,7 @@ object VectorOps {
     "q_smote" -> (smote _),
     "q_mmr_diversify" -> (mmrDiversify _),
     "q_lof" -> (lof _),
+    "q_silhouette" -> (silhouette _),
   )
 
   private def mmrOracle: String = {
@@ -1276,6 +1323,47 @@ object VectorOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_silhouette" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cellsum AS (
+        |  SELECT label AS clabel, CAST(i AS INT) AS pos,
+        |    CAST(sum(q[CAST(i AS INT)]) AS BIGINT) AS sv,
+        |    count(*) AS n
+        |  FROM q, UNNEST(range(1, 65)) AS t(i)
+        |  GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT clabel,
+        |    list((sv - ((sv % n + n) % n)) // n ORDER BY pos) AS m
+        |  FROM cellsum GROUP BY clabel),
+        |d AS (
+        |  SELECT q.vec_id, q.label, cent.clabel,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.q[i] - cent.m[i]) * (q.q[i] - cent.m[i])))
+        |      AS BIGINT) AS d2
+        |  FROM q CROSS JOIN cent),
+        |pt AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN d2 END) AS a2,
+        |    min(CASE WHEN clabel <> label THEN d2 END) AS b2
+        |  FROM d GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN a2 = 0 AND b2 = 0 THEN 0.0
+        |      ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+        |    END AS sil
+        |  FROM pt),
+        |lab AS (
+        |  SELECT label, count(*) AS n, round(avg(sil), 6) AS mean_sil
+        |  FROM sil GROUP BY label)
+        |SELECT label, n, mean_sil,
+        |  round(sum(mean_sil * n) OVER () / sum(n) OVER (), 6)
+        |    AS overall_sil
+        |FROM lab ORDER BY label""".stripMargin,
+
     "q_lof" ->
       s"""WITH e AS (
          |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -261,6 +261,29 @@ class CurationSpec extends SparkSpec {
     assert(rows.length === 230)
   }
 
+  test("assortativity matches an exact JVM recompute of the same graph") {
+    val r = Curation.assortativity(spark, sf001).collect().head
+    val n = graft.Tables(spark, sf001, "documents").count().toInt
+    // rebuild the tree + quadratic-hash graph in plain Scala
+    val raw = (1 until n).map(i => (i.toLong, (i / 2).toLong)) ++
+      (0 until n).map(i => (i.toLong, ((i.toLong * i + 1) % n)))
+    val und = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val sym = und ++ und.map { case (u, v) => (v, u) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val xs = sym.map { case (u, _) => deg(u) }
+    val ys = sym.map { case (_, v) => deg(v) }
+    def mean(a: Seq[Double]) = a.sum / a.length
+    val (mx, my) = (mean(xs), mean(ys))
+    val cov = mean(xs.zip(ys).map { case (x, y) => x * y }) - mx * my
+    val sx = math.sqrt(mean(xs.map(x => x * x)) - mx * mx)
+    val sy = math.sqrt(mean(ys.map(y => y * y)) - my * my)
+    val expected = cov / (sx * sy)
+    assert(r.getLong(r.fieldIndex("n_edges")) == sym.size)
+    assert(math.abs(r.getDouble(r.fieldIndex("assortativity")) - expected)
+      < 1e-5, s"got ${r.getDouble(r.fieldIndex("assortativity"))} vs $expected")
+  }
+
   test("sssp: weighted distances bracketed by hop counts, source at zero") {
     val dist = Curation.sssp(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -69,4 +69,30 @@ class EventOpsSpec extends SparkSpec {
 
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("asof nearest picks the closer signup and breaks exact ties backward") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asofn").toString
+    def us(t: String) = ts(t).getTime * 1000L * 1000L
+    // signup at 10:00 and 10:10; purchase 10:03 → prev closer (3 < 7);
+    // purchase 10:08 → next closer (2 < 5); purchase 10:05 → exact tie
+    // 5/5 → backward wins
+    val rows = Seq(
+      (1L, "2024-01-05 10:00:00", 1L, "signup"),
+      (2L, "2024-01-05 10:03:00", 1L, "purchase"),
+      (3L, "2024-01-05 10:05:00", 1L, "purchase"),
+      (4L, "2024-01-05 10:08:00", 1L, "purchase"),
+      (5L, "2024-01-05 10:10:00", 1L, "signup"))
+      .map { case (id, t, u, e) => (id, us(t), u, e, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$tmp/events.parquet")
+    val out = EventOps.asofNearest(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(r.fieldIndex("nearest_signup_us")),
+        r.getLong(r.fieldIndex("gap_us"))))).toMap
+    val s0 = us("2024-01-05 10:00:00") / 1000L
+    val s1 = us("2024-01-05 10:10:00") / 1000L
+    assert(out(2L) == ((s0, 180000000L)))
+    assert(out(4L) == ((s1, 120000000L)))
+    assert(out(3L) == ((s0, 300000000L)), "tie breaks to the earlier signup")
+  }
 }

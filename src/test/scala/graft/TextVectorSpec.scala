@@ -443,6 +443,26 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("silhouette reads near-1 on separated clusters, lower on mixed labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("silh").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // labels 0/1 orthogonal and tight → silhouettes ≈ 1; label 2 splits
+    // between BOTH clusters' regions → its members sit nearer foreign
+    // centroids than their own mixed centroid → low/negative silhouette
+    val rows =
+      (0 to 2).map(i => (i.toLong, mix(Map(0 -> 1.0, 1 -> 0.01 * i)), 0)) ++
+      (3 to 5).map(i => (i.toLong, mix(Map(2 -> 1.0, 3 -> 0.01 * i)), 1)) ++
+      Seq((6L, mix(Map(0 -> 1.0)), 2), (7L, mix(Map(2 -> 1.0)), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.silhouette(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(r.fieldIndex("mean_sil"))).toMap
+    assert(out(0) > 0.8 && out(1) > 0.8, s"tight clusters: $out")
+    assert(out(2) < 0.0, s"split label must score negative: ${out(2)}")
+  }
+
   test("lof flags the density outlier next to a tight cluster") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lof").toString
