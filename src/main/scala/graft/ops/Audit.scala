@@ -245,7 +245,43 @@ object Audit {
     m.unionAll(r).orderBy(col("scheme"))
   }
 
+  /** Shannon entropy + normalized entropy per categorical column — the
+    * profiling signal behind key selection (a near-zero-entropy column
+    * is useless as a partition key; a near-max one is a good shard key)
+    * and drift baselines. One stacked scan (UNION ALL of the audited
+    * columns), one grouped pass to value counts, entropy over the
+    * per-column count relations; exact-integer count ratios keep the
+    * ln arguments engine-identical. Same SQL text both engines. */
+  private def colEntropySql(table: String): String =
+    s"""WITH vals AS (
+       |  SELECT 'event_type' AS col, event_type AS v FROM $table
+       |  UNION ALL
+       |  SELECT 'user_bucket', CAST(user_id % 10 AS STRING) FROM $table
+       |  UNION ALL
+       |  SELECT 'value_band', CAST(CAST(floor(value / 25.0) AS BIGINT)
+       |    AS STRING) FROM $table),
+       |cnt AS (
+       |  SELECT col, v, count(*) AS c FROM vals GROUP BY col, v),
+       |tot AS (
+       |  SELECT col, sum(c) AS n, count(*) AS n_distinct
+       |  FROM cnt GROUP BY col)
+       |SELECT cnt.col, CAST(tot.n_distinct AS BIGINT) AS n_distinct,
+       |  round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+       |    / ln(2.0), 6) AS entropy_bits,
+       |  round((-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+       |    / ln(2.0)) / (ln(CAST(tot.n_distinct AS DOUBLE)) / ln(2.0)), 6)
+       |    AS normalized
+       |FROM cnt JOIN tot ON cnt.col = tot.col
+       |GROUP BY cnt.col, tot.n, tot.n_distinct
+       |ORDER BY cnt.col""".stripMargin
+
+  def colEntropy(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("events_v")
+    s.sql(colEntropySql("events_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_col_entropy" -> (colEntropy _),
     "q_rendezvous" -> (rendezvous _),
     "q_zone_map" -> (zoneMap _),
     "q_l_diversity" -> (lDiversity _),
@@ -256,6 +292,7 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_col_entropy" -> colEntropySql("events"),
     "q_rendezvous" -> {
       def hrwCte(n: Int, out: String): String =
         s"""$out AS (

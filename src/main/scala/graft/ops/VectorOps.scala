@@ -1186,6 +1186,38 @@ object VectorOps {
     selected.orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Mean reciprocal rank @10 (the TREC question-answering metric — the
+    * third leg of the retrieval-eval stool next to [[ndcg]]'s graded
+    * ranking and [[knnClassify]]'s accuracy): per query, 1/rank of the
+    * FIRST relevant hit (0 if none lands in the cutoff), macro-averaged.
+    * Same broadcast-probe scoring pass; the first-hit pick is a per-query
+    * min over the Q·k top relation. */
+  def mrr(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("norm").as("qnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("label").as("clabel"), col("embedding").as("cv"),
+      col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val top = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+    val wAll = Window.partitionBy(lit(1))
+    top.groupBy(col("query_id"))
+      .agg(coalesce(min(when(col("clabel") === col("qlabel"), col("rk"))),
+        lit(0)).cast("long").as("first_rel_rank"))
+      .withColumn("rr", when(col("first_rel_rank") === 0, lit(0.0))
+        .otherwise(round(lit(1.0) / col("first_rel_rank"), 6)))
+      .withColumn("mrr", round(avg(col("rr")).over(wAll), 6))
+      .select(col("query_id"), col("first_rel_rank"), col("rr"), col("mrr"))
+      .orderBy(col("query_id"))
+  }
+
   /** Margin-denominator depth for [[mutualKnn]]: each side's local density
     * estimate is the mean cosine of its 4 nearest neighbors. */
   private val MknnK = 4
@@ -1264,6 +1296,7 @@ object VectorOps {
     "q_mmr_diversify" -> (mmrDiversify _),
     "q_lof" -> (lof _),
     "q_silhouette" -> (silhouette _),
+    "q_mrr" -> (mrr _),
   )
 
   private def mmrOracle: String = {
@@ -1323,6 +1356,36 @@ object VectorOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_mrr" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |      c.label AS clabel,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6)
+        |          DESC, c.vec_id) AS rk
+        |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rk <= 10),
+        |fr AS (
+        |  SELECT query_id,
+        |    CAST(coalesce(min(CASE WHEN clabel = qlabel THEN rk END), 0)
+        |      AS BIGINT) AS first_rel_rank
+        |  FROM top GROUP BY query_id),
+        |rr AS (
+        |  SELECT query_id, first_rel_rank,
+        |    CASE WHEN first_rel_rank = 0 THEN 0.0
+        |      ELSE round(CAST(1.0 AS DOUBLE) / first_rel_rank, 6)
+        |    END AS rr
+        |  FROM fr)
+        |SELECT query_id, first_rel_rank, rr,
+        |  round(avg(rr) OVER (), 6) AS mrr
+        |FROM rr ORDER BY query_id""".stripMargin,
+
     "q_silhouette" ->
       """WITH q AS (
         |  SELECT vec_id, label,

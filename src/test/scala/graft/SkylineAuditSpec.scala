@@ -197,6 +197,23 @@ class SkylineAuditSpec extends SparkSpec {
     }
   }
 
+  test("column entropy: bounded by log2(distinct), normalized in (0, 1]") {
+    val rows = graft.ops.Audit.colEntropy(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSet
+      == Set("event_type", "user_bucket", "value_band"))
+    rows.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("entropy_bits"))
+      val d = r.getLong(r.fieldIndex("n_distinct"))
+      val norm = r.getDouble(r.fieldIndex("normalized"))
+      assert(h >= 0.0 && h <= math.log(d.toDouble) / math.log(2) + 1e-9,
+        s"${r.getString(0)}: H=$h d=$d")
+      assert(norm > 0.0 && norm <= 1.0 + 1e-9)
+    }
+    // near-uniform synthetic columns should sit close to max entropy
+    val et = rows.find(_.getString(0) == "event_type").get
+    assert(et.getDouble(et.fieldIndex("normalized")) > 0.95)
+  }
+
   test("rendezvous hashing moves ~1/(n+1) of keys; mod-N moves almost all") {
     val rows = graft.ops.Audit.rendezvous(spark, sf001).collect()
       .map(r => r.getString(0) -> r).toMap

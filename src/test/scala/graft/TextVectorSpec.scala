@@ -443,6 +443,26 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("mrr is 1 when every query's first hit is relevant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mrr").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // two tight clusters: each query's nearest neighbor shares its label
+    val rows = (0 to 3).map(i =>
+      (i.toLong, mix(Map(0 -> 1.0, 1 -> 0.01 * i)), 0)) ++
+      (4 to 7).map(i => (i.toLong, mix(Map(2 -> 1.0, 3 -> 0.01 * i)), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.mrr(spark, dir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("first_rel_rank")) == 1L)
+      assert(r.getDouble(r.fieldIndex("rr")) == 1.0)
+      assert(r.getDouble(r.fieldIndex("mrr")) == 1.0)
+    }
+  }
+
   test("silhouette reads near-1 on separated clusters, lower on mixed labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("silh").toString
