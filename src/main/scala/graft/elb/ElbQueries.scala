@@ -10,12 +10,21 @@ import graft.ops.Sessionize
   * 15-min-gap sessionization by client IP (NOT ip:port — README.md:9,42;
   * SURVEY §1.3.3) → goal aggregates.
   *
-  * Deterministic (fixed seed) but generated in-memory, so these have no
-  * DuckDB oracle over the driver tables — the driver records rows-only;
-  * exact semantics are pinned by ElbSpec against computable expectations
-  * (the generator's session structure is known by construction).
+  * Deterministic (fixed seed) but generated in-memory, so the input is not
+  * a driver table; to still earn a full rows+schema+hash oracle, each query
+  * persists its parsed relation to a parquet under `target/oracle_inputs/`
+  * and reads it back, and the DuckDB oracle reads the SAME file — both
+  * engines consume identical bytes, and the sessionize/aggregate semantics
+  * downstream of the parse are hash-gated (the parse itself is hash-gated
+  * by the events round trips below). ElbSpec additionally pins the
+  * generator's by-construction session structure.
   */
 object ElbQueries {
+
+  /** Fixed location the oracle SQL references; the synthetic input is
+    * seed-deterministic and sf-independent, so every run rewrites the same
+    * bytes. */
+  private val OracleInputDir = "/root/repo/target/oracle_inputs"
 
   private def parsedRequests(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -27,9 +36,27 @@ object ElbQueries {
     LogParser.requests(lines.toDF("value").repartition(8))
   }
 
+  /** Persist the parsed requests relation (timestamps as epoch-µs longs —
+    * no parquet timestamp-encoding ambiguity between readers) and read it
+    * back, so the Spark query and the DuckDB oracle share one input file. */
+  private def oracledRequests(s: SparkSession): DataFrame = {
+    val out = s"$OracleInputDir/elb_requests.parquet"
+    parsedRequests(s)
+      .select(col("client_ip"), col("client_port"),
+        unix_micros(col("ts")).as("ts_us"), col("url"), col("elb_status"),
+        // exact integer µs (the writer printed 6 decimals): integer sums
+        // are order-independent, so downstream averages are bit-identical
+        // on both engines with no decimal rounding at all
+        round(col("backend_time_sec") * lit(1000000.0))
+          .cast("long").as("backend_us"),
+        col("sent_bytes"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    s.read.parquet(out).withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
   /** Goal 1: full sessions relation on parsed ELB data. */
   def elbSessionize(s: SparkSession, dir: String): DataFrame =
-    Sessionize.sessions(parsedRequests(s),
+    Sessionize.sessions(oracledRequests(s),
         col("client_ip"), col("ts"), col("client_port"), col("url"))
       .select(col("user_id").as("client_ip"), col("session_id"),
         col("session_start_us"), col("session_end_us"),
@@ -40,7 +67,7 @@ object ElbQueries {
   /** Goals 2-4 in one result: avg session time, total sessions, and the
     * most-engaged IP (longest single session). */
   def elbGoals(s: SparkSession, dir: String): DataFrame =
-    Sessionize.sessions(parsedRequests(s),
+    Sessionize.sessions(oracledRequests(s),
         col("client_ip"), col("ts"), col("client_port"), col("url"))
       .agg(
         round(avg(col("duration_sec")), 6).as("avg_session_sec"),
@@ -56,7 +83,10 @@ object ElbQueries {
     val lines = Synthetic.generate(seed = 42L, nClients = 60,
       sessionsPerClient = 4, hitsPerSession = 6, malformedEvery = 50)
       .toDF("value").repartition(8)
-    LogParser.parse(lines)
+    val out = s"$OracleInputDir/elb_parse.parquet"
+    LogParser.parse(lines).select(col("_corrupt"), col("client_ip"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
       .groupBy(col("_corrupt"))
       .agg(count(lit(1)).as("n_lines"),
         countDistinct(col("client_ip")).as("n_ips"))
@@ -65,23 +95,26 @@ object ElbQueries {
 
   /** Classic LB operations metrics on the parsed log: per-minute request
     * count, error rate (5xx), null-safe latency aggregates and exact p95
-    * backend latency — timeout lines (-1 sentinels → null) excluded from
-    * latency but counted in traffic, exactly the messy-data posture R:61
-    * demands. */
+    * backend latency (µs) — timeout lines (-1 sentinels → null) excluded
+    * from latency but counted in traffic, exactly the messy-data posture
+    * R:61 demands. Latency math runs on exact integer µs and the averages
+    * are single IEEE divisions of identical integer operands — no decimal
+    * rounding, so no half-ulp rounding-boundary flake vs the oracle. */
   def elbOpsMetrics(s: SparkSession, dir: String): DataFrame =
-    parsedRequests(s)
+    oracledRequests(s)
       .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
       .agg(count(lit(1)).as("requests"),
-        round(avg(when(col("elb_status") >= 500, 1.0).otherwise(0.0)), 6)
-          .as("error_rate"),
-        count(col("backend_time_sec")).as("n_with_latency"),
-        round(avg(col("backend_time_sec")), 6).as("avg_backend_sec"),
+        (sum(when(col("elb_status") >= 500, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("error_rate"),
+        count(col("backend_us")).as("n_with_latency"),
+        (sum(col("backend_us")).cast("double") / count(col("backend_us")))
+          .as("avg_backend_us"),
         // exact percentile = a per-group sort, but groups are single
         // MINUTES of one load balancer's traffic — bounded by arrival
         // rate, never corpus-proportional — so the sort is safe at any
         // corpus size; for percentiles over unbounded groups use
         // approx_percentile (the KLL/GK-sketch path, see Analytics)
-        round(expr("percentile(backend_time_sec, 0.95)"), 6).as("p95_backend_sec"),
+        round(expr("percentile(backend_us, 0.95)"), 6).as("p95_backend_us"),
         sum(col("sent_bytes")).as("bytes_out"))
       .orderBy(col("minute_us"))
 
@@ -226,9 +259,69 @@ object ElbQueries {
       |  FROM numbered GROUP BY client_ip, session_id
       |)""".stripMargin
 
-  /** Synthetic-input queries have no driver-table oracle (rows-only, pinned
-    * by ElbSpec); the events round trips are fully oracle-checked. */
+  /** DuckDB mirror of the synthetic-input pipeline, reading the SAME
+    * persisted parquet the Spark query read back — 15-min-gap sessions
+    * re-derived independently. Tie-break client_port is never exercised
+    * (the generator's per-client gaps are >= 10 s) but kept aligned. */
+  private val syntheticSessionsCte: String =
+    s"""WITH lagged AS (
+       |  SELECT client_ip, client_port, ts_us, url,
+       |         lag(ts_us) OVER (PARTITION BY client_ip ORDER BY ts_us, client_port) AS prev_us
+       |  FROM '$OracleInputDir/elb_requests.parquet/*.parquet'
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 900000000 THEN 1 ELSE 0 END AS new_sess
+       |  FROM lagged
+       |), numbered AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY client_ip ORDER BY ts_us, client_port ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT client_ip, session_id,
+       |         min(ts_us) AS session_start_us,
+       |         max(ts_us) AS session_end_us,
+       |         count(*) AS hit_count,
+       |         count(DISTINCT url) AS unique_urls,
+       |         (max(ts_us) - min(ts_us)) / 1e6 AS duration_sec
+       |  FROM numbered GROUP BY client_ip, session_id
+       |)""".stripMargin
+
+  /** Every ELB query is fully oracle-checked: the events round trips read
+    * driver tables directly; the synthetic-input queries read back their
+    * own persisted parse, which the oracle reads too. */
   val oracleSql: Map[String, String] = Map(
+    "q_elb_sessionize" ->
+      s"""$syntheticSessionsCte
+         |SELECT client_ip, session_id, session_start_us, session_end_us,
+         |       hit_count, unique_urls, duration_sec
+         |FROM sess
+         |ORDER BY client_ip, session_id""".stripMargin,
+
+    "q_elb_goals" ->
+      s"""$syntheticSessionsCte
+         |SELECT round(avg(duration_sec), 6) AS avg_session_sec,
+         |       count(*) AS n_sessions,
+         |       round(max(duration_sec), 6) AS max_session_sec,
+         |       (SELECT client_ip FROM sess
+         |        ORDER BY duration_sec DESC, client_ip DESC LIMIT 1)
+         |         AS most_engaged_ip
+         |FROM sess""".stripMargin,
+
+    "q_elb_parse_stats" ->
+      s"""SELECT _corrupt, count(*) AS n_lines,
+         |       count(DISTINCT client_ip) AS n_ips
+         |FROM '$OracleInputDir/elb_parse.parquet/*.parquet'
+         |GROUP BY _corrupt ORDER BY _corrupt""".stripMargin,
+
+    "q_elb_ops_metrics" ->
+      s"""SELECT epoch_us(date_trunc('minute', make_timestamp(ts_us))) AS minute_us,
+         |       count(*) AS requests,
+         |       CAST(sum(CASE WHEN elb_status >= 500 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate,
+         |       count(backend_us) AS n_with_latency,
+         |       CAST(sum(backend_us) AS DOUBLE) / count(backend_us) AS avg_backend_us,
+         |       round(quantile_cont(backend_us, 0.95), 6) AS p95_backend_us,
+         |       CAST(sum(sent_bytes) AS BIGINT) AS bytes_out
+         |FROM '$OracleInputDir/elb_requests.parquet/*.parquet'
+         |GROUP BY minute_us ORDER BY minute_us""".stripMargin,
+
     "q_elb_roundtrip" ->
       s"""$roundtripSessionsCte
          |SELECT client_ip, session_id, session_start_us, session_end_us,
