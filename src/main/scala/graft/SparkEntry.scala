@@ -25,6 +25,24 @@ object SparkEntry {
       Multimodal.queries ++ Curation.queries ++ Analytics.queries ++
       Audit.queries ++ AffineSketch.queries ++ MlPrep.queries
 
+  /** Every rows-only query (no `oracleSql` entry — engine-native hashes or
+    * float-ordered fits have no DuckDB twin) mapped to the fully
+    * hash-oracled deterministic twin that proves the same pipeline shape.
+    * EntrySpec asserts this map covers the rows-only set EXACTLY, so a
+    * future rows-only query without a committed twin fails loudly. */
+  val rowsOnlyTwins: Map[String, String] = Map(
+    "q_minhash_candidates" -> "q_minhash_affine",
+    "q_simhash_pairs" -> "q_simhash_affine",
+    "q_winnow_fingerprints" -> "q_winnow_affine",
+    "q_cosine_pairs_lsh" -> "q_cosine_lsh_affine",
+    "q_kmv_users" -> "q_kmv_users_affine",
+    "q_ann_srp_recall" -> "q_srp_affine",
+    "q_ann_ivf_recall" -> "q_semdedup", // same exact-integer Lloyd's recipe
+    "q_ann_pq_recall" -> "q_pq_adc_affine",
+    "q_pq_quantize" -> "q_pq_affine",
+    "q_approx_distinct" -> "q_hll_affine",
+    "q_approx_percentile" -> "q_sample_percentile")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -16,7 +16,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+  /** Memoized per (session, dir, table): `spark.read.parquet` builds a
+    * fresh InMemoryFileIndex + reads the footer on EVERY call, so a
+    * 300-query Bench/Verify run re-lists and re-parses the same 10
+    * footers hundreds of times. DataFrames are immutable logical plans —
+    * reuse is safe — and every caller that writes a table path writes a
+    * FRESH directory (driver fixtures are read-only; test fixtures use
+    * createTempDirectory), so a memoized listing can never go stale.
+    * Values are NOT persisted — this caches plan construction, not data. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, sfDir, name), _ => build(spark, sfDir, name))
+
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       // The driver has shipped `ts` two ways across rounds: INT64
       // TIMESTAMP(NANOS) — which Spark 4 rejects outright

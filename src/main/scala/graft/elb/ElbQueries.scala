@@ -38,9 +38,13 @@ object ElbQueries {
 
   /** Persist the parsed requests relation (timestamps as epoch-µs longs —
     * no parquet timestamp-encoding ambiguity between readers) and read it
-    * back, so the Spark query and the DuckDB oracle share one input file. */
-  private def oracledRequests(s: SparkSession): DataFrame = {
-    val out = s"$OracleInputDir/elb_requests.parquet"
+    * back, so the Spark query and the DuckDB oracle share one input file.
+    * One file PER QUERY (`tag`): overwrite rewrites part files under new
+    * names, so a shared path would invalidate the file listing captured by
+    * a previously-built sibling query's DataFrame (EntrySpec builds all
+    * queries before counting any). */
+  private def oracledRequests(s: SparkSession, tag: String): DataFrame = {
+    val out = s"$OracleInputDir/elb_requests_$tag.parquet"
     parsedRequests(s)
       .select(col("client_ip"), col("client_port"),
         unix_micros(col("ts")).as("ts_us"), col("url"), col("elb_status"),
@@ -56,7 +60,7 @@ object ElbQueries {
 
   /** Goal 1: full sessions relation on parsed ELB data. */
   def elbSessionize(s: SparkSession, dir: String): DataFrame =
-    Sessionize.sessions(oracledRequests(s),
+    Sessionize.sessions(oracledRequests(s, "sessionize"),
         col("client_ip"), col("ts"), col("client_port"), col("url"))
       .select(col("user_id").as("client_ip"), col("session_id"),
         col("session_start_us"), col("session_end_us"),
@@ -67,7 +71,7 @@ object ElbQueries {
   /** Goals 2-4 in one result: avg session time, total sessions, and the
     * most-engaged IP (longest single session). */
   def elbGoals(s: SparkSession, dir: String): DataFrame =
-    Sessionize.sessions(oracledRequests(s),
+    Sessionize.sessions(oracledRequests(s, "goals"),
         col("client_ip"), col("ts"), col("client_port"), col("url"))
       .agg(
         round(avg(col("duration_sec")), 6).as("avg_session_sec"),
@@ -101,7 +105,7 @@ object ElbQueries {
     * are single IEEE divisions of identical integer operands — no decimal
     * rounding, so no half-ulp rounding-boundary flake vs the oracle. */
   def elbOpsMetrics(s: SparkSession, dir: String): DataFrame =
-    oracledRequests(s)
+    oracledRequests(s, "ops")
       .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
       .agg(count(lit(1)).as("requests"),
         (sum(when(col("elb_status") >= 500, 1L).otherwise(0L)).cast("double")
@@ -263,11 +267,11 @@ object ElbQueries {
     * persisted parquet the Spark query read back — 15-min-gap sessions
     * re-derived independently. Tie-break client_port is never exercised
     * (the generator's per-client gaps are >= 10 s) but kept aligned. */
-  private val syntheticSessionsCte: String =
+  private def syntheticSessionsCte(tag: String): String =
     s"""WITH lagged AS (
        |  SELECT client_ip, client_port, ts_us, url,
        |         lag(ts_us) OVER (PARTITION BY client_ip ORDER BY ts_us, client_port) AS prev_us
-       |  FROM '$OracleInputDir/elb_requests.parquet/*.parquet'
+       |  FROM '$OracleInputDir/elb_requests_$tag.parquet/*.parquet'
        |), flagged AS (
        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 900000000 THEN 1 ELSE 0 END AS new_sess
        |  FROM lagged
@@ -289,14 +293,14 @@ object ElbQueries {
     * own persisted parse, which the oracle reads too. */
   val oracleSql: Map[String, String] = Map(
     "q_elb_sessionize" ->
-      s"""$syntheticSessionsCte
+      s"""${syntheticSessionsCte("sessionize")}
          |SELECT client_ip, session_id, session_start_us, session_end_us,
          |       hit_count, unique_urls, duration_sec
          |FROM sess
          |ORDER BY client_ip, session_id""".stripMargin,
 
     "q_elb_goals" ->
-      s"""$syntheticSessionsCte
+      s"""${syntheticSessionsCte("goals")}
          |SELECT round(avg(duration_sec), 6) AS avg_session_sec,
          |       count(*) AS n_sessions,
          |       round(max(duration_sec), 6) AS max_session_sec,
@@ -319,7 +323,7 @@ object ElbQueries {
          |       CAST(sum(backend_us) AS DOUBLE) / count(backend_us) AS avg_backend_us,
          |       round(quantile_cont(backend_us, 0.95), 6) AS p95_backend_us,
          |       CAST(sum(sent_bytes) AS BIGINT) AS bytes_out
-         |FROM '$OracleInputDir/elb_requests.parquet/*.parquet'
+         |FROM '$OracleInputDir/elb_requests_ops.parquet/*.parquet'
          |GROUP BY minute_us ORDER BY minute_us""".stripMargin,
 
     "q_elb_roundtrip" ->

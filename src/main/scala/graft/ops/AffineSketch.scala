@@ -380,7 +380,10 @@ object AffineSketch {
     * and the Hamming distances ALL hash-match DuckDB — the full-oracle
     * promotion of the [[VectorOps]] SRP-ANN machinery. Same sub-quadratic
     * banded plan as production: no all-pairs join, no corpus broadcast. */
-  def srpAffine(s: SparkSession, dir: String): DataFrame = {
+  /** 32-bit affine-SRP signature relation (vec_id, sig) — shared by
+    * [[srpAffine]]'s rotation banding and [[cosineLshAffine]]'s
+    * band/bucket blocking. */
+  private def srpSig(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables(s, dir, "embeddings")
     val q = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -388,15 +391,18 @@ object AffineSketch {
         floor(col("x").cast("double") * 1048576).cast("long").as("q"))
     val sums = (0 until nHashes).map(l =>
       sum(col("q") * (lit(2) * (((col("d") * A(l) + B(l)) % P) % 2) - 1)).as(s"s$l"))
-    val sig = q.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+    q.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
       .select(col("vec_id"),
         (0 until nHashes).map(l => (col(s"s$l") > 0).cast("long") * (1L << l))
           .reduce(_ + _).as("sig"))
-      .persist()
-    rotatedPrefixPairs(sig, "vec_id")
   }
 
-  private def srpAffineOracle: String = {
+  def srpAffine(s: SparkSession, dir: String): DataFrame =
+    rotatedPrefixPairs(srpSig(s, dir).persist(), "vec_id")
+
+  /** Shared oracle prefix for the SRP twins: quantized coords → 32 affine
+    * projections → 32-bit signature as `sig2(vec_id, sig)`. */
+  private def srpSigCtes: String = {
     val sums = (0 until nHashes)
       .map(l => s"sum(q*(2*(((d*${A(l)}+${B(l)})%$P)%2)-1)) AS s$l").mkString(",\n    ")
     val sigExpr = (0 until nHashes).map(l => s"(s$l>0)::BIGINT*${1L << l}").mkString(" + ")
@@ -407,8 +413,11 @@ object AffineSketch {
        |  SELECT vec_id, $sums FROM q GROUP BY vec_id
        |), sig2 AS (
        |  SELECT vec_id, $sigExpr AS sig FROM sums
-       |), ${rotatedPrefixPairsSql("vec_id")}""".stripMargin
+       |)""".stripMargin
   }
+
+  private def srpAffineOracle: String =
+    s"""$srpSigCtes, ${rotatedPrefixPairsSql("vec_id")}"""
 
   // -------------------------------------------------------------- Winnowing
 
@@ -840,6 +849,360 @@ object AffineSketch {
        |ORDER BY scope""".stripMargin
   }
 
+  // -------------------------------------------- SRP-blocked cosine verify
+
+  private val clBands = 8
+  private val clBandBits = 4   // 8 bands × 4 bits cover the 32-bit sig
+  private val clTau = 0.35     // same threshold as VectorOps.cosinePairsLsh
+
+  /** Exact-integer sum zip-dot — every term |x·y| < 2^42, 64 terms sum
+    * inside one row in fixed order ⇒ exact int64 on both engines. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** The fully-oracled twin of [[VectorOps.cosinePairsLsh]]: SRP-banded
+    * candidate generation (8 bands × 4-bit buckets of the 32-bit affine
+    * signature — a plain equi self-join on (band, bucket), never all
+    * pairs) followed by EXACT cosine verification on 2^20-quantized
+    * integer coordinates: cos = Σq₁q₂ / (√Σq₁²·√Σq₂²) — the integer dot
+    * products are order-fixed int64, the two sqrt/divide steps are
+    * correctly-rounded IEEE on identical inputs, so the emitted cosine is
+    * bit-identical across engines and needs NO rounding. Production keeps
+    * engine-native xxhash64 SRP ([[VectorOps.cosinePairsLsh]], rows-only);
+    * this twin hash-proves the same banding+verify pipeline shape. */
+  def cosineLshAffine(s: SparkSession, dir: String): DataFrame = {
+    val sig = srpSig(s, dir).persist()
+    val bandStructs = (0 until clBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(sig div ${1L << (clBandBits * b)}) % ${1 << clBandBits}")
+          .as("bucket"))
+    }
+    val banded = sig
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("vec_id").as("id1"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("id2")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    // plain equi joins against the corpus-sized quantized-vector relation
+    val qv = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+        .as("q"))
+      .withColumn("dd", intDot(col("q"), col("q")))
+    val v1 = qv.select(col("vec_id").as("id1"), col("q").as("q1"), col("dd").as("d1"))
+    val v2 = qv.select(col("vec_id").as("id2"), col("q").as("q2"), col("dd").as("d2"))
+    cands.join(v1, "id1").join(v2, "id2")
+      .withColumn("cos", intDot(col("q1"), col("q2"))
+        / (sqrt(col("d1")) * sqrt(col("d2"))))
+      .filter(col("cos") >= clTau)
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def cosineLshAffineOracle: String = {
+    val bands = (0 until clBands).map { b =>
+      s"  SELECT vec_id, $b AS band, (sig//${1L << (clBandBits * b)}) % ${1 << clBandBits} AS bucket FROM sig2"
+    }.mkString("\n  UNION ALL\n")
+    s"""$srpSigCtes, banded AS (
+       |$bands
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM banded a JOIN banded b USING (band, bucket)
+       |  WHERE a.vec_id < b.vec_id
+       |), v AS (
+       |  SELECT vec_id, qq,
+       |    CAST(list_sum(list_transform(qq, x -> x*x)) AS BIGINT) AS dd
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qq
+       |        FROM embeddings)
+       |), scored AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(list_sum(list_transform(range(1,65), i -> a.qq[i]*b.qq[i])) AS BIGINT)
+       |      / (sqrt(a.dd) * sqrt(b.dd)) AS cos
+       |  FROM cand c JOIN v a ON c.id1 = a.vec_id JOIN v b ON c.id2 = b.vec_id
+       |)
+       |SELECT id1, id2, cos FROM scored WHERE cos >= $clTau
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ------------------------------------------------- KMV over user-day keys
+
+  private val kmvUK = 64
+  private val kmvURange = 268435456L // md5h < 2^28
+
+  /** The fully-oracled twin of [[Analytics.kmvUsers]]: KMV sketches of the
+    * distinct (user, day) STRING key per event_type — base hash is the
+    * md5 prefix (the xxhash64 stand-in; the affine family would be fed
+    * strings here, and md5 mixes), est = (k−1)·2^28 / h_(k) — plus the
+    * sketch SET ALGEBRA the production query demonstrates: the click/view
+    * union sketch is the k smallest of the combined hash sets,
+    * |A∪B| ≈ (k−1)·2^28/θ, and |A∩B| ≈ (|both ∩ unionK|/k)·|A∪B| (Beyer
+    * et al. SIGMOD '07). No decimal rounding anywhere: every estimate is a
+    * chain of IEEE ops on identical exact integers, bit-identical across
+    * engines. Per-scope rank is a window over post-distinct hashes; the
+    * production path keeps the mergeable `KmvSketch` UDAF. */
+  def kmvUsersAffine(s: SparkSession, dir: String): DataFrame = {
+    val hashed = events(s, dir)
+      .select(col("event_type").as("scope"),
+        concat_ws(":", col("user_id"),
+          date_trunc("day", col("ts")).cast("date").cast("string")).as("ud"))
+      .withColumn("h", md5h(col("ud")))
+      .persist()
+    val exact = hashed.groupBy(col("scope"))
+      .agg(countDistinct(col("ud")).as("exact_n"))
+    val dh = hashed.select(col("scope"), col("h")).distinct()
+    val sel = dh.withColumn("rn",
+        row_number().over(Window.partitionBy(col("scope")).orderBy(col("h"))))
+      .filter(col("rn") === kmvUK).select(col("scope"), col("h"))
+    val perType = exact.join(sel, Seq("scope"), "left")
+      .select(col("scope"), col("exact_n"),
+        when(col("h").isNull, col("exact_n").cast("double"))
+          .otherwise(lit((kmvUK - 1).toDouble) * kmvURange / col("h"))
+          .as("kmv_est"))
+    // click/view set algebra purely from hash sets (no rescan of events)
+    val hc = hashed.filter(col("scope") === "click").select(col("h")).distinct()
+    val hv = hashed.filter(col("scope") === "view").select(col("h")).distinct()
+    val unionK = hc.union(hv).distinct().orderBy(col("h")).limit(kmvUK)
+    val uStats = unionK.agg(max(col("h")).as("hk"), count(lit(1)).as("ku"))
+    val inBoth = unionK.join(hc, Seq("h"), "left_semi")
+      .join(hv, Seq("h"), "left_semi").agg(count(lit(1)).as("nb"))
+    val cu = hashed.filter(col("scope") === "click").select(col("ud")).distinct()
+    val vu = hashed.filter(col("scope") === "view").select(col("ud")).distinct()
+    val exactU = cu.union(vu).distinct().agg(count(lit(1)).as("xu"))
+    val exactI = cu.intersect(vu).agg(count(lit(1)).as("xi"))
+    val estU = when(col("ku") < kmvUK, col("ku").cast("double"))
+      .otherwise(lit((kmvUK - 1).toDouble) * kmvURange / col("hk"))
+    val setRows = uStats.crossJoin(inBoth).crossJoin(exactU).crossJoin(exactI)
+      .select(
+        struct(lit("click|view").as("scope"), col("xu").as("exact_n"),
+          estU.as("kmv_est")).as("u"),
+        struct(lit("click&view").as("scope"), col("xi").as("exact_n"),
+          (col("nb").cast("double") / kmvUK * estU).as("kmv_est")).as("i"))
+      .select(explode(array(col("u"), col("i"))).as("r"))
+      .select(col("r.scope"), col("r.exact_n"), col("r.kmv_est"))
+    perType.union(setRows).orderBy(col("scope"))
+  }
+
+  private def kmvUsersAffineOracle: String = {
+    val k = kmvUK
+    val estU = s"CASE WHEN s.ku < $k THEN CAST(s.ku AS DOUBLE) ELSE ${(k - 1).toDouble}*$kmvURange/s.hk END"
+    s"""WITH hh AS (
+       |  SELECT event_type AS scope,
+       |    user_id::VARCHAR || ':' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS ud,
+       |    ('0x'||substr(md5(user_id::VARCHAR || ':' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)),1,7))::BIGINT AS h
+       |  FROM events
+       |), exact AS (
+       |  SELECT scope, count(DISTINCT ud) AS exact_n FROM hh GROUP BY 1
+       |), dh AS (
+       |  SELECT DISTINCT scope, h FROM hh
+       |), rnk AS (
+       |  SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn FROM dh
+       |), sel AS (SELECT scope, h FROM rnk WHERE rn = $k
+       |), pertype AS (
+       |  SELECT e.scope, e.exact_n,
+       |    CASE WHEN s.h IS NULL THEN CAST(e.exact_n AS DOUBLE)
+       |         ELSE ${(k - 1).toDouble}*$kmvURange/s.h END AS kmv_est
+       |  FROM exact e LEFT JOIN sel s USING (scope)
+       |), hc AS (SELECT DISTINCT h FROM hh WHERE scope = 'click'
+       |), hv AS (SELECT DISTINCT h FROM hh WHERE scope = 'view'
+       |), unionk AS (
+       |  SELECT DISTINCT h FROM (SELECT h FROM hc UNION ALL SELECT h FROM hv)
+       |  ORDER BY h LIMIT $k
+       |), ustats AS (SELECT max(h) AS hk, count(*) AS ku FROM unionk
+       |), inboth AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nb FROM unionk u
+       |  WHERE EXISTS (SELECT 1 FROM hc WHERE hc.h = u.h)
+       |    AND EXISTS (SELECT 1 FROM hv WHERE hv.h = u.h)
+       |), cu AS (SELECT DISTINCT ud FROM hh WHERE scope = 'click'
+       |), vu AS (SELECT DISTINCT ud FROM hh WHERE scope = 'view'
+       |), exu AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS xu
+       |  FROM (SELECT ud FROM cu UNION SELECT ud FROM vu)
+       |), exi AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS xi
+       |  FROM (SELECT ud FROM cu INTERSECT SELECT ud FROM vu)
+       |)
+       |SELECT scope, exact_n, kmv_est FROM pertype
+       |UNION ALL
+       |SELECT 'click|view', exu.xu, $estU FROM exu, ustats s
+       |UNION ALL
+       |SELECT 'click&view', exi.xi, (CAST(i.nb AS DOUBLE)/$k)*$estU
+       |FROM exi, inboth i, ustats s
+       |ORDER BY scope""".stripMargin
+  }
+
+  // --------------------------------------------------- exact-integer PQ/ADC
+
+  private val pqaM = 8        // subspaces   (mirrors VectorOps.pqM)
+  private val pqaDsub = 8     // dims/subspace (mirrors VectorOps.pqDsub)
+  private val pqaK = 8        // centroids/subspace (oracle-sized k)
+  private val pqaIters = 2    // unrolled Lloyd iterations
+  private val pqaScale = 1048576L
+
+  /** (vec_id, m, sq): 2^20-quantized integer subvectors, one row per
+    * subspace — the exact-arithmetic mirror of [[VectorOps]]'s pqSubvectors
+    * (raw coordinates; the production path's float L2-normalization has no
+    * exact twin and changes nothing about the pipeline shape). */
+  private def pqaSub(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings").select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${pqaM - 1}), m -> struct(m AS m,
+         |  transform(sequence(0, ${pqaDsub - 1}), j ->
+         |    CAST(floor(CAST(embedding[m * $pqaDsub + j] AS DOUBLE) * $pqaScale) AS BIGINT)) AS sq))"""
+        .stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+
+  /** Exact int64 squared L2 over one row's 8-dim integer subvectors. */
+  private def pqaSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Nearest-centroid assignment per (vec, subspace): one broadcast join
+    * against the ≤ pqaM·pqaK-row codebook + a map-side-combined min-struct
+    * agg — all subspaces assign in the same job, the grouped-k-means trick
+    * of [[VectorOps]]'s pqFitCodebook. Distances are exact int64; argmin
+    * tie-breaks on centroid id. */
+  private def pqaAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), "m")
+      .withColumn("dist", pqaSqDist(col("sq"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("best"),
+        first(col("sq")).as("sq")) // sq is constant per (vec_id, m)
+      .select(col("vec_id"), col("m"), col("best.c").as("c"), col("sq"))
+
+  /** Floor-divided integer centroid means per (m, c) — (s−((s%n+n)%n)) div n
+    * so truncating `div` (Spark) and floor `//` (DuckDB) agree on
+    * negatives; empty clusters drop on both engines alike. */
+  private def pqaCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("c"), posexplode(col("sq")).as(Seq("j", "v")))
+      .groupBy(col("m"), col("c"), col("j"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("mv", expr("(sv - ((sv % n + n) % n)) div n"))
+      .groupBy(col("m"), col("c"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("mv")))),
+        x => x.getField("mv")).as("cv"))
+
+  /** Fit + final codes: init = the quantized subvectors of vec_id 0..k−1,
+    * then [[pqaIters]] exact-integer Lloyd rounds. Returns (sub, codebook,
+    * codes). */
+  private def pqaFit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val sub = pqaSub(s, dir).persist()
+    val init = sub.filter(col("vec_id") < pqaK)
+      .select(col("m"), col("vec_id").as("c"), col("sq").as("cv"))
+    val fitted = (1 to pqaIters).foldLeft(init) { (cent, _) =>
+      pqaCentroids(pqaAssign(sub, cent))
+    }
+    (sub, fitted, pqaAssign(sub, fitted))
+  }
+
+  /** The exact-integer twin of [[VectorOps.pqQuantize]] — the semDedup
+    * quantized-Lloyd's recipe ([[VectorOps.semDedup]]) applied to the PQ
+    * codebook fit, so the CODES THEMSELVES and the integer reconstruction
+    * SSE hash-match a generated DuckDB twin running the identical unrolled
+    * k-means per subspace (8 subspaces × 8 centroids × 2 iterations,
+    * deterministic init, integer distances, floor-divided means). The
+    * production PQ path ([[VectorOps.pqQuantize]], float k-means over
+    * L2-normalized subvectors) stays rows-only by design. */
+  def pqAffine(s: SparkSession, dir: String): DataFrame = {
+    val (_, cent, codes) = pqaFit(s, dir)
+    codes.join(broadcast(cent), Seq("m", "c"))
+      .withColumn("se", pqaSqDist(col("sq"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("m"), col("c")))),
+          x => x.getField("c")), ",").as("codes"),
+        sum(col("se")).as("recon_sse"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The exact-integer twin of [[VectorOps.annPqRecall]]'s ADC serving
+    * path: per query (vec_id < 5) the pqaM×pqaK lookup table of integer
+    * subspace distances is precomputed once, and every candidate's
+    * estimated distance is a sum of 8 LUT entries joined by (m, c) — no
+    * full-dimension arithmetic per candidate, the property that makes PQ
+    * serving fast at billions of vectors. Estimated distances are exact
+    * int64 ⇒ the per-query top-3 (adc, cand_id) ranking hash-matches. */
+  def pqAdcAffine(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cent, codes) = pqaFit(s, dir)
+    val lut = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("m"), col("sq").as("qsq"))
+      .join(broadcast(cent), "m")
+      .withColumn("ld", pqaSqDist(col("qsq"), col("cv")))
+      .select(col("query_id"), col("m"), col("c"), col("ld"))
+    val est = codes.join(broadcast(lut), Seq("m", "c"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("ld")).as("adc"))
+      .filter(col("query_id") =!= col("cand_id"))
+    est.withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Shared PQ oracle prefix: subvectors → init → 2 unrolled Lloyd rounds
+    * → final `codes(vec_id, m, sq, c)` with codebook `c2(m, c, cv)`. */
+  private def pqaOracleCtes: String = {
+    val subList =
+      s"list_transform(range(1, ${pqaDsub + 1}), j -> CAST(floor(CAST(embedding[m*$pqaDsub+j] AS DOUBLE)*$pqaScale) AS BIGINT))"
+    val dist =
+      s"list_sum(list_transform(range(1,${pqaDsub + 1}), i -> (s.sq[i]-cb.cv[i])*(s.sq[i]-cb.cv[i])))"
+    def assignCte(cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, m, sq, c FROM (
+         |    SELECT s.vec_id, s.m, s.sq, cb.c,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $dist, cb.c) AS rn
+         |    FROM sub s JOIN $cent cb USING (m)) WHERE rn = 1
+         |)""".stripMargin
+    def centCte(src: String, out: String): String =
+      s"""$out AS (
+         |  SELECT m, c, list((sv - ((sv % n + n) % n)) // n ORDER BY j) AS cv FROM (
+         |    SELECT m, c, j, sum(v) AS sv, count(*) AS n FROM (
+         |      SELECT m, c, unnest(sq) AS v, unnest(range(1, ${pqaDsub + 1})) AS j FROM $src)
+         |    GROUP BY m, c, j)
+         |  GROUP BY m, c
+         |)""".stripMargin
+    s"""WITH sub AS (
+       |  SELECT vec_id, m, $subList AS sq
+       |  FROM embeddings, (SELECT unnest(range(0, $pqaM)) AS m)
+       |), init AS (
+       |  SELECT m, vec_id AS c, sq AS cv FROM sub WHERE vec_id < $pqaK
+       |), ${assignCte("init", "a1")},
+       |${centCte("a1", "c1")},
+       |${assignCte("c1", "a2")},
+       |${centCte("a2", "c2")},
+       |${assignCte("c2", "codes")}""".stripMargin
+  }
+
+  private def pqAffineOracle: String =
+    s"""$pqaOracleCtes, sse AS (
+       |  SELECT k.vec_id, k.m, k.c,
+       |    list_sum(list_transform(range(1,${pqaDsub + 1}), i -> (k.sq[i]-cb.cv[i])*(k.sq[i]-cb.cv[i]))) AS se
+       |  FROM codes k JOIN c2 cb ON k.m = cb.m AND k.c = cb.c
+       |)
+       |SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY m) AS codes,
+       |       CAST(sum(se) AS BIGINT) AS recon_sse
+       |FROM sse GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  private def pqAdcAffineOracle: String =
+    s"""$pqaOracleCtes, lut AS (
+       |  SELECT s.vec_id AS query_id, s.m, cb.c,
+       |    list_sum(list_transform(range(1,${pqaDsub + 1}), i -> (s.sq[i]-cb.cv[i])*(s.sq[i]-cb.cv[i]))) AS ld
+       |  FROM sub s JOIN c2 cb USING (m) WHERE s.vec_id < 5
+       |), est AS (
+       |  SELECT q.query_id, k.vec_id AS cand_id, CAST(sum(q.ld) AS BIGINT) AS adc
+       |  FROM codes k JOIN lut q ON k.m = q.m AND k.c = q.c
+       |  WHERE q.query_id <> k.vec_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, cand_id, adc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+       |  FROM est
+       |)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id, adc
+       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   // ------------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -852,7 +1215,11 @@ object AffineSketch {
     "q_winnow_affine" -> (winnowAffine _),
     "q_winnow_pairs" -> (winnowPairs _),
     "q_kmv_affine" -> (kmvAffine _),
-    "q_hll_affine" -> (hllAffine _))
+    "q_hll_affine" -> (hllAffine _),
+    "q_cosine_lsh_affine" -> (cosineLshAffine _),
+    "q_kmv_users_affine" -> (kmvUsersAffine _),
+    "q_pq_affine" -> (pqAffine _),
+    "q_pq_adc_affine" -> (pqAdcAffine _))
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_affine" -> minhashAffineOracle,
@@ -864,5 +1231,9 @@ object AffineSketch {
     "q_kmv_affine" -> kmvAffineOracle,
     "q_hll_affine" -> hllAffineOracle,
     "q_hll_merge" -> hllMergeOracle,
-    "q_kmv_intersect" -> kmvIntersectOracle)
+    "q_kmv_intersect" -> kmvIntersectOracle,
+    "q_cosine_lsh_affine" -> cosineLshAffineOracle,
+    "q_kmv_users_affine" -> kmvUsersAffineOracle,
+    "q_pq_affine" -> pqAffineOracle,
+    "q_pq_adc_affine" -> pqAdcAffineOracle)
 }

@@ -12,6 +12,22 @@ object Profile {
     r
   }
 
+  /** Where does the ~0.6 s/query fixed overhead go? For each named cheap
+    * query: construction (logical plan build, incl. any eager stats jobs),
+    * planning (analysis→optimization→physical), first count (codegen +
+    * exec), second count on the SAME DataFrame (exec only — plan + codegen
+    * cached), and a FRESH-build count (what Bench actually pays). */
+  def overheadBreakdown(spark: SparkSession, sfDir: String,
+                        names: Seq[String]): Unit = names.foreach { n =>
+    val fn = graft.SparkEntry.queries(n)
+    val df = time(s"$n build")(fn(spark, sfDir))
+    time(s"$n plan")(df.queryExecution.executedPlan)
+    time(s"$n count#1 (codegen+exec)")(df.count())
+    time(s"$n count#2 (exec only)")(df.count())
+    time(s"$n fresh build+count")(fn(spark, sfDir).count())
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -23,6 +39,32 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
+
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_OVERHEAD")) {
+      // warm the JVM exactly like Bench does, then break down cheap queries
+      graft.Tables.names.foreach { t =>
+        try graft.Tables(spark, sfDir, t).limit(1).count()
+        catch { case _: Throwable => }
+      }
+      Seq("q_pricing_summary", "q_window_running", "q_token_stats",
+          "q_elb_parse_stats", "q_json_extract").foreach { q =>
+        try graft.SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
+      overheadBreakdown(spark, sfDir, Seq(
+        "q_stats_corr", "q_sql_grouping_sets", "q_big_orders",
+        "q_case_when", "q_date_funcs", "q_topk_orders", "q_sessionize"))
+      // table-construction cost: fresh read (InMemoryFileIndex + footer
+      // per call) vs the Tables memo — ×100 each
+      time("100x fresh spark.read.parquet(lineitem)") {
+        (1 to 100).foreach(_ => spark.read.parquet(s"$sfDir/lineitem.parquet"))
+      }
+      time("100x Tables(lineitem) memoized") {
+        (1 to 100).foreach(_ => graft.Tables(spark, sfDir, "lineitem"))
+      }
+      spark.stop()
+      return
+    }
 
     // warm
     graft.Tables(spark, sfDir, "documents").count()

@@ -130,6 +130,69 @@ class AffineSketchSpec extends SparkSpec {
     assert(m("view") == ((188L, 180.9)))
   }
 
+  test("cosine LSH affine twin reproduces the independent pair set") {
+    val df = AffineSketch.cosineLshAffine(spark, sf001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 194)
+    assert(rows.head._1 == 1L && rows.head._2 == 129L &&
+      math.abs(rows.head._3 - 0.351480929788176) < 1e-12)
+    assert(math.abs(rows.last._3 - 0.41015414162578445) < 1e-12)
+    assert(math.abs(rows.map(_._3).max - 0.4790154024684951) < 1e-12)
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.35 })
+    // candidate generation must stay the banded equi self-join
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("kmv user-day twin reproduces per-type and set-algebra estimates") {
+    val rows = AffineSketch.kmvUsersAffine(spark, sf001).collect()
+    val m = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m.keySet == Set("click", "click&view", "click|view",
+      "error", "purchase", "signup", "view"))
+    assert(m("click")._1 == 165L &&
+      math.abs(m("click")._2 - 168.38771566101107) < 1e-9)
+    assert(m("click|view")._1 == 265L &&
+      math.abs(m("click|view")._2 - 251.5458341985841) < 1e-9)
+    assert(m("click&view")._1 == 53L &&
+      math.abs(m("click&view")._2 - 62.88645854964602) < 1e-9)
+    // union ≥ max side, intersection ≤ min side — estimator sanity
+    assert(m("click|view")._2 >= m("click")._2.max(m("view")._2) * 0.8)
+    assert(m("click&view")._2 <= m("click")._2.min(m("view")._2))
+    spark.catalog.clearCache()
+  }
+
+  test("exact-integer PQ twin: codes, SSE checksum, full codebook usage") {
+    val rows = AffineSketch.pqAffine(spark, sf001).collect()
+    assert(rows.length == 500)
+    val byId = rows.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // init vectors stay nearest their own (updated) centroid in every subspace
+    assert(byId(0L)._1 == "0,0,0,0,0,0,0,0")
+    assert(byId(499L)._1 == "6,1,4,6,0,1,3,5")
+    assert(rows.map(_.getLong(2)).sum == 381543802416842L)
+    assert(rows.forall(_.getLong(2) > 0L))
+    // all 8 centroids of the codebook are actually used
+    val used = rows.flatMap(_.getString(1).split(",")).toSet
+    assert(used == (0 to 7).map(_.toString).toSet)
+    spark.catalog.clearCache()
+  }
+
+  test("PQ-ADC twin: per-query top-3 by exact integer estimated distance") {
+    val rows = AffineSketch.pqAdcAffine(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 15)
+    assert(rows.head == ((0L, 1, 453L, 805853937240L)))
+    // adc is monotone in rank within each query; self never appears
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 3))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+      assert(g.forall(_._3 != q))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dedup PR funnel: verification only ever raises precision, never recall") {
     val r = AffineSketch.dedupPr(spark, sf001).collect().head
     def l(n: String) = r.getLong(r.fieldIndex(n))

@@ -14,6 +14,17 @@ class EntrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("every rows-only query has a committed hash-oracled twin") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val untwinned = rowsOnly -- SparkEntry.rowsOnlyTwins.keySet
+    assert(untwinned.isEmpty,
+      s"rows-only queries without a twin in SparkEntry.rowsOnlyTwins: $untwinned")
+    val stale = SparkEntry.rowsOnlyTwins.keySet -- rowsOnly
+    assert(stale.isEmpty, s"twin-map entries no longer rows-only: $stale")
+    val badTwin = SparkEntry.rowsOnlyTwins.values.toSet -- SparkEntry.oracleSql.keySet
+    assert(badTwin.isEmpty, s"twins without a hash oracle: $badTwin")
+  }
+
   // Built ONCE and shared by the run-all and schema-audit tests below:
   // query construction is not free (ScaledRank-based queries run eager
   // boundary-stats jobs and persist() RDDs while building), so a second

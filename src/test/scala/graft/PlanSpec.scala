@@ -341,6 +341,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "per-user top-3 should group-limit")
   }
 
+  test("golden record: survivorship joins stay keyed and CC lineage is cut") {
+    val p = plan("q_golden_record")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the CC labels must arrive checkpoint-truncated — without the
+    // per-round localCheckpoint the final plan nests every CC round's
+    // joins (super-linear plan growth, see connectedComponents scaladoc)
+    assert(p.contains("ExistingRDD"), s"CC lineage not cut:\n${p.take(3000)}")
+    // per-entity segment mode is a group-limited window, never global
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("sssp result plan is checkpoint-truncated (no nested round lineage)") {
+    // the frontier⋈edges relaxation happens inside the rounds (equi on
+    // node===u; convergence + cost-cap violations throw loudly there);
+    // the RESULT must be just a sort over the checkpointed distance
+    // relation — a Join here means a round's lineage leaked through
+    val p = plan("q_sssp")
+    assert(p.contains("ExistingRDD"), s"lineage not cut:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"round lineage leaked into result:\n${p.take(3000)}")
+  }
+
   test("dedup PR truth join carries the block keys (keyed, never cartesian)") {
     // BNLJ appears ONLY as the metric-assembly crossJoins of 1-row
     // aggregates (the Q11 convention); the pair-generating joins must
