@@ -155,6 +155,117 @@ object TextOps {
                          f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.filter(c, f)
 
+  /** Gopher-style quality rule screens (Rae et al. '21, arXiv:2112.11446
+    * Table A1): per-document boolean flags — token-count band, mean word
+    * length band, ≥ 80% of words contain an alphabetic character, ≥ 2
+    * distinct required stopwords, symbol-to-word ratio ≤ 1/10 — plus the
+    * conjunctive `keep`. Every rule is an EXACT INTEGER comparison
+    * (mean-word-length bounds become 3n ≤ Σ|w| ≤ 10n, the alpha ratio
+    * 5·n_alpha ≥ 4·n, the symbol ratio 10·n_sym ≤ n), so the flags
+    * hash-match DuckDB with no float anywhere. A pure per-row map stage —
+    * the shape of the first filter pass every 100 TB curation run makes. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    docs(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_alpha",
+        size(filter_exp(col("tokens"), t => t.rlike("[a-zA-Z]"))))
+      .withColumn("n_sym",
+        size(regexp_extract_all(col("text"), lit("[#<>|~^]"), lit(0))))
+      .withColumn("n_stop",
+        stop.map(w => array_contains(col("tokens"), w).cast("int"))
+          .reduce(_ + _))
+      // Σ|word| = chars minus the n−1 separating spaces
+      .withColumn("wchars", col("n_chars") - (col("n_tokens") - lit(1)))
+      .withColumn("wc_ok", col("n_tokens").between(15, 500))
+      .withColumn("mwl_ok", (lit(3) * col("n_tokens") <= col("wchars")) &&
+        (col("wchars") <= lit(10) * col("n_tokens")))
+      .withColumn("alpha_ok", lit(5) * col("n_alpha") >= lit(4) * col("n_tokens"))
+      .withColumn("stop_ok", col("n_stop") >= 2)
+      .withColumn("sym_ok", lit(10) * col("n_sym") <= col("n_tokens"))
+      .select(col("doc_id"), col("wc_ok"), col("mwl_ok"), col("alpha_ok"),
+        col("stop_ok"), col("sym_ok"),
+        (col("wc_ok") && col("mwl_ok") && col("alpha_ok") &&
+          col("stop_ok") && col("sym_ok")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirBuckets = 1024
+  private val dsirScale = 1073741824L // 2^30: lr quantized exact to int64
+
+  /** DSIR importance weights (Xie et al. NeurIPS '23, arXiv:2302.03169):
+    * data selection by importance resampling — score each raw document by
+    * how much more likely its hashed word features are under a TARGET
+    * distribution (here the lang='en' slice) than under the raw corpus.
+    * Features are md5-prefix(word) mod 1024 buckets; both feature LMs are
+    * add-1 smoothed; a doc's log weight is Σ_f [ln(ct_f+1) − ln(T+m) −
+    * ln(cr_f+1) + ln(R+m)] over its word occurrences. Each per-feature
+    * term is computed once from exact integer counts (identical IEEE
+    * doubles on both engines) and then QUANTIZED to int64 units of 2⁻³⁰
+    * — so the per-doc sum is an exact integer aggregate, order-free,
+    * immune to float-summation ordering. Plan: one explode + two
+    * map-side-combined feature aggregates + a broadcast of the ≤1024-row
+    * log-ratio table back onto the feature stream — no all-pairs, no
+    * driver collect; at 100 TB the bucket table stays 1024 rows no matter
+    * the corpus. */
+  def dsirImportance(s: SparkSession, dir: String): DataFrame = {
+    val feat = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long")
+          % dsirBuckets).as("f"))
+      .persist()
+    val ct = feat.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val cr = feat.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tot = ct.agg(sum(col("ct")).as("t_total"))
+      .crossJoin(cr.agg(sum(col("cr")).as("r_total")))
+    val lr = cr.join(ct, Seq("f"), "left").crossJoin(broadcast(tot))
+      .select(col("f"), floor(
+        (log(coalesce(col("ct"), lit(0L)) + 1)
+          - log(col("t_total") + dsirBuckets)
+          - log(col("cr") + 1)
+          + log(col("r_total") + dsirBuckets)) * dsirScale)
+        .cast("long").as("lrq"))
+    feat.join(broadcast(lr), "f")
+      .groupBy(col("doc_id"))
+      .agg(min(col("lang")).as("lang"), count(lit(1)).as("n_words"),
+        sum(col("lrq")).as("log_w_q"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("log_w_q"),
+        // exact: int64 / 2^30 is a dyadic rational, bit-identical
+        (col("log_w_q").cast("double") / dsirScale).as("log_importance"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language tokenizer fertility (tokens per word) and bytes per
+    * token — the standard multilingual-pipeline efficiency metric (e.g.
+    * Rust et al. ACL '21 on tokenizer fertility): languages whose
+    * fertility is high pay more sequence length per word of content.
+    * Whitespace words vs a max-piece-length subword segmentation (runs of
+    * letters split into ≤ 6-char pieces — the regex stand-in for a
+    * capped-merge BPE vocabulary, so long words cost > 1 token and
+    * fertility varies by language word-length profile); all ratios are
+    * single IEEE divisions of exact integer corpus sums — deterministic,
+    * no rounding. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]{1,6}|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+      .orderBy(col("lang"))
+
   /** Exact near-duplicate pairs: bigram-shingle Jaccard >= 0.25 within a
     * (lang, source) block. Explode distinct shingles, self-join on shingle
     * within the block (pair generation bounded by block size), count
@@ -1193,6 +1304,9 @@ object TextOps {
     "q_term_freq" -> (termFreq _),
     "q_zipf_fit" -> (zipfFit _),
     "q_quality_score" -> (qualityScore _),
+    "q_gopher_rules" -> (gopherRules _),
+    "q_dsir_importance" -> (dsirImportance _),
+    "q_token_fertility" -> (tokenFertility _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_jaccard_prefix" -> (jaccardPrefix _),
     "q_containment_pairs" -> (containmentPairs _),
@@ -1544,6 +1658,68 @@ object TextOps {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(tokens) AS n_tokens,
+        |    len(list_filter(tokens, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+        |    len(regexp_extract_all(text, '[#<>|~^]')) AS n_sym,
+        |    list_contains(tokens, 'the')::INT + list_contains(tokens, 'a')::INT
+        |      + list_contains(tokens, 'of')::INT + list_contains(tokens, 'and')::INT
+        |      + list_contains(tokens, 'to')::INT AS n_stop,
+        |    n_chars - (len(tokens) - 1) AS wchars
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens, n_chars, text
+        |        FROM documents)
+        |)
+        |SELECT doc_id,
+        |  n_tokens BETWEEN 15 AND 500 AS wc_ok,
+        |  (3*n_tokens <= wchars AND wchars <= 10*n_tokens) AS mwl_ok,
+        |  5*n_alpha >= 4*n_tokens AS alpha_ok,
+        |  n_stop >= 2 AS stop_ok,
+        |  10*n_sym <= n_tokens AS sym_ok,
+        |  (n_tokens BETWEEN 15 AND 500)
+        |    AND (3*n_tokens <= wchars AND wchars <= 10*n_tokens)
+        |    AND 5*n_alpha >= 4*n_tokens AND n_stop >= 2
+        |    AND 10*n_sym <= n_tokens AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_importance" ->
+      """WITH feat AS (
+        |  SELECT doc_id, lang, ('0x'||substr(md5(w),1,7))::BIGINT % 1024 AS f
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |), ct AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f
+        |), cr AS (SELECT f, count(*) AS cr FROM feat GROUP BY f
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS t_total,
+        |         (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS r_total
+        |), lr AS (
+        |  SELECT cr.f,
+        |    CAST(floor((ln(coalesce(ct.ct, 0) + 1) - ln(t_total + 1024)
+        |                - ln(cr.cr + 1) + ln(r_total + 1024)) * 1073741824) AS BIGINT) AS lrq
+        |  FROM cr LEFT JOIN ct USING (f), tot
+        |)
+        |SELECT x.doc_id, min(x.lang) AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(l.lrq) AS BIGINT) AS log_w_q,
+        |  CAST(sum(l.lrq) AS BIGINT)::DOUBLE / 1073741824 AS log_importance
+        |FROM feat x JOIN lr l USING (f)
+        |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
+
+    "q_token_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS ws,
+        |    len(regexp_extract_all(text, '[a-zA-Z]{1,6}|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe,
+        |    n_chars
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS n_words,
+        |  CAST(sum(bpe) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bpe) AS BIGINT)::DOUBLE / CAST(sum(ws) AS BIGINT) AS fertility,
+        |  CAST(sum(n_chars) AS BIGINT)::DOUBLE / CAST(sum(bpe) AS BIGINT) AS chars_per_token
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -618,4 +618,52 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(r.fieldIndex("id_a"))
       < r.getLong(r.fieldIndex("id_b"))))
   }
+
+  test("gopher rules: integer-exact screens split the fixture as pinned") {
+    val rows = TextOps.gopherRules(spark, sf001).collect()
+    assert(rows.length == 500)
+    def n(flag: String) = rows.count(_.getBoolean(rows.head.fieldIndex(flag)))
+    // independent DuckDB run pins: word-count band drops 26 docs, the
+    // stopword screen 179; length/alpha/symbol screens pass everything on
+    // this clean fixture; conjunction keeps 318
+    assert(n("wc_ok") == 474)
+    assert(n("stop_ok") == 321)
+    assert(n("mwl_ok") == 500 && n("alpha_ok") == 500 && n("sym_ok") == 500)
+    assert(n("keep") == 318)
+    // keep is exactly the conjunction, row by row
+    rows.foreach { r =>
+      def b(f: String) = r.getBoolean(r.fieldIndex(f))
+      assert(b("keep") == (b("wc_ok") && b("mwl_ok") && b("alpha_ok")
+        && b("stop_ok") && b("sym_ok")))
+    }
+  }
+
+  test("dsir importance: en target scores en docs above non-en on average") {
+    val rows = TextOps.dsirImportance(spark, sf001).collect()
+    assert(rows.length == 500)
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(3), r.getDouble(4)))).toMap
+    // independent DuckDB literals (doc 0: es, 23 words)
+    assert(byId(0L) == (("es", -1158307844L, -1.078758243471384)))
+    assert(rows.map(_.getLong(3)).sum == -1716219050272L)
+    // the estimator works: target-language docs weigh higher on average
+    def mean(p: String => Boolean) = {
+      val xs = rows.filter(r => p(r.getString(1))).map(_.getDouble(4))
+      xs.sum / xs.length
+    }
+    assert(mean(_ == "en") > mean(_ != "en"))
+    // quantization invariant: log_importance == log_w_q / 2^30 exactly
+    rows.foreach(r =>
+      assert(r.getDouble(4) == r.getLong(3).toDouble / 1073741824L))
+  }
+
+  test("token fertility: capped-piece segmentation costs >1 token per word") {
+    val rows = TextOps.tokenFertility(spark, sf001).collect()
+    val m = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m.keySet == Set("de", "en", "es", "fr", "zh"))
+    assert(m("en") == ((193L, 10343L, 10664L, 1.0310354829353185)))
+    // every language pays for its >6-char words; none segments below 1
+    assert(m.values.forall { case (_, w, t, f) => t >= w && f >= 1.0 })
+  }
 }
