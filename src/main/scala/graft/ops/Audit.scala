@@ -151,6 +151,57 @@ object Audit {
     s.sql(lDiversitySql("customer_v"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian ICDE '07) — the third
+    * rung of the privacy-ladder after [[kAnonymity]] and [[lDiversity]]:
+    * an equivalence class can be k-large and l-diverse yet still leak if
+    * its SENSITIVE-value distribution diverges from the global one (e.g. a
+    * class that is 90% one segment when the corpus is 20%). Per QI class
+    * (nation, $2000 balance band), distance = total variation between the
+    * class's market-segment distribution and the corpus's — the EMD under
+    * uniform ground distance. Computed EXACTLY in integers: TV =
+    * Σ_s |a_s·B − b_s·A| / (2·A·B), where the numerator is an int64 sum
+    * (order-free) and the single division is IEEE-identical across
+    * engines. The class × sensitive-category expansion is (bounded QI
+    * grain) × (5 segments) — never corpus-sized. Same SQL text runs on
+    * both engines. */
+  private def tClosenessSql(table: String): String =
+    s"""WITH cls AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+       |    c_mktsegment, count(*) AS a
+       |  FROM $table GROUP BY c_nationkey,
+       |    CAST(floor(c_acctbal / 2000.0) AS BIGINT), c_mktsegment
+       |), tot AS (
+       |  SELECT c_nationkey, bal_band, CAST(sum(a) AS BIGINT) AS class_a
+       |  FROM cls GROUP BY c_nationkey, bal_band
+       |), gdist AS (
+       |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS b FROM $table
+       |  GROUP BY c_mktsegment
+       |), gtot AS (SELECT CAST(sum(b) AS BIGINT) AS glob_b FROM gdist
+       |), pairs AS (
+       |  SELECT t.c_nationkey, t.bal_band, t.class_a, g.b, gt.glob_b,
+       |    CAST(coalesce(c2.a, 0) AS BIGINT) AS a
+       |  FROM tot t CROSS JOIN gdist g CROSS JOIN gtot gt
+       |  LEFT JOIN cls c2 ON c2.c_nationkey = t.c_nationkey
+       |    AND c2.bal_band = t.bal_band AND c2.c_mktsegment = g.c_mktsegment
+       |), tv AS (
+       |  SELECT c_nationkey, bal_band, max(class_a) AS class_a,
+       |    CAST(sum(abs(a * glob_b - b * class_a)) AS DOUBLE)
+       |      / (2.0 * max(class_a) * max(glob_b)) AS t
+       |  FROM pairs GROUP BY c_nationkey, bal_band
+       |)
+       |SELECT c_nationkey, count(*) AS n_classes,
+       |  round(max(t), 6) AS max_t,
+       |  count(CASE WHEN t > 0.2 THEN 1 END) AS classes_above_t,
+       |  CAST(coalesce(sum(CASE WHEN t > 0.2 THEN class_a END), 0) AS BIGINT)
+       |    AS users_at_risk
+       |FROM tv GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(tClosenessSql("customer_v"))
+  }
+
   /** Zone-map (data-skipping) effectiveness audit — the layout-advisor
     * query behind [[Layout]]'s range-sorted/Z-ordered writes: simulate
     * per-file min/max statistics (the parquet row-group / Iceberg-manifest
@@ -286,6 +337,7 @@ object Audit {
     "q_zone_map" -> (zoneMap _),
     "q_l_diversity" -> (lDiversity _),
     "q_k_anonymity" -> (kAnonymity _),
+    "q_t_closeness" -> (tCloseness _),
     "q_null_audit" -> (nullAudit _),
     "q_benford" -> (benford _),
     "q_sequence_gaps" -> (sequenceGaps _),
@@ -327,6 +379,7 @@ object Audit {
     "q_zone_map" -> zoneMapSql("lineitem"),
     "q_l_diversity" -> lDiversitySql("customer"),
     "q_k_anonymity" -> kAnonymitySql("customer"),
+    "q_t_closeness" -> tClosenessSql("customer"),
     "q_null_audit" -> nullAuditSql("events"),
     "q_benford" -> benfordSql("orders"),
     "q_sequence_gaps" -> gapsSql("events"),

@@ -1028,6 +1028,55 @@ object Curation {
     * at 100 TB a pathologically large source would be the skew concern,
     * handled the same way as any hot key (salt the cumsum per the
     * [[ScaledRank.withGlobalCumSum]] construction, then offset). */
+  /** Committed target mixture (per-20 shares) and token budget for
+    * [[dataMixture]] — the tuned sampling weights of a Pile/LLaMA-style
+    * training mix, interpolated into the oracle SQL verbatim. */
+  private val mixShares = Seq( // lang -> share numerator over 20
+    "en" -> 8L, "zh" -> 3L, "de" -> 3L, "es" -> 3L, "fr" -> 3L)
+  private val mixBudget = 50000L
+
+  /** Token-budget mixture allocation — the data-mixing step that turns
+    * tuned language weights into per-source token targets (cf. the
+    * published training mixes of The Pile, Gao et al. '20, and LLaMA,
+    * Touvron et al. '23, each a table of exactly these weights): target_l
+    * = B·w_l as exact integer arithmetic (shares are twentieths of the
+    * budget), compared against the available token count to report the
+    * oversampling factor (epochs — how many passes the budget forces over
+    * that language) and the shortfall a single-epoch (no-repeat) policy
+    * would leave. One groupBy over the corpus + a broadcast of the 5-row
+    * weight table; every ratio is one IEEE division of exact integers. */
+  def dataMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = broadcast(mixShares.toDF("lang", "share"))
+    docs(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("available"))
+      .join(weights, "lang")
+      .withColumn("target_tokens", expr(s"share * $mixBudget div 20"))
+      .select(col("lang"), col("share"), col("available"), col("target_tokens"),
+        (col("target_tokens").cast("double") / col("available")).as("epochs"),
+        greatest(col("target_tokens") - col("available"), lit(0L))
+          .as("single_epoch_shortfall"))
+      .orderBy(col("lang"))
+  }
+
+  private def dataMixtureOracle: String = {
+    val vals = mixShares.map { case (l, sh) => s"('$l', $sh)" }.mkString(", ")
+    s"""WITH w(lang, share) AS (VALUES $vals),
+       |avail AS (
+       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available
+       |  FROM documents GROUP BY lang
+       |)
+       |SELECT a.lang, CAST(w.share AS BIGINT) AS share, a.available,
+       |  CAST(w.share * $mixBudget // 20 AS BIGINT) AS target_tokens,
+       |  CAST(w.share * $mixBudget // 20 AS BIGINT)::DOUBLE / a.available AS epochs,
+       |  CAST(greatest(w.share * $mixBudget // 20 - a.available, 0) AS BIGINT)
+       |    AS single_epoch_shortfall
+       |FROM avail a JOIN w USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     val budget = 1000
     val t = docs(s, dir).select(col("doc_id"), col("source"),
@@ -1277,6 +1326,7 @@ object Curation {
     "q_contamination" -> (contamination _),
     "q_boilerplate" -> (boilerplate _),
     "q_token_budget" -> (tokenBudget _),
+    "q_data_mixture" -> (dataMixture _),
   )
 
   // The shingle CTE chain below q_dup_clusters / q_contamination is the
@@ -1333,6 +1383,7 @@ object Curation {
         |    AS VARCHAR) AS jsonl
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
+    "q_data_mixture" -> dataMixtureOracle,
     "q_pagerank" -> pageRankOracleSql("documents"),
     "q_ppr" -> personalizedPageRankOracleSql("documents"),
     "q_kcore" -> kCoreOracleSql("documents"),

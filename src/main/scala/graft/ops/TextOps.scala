@@ -946,7 +946,9 @@ object TextOps {
     * a per-doc aggregate that rides the same hash partitioning. Documents
     * with fewer than 2 tokens have no bigrams and are excluded up front
     * (mirrored in the oracle's WHERE). */
-  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc bigram-LM stats (n_bigrams, ppl) — shared by
+    * [[lmPerplexity]] and [[perplexityBuckets]]. */
+  private def perDocPpl(s: SparkSession, dir: String): DataFrame = {
     val big = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -964,6 +966,28 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(exp(-avg(log(col("c12") / col("c1")))), 6).as("ppl"))
+  }
+
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    perDocPpl(s, dir).orderBy(col("doc_id"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. LREC '20): within
+    * each language, split documents into head/middle/tail TERCILES of LM
+    * perplexity — the standard quality stratification CommonCrawl
+    * pipelines filter and mix by (head = most fluent under the LM).
+    * Ranking key is the round-6 per-doc perplexity of [[perDocPpl]] with
+    * a doc_id tie-break, so the ntile cut is deterministic on both
+    * engines; the window shuffles once on language and each partition is
+    * a language slice, never the whole corpus. */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+    perDocPpl(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("tercile"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 
@@ -1307,6 +1331,7 @@ object TextOps {
     "q_gopher_rules" -> (gopherRules _),
     "q_dsir_importance" -> (dsirImportance _),
     "q_token_fertility" -> (tokenFertility _),
+    "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_jaccard_prefix" -> (jaccardPrefix _),
     "q_containment_pairs" -> (containmentPairs _),
@@ -1507,6 +1532,30 @@ object TextOps {
         |  round(exp(-avg(ln(l.c12 / c.c1))), 6) AS ppl
         |FROM bg b JOIN lm l USING (w1, w2) JOIN ctx c ON l.w1 = c.w1
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+        |  FROM tok),
+        |lm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM lm GROUP BY 1),
+        |ppl AS (
+        |  SELECT b.doc_id, round(exp(-avg(ln(l.c12 / c.c1))), 6) AS ppl
+        |  FROM bg b JOIN lm l USING (w1, w2) JOIN ctx c ON l.w1 = c.w1
+        |  GROUP BY b.doc_id),
+        |ranked AS (
+        |  SELECT p.doc_id, d.lang, p.ppl,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS INTEGER) AS tercile
+        |  FROM ppl p JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, ppl, tercile,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
 
     "q_bpe_merge_candidates" ->
       """WITH w AS (

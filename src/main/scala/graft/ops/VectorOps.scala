@@ -743,7 +743,11 @@ object VectorOps {
     * map-side-combined min-struct agg per iteration; centroid update =
     * posexplode + groupBy(c, pos) over k·64 cells; dup pairs = one
     * within-cluster self-join. No driver collect, no corpus broadcast. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Final exact-integer cluster assignment (vec_id, c, q) under the
+    * deterministic unrolled Lloyd's fit — shared by [[semDedup]] (which
+    * adds the within-cluster dup detection) and [[diversitySample]] (which
+    * quota-samples per cluster). */
+  private[ops] def semClusters(s: SparkSession, dir: String): DataFrame = {
     val qs = emb(s, dir).select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
       .as("q")).persist()
@@ -773,7 +777,11 @@ object VectorOps {
     val fitted = (1 to semIters).foldLeft(init) { (cent, _) =>
       centroidsOf(assign(cent))
     }
-    val finalAssign = assign(fitted)
+    assign(fitted)
+  }
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val finalAssign = semClusters(s, dir)
 
     val vec = finalAssign.withColumn("dd",
       aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
@@ -797,7 +805,9 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  private def semDedupOracle: String = {
+  /** Shared oracle prefix: the DuckDB mirror of [[semClusters]] — ends
+    * with `a3(vec_id, q, c)`, the final assignment. */
+  private def semClustersCtes: String = {
     val distExpr = "list_sum(list_transform(range(1,65), i -> (q[i]-m[i])*(q[i]-m[i])))"
     def assignCte(src: String, cent: String, out: String): String =
       s"""$out AS (
@@ -824,7 +834,11 @@ object VectorOps {
        |${centCte("a1", "c1")},
        |${assignCte("qs", "c1", "a2")},
        |${centCte("a2", "c2")},
-       |${assignCte("qs", "c2", "a3")},
+       |${assignCte("qs", "c2", "a3")}""".stripMargin
+  }
+
+  private def semDedupOracle: String =
+    s"""$semClustersCtes,
        |vec AS (
        |  SELECT vec_id, c, q,
        |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS dd
@@ -841,7 +855,37 @@ object VectorOps {
        |       coalesce(d.nd, 0) = 0 AS keep
        |FROM vec v LEFT JOIN dups d ON v.vec_id = d.id2
        |ORDER BY v.vec_id""".stripMargin
-  }
+
+  private val divQuota = 40
+
+  /** Cluster-quota diversity sampling (the D4 / SemDeDup-family
+    * subsampling step, Tirumala et al. '23 arXiv:2308.12284): after
+    * k-means-clustering the embedding space, keep at most [[divQuota]]
+    * documents per semantic cluster so no region of embedding space
+    * dominates the training mix. Selection priority is a deterministic
+    * md5 draw (reproducible across engines and runs — never rand()), rank
+    * is a per-cluster window over bounded cluster slices, and the cluster
+    * fit is the exact-integer [[semClusters]] — so kept/dropped flags
+    * hash-match DuckDB end-to-end. At 100 TB: the fit is the same
+    * broadcast-k assignment as IVF, the rank shuffles once on cluster id,
+    * and per-cluster state is the quota constant, not the corpus. */
+  def diversitySample(s: SparkSession, dir: String): DataFrame =
+    semClusters(s, dir)
+      .withColumn("pri", md5(concat(lit("graft-div:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("pri"), col("vec_id"))))
+      .select(col("vec_id"), col("c").as("cluster"), col("rn"),
+        (col("rn") <= divQuota).as("keep"))
+      .orderBy(col("vec_id"))
+
+  private def diversitySampleOracle: String =
+    s"""$semClustersCtes
+       |SELECT vec_id, c AS cluster,
+       |  CAST(row_number() OVER (PARTITION BY c
+       |    ORDER BY md5('graft-div:' || vec_id), vec_id) AS INTEGER) AS rn,
+       |  row_number() OVER (PARTITION BY c
+       |    ORDER BY md5('graft-div:' || vec_id), vec_id) <= $divQuota AS keep
+       |FROM a3 ORDER BY vec_id""".stripMargin
 
   /** kNN classification with exact neighbor search — the lazy-learner
     * baseline every embedding-quality eval starts from (Cover & Hart
@@ -1288,6 +1332,7 @@ object VectorOps {
     "q_ann_pq_recall" -> (annPqRecall _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_semdedup" -> (semDedup _),
+    "q_diversity_sample" -> (diversitySample _),
     "q_mutual_knn" -> (mutualKnn _),
     "q_knn_classify" -> (knnClassify _),
     "q_ndcg" -> (ndcg _),
@@ -1735,6 +1780,7 @@ object VectorOps {
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q_semdedup" -> semDedupOracle,
+    "q_diversity_sample" -> diversitySampleOracle,
 
     "q_sq_quantize" ->
       """WITH ex AS (

@@ -300,4 +300,21 @@ class CurationSpec extends SparkSpec {
     // max weighted distance stays under the oracle cost cap with margin
     assert(dist.values.max <= 60L)
   }
+
+  test("data mixture: integer-exact targets, epochs = target/available") {
+    val rows = Curation.dataMixture(spark, sf001).collect()
+    val m = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(m.keySet == Set("de", "en", "es", "fr", "zh"))
+    // independent DuckDB pins: en gets 8/20 of the 50k budget
+    assert(m("en") == ((8L, 10343L, 20000L, 20000.0 / 10343, 9657L)))
+    assert(m("fr") == ((3L, 4926L, 7500L, 7500.0 / 4926, 2574L)))
+    // invariants: targets sum to the budget; shortfall ≡ max(t−a, 0);
+    // epochs is exactly the target/available division
+    assert(rows.map(_.getLong(3)).sum == 50000L)
+    rows.foreach { r =>
+      assert(r.getLong(5) == math.max(r.getLong(3) - r.getLong(2), 0L))
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2))
+    }
+  }
 }

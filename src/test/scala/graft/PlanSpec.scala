@@ -341,6 +341,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "per-user top-3 should group-limit")
   }
 
+  test("dsir importance: bounded ratio table broadcasts, feature stream never nest-loops") {
+    val p = plan("q_dsir_importance")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the ≤1024-row log-ratio relation joins the exploded feature stream
+    // as a broadcast hash join on the bucket key
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("diversity sample ranks inside clusters, never a global window") {
+    val p = plan("q_diversity_sample")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the quota rank's window exchange hashes on the cluster id — a
+    // single-partition global sort here would serialize the corpus
+    assert(p.contains("hashpartitioning(c#") || p.contains("hashpartitioning(c "),
+      s"expected the rank window to partition by cluster:\n${p.take(3000)}")
+  }
+
   test("golden record: survivorship joins stay keyed and CC lineage is cut") {
     val p = plan("q_golden_record")
     assert(!p.contains("CartesianProduct"), p.take(3000))

@@ -121,6 +121,39 @@ class SkylineAuditSpec extends SparkSpec {
     expected.foreach { case (seg, v) => assert(got(seg) == v, s"segment $seg") }
   }
 
+  test("t_closeness matches a plain-Scala total-variation recompute") {
+    val cust = Tables(spark, sf001, "customer")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        math.floor(r.getDouble(1) / 2000.0).toLong, r.getString(2)))
+    val globB = cust.groupBy(_._3).map { case (s, xs) => s -> xs.length.toLong }
+    val bTot = cust.length.toLong
+    val perClass = cust.groupBy(t => (t._1, t._2)).toSeq.map { case ((nat, _), xs) =>
+      val a = xs.length.toLong
+      val num = globB.map { case (s, b) =>
+        math.abs(xs.count(_._3 == s).toLong * bTot - b * a)
+      }.sum
+      (nat, a, num.toDouble / (2.0 * a * bTot))
+    }
+    val expected = perClass.groupBy(_._1).map { case (nat, xs) =>
+      val above = xs.filter(_._3 > 0.2)
+      nat -> ((xs.size.toLong,
+        BigDecimal(xs.map(_._3).max)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        above.size.toLong, above.map(_._2).sum))
+    }
+    val got = Audit.tCloseness(spark, sf001).collect().map { r =>
+      r.getAs[Number](0).longValue() -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (nat, v) => assert(got(nat) == v, s"nation $nat") }
+    // sanity: TV is a [0,1] metric and the tiny sf0.001 classes (each a
+    // handful of users) skew far from the global mix, so flags fire
+    assert(got.values.forall(v => v._2 > 0.0 && v._2 <= 1.0))
+    assert(got.values.exists(_._3 > 0L))
+  }
+
   test("theil_sen slope matches a plain-Scala median-of-slopes recompute") {
     val hourly = Tables(spark, sf001, "events")
       .selectExpr("event_type",

@@ -657,6 +657,89 @@ class TextVectorSpec extends SparkSpec {
       assert(r.getDouble(4) == r.getLong(3).toDouble / 1073741824L))
   }
 
+  test("diversity sample: exactly quota docs kept per semantic cluster") {
+    val rows = VectorOps.diversitySample(spark, sf001).collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getLong(1)).toSet == (0L to 7L).toSet)
+    assert(rows.count(_.getBoolean(3)) == 320) // 8 clusters × 40 quota
+    // rn is a contiguous 1..|cluster| ranking and keep ⇔ rn ≤ quota
+    rows.groupBy(_.getLong(1)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(2)).sorted.toSeq == (1 to g.length))
+    }
+    assert(rows.forall(r => r.getBoolean(3) == (r.getInt(2) <= 40)))
+    // independent DuckDB pin: vec 0 draws rank 43 in cluster 0 → dropped
+    val v0 = rows.find(_.getLong(0) == 0L).get
+    assert(v0.getLong(1) == 0L && v0.getInt(2) == 43 && !v0.getBoolean(3))
+    spark.catalog.clearCache()
+  }
+
+  test("perplexity buckets: per-lang terciles are ordered and near-even") {
+    val rows = TextOps.perplexityBuckets(spark, sf001).collect()
+    assert(rows.length == 500)
+    val counts = rows.groupBy(_.getString(4)).map { case (k, v) => k -> v.length }
+    assert(counts == Map("head" -> 169, "middle" -> 167, "tail" -> 164))
+    // within each language the buckets partition the ppl range in order
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      def ppl(b: String) = g.filter(_.getString(4) == b).map(_.getDouble(2))
+      assert(ppl("head").max <= ppl("middle").min + 1e-9)
+      assert(ppl("middle").max <= ppl("tail").min + 1e-9)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("quality ops agree with DuckDB on adversarial text (pinned offline)") {
+    // Expected values computed by running the committed oracle SQL in
+    // DuckDB over this exact fixture (empty text, single char, symbols
+    // only, clean prose, >6-char words, CJK, consecutive spaces) — all
+    // four queries hash-matched cross-engine on it before pinning.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textops_edge").toString
+    val rows = Seq(
+      (0L, "", "en", "web"),
+      (1L, "a", "en", "web"),
+      (2L, "#### ~~ ^^ <<>> |||", "en", "web"),
+      (3L, "the cat of the house and a dog went to the park near the old tree by the river bank today", "en", "web"),
+      (4L, "extraordinarily incomprehensibilities internationalization abc", "en", "wiki"),
+      (5L, "中文 文本 测试 样本", "zh", "web"),
+      (6L, "a  b", "en", "web"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn(
+        "n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val g = TextOps.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 6).map(r.getBoolean)).toMap
+    // empty text: split yields one empty token -> every content rule
+    // fails except the (vacuous) symbol-ratio screen
+    assert(g(0L) == Seq(false, false, false, false, true, false))
+    // symbols-only: word-length band passes (19 chars / 5 tokens) but the
+    // symbol ratio and alpha screens kill it
+    assert(g(2L) == Seq(false, true, false, false, false, false))
+    assert(g(3L) == Seq(true, true, true, true, true, true)) // clean prose
+    assert(g(5L) == Seq(false, false, false, false, true, false)) // CJK: no [a-zA-Z]
+
+    val d = TextOps.dsirImportance(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // zh words never appear in the en target slice -> strongly negative;
+    // en docs sit slightly positive; the two docs of one word "a"/"" share
+    // the same single-feature weight
+    assert(d(5L) == (("zh", 4L, -2960852308L)))
+    assert(d(3L) == (("en", 21L, 85008861L)))
+    assert(d(0L)._3 == d(1L)._3 && d(0L)._3 == 4048041L)
+
+    val f = TextOps.tokenFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // CJK: every character is its own piece under the regex segmentation
+    assert(f("zh") == ((1L, 4L, 8L, 2.0)))
+    assert(f("en")._3 == 51L) // >6-char words split into capped pieces
+
+    val p = TextOps.perplexityBuckets(spark, dir).collect()
+    // docs 0 and 1 have < 2 tokens -> no bigrams -> excluded on BOTH engines
+    assert(p.map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 5L, 6L))
+    spark.catalog.clearCache()
+  }
+
   test("token fertility: capped-piece segmentation costs >1 token per word") {
     val rows = TextOps.tokenFertility(spark, sf001).collect()
     val m = rows.map(r => r.getString(0) ->
