@@ -17,7 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * planned as `partitions` range-split `InputPartition`s with
   * column pruning pushed into the reader
   * (`SupportsPushDownRequiredColumns`) — pruned fields are never
-  * materialized, not merely dropped.
+  * materialized, not merely dropped — plus filter pushdown
+  * (`SupportsPushDownFilters`, range predicates shrink the planned id
+  * space) and complete aggregate pushdown
+  * (`SupportsPushDownAggregates`: ungrouped COUNT(*)/MIN/MAX(event_id)
+  * answered in O(1) from the pruned range without reading a row — the
+  * footer-statistics shortcut a real columnar source implements).
   *
   *   spark.read.format("graft.sources.EventsSource")
   *     .option("rows", 100000).option("partitions", 32).load()
@@ -71,13 +76,16 @@ class EventsTable extends Table with SupportsRead {
 
 class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = EventsSource.fullSchema
   private var lo = 0L          // inclusive
   private var hi = rows        // exclusive
   private var accepted: Array[Filter] = Array.empty
+  private var aggKinds: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -120,9 +128,84 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new EventsScan(math.max(lo, 0L), math.min(hi, rows), parts, required,
-      rowsPerBatch)
+  private def isEventId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("event_id"))
+      case _ => false
+    }
+
+  /** COUNT(*) / MIN(event_id) / MAX(event_id) with no grouping are O(1)
+    * functions of the (filter-pruned) id range — the aggregate is answered
+    * WITHOUT scanning a single row, the custom-source analogue of
+    * answering COUNT(*) from parquet footer statistics. Spark pushes
+    * filters first, so the pushed range is already applied. Anything else
+    * (grouping, other columns, AVG/SUM) declines and takes the normal
+    * scan + engine-aggregate path. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isEventId(m.column)
+        case m: Max => isEventId(m.column)
+        case _ => false
+      }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    aggKinds = Some(agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => "count"
+      case _: Min => "min"
+      case _: Max => "max"
+    })
+    true
+  }
+
+  override def build(): Scan = {
+    val (clo, chi) = (math.max(lo, 0L), math.min(hi, rows))
+    aggKinds match {
+      case Some(kinds) => new EventsAggScan(clo, chi, kinds)
+      case None => new EventsScan(clo, chi, parts, required, rowsPerBatch)
+    }
+  }
+}
+
+/** Completely-pushed-down global aggregate over the generated id range:
+  * one partition, one row, zero per-row work. Null min/max on an empty
+  * range matches SQL global-aggregate-on-empty semantics. */
+class EventsAggScan(lo: Long, hi: Long, kinds: Seq[String])
+    extends Scan with Batch {
+  private val schema = StructType(kinds.zipWithIndex.map {
+    case ("count", i) => StructField(s"count_star_$i", LongType, nullable = false)
+    case (k, i) => StructField(s"${k}_event_id_$i", LongType, nullable = true)
+  })
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_events_agg[range=[$lo,$hi), agg=[${kinds.mkString(",")}]]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EventsRange(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsAggReaderFactory(lo, hi, kinds)
+}
+
+class EventsAggReaderFactory(lo: Long, hi: Long, kinds: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val n = math.max(0L, hi - lo)
+        val values: Seq[Any] = kinds.map {
+          case "count" => n
+          case "min" => if (n == 0L) null else lo
+          case "max" => if (n == 0L) null else hi - 1
+        }
+        InternalRow.fromSeq(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType,

@@ -67,6 +67,37 @@ class SourcesV2Spec extends SparkSpec {
     assert(events(n, 4).filter(col("event_id") >= Long.MaxValue).count() === 0L)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from the range, no scan") {
+    val df = events(100000, 8)
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"),
+        max(col("event_id")).as("mx"))
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100000L, 0L, 99999L)))
+    // the scan IS the aggregate: one pushed-agg partition, zero row reads
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(scan.description().contains("agg=[count,min,max]"),
+      s"aggregate not pushed: ${scan.description()}")
+
+    // composes with filter pushdown: the pushed range feeds the aggregate
+    val f = events(100000, 8).filter(col("event_id") >= 90000)
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id"))).head()
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == ((10000L, 90000L, 99999L)))
+
+    // empty pushed range: SQL global-agg-on-empty semantics (0, null, null)
+    val e = events(1000, 4).filter(col("event_id") >= 5000)
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id"))).head()
+    assert(e.getLong(0) === 0L && e.isNullAt(1) && e.isNullAt(2))
+
+    // unsupported shapes decline and stay exact via the normal scan path:
+    // grouping, and aggregates over non-range columns
+    val g = events(1000, 4).groupBy(col("event_type")).count()
+    assert(g.collect().map(_.getLong(1)).sum === 1000L)
+    val s = events(1000, 4).agg(sum(col("value"))).head().getDouble(0)
+    assert(s === (0L until 1000L).map(i => ((i * 7919L) % 10000L) / 100.0).sum)
+  }
+
   test("DSv2 sink: two-phase commit publishes exact write-side totals") {
     import graft.sources.AuditSink
     // source → sink end-to-end through the v2 write path, 8 write tasks
