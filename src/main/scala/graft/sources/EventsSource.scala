@@ -76,9 +76,10 @@ class EventsTable extends Table with SupportsRead {
 
 class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
-  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = EventsSource.fullSchema
@@ -86,6 +87,7 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
   private var hi = rows        // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var aggKinds: Option[Seq[String]] = None
+  private var partial = false  // does Spark still need its own sort/limit?
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -159,6 +161,46 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
     })
     true
   }
+
+  /** LIMIT n over an unordered relation may return ANY n rows — truncate
+    * the planned id space to its first n ids. Fully pushed (the scan
+    * returns exactly min(n, available) rows), so Spark drops its own
+    * Limit. Filters push before limits, so the truncation applies to the
+    * already-pruned range. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggKinds.isDefined) return false
+    val clo = math.max(lo, 0L)
+    hi = math.min(hi, clo + limit)
+    partial = false
+    true
+  }
+
+  /** ORDER BY event_id LIMIT n: ids generate in ascending order and the
+    * planned ranges are ascending, so ASC top-N is the range's first n
+    * ids, completely pushed (Spark drops sort + limit). DESC top-N prunes
+    * to the LAST n ids but rows still emit ascending, so it pushes
+    * PARTIALLY — Spark keeps its sort over the ≤ n surviving rows. Any
+    * other sort key declines. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (aggKinds.isDefined || orders.length != 1) return false
+    val onEventId = orders(0).expression match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("event_id"))
+      case _ => false
+    }
+    if (!onEventId) return false
+    val clo = math.max(lo, 0L)
+    val chi = math.min(hi, rows)
+    if (orders(0).direction == SortDirection.ASCENDING) {
+      hi = math.min(chi, clo + limit)
+      partial = false
+    } else {
+      lo = math.max(clo, chi - limit)
+      partial = true
+    }
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = partial
 
   override def build(): Scan = {
     val (clo, chi) = (math.max(lo, 0L), math.min(hi, rows))

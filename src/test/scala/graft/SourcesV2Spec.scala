@@ -98,6 +98,46 @@ class SourcesV2Spec extends SparkSpec {
     assert(s === (0L until 1000L).map(i => ((i * 7919L) % 10000L) / 100.0).sum)
   }
 
+  test("limit and top-N pushdown truncate the planned id space") {
+    // plain LIMIT: fully pushed — the scan's range is the limit
+    val lim = events(100000, 8).limit(7)
+    assert(lim.count() === 7L)
+    val limScan = lim.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(limScan.description().contains("range=[0,7)"),
+      s"limit not pushed: ${limScan.description()}")
+
+    // composes with filter pushdown: limit truncates the PRUNED range
+    val fl = events(100000, 8).filter(col("event_id") >= 500).limit(10)
+    assert(fl.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.description().contains("range=[500,510)"))
+    assert(fl.collect().map(_.getLong(0)).toSeq == (500L until 510L))
+
+    // ASC top-N: completely pushed (ids generate in order)
+    val asc = events(100000, 8).orderBy(col("event_id")).limit(5)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+    assert(asc.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.description().contains("range=[0,5)"))
+
+    // DESC top-N: range prunes to the LAST n ids; Spark's sort stays
+    // (partial push) so the order is correct
+    val desc = events(100000, 8).orderBy(col("event_id").desc).limit(5)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      Seq(99999L, 99998L, 99997L, 99996L, 99995L))
+    assert(desc.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.description().contains("range=[99995,100000)"))
+
+    // unsupported sort key declines: correct via the normal path
+    val byVal = events(1000, 4).orderBy(col("value"), col("event_id")).limit(3)
+    val expect = (0L until 1000L)
+      .map(i => (((i * 7919L) % 10000L) / 100.0, i)).sorted.take(3).map(_._2)
+    assert(byVal.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
   test("DSv2 sink: two-phase commit publishes exact write-side totals") {
     import graft.sources.AuditSink
     // source → sink end-to-end through the v2 write path, 8 write tasks
