@@ -209,7 +209,9 @@ object TextOps {
     * log-ratio table back onto the feature stream — no all-pairs, no
     * driver collect; at 100 TB the bucket table stays 1024 rows no matter
     * the corpus. */
-  def dsirImportance(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lang, n_words, log_w_q) — the quantized per-doc DSIR scores
+    * shared by [[dsirImportance]] and [[dsirSelect]]. */
+  private def dsirScores(s: SparkSession, dir: String): DataFrame = {
     val feat = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
@@ -233,10 +235,61 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(min(col("lang")).as("lang"), count(lit(1)).as("n_words"),
         sum(col("lrq")).as("log_w_q"))
+  }
+
+  def dsirImportance(s: SparkSession, dir: String): DataFrame =
+    dsirScores(s, dir)
       .select(col("doc_id"), col("lang"), col("n_words"), col("log_w_q"),
         // exact: int64 / 2^30 is a dyadic rational, bit-identical
         (col("log_w_q").cast("double") / dsirScale).as("log_importance"))
       .orderBy(col("doc_id"))
+
+  private val dsirLangBudget = 2000L // tokens per language
+
+  /** DSIR SELECTION — the "resampling" half of the method: within each
+    * language, take documents in descending importance order until the
+    * per-language token budget fills (the top-p cut Xie et al. apply to
+    * the raw corpus before pretraining). A lang-partitioned running sum
+    * over the scored relation — never a global single-partition window;
+    * the cut composes importance scoring with [[Curation]]'s budget-fill
+    * machinery end-to-end, and everything stays exact-integer so the
+    * selected set hash-matches DuckDB. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("log_w_q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dsirScores(s, dir)
+      .withColumn("cum_tokens", sum(col("n_words")).over(w))
+      .filter(col("cum_tokens") <= dsirLangBudget)
+      .select(col("lang"), col("doc_id"), col("n_words"), col("log_w_q"),
+        col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
+  private val oovVocabK = 20
+
+  /** Out-of-vocabulary rate per language under a frequency-built top-k
+    * vocabulary — the coverage check run before committing to a tokenizer
+    * or vocab size (an OOV-heavy language pays UNK degradation). Vocab =
+    * the corpus's k most frequent words (k = 20 — the fixture's five languages share one 31-word pool, so only a sub-pool vocab yields nonzero OOV; ties lexical — deterministic);
+    * per-language rate = OOV word OCCURRENCES / occurrences, one exact
+    * integer division. Vocab is bounded (top-k of a grouped count via
+    * sort-limit ≡ TakeOrdered) and broadcasts back onto the word stream —
+    * the corpus never joins itself. */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .persist()
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(oovVocabK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_words"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_words")).as("oov_rate"))
+      .orderBy(col("lang"))
   }
 
   /** Per-language tokenizer fertility (tokens per word) and bytes per
@@ -1332,6 +1385,8 @@ object TextOps {
     "q_dsir_importance" -> (dsirImportance _),
     "q_token_fertility" -> (tokenFertility _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
+    "q_dsir_select" -> (dsirSelect _),
+    "q_oov_rate" -> (oovRate _),
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_jaccard_prefix" -> (jaccardPrefix _),
     "q_containment_pairs" -> (containmentPairs _),
@@ -1755,6 +1810,51 @@ object TextOps {
         |  CAST(sum(l.lrq) AS BIGINT)::DOUBLE / 1073741824 AS log_importance
         |FROM feat x JOIN lr l USING (f)
         |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH feat AS (
+        |  SELECT doc_id, lang, ('0x'||substr(md5(w),1,7))::BIGINT % 1024 AS f
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |), ct AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f
+        |), cr AS (SELECT f, count(*) AS cr FROM feat GROUP BY f
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS t_total,
+        |         (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS r_total
+        |), lr AS (
+        |  SELECT cr.f,
+        |    CAST(floor((ln(coalesce(ct.ct, 0) + 1) - ln(t_total + 1024)
+        |                - ln(cr.cr + 1) + ln(r_total + 1024)) * 1073741824) AS BIGINT) AS lrq
+        |  FROM cr LEFT JOIN ct USING (f), tot
+        |), scores AS (
+        |  SELECT x.doc_id, min(x.lang) AS lang,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(l.lrq) AS BIGINT) AS log_w_q
+        |  FROM feat x JOIN lr l USING (f) GROUP BY x.doc_id
+        |), filled AS (
+        |  SELECT lang, doc_id, n_words, log_w_q,
+        |    CAST(sum(n_words) OVER (PARTITION BY lang
+        |      ORDER BY log_w_q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scores
+        |)
+        |SELECT lang, doc_id, n_words, log_w_q, cum_tokens
+        |FROM filled WHERE cum_tokens <= 2000
+        |ORDER BY lang, cum_tokens""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH ws AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |), vocab AS (
+        |  SELECT w FROM (SELECT w, count(*) AS n FROM ws GROUP BY w
+        |                 ORDER BY n DESC, w LIMIT 20)
+        |)
+        |SELECT ws.lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / count(*) AS oov_rate
+        |FROM ws LEFT JOIN vocab v ON ws.w = v.w
+        |GROUP BY ws.lang ORDER BY ws.lang""".stripMargin,
 
     "q_token_fertility" ->
       """WITH d AS (

@@ -740,6 +740,37 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dsir select fills each language budget in descending importance") {
+    val rows = TextOps.dsirSelect(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 267)
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet == Set("de", "en", "es", "fr", "zh"))
+    // independent DuckDB pins: doc counts + filled budget per language
+    assert(byLang("en").length == 75 && byLang("en").map(_._5).max == 1994L)
+    assert(byLang("de").length == 47 && byLang("de").map(_._5).max == 1977L)
+    // budget respected and importance non-increasing along the fill
+    assert(rows.forall(_._5 <= 2000L))
+    byLang.values.foreach { g =>
+      val ordered = g.sortBy(_._5).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        "importance must be non-increasing in fill order")
+    }
+  }
+
+  test("oov rate: sub-pool vocab yields per-language coverage gaps") {
+    val rows = TextOps.oovRate(spark, sf001).collect()
+    val m = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.keySet == Set("de", "en", "es", "fr", "zh"))
+    // independent DuckDB pins
+    assert(m("de") == ((4070L, 1372L, 0.3371007371007371)))
+    assert(m("zh") == ((4084L, 1330L, 0.3256611165523996)))
+    // rate is exactly the integer ratio
+    rows.foreach(r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1)))
+  }
+
   test("token fertility: capped-piece segmentation costs >1 token per word") {
     val rows = TextOps.tokenFertility(spark, sf001).collect()
     val m = rows.map(r => r.getString(0) ->
