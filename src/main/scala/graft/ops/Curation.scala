@@ -898,6 +898,111 @@ object Curation {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe CLUSTER-AWARE splitting (the Lee et al. '22 §5
+    * recommendation: near-duplicate documents straddling train/test
+    * inflate eval — split by DUP CLUSTER, not by document). The whole
+    * cluster lands in one split via an md5 draw on the cluster id
+    * (80/10/10). The query
+    * QUANTIFIES what this buys: under a naive per-document draw, every
+    * dup group with members in ≥ 2 splits leaks — the cross-split pair
+    * count Σ(n²−Σₛn_s²)/2 is computed exactly from integer per-split
+    * member counts, and the same count under the cluster assignment is 0
+    * BY CONSTRUCTION (hash-proven, not asserted). Clusters come from the
+    * UNBLOCKED [[AffineSketch.minhashAffine]] near-dup pairs (est ≥ 0.5)
+    * — the corpus's cross-language/source duplicates, which the
+    * (lang, source)-blocked jaccard pairs deliberately exclude — run
+    * through the same min-label CC as [[dupClusters]]. Plan: banded
+    * candidate pairs + CC labels + per-row hash draws + bounded 3-row
+    * aggregates. */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    def draw(prefix: String, c: Column): Column = {
+      val u = conv(substring(md5(concat(lit(prefix), c.cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 100
+      when(u < 80, "train").when(u < 90, "val").otherwise("test")
+    }
+    val e = AffineSketch.minhashAffine(s, dir)
+      .select(col("id1"), col("id2")).persist()
+    // CC only over the MATCHED subgraph (the goldenRecord seeding trick):
+    // every unmatched doc is its own singleton cluster by definition
+    val matched = e.select(col("id1").as("id"))
+      .union(e.select(col("id2").as("id"))).distinct()
+    val labels = connectedComponents(matched, e)
+    val assigned = docs(s, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        draw("graft-csplit:", col("cluster_id")).as("split"),
+        draw("graft-csplit:", col("doc_id")).as("naive_split"))
+      .persist()
+    // exact cross-split pair counts per text group: (n² − Σₛ n_s²) / 2
+    def leak(splitCol: String): DataFrame =
+      assigned.groupBy(col("cluster_id"), col(splitCol))
+        .agg(count(lit(1)).as("ns"))
+        .groupBy(col("cluster_id"))
+        .agg(sum(col("ns")).as("n"), sum(col("ns") * col("ns")).as("ss"))
+        .agg((sum(col("n") * col("n") - col("ss")) / lit(2)).cast("long")
+          .as(s"leak_$splitCol"))
+    val perSplit = assigned.groupBy(col("split"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+    val naiveSizes = assigned.groupBy(col("naive_split").as("split"))
+      .agg(count(lit(1)).as("naive_docs"))
+    perSplit.join(naiveSizes, "split")
+      .crossJoin(broadcast(leak("split")))
+      .crossJoin(broadcast(leak("naive_split")))
+      .select(col("split"), col("n_clusters"), col("n_docs"),
+        col("naive_docs"), col("leak_split").as("leak_pairs_cluster"),
+        col("leak_naive_split").as("leak_pairs_naive"))
+      .orderBy(col("split"))
+  }
+
+  private def clusterSplitOracle: String =
+    s"""WITH RECURSIVE mp AS (
+       |  SELECT id1, id2 FROM (${graft.ops.AffineSketch.oracleSql("q_minhash_affine")})
+       |), edges AS (
+       |  SELECT id1, id2 FROM mp
+       |  UNION ALL
+       |  SELECT id2, id1 FROM mp
+       |), reach AS (
+       |  SELECT doc_id AS id, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT r.id, e.id2 FROM reach r JOIN edges e ON r.lab = e.id1
+       |), cl AS (
+       |  SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY id
+       |), a AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN ('0x'||substr(md5('graft-csplit:'||cluster_id),1,6))::BIGINT % 100 < 80 THEN 'train'
+       |         WHEN ('0x'||substr(md5('graft-csplit:'||cluster_id),1,6))::BIGINT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN ('0x'||substr(md5('graft-csplit:'||doc_id),1,6))::BIGINT % 100 < 80 THEN 'train'
+       |         WHEN ('0x'||substr(md5('graft-csplit:'||doc_id),1,6))::BIGINT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS naive_split
+       |  FROM cl
+       |), lc AS (
+       |  SELECT CAST(sum(n*n - ss) // 2 AS BIGINT) AS leak_pairs_cluster FROM (
+       |    SELECT cluster_id, sum(ns) AS n, sum(ns*ns) AS ss FROM (
+       |      SELECT cluster_id, split, count(*) AS ns FROM a GROUP BY 1, 2)
+       |    GROUP BY cluster_id)
+       |), ln2 AS (
+       |  SELECT CAST(sum(n*n - ss) // 2 AS BIGINT) AS leak_pairs_naive FROM (
+       |    SELECT cluster_id, sum(ns) AS n, sum(ns*ns) AS ss FROM (
+       |      SELECT cluster_id, naive_split, count(*) AS ns FROM a GROUP BY 1, 2)
+       |    GROUP BY cluster_id)
+       |), per AS (
+       |  SELECT split, count(DISTINCT cluster_id) AS n_clusters,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM a GROUP BY split
+       |), naive AS (
+       |  SELECT naive_split AS split, CAST(count(*) AS BIGINT) AS naive_docs
+       |  FROM a GROUP BY naive_split
+       |)
+       |SELECT p.split, p.n_clusters, p.n_docs, nv.naive_docs,
+       |  lc.leak_pairs_cluster, ln2.leak_pairs_naive
+       |FROM per p JOIN naive nv USING (split), lc, ln2
+       |ORDER BY p.split""".stripMargin
+
   /** Concat-and-chunk sequence packing (GPT-style pretraining batch prep):
     * documents are concatenated in doc_id order into one token stream and
     * cut into fixed 512-token context windows; each doc's pack assignment
@@ -1327,6 +1432,7 @@ object Curation {
     "q_boilerplate" -> (boilerplate _),
     "q_token_budget" -> (tokenBudget _),
     "q_data_mixture" -> (dataMixture _),
+    "q_cluster_split" -> (clusterSplit _),
   )
 
   // The shingle CTE chain below q_dup_clusters / q_contamination is the
@@ -1384,6 +1490,7 @@ object Curation {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" -> mergeUpsertSql("documents"),
     "q_data_mixture" -> dataMixtureOracle,
+    "q_cluster_split" -> clusterSplitOracle,
     "q_pagerank" -> pageRankOracleSql("documents"),
     "q_ppr" -> personalizedPageRankOracleSql("documents"),
     "q_kcore" -> kCoreOracleSql("documents"),

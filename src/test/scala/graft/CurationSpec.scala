@@ -301,6 +301,21 @@ class CurationSpec extends SparkSpec {
     assert(dist.values.max <= 60L)
   }
 
+  test("cluster split: zero leakage by construction, naive split leaks") {
+    val rows = Curation.clusterSplit(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    // independent DuckDB pins (sf0.001): the naive per-doc draw splits 11
+    // near-dup pairs across train/val/test; the cluster draw splits none
+    assert(rows.values.forall(_._4 == 0L), "cluster split must never leak")
+    assert(rows.values.forall(_._5 == 11L))
+    assert(rows("train") == ((372L, 393L, 391L, 0L, 11L)))
+    // every doc lands in exactly one split under both assignments
+    assert(rows.values.map(_._2).sum == 500L)
+    assert(rows.values.map(_._3).sum == 500L)
+  }
+
   test("data mixture: integer-exact targets, epochs = target/available") {
     val rows = Curation.dataMixture(spark, sf001).collect()
     val m = rows.map(r => r.getString(0) ->
