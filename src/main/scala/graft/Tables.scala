@@ -27,8 +27,25 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // lazy eviction: drop entries whose session has been stopped so a
+    // long-lived JVM (forked test runner cycling suites/sessions) never
+    // retains dead sessions' DataFrames for the process lifetime. The map
+    // stays ≤ live-sessions × dirs × 10, so the sweep is O(small).
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     memo.computeIfAbsent((spark, sfDir, name), _ => build(spark, sfDir, name))
+  }
+
+  /** Drop every memoized listing under `sfDir`, for any session. The memo
+    * is only safe while table paths are never rewritten in place (driver
+    * fixtures are read-only; test fixtures write fresh temp dirs) — a
+    * writer that DOES rewrite a table under an existing dir must call this
+    * first, or a previously captured file listing would be served stale. */
+  def invalidate(sfDir: String): Unit =
+    memo.keySet.removeIf(k => k._2 == sfDir)
+
+  /** Clear the whole memo (test hygiene between suites). */
+  def clear(): Unit = memo.clear()
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>

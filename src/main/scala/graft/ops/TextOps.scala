@@ -194,6 +194,63 @@ object TextOps {
   private val dsirBuckets = 1024
   private val dsirScale = 1073741824L // 2^30: lr quantized exact to int64
 
+  /** ln(x) for x ≥ 1 computed ONLY from IEEE-754 correctly-rounded ops
+    * (+, −, ×, ÷, sqrt): y = x^(1/2^16) via 16 nested sqrts, then the
+    * 4-term Mercator series ln(y) ≈ t − t²/2 + t³/3 − t⁴/4 (t = y − 1)
+    * scaled back by 2^16. Neither Java's `Math.log` nor DuckDB's libm
+    * `ln` is correctly rounded, so a quantization `floor` downstream of
+    * a plain log can flip on a 1-ulp cross-platform divergence; every
+    * step HERE is a correctly-rounded IEEE op on identical operands, so
+    * the double is bit-identical on any conformant engine/JDK — the same
+    * guarantee the sqrt-based affine twins rely on. Deviation from true
+    * ln is ~1e-10 (irrelevant for importance weighting; determinism is
+    * the contract). [[lnDetSql]] is the operation-order-identical DuckDB
+    * mirror; both sides are left-associative with explicit /2.0, /3.0,
+    * /4.0 divisions so the expression trees match term for term. */
+  private def lnDet(x: Column): Column = {
+    val y = (1 to 16).foldLeft(x.cast("double"))((c, _) => sqrt(c))
+    val t = y - lit(1.0)
+    (t - t * t / lit(2.0) + t * t * t / lit(3.0)
+      - t * t * t * t / lit(4.0)) * lit(65536.0)
+  }
+
+  /** DuckDB mirror of [[lnDet]] — `tAlias` must be a column already bound
+    * to `sqrt^16(CAST(x AS DOUBLE)) - 1.0` (see [[sqrt16Sql]]). */
+  private def lnDetSeriesSql(t: String): String =
+    s"($t - $t*$t/2.0 + $t*$t*$t/3.0 - $t*$t*$t*$t/4.0) * 65536.0"
+
+  private def sqrt16Sql(x: String): String =
+    (1 to 16).foldLeft(s"CAST($x AS DOUBLE)")((e, _) => s"sqrt($e)")
+
+  /** Shared DuckDB CTE chain (`feat`/`ct`/`cr`/`tot`/`lr`) deriving the
+    * ≤1024-row quantized DSIR log-ratio table with [[lnDet]]'s exact
+    * operation order — used by both dsir oracle queries. */
+  private def dsirLrCtesSql: String =
+    s"""WITH feat AS (
+       |  SELECT doc_id, lang, ('0x'||substr(md5(w),1,7))::BIGINT % 1024 AS f
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |), ct AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f
+       |), cr AS (SELECT f, count(*) AS cr FROM feat GROUP BY f
+       |), tot AS (
+       |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS t_total,
+       |         (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS r_total
+       |), lr1 AS (
+       |  SELECT cr.f,
+       |    ${sqrt16Sql("coalesce(ct.ct, 0) + 1")} - 1.0 AS ta,
+       |    ${sqrt16Sql("t_total + 1024")} - 1.0 AS tb,
+       |    ${sqrt16Sql("cr.cr + 1")} - 1.0 AS tc,
+       |    ${sqrt16Sql("r_total + 1024")} - 1.0 AS td
+       |  FROM cr LEFT JOIN ct USING (f), tot
+       |), lr AS (
+       |  SELECT f,
+       |    CAST(floor((${lnDetSeriesSql("ta")}
+       |                - ${lnDetSeriesSql("tb")}
+       |                - ${lnDetSeriesSql("tc")}
+       |                + ${lnDetSeriesSql("td")}) * 1073741824) AS BIGINT) AS lrq
+       |  FROM lr1
+       |)""".stripMargin
+
   /** DSIR importance weights (Xie et al. NeurIPS '23, arXiv:2302.03169):
     * data selection by importance resampling — score each raw document by
     * how much more likely its hashed word features are under a TARGET
@@ -201,8 +258,10 @@ object TextOps {
     * Features are md5-prefix(word) mod 1024 buckets; both feature LMs are
     * add-1 smoothed; a doc's log weight is Σ_f [ln(ct_f+1) − ln(T+m) −
     * ln(cr_f+1) + ln(R+m)] over its word occurrences. Each per-feature
-    * term is computed once from exact integer counts (identical IEEE
-    * doubles on both engines) and then QUANTIZED to int64 units of 2⁻³⁰
+    * term is computed once from exact integer counts via [[lnDet]] — a
+    * correctly-rounded-ops-only ln whose doubles are bit-identical on
+    * both engines BY IEEE-754 guarantee, not by libm coincidence — and
+    * then QUANTIZED to int64 units of 2⁻³⁰
     * — so the per-doc sum is an exact integer aggregate, order-free,
     * immune to float-summation ordering. Plan: one explode + two
     * map-side-combined feature aggregates + a broadcast of the ≤1024-row
@@ -226,10 +285,10 @@ object TextOps {
       .crossJoin(cr.agg(sum(col("cr")).as("r_total")))
     val lr = cr.join(ct, Seq("f"), "left").crossJoin(broadcast(tot))
       .select(col("f"), floor(
-        (log(coalesce(col("ct"), lit(0L)) + 1)
-          - log(col("t_total") + dsirBuckets)
-          - log(col("cr") + 1)
-          + log(col("r_total") + dsirBuckets)) * dsirScale)
+        (lnDet(coalesce(col("ct"), lit(0L)) + 1)
+          - lnDet(col("t_total") + dsirBuckets)
+          - lnDet(col("cr") + 1)
+          + lnDet(col("r_total") + dsirBuckets)) * dsirScale)
         .cast("long").as("lrq"))
     feat.join(broadcast(lr), "f")
       .groupBy(col("doc_id"))
@@ -1789,21 +1848,7 @@ object TextOps {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_dsir_importance" ->
-      """WITH feat AS (
-        |  SELECT doc_id, lang, ('0x'||substr(md5(w),1,7))::BIGINT % 1024 AS f
-        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)
-        |), ct AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f
-        |), cr AS (SELECT f, count(*) AS cr FROM feat GROUP BY f
-        |), tot AS (
-        |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS t_total,
-        |         (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS r_total
-        |), lr AS (
-        |  SELECT cr.f,
-        |    CAST(floor((ln(coalesce(ct.ct, 0) + 1) - ln(t_total + 1024)
-        |                - ln(cr.cr + 1) + ln(r_total + 1024)) * 1073741824) AS BIGINT) AS lrq
-        |  FROM cr LEFT JOIN ct USING (f), tot
-        |)
+      s"""$dsirLrCtesSql
         |SELECT x.doc_id, min(x.lang) AS lang,
         |  CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(l.lrq) AS BIGINT) AS log_w_q,
@@ -1812,21 +1857,8 @@ object TextOps {
         |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
 
     "q_dsir_select" ->
-      """WITH feat AS (
-        |  SELECT doc_id, lang, ('0x'||substr(md5(w),1,7))::BIGINT % 1024 AS f
-        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)
-        |), ct AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f
-        |), cr AS (SELECT f, count(*) AS cr FROM feat GROUP BY f
-        |), tot AS (
-        |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS t_total,
-        |         (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS r_total
-        |), lr AS (
-        |  SELECT cr.f,
-        |    CAST(floor((ln(coalesce(ct.ct, 0) + 1) - ln(t_total + 1024)
-        |                - ln(cr.cr + 1) + ln(r_total + 1024)) * 1073741824) AS BIGINT) AS lrq
-        |  FROM cr LEFT JOIN ct USING (f), tot
-        |), scores AS (
+      s"""$dsirLrCtesSql
+        |, scores AS (
         |  SELECT x.doc_id, min(x.lang) AS lang,
         |    CAST(count(*) AS BIGINT) AS n_words,
         |    CAST(sum(l.lrq) AS BIGINT) AS log_w_q

@@ -87,13 +87,13 @@ class ElbSpec extends SparkSpec {
 
   test("elbGoals aggregates match independent computation") {
     val r = ElbQueries.elbGoals(spark, sf001).head()
-    val durs = expectedSessions.map(_.durationSec)
-    val expAvg = BigDecimal(durs.sum / durs.size)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val expMax = BigDecimal(durs.max)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // max_by(ip, struct(duration, ip)): longest session, ties to larger ip
-    val expIp = expectedSessions.maxBy(s => (s.durationSec, s.ip)).ip
+    // exact-integer-µs semantics: int64 sum, one division by the count,
+    // one by 1e6 — mirror the same op order so the doubles are identical
+    val dursUs = expectedSessions.map(s => s.endUs - s.startUs)
+    val expAvg = (dursUs.sum.toDouble / dursUs.size) / 1000000.0
+    val expMax = dursUs.max.toDouble / 1000000.0
+    // max_by(ip, struct(duration_us, ip)): longest session, ties to larger ip
+    val expIp = expectedSessions.maxBy(s => (s.endUs - s.startUs, s.ip)).ip
     assert(r.getDouble(r.fieldIndex("avg_session_sec")) === expAvg)
     assert(r.getLong(r.fieldIndex("n_sessions")) === expectedSessions.size.toLong)
     assert(r.getDouble(r.fieldIndex("max_session_sec")) === expMax)
@@ -135,11 +135,12 @@ class ElbSpec extends SparkSpec {
 
   test("goals round trip reproduces the independent DuckDB aggregates") {
     // literals from an offline DuckDB run of the twin SQL over sf0.001
+    // (exact-integer-µs path: unrounded, bit-identical on both engines)
     val r = ElbQueries.elbGoalsRoundtrip(spark, sf001).collect().head
-    assert(r.getDouble(0) === 13.914406)   // avg_session_sec
-    assert(r.getLong(1) === 968L)          // n_sessions
-    assert(r.getDouble(2) === 799.177398)  // max_session_sec
-    assert(r.getString(3) === "10.0.0.14") // most_engaged_ip
+    assert(r.getDouble(0) === 13.91440613946281) // avg_session_sec
+    assert(r.getLong(1) === 968L)                // n_sessions
+    assert(r.getDouble(2) === 799.177398)        // max_session_sec
+    assert(r.getString(3) === "10.0.0.14")       // most_engaged_ip
   }
 
   test("varied-line ops round trip: sentinel, status, and byte fields survive the parse") {
