@@ -87,6 +87,7 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
   private var hi = rows        // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var aggKinds: Option[Seq[String]] = None
+  private var aggGroup: Option[String] = None // id-periodic grouping column
   private var partial = false  // does Spark still need its own sort/limit?
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -136,15 +137,33 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
       case _ => false
     }
 
-  /** COUNT(*) / MIN(event_id) / MAX(event_id) with no grouping are O(1)
-    * functions of the (filter-pruned) id range — the aggregate is answered
+  /** Grouping columns answerable in O(groups) from range arithmetic:
+    * every generated column that is a pure function of `i mod P` maps each
+    * residue class to ONE group — event_type (period 5: (i*31) % 5 ≡
+    * i % 5) and user_id (period 1000: (i*K) % 1000 depends only on
+    * i % 1000, and K = 2654435761 is coprime to 1000 so residues map to
+    * values bijectively). Ungrouped is the empty-name case. */
+  private def supportedGroup(agg: Aggregation): Option[String] =
+    agg.groupByExpressions match {
+      case Array() => Some("")
+      case Array(nr: NamedReference)
+          if nr.fieldNames.sameElements(Array("event_type")) => Some("event_type")
+      case Array(nr: NamedReference)
+          if nr.fieldNames.sameElements(Array("user_id")) => Some("user_id")
+      case _ => None
+    }
+
+  /** COUNT(*) / MIN(event_id) / MAX(event_id) — ungrouped, or grouped by
+    * an id-PERIODIC column (see [[supportedGroup]]) — are O(1)-per-group
+    * functions of the (filter-pruned) id range: the aggregate is answered
     * WITHOUT scanning a single row, the custom-source analogue of
-    * answering COUNT(*) from parquet footer statistics. Spark pushes
-    * filters first, so the pushed range is already applied. Anything else
-    * (grouping, other columns, AVG/SUM) declines and takes the normal
-    * scan + engine-aggregate path. */
+    * answering COUNT(*)/per-partition-value aggregates from parquet
+    * footer + partition statistics. Spark pushes filters first, so the
+    * pushed range is already applied. Anything else (other grouping,
+    * other columns, AVG/SUM) declines and takes the normal scan +
+    * engine-aggregate path. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    supportedGroup(agg).isDefined && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => isEventId(m.column)
@@ -159,6 +178,7 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
       case _: Min => "min"
       case _: Max => "max"
     })
+    aggGroup = supportedGroup(agg).filter(_.nonEmpty)
     true
   }
 
@@ -204,9 +224,10 @@ class EventsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
 
   override def build(): Scan = {
     val (clo, chi) = (math.max(lo, 0L), math.min(hi, rows))
-    aggKinds match {
-      case Some(kinds) => new EventsAggScan(clo, chi, kinds)
-      case None => new EventsScan(clo, chi, parts, required, rowsPerBatch)
+    (aggKinds, aggGroup) match {
+      case (Some(kinds), Some(g)) => new EventsGroupedAggScan(clo, chi, kinds, g)
+      case (Some(kinds), None) => new EventsAggScan(clo, chi, kinds)
+      case _ => new EventsScan(clo, chi, parts, required, rowsPerBatch)
     }
   }
 }
@@ -245,6 +266,67 @@ class EventsAggReaderFactory(lo: Long, hi: Long, kinds: Seq[String])
         }
         InternalRow.fromSeq(values)
       }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Completely-pushed-down GROUP BY over an id-periodic column: each
+  * group's COUNT/MIN/MAX over the pruned range [lo,hi) is O(1) arithmetic
+  * on its residue class — O(groups) total (5 for event_type, ≤1000 for
+  * user_id), zero rows generated. Residue classes with no id in the range
+  * emit nothing, matching GROUP BY's no-empty-groups semantics. Output is
+  * group column first, then aggregates, the positional layout Spark
+  * expects from a complete grouped pushdown. */
+class EventsGroupedAggScan(lo: Long, hi: Long, kinds: Seq[String], group: String)
+    extends Scan with Batch {
+  private val groupField = group match {
+    case "event_type" => StructField("event_type", StringType, nullable = false)
+    case "user_id" => StructField("user_id", LongType, nullable = false)
+  }
+  private val schema = StructType(groupField +: kinds.zipWithIndex.map {
+    case ("count", i) => StructField(s"count_star_$i", LongType, nullable = false)
+    case (k, i) => StructField(s"${k}_event_id_$i", LongType, nullable = true)
+  })
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_events_grouped_agg[range=[$lo,$hi), group=$group, agg=[${kinds.mkString(",")}]]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EventsRange(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsGroupedAggReaderFactory(lo, hi, kinds, group)
+}
+
+class EventsGroupedAggReaderFactory(lo: Long, hi: Long, kinds: Seq[String],
+                                    group: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val period = if (group == "event_type") 5L else 1000L
+    // one row per residue class with ≥ 1 id in [lo,hi): the class's first
+    // id, last id, and count are closed-form (lo ≥ 0 — build() clamps)
+    val rows: IndexedSeq[InternalRow] = (0L until period).flatMap { r =>
+      val first = lo + (((r - lo % period) % period + period) % period)
+      if (first >= hi) None
+      else {
+        val count = (hi - 1 - first) / period + 1
+        val last = first + period * (count - 1)
+        val gv: Any =
+          if (group == "event_type")
+            UTF8String.fromString(EventsSource.eventType(first))
+          else EventsSource.userId(first)
+        val aggs: Seq[Any] = kinds.map {
+          case "count" => count
+          case "min" => first
+          case "max" => last
+        }
+        Some(InternalRow.fromSeq(gv +: aggs))
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
       override def close(): Unit = ()
     }
   }

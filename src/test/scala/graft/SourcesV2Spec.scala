@@ -11,6 +11,15 @@ class SourcesV2Spec extends SparkSpec {
     spark.read.format("graft.sources.EventsSource")
       .option("rows", rows).option("partitions", parts).load()
 
+  /** Executed-plan text (AQE-finalized) — scan descriptions appear in it
+    * wherever the BatchScan node lives, including inside the
+    * ShuffleQueryStage leaves a declined (shuffling) plan is wrapped in,
+    * which a structural collect cannot descend into. */
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize the adaptive plan before inspecting it
+    df.queryExecution.executedPlan.toString
+  }
+
   test("plans the requested number of range partitions, no shuffle") {
     val df = events(10000, 8)
     assert(df.rdd.getNumPartitions === 8)
@@ -91,11 +100,60 @@ class SourcesV2Spec extends SparkSpec {
     assert(e.getLong(0) === 0L && e.isNullAt(1) && e.isNullAt(2))
 
     // unsupported shapes decline and stay exact via the normal scan path:
-    // grouping, and aggregates over non-range columns
-    val g = events(1000, 4).groupBy(col("event_type")).count()
-    assert(g.collect().map(_.getLong(1)).sum === 1000L)
+    // aggregates over non-range columns
     val s = events(1000, 4).agg(sum(col("value"))).head().getDouble(0)
     assert(s === (0L until 1000L).map(i => ((i * 7919L) % 10000L) / 100.0).sum)
+  }
+
+  test("grouped aggregate pushdown: per-group COUNT/MIN/MAX from residue arithmetic") {
+    // event_type is a pure function of event_id % 5, so each group's
+    // aggregates over [0, 1000) are closed-form: count 200, min = the
+    // residue, max = 995 + residue — answered with zero rows generated
+    val g = events(1000, 4).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"),
+        max(col("event_id")).as("mx"))
+    val desc = scanDesc(g)
+    assert(desc.contains("group=event_type") &&
+      desc.contains("agg=[count,min,max]"),
+      s"grouped aggregate not pushed: $desc")
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val got = g.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == types.zipWithIndex.map { case (t, k) =>
+      t -> ((200L, k.toLong, 995L + k))
+    }.toMap)
+
+    // composes with filter pushdown: the residue arithmetic runs over the
+    // PRUNED range, and absent residue classes emit no group row
+    val f = events(1000, 4).filter(col("event_id") >= 998)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("signup" -> 1L, "error" -> 1L)) // residues 3 and 4 only
+
+    // user_id grouping: period 1000, residues map bijectively to users —
+    // 1000 groups answered in O(groups), never O(rows)
+    val u = events(100000, 8).filter(col("event_id") < 2500)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("mn"))
+    assert(scanDesc(u).contains("group=user_id"))
+    val rows = u.collect()
+    assert(rows.length === 1000)
+    assert(rows.map(_.getLong(1)).sum === 2500L)
+    // spot-check one group against the pure per-row functions
+    val expect = (0L until 2500L).groupBy(i => (i * 2654435761L) % 1000L)
+    rows.take(20).foreach { r =>
+      val ids = expect(r.getLong(0))
+      assert(r.getLong(1) === ids.size.toLong && r.getLong(2) === ids.min)
+    }
+
+    // decline paths stay exact via the normal scan + engine aggregate:
+    // multi-column grouping and grouping by a non-periodic-supported column
+    val two = events(1000, 4).groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDesc(two).contains("group="))
+    assert(two.collect().map(_.getLong(2)).sum === 1000L)
+    val byTs = events(1000, 4).groupBy(col("ts_us")).count()
+    assert(byTs.count() === 1000L) // ts_us is unique per id
   }
 
   test("limit and top-N pushdown truncate the planned id space") {
