@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.elb.ElbQueries
 import graft.ops.{AffineSketch, Analytics, Audit, Curation, EventOps, MlPrep, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
+import graft.stream.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +24,8 @@ object SparkEntry {
     SessionQueries.queries ++ Relational.queries ++ EventOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ ElbQueries.queries ++
       Multimodal.queries ++ Curation.queries ++ Analytics.queries ++
-      Audit.queries ++ AffineSketch.queries ++ MlPrep.queries
+      Audit.queries ++ AffineSketch.queries ++ MlPrep.queries ++
+      StreamQueries.queries
 
   /** Every rows-only query (no `oracleSql` entry — engine-native hashes or
     * float-ordered fits have no DuckDB twin) mapped to the fully
@@ -49,5 +51,6 @@ object SparkEntry {
     SessionQueries.oracleSql ++ Relational.oracleSql ++ EventOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ ElbQueries.oracleSql ++
       Multimodal.oracleSql ++ Curation.oracleSql ++ Analytics.oracleSql ++
-      Audit.oracleSql ++ AffineSketch.oracleSql ++ MlPrep.oracleSql
+      Audit.oracleSql ++ AffineSketch.oracleSql ++ MlPrep.oracleSql ++
+      StreamQueries.oracleSql
 }

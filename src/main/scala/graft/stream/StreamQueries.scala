@@ -1,0 +1,110 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+/** The §2.10 streaming family's entry into the driver's rows+schema+hash
+  * CORRECTNESS gate (previously spec-only by declared design): a query that
+  * runs the streaming sessionizer through the FULL Structured-Streaming
+  * runtime — file micro-batch source → session_window state store →
+  * foreachBatch sink — as a one-shot replay (Trigger.AvailableNow) of the
+  * events table, persists the result, and is hash-compared to a DuckDB
+  * oracle that re-derives the same sessions from `events` directly. Any
+  * drift between the streaming execution mode and the batch/independent
+  * semantics (state merge, window coalescing, output timing) breaks the
+  * hash — the reference's continuous-arrival presumption
+  * (/root/reference/README.md:19) proven equivalent across execution modes.
+  */
+object StreamQueries {
+
+  /** Per-process work dir (same discipline as ElbQueries.OracleInputDir:
+    * checkout-relative, pid-suffixed so concurrent JVMs never race). */
+  private val base: String = {
+    val b = sys.env.getOrElse("GRAFT_ORACLE_INPUT_DIR",
+      s"${sys.props("user.dir")}/target/oracle_inputs")
+    s"$b/p${ProcessHandle.current().pid()}"
+  }
+
+  /** (session, dir)s whose replay already ran in this process — the stream
+    * executes once; later constructions reuse the persisted result. */
+  private val ran =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Streaming 15-min session_window sessionization of the events replay.
+    *
+    * Complete output mode: a FINITE replay's final micro-batch rewrites
+    * the whole session state, so no tail session is withheld waiting for a
+    * watermark that will never advance (the append-mode pitfall on bounded
+    * input); each foreachBatch overwrite leaves the last — complete —
+    * state as the persisted result. On an unbounded stream the same
+    * aggregation runs in append mode with a watermark and bounded state
+    * ([[StreamSessions.sessionize]], spec-pinned batch≡stream); THIS query
+    * pins the semantics against an independent engine. `collect_set` size
+    * (exact, order-insensitive) stands in for count(DISTINCT), which
+    * streaming aggregation does not support; item sets here are bounded by
+    * the event-type alphabet, never corpus-proportional. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_sessions.parquet"
+    if (ran.add((s, dir))) {
+      val replay = s"$base/stream_replay"
+      val chk = s"$base/stream_chk"
+      graft.Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .write.mode("overwrite").parquet(replay)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .parquet(replay)
+      val sess = src
+        .groupBy(col("user_id"), session_window(col("ts"), "15 minutes"))
+        .agg(
+          min(unix_micros(col("ts"))).as("session_start_us"),
+          max(unix_micros(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("hit_count"),
+          size(collect_set(col("event_type"))).cast("long").as("unique_types"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("hit_count"), col("unique_types"))
+      val q = sess.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessionize" -> (streamSessionize _),
+  )
+
+  /** session_window's half-open interval: new session when gap >= 15 min
+    * (the same boundary rule q_session_window's batch twin pins). */
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_sessionize" ->
+      """WITH hits AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 900000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM hits
+        |), numbered AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |       max(ts_us) AS session_end_us,
+        |       count(*) AS hit_count,
+        |       count(DISTINCT event_type) AS unique_types
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
+  )
+}

@@ -602,4 +602,22 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
     assert(back.select("batch_id").distinct().count() === 2, "two micro-batches")
   }
+
+  test("driver streaming query (q_stream_sessionize) equals batch session_window") {
+    import graft.stream.StreamQueries
+    // the oracle-gated streaming replay must equal the same session_window
+    // aggregation run as a plain batch query over the identical events
+    val st = StreamQueries.streamSessionize(spark, sf001).collect().toSeq
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "15 minutes"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("hit_count"),
+        countDistinct(col("event_type")).as("unique_types"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("hit_count"), col("unique_types"))
+      .orderBy(col("user_id"), col("session_start_us")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 968) // independent DuckDB literal over sf0.001
+  }
 }
