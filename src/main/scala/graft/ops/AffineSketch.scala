@@ -123,6 +123,44 @@ object AffineSketch {
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .orderBy(col("id1"), col("id2"))
 
+  /** Sketch-candidates → exact edit-distance verification — the SCALABLE
+    * composition for character-level near-dup detection. The block-pair
+    * formulation ([[TextOps.editDistancePairs]]) is inherently
+    * O(Σ block²): at relative threshold 0.3 no sound signature scheme
+    * exists (PassJoin-style pigeonhole segments degenerate — τ+1 ≈
+    * 0.3·len segments of ~3 chars each), so its measured 1×→10× growth
+    * exponent is super-linear by nature (see BASELINE.md's growth table).
+    * This operator instead runs the thresholded DP ONLY over the shared
+    * banded MinHash candidate relation ([[minhashCandEst]] — linear
+    * growth on independent-shard scale-up), i.e. sketch proposes,
+    * DP verifies: the shape a 100 TB near-dup pass actually ships.
+    *
+    * Semantics: every banded candidate pair (no est_jaccard floor — the
+    * raw LSH recall set), exact levenshtein thresholded at
+    * floor(0.3·max(len)) (integer dist ≤ floor(0.3·maxlen) ⇔ rel ≤ 0.3,
+    * so the −1 early-exit subsumes the relative filter), emitted with
+    * both the sketch estimate and the exact distance. The `_pin` barrier
+    * is the [[TextOps.editDistancePairs]] trick: it keeps Catalyst from
+    * substituting the DP into the join condition + both output columns
+    * (3× the DP per pair). */
+  def editVerify(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    minhashCandEst(s, dir)
+      .join(d.select(col("doc_id").as("id1"), col("text").as("t1"),
+        col("n_chars").as("len1")), "id1")
+      .join(d.select(col("doc_id").as("id2"), col("text").as("t2"),
+        col("n_chars").as("len2")), "id2")
+      .withColumn("_pin", monotonically_increasing_id())
+      .withColumn("edit_dist", expr(
+        "levenshtein(t1, t2, cast(floor(greatest(len1, len2) * 0.3) as int))"))
+      .filter(col("edit_dist") >= 0 || col("_pin") < 0)
+      .withColumn("rel_dist",
+        round(col("edit_dist") / greatest(col("len1"), col("len2")), 6))
+      .select(col("id1"), col("id2"), col("est_jaccard"), col("edit_dist"),
+        col("rel_dist"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Per-process parquet workspace (checkout-relative + pid-suffixed, the
     * ElbQueries discipline — concurrent JVMs never race on part files). */
   private val workBase: String = {
@@ -228,6 +266,18 @@ object AffineSketch {
     s"""$shingleHashCte, $minhashCandCtes
        |SELECT id1, id2, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+
+  private def editVerifyOracle: String =
+    s"""$shingleHashCte, $minhashCandCtes
+       |SELECT e.id1, e.id2, e.est_jaccard,
+       |  CAST(levenshtein(d1.text, d2.text) AS INTEGER) AS edit_dist,
+       |  round(levenshtein(d1.text, d2.text) * 1.0
+       |        / greatest(d1.n_chars, d2.n_chars), 6) AS rel_dist
+       |FROM est e JOIN documents d1 ON e.id1 = d1.doc_id
+       |           JOIN documents d2 ON e.id2 = d2.doc_id
+       |WHERE levenshtein(d1.text, d2.text) * 1.0
+       |      / greatest(d1.n_chars, d2.n_chars) <= 0.3
        |ORDER BY id1, id2""".stripMargin
 
   /** End-to-end dedup quality evaluation — the funnel audit a pipeline
@@ -1242,6 +1292,7 @@ object AffineSketch {
     "q_hll_merge" -> (hllMerge _),
     "q_kmv_intersect" -> (kmvIntersect _),
     "q_minhash_affine" -> (minhashAffine _),
+    "q_edit_verify" -> (editVerify _),
     "q_dedup_pr" -> (dedupPr _),
     "q_simhash_affine" -> (simhashAffine _),
     "q_srp_affine" -> (srpAffine _),
@@ -1256,6 +1307,7 @@ object AffineSketch {
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_affine" -> minhashAffineOracle,
+    "q_edit_verify" -> editVerifyOracle,
     "q_dedup_pr" -> dedupPrOracle,
     "q_simhash_affine" -> simhashAffineOracle,
     "q_srp_affine" -> srpAffineOracle,

@@ -81,8 +81,61 @@ object StreamQueries {
     s.read.parquet(out).orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Streaming enrichment: stream–static inner join (the OTHER core
+    * streaming surface next to stateful aggregation — the dimension is a
+    * plain batch DataFrame broadcast into every micro-batch) of the events
+    * replay against the customer dim, then a tumbling 1-hour windowed
+    * aggregation per (nation, event_type). Complete output mode for the
+    * same bounded-replay reason as [[streamSessionize]]; everything here
+    * is arrival-order-insensitive (inner join + commutative aggregates),
+    * so the result is deterministic regardless of micro-batch slicing and
+    * hash-comparable to a DuckDB oracle that re-derives it relationally.
+    * At scale the static side is the classic broadcast dim; the stream
+    * side shuffles once on the (nation, window, type) grain. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_enrich.parquet"
+    if (ranEnrich.add((s, dir))) {
+      val replay = s"$base/enrich_replay"
+      val chk = s"$base/enrich_chk"
+      graft.Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .write.mode("overwrite").parquet(replay)
+      val dim = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_nationkey").cast("long").as("nation"))
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .parquet(replay)
+      val agg = src.join(dim, "user_id")
+        .groupBy(col("nation"), window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .select(col("nation"), unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"), col("first_us"), col("last_us"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .orderBy(col("nation"), col("window_us"), col("event_type"))
+  }
+
+  private val ranEnrich =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_enrich" -> (streamEnrich _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -106,5 +159,17 @@ object StreamQueries {
         |       count(DISTINCT event_type) AS unique_types
         |FROM numbered GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // tumbling window start = epoch µs floored to the hour; ts > 0 so
+    // integer division is the floor on both engines
+    "q_stream_enrich" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |       epoch_us(e.ts) // 3600000000 * 3600000000 AS window_us,
+        |       e.event_type,
+        |       count(*) AS n_events,
+        |       min(epoch_us(e.ts)) AS first_us,
+        |       max(epoch_us(e.ts)) AS last_us
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY nation, window_us, event_type""".stripMargin,
   )
 }

@@ -22,6 +22,28 @@ class AffineSketchSpec extends SparkSpec {
     })
   }
 
+  test("edit-verify composes sketch candidates with the exact thresholded DP") {
+    val df = AffineSketch.editVerify(spark, sf001)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(rows.length == 28)
+    assert(rows.head == ((0L, 50L, 1.0, 4, 0.03125)))
+    assert(rows.contains((0L, 82L, 1.0, 4, 0.030303)))
+    assert(rows.last == ((474L, 498L, 1.0, 4, 0.007737)))
+    assert(rows.map(_._4).sum == 132)
+    // every survivor is a true near-dup: rel <= 0.3 and the thresholded
+    // DP never emitted its -1 early-exit sentinel
+    assert(rows.forall { case (a, b, e, d, rel) =>
+      a < b && e >= 0.0 && d >= 0 && rel <= 0.3
+    })
+    // candidate generation stays the banded equi join; the DP join is equi
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("simhash affine twin reproduces the independent pair set") {
     val rows = AffineSketch.simhashAffine(spark, sf001).collect()
     assert(rows.length == 95)

@@ -620,4 +620,27 @@ class StreamingSpec extends SparkSpec {
     assert(st === batch)
     assert(st.size === 968) // independent DuckDB literal over sf0.001
   }
+
+  test("driver streaming query (q_stream_enrich) equals the batch join+window") {
+    import graft.stream.StreamQueries
+    // the stream-static join + tumbling-window replay must equal the same
+    // plan run as a plain batch query over the identical inputs
+    val st = StreamQueries.streamEnrich(spark, sf001).collect().toSeq
+    val dim = Tables(spark, sf001, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_nationkey").cast("long").as("nation"))
+    val batch = Tables(spark, sf001, "events")
+      .join(dim, "user_id")
+      .groupBy(col("nation"), window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("nation"), unix_micros(col("window.start")).as("window_us"),
+        col("event_type"), col("n_events"), col("first_us"), col("last_us"))
+      .orderBy(col("nation"), col("window_us"), col("event_type"))
+      .collect().toSeq
+    assert(st === batch)
+    assert(st.size === 988) // independent DuckDB literal over sf0.001
+    assert(st.map(_.getLong(3)).sum === 1000L) // every event joins a customer
+  }
 }
