@@ -1120,6 +1120,230 @@ object TextOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
 
+  /** BPE tokenizer TRAINING — the full iterative merge-learning loop
+    * (Sennrich et al. '16), not just one round ([[bpeMergeCandidates]])
+    * or the apply side ([[bpeEncode]]): start from characters, and for
+    * each rank count all adjacent subtoken pairs over the corpus, take
+    * the most frequent (ties broken lexicographically), merge it
+    * everywhere, repeat. Output is the learned 6-rank merge table —
+    * exactly the artifact [[bpeEncode]]'s committed `BpeMerges` deploys.
+    *
+    * Scale shape: trains on the DISTINCT-word table weighted by corpus
+    * counts (the [[bpeEncode]] memoization — per-round cost is O(vocab),
+    * never O(corpus)); each round is one explode + map-side-combined
+    * groupBy, a bounded-alphabet TakeOrdered(1), and ONE codegen'd
+    * string-algebra projection (the [[bpeStep]] space-doubling trick
+    * makes replace-all exactly the non-overlapping greedy merge). The
+    * winner joins back as a broadcast 1-row relation — no driver-side
+    * literal; localCheckpoint cuts the per-round lineage like every
+    * iterative op here. The oracle re-derives all 6 ranks with unrolled
+    * MATERIALIZED CTEs (each round is referenced twice — by the next
+    * round and by the final union — so default CTE inlining would expand
+    * the chain 2^6-fold, the q_kcore lesson). */
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    var words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("syms"),
+        col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .select(col("n"), split(trim(col("syms")), " ").as("toks"))
+        .select(col("n"), explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+            |ELSE transform(sequence(0, size(toks)-2),
+            |              i -> struct(toks[i] AS l, toks[i+1] AS r)) END"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("pair_n"))
+      val best = pairs.orderBy(col("pair_n").desc, col("l"), col("r")).limit(1)
+        .select(lit(r).as("rk"), col("l"), col("r"), col("pair_n"))
+        .localCheckpoint()
+      // loud guard: a corpus of single-character words has nothing to merge
+      require(best.count() == 1, s"bpeTrain: no mergeable pair at rank $r")
+      merges += best
+      words = words
+        .crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
+        .select(expr(
+          """replace(replace(replace(syms, ' ', '  '),
+            |  concat(' ', _l, '  ', _r, ' '), concat(' ', _l, _r, ' ')),
+            |  '  ', ' ')""".stripMargin).as("syms"), col("n"))
+        .localCheckpoint()
+    }
+    merges.result().reduce(_.union(_)).orderBy(col("rk"))
+  }
+
+  /** Unigram-LM tokenizer E-step (Kudo '18, SentencePiece): per distinct
+    * word, the max-likelihood segmentation under a substring unigram model
+    * — Viterbi over the word's position DAG, where node i is a character
+    * boundary and an edge (j → i) is a vocabulary piece w[j+1..i]. The
+    * seed vocabulary is the standard one: every single character (so every
+    * word stays segmentable) plus the top-64 multi-character substrings by
+    * corpus count (ties lexicographic), pieces capped at 4 chars.
+    *
+    * Determinism across engines: piece log-probs are quantized int64 —
+    * floor((lnDet(cnt) − lnDet(total)) · 2^30) with [[lnDet]]'s IEEE-exact
+    * sqrt/Mercator ln — and the DP maximizes an exact-integer COMBINED key
+    * comb = 16·score + (15 − n_tok): edge relaxation is the affine update
+    * comb' = comb + 16·q − 1, so one int64 `max` per node yields the
+    * lexicographic (best score, fewest tokens) optimum with no float
+    * anywhere in the recursion and no tie ambiguity in the decoded output.
+    *
+    * Scale shape: everything after the first token count runs on the
+    * DISTINCT-word table (O(vocab), never O(corpus)); the vocabulary is a
+    * bounded broadcast; the DP is `maxLen` (12) rounds of an edges ⋈ dp
+    * equi join, each O(vocab · len) — the SSSP/BFS frontier discipline
+    * applied to the position DAG, with localCheckpoint lineage cuts. The
+    * oracle re-derives all 12 rounds via unrolled MATERIALIZED CTEs. */
+  def unigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val maxLen = 12
+    val maxPiece = 4
+    val wrds = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")).between(1, maxLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .localCheckpoint()
+    val pieces = wrds
+      .select(col("w"), col("wn"),
+        explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("wn"), col("p"),
+        explode(sequence(lit(1), lit(maxPiece))).as("l"))
+      .filter(col("p") + col("l") - 1 <= length(col("w")))
+      .select(col("w"), col("wn"), col("p"), col("l"),
+        expr("substring(w, p, l)").as("piece"))
+    val pieceCnt = pieces.groupBy(col("piece")).agg(sum(col("wn")).as("cnt"))
+      .localCheckpoint()
+    val tot = pieceCnt.agg(sum(col("cnt")).as("t"))
+    val voc = pieceCnt.filter(length(col("piece")) === 1)
+      .union(pieceCnt.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(64))
+    val vq = voc.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        floor((lnDet(col("cnt")) - lnDet(col("t"))) * lit(1073741824.0))
+          .cast("long").as("q"))
+    val edges = pieces.join(vq, "piece")
+      .select(col("w"), (col("p") - 1).as("j"),
+        (col("p") + col("l") - 1).as("i"), col("q"))
+      .localCheckpoint()
+    var dp = wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb"))
+    for (pos <- 1 to maxLen) {
+      val parent = dp.select(col("w").as("dw"), col("i").as("di"),
+        col("comb").as("pc"))
+      val step = edges.filter(col("i") === pos)
+        .join(parent, col("w") === col("dw") && col("j") === col("di"))
+        .groupBy(col("w"))
+        .agg(max(col("pc") + lit(16L) * col("q") - 1).as("comb"))
+        .select(col("w"), lit(pos).as("i"), col("comb"))
+      dp = dp.union(step).localCheckpoint()
+    }
+    wrds.join(dp, Seq("w")).filter(col("i") === length(col("w")))
+      .withColumn("score_q", floor(col("comb") / lit(16.0)).cast("long"))
+      .select(col("w").as("word"), col("wn"), col("score_q"),
+        (lit(15L) - (col("comb") - lit(16L) * col("score_q")))
+          .cast("int").as("n_tok"))
+      .orderBy(col("word"))
+  }
+
+  private def unigramOracle: String = {
+    val maxLen = 12
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH wrds AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wn
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) BETWEEN 1 AND $maxLen GROUP BY w
+         |), pc AS MATERIALIZED (
+         |  SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+         |         CAST(sum(wn) AS BIGINT) AS cnt
+         |  FROM wrds, UNNEST(range(1, len(w)+1)) AS a(p),
+         |       UNNEST(range(1, 5)) AS b(l)
+         |  WHERE p + l - 1 <= len(w) GROUP BY 1
+         |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pc
+         |), voc AS (
+         |  SELECT piece, cnt FROM pc WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM pc WHERE len(piece) > 1
+         |    ORDER BY cnt DESC, piece LIMIT 64) mv
+         |), vq AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor((${lnDetSeriesSql("ta")} - ${lnDetSeriesSql("tb")})
+         |               * 1073741824) AS BIGINT) AS q
+         |  FROM (SELECT piece, ${sqrt16Sql("cnt")} - 1.0 AS ta,
+         |               ${sqrt16Sql("t")} - 1.0 AS tb
+         |        FROM voc, tot) sq
+         |), edges AS MATERIALIZED (
+         |  SELECT sp.w, sp.j, sp.i, vq.q
+         |  FROM (SELECT w, CAST(p - 1 AS INT) AS j, CAST(p + l - 1 AS INT) AS i,
+         |               substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece
+         |        FROM wrds, UNNEST(range(1, len(w)+1)) AS a(p),
+         |             UNNEST(range(1, 5)) AS b(l)
+         |        WHERE p + l - 1 <= len(w)) sp
+         |  JOIN vq USING (piece)
+         |), du0 AS MATERIALIZED (
+         |  SELECT w, 0 AS i, CAST(15 AS BIGINT) AS comb FROM wrds)"""
+        .stripMargin
+    for (pos <- 1 to maxLen) {
+      sb ++=
+        s""",
+           |d$pos AS MATERIALIZED (
+           |  SELECT e.w, $pos AS i, max(d.comb + 16*e.q - 1) AS comb
+           |  FROM edges e JOIN du${pos - 1} d ON e.w = d.w AND e.j = d.i
+           |  WHERE e.i = $pos GROUP BY e.w
+           |), du$pos AS MATERIALIZED (
+           |  SELECT * FROM du${pos - 1} UNION ALL SELECT * FROM d$pos)"""
+          .stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT wrds.w AS word, wrds.wn,
+         |  CAST(floor(d.comb / 16.0) AS BIGINT) AS score_q,
+         |  CAST(15 - (d.comb - 16*CAST(floor(d.comb / 16.0) AS BIGINT))
+         |       AS INTEGER) AS n_tok
+         |FROM wrds JOIN du$maxLen d ON d.w = wrds.w AND d.i = len(wrds.w)
+         |ORDER BY word""".stripMargin
+    sb.toString
+  }
+
+  private def bpeTrainOracle: String = {
+    val rounds = 6
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS syms,
+        |         count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY 1
+        |)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |p$r AS (
+        |  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(n) AS BIGINT) AS pair_n
+        |  FROM (SELECT string_split(trim(syms), ' ') AS toks, n FROM w${r - 1}),
+        |       UNNEST(range(1, len(toks))) AS u(i)
+        |  GROUP BY 1, 2
+        |), b$r AS MATERIALIZED (
+        |  SELECT $r AS rk, l, r, pair_n FROM p$r
+        |  ORDER BY pair_n DESC, l, r LIMIT 1
+        |)""".stripMargin
+      if (r < rounds) sb ++= s""",
+        |w$r AS MATERIALIZED (
+        |  SELECT replace(replace(replace(syms, ' ', '  '),
+        |           ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+        |         '  ', ' ') AS syms, n
+        |  FROM w${r - 1}, b$r b
+        |)""".stripMargin
+    }
+    sb ++= "\n" + (1 to rounds)
+      .map(r => s"SELECT rk, l, r, pair_n FROM b$r").mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY rk"
+    sb.toString
+  }
+
   /** Frequency-ordered vocabulary build: token → contiguous id, most
     * frequent first (ties broken lexically), the id assignment step before
     * any count-based tokenization. Global ordering over the vocab-sized
@@ -1432,6 +1656,8 @@ object TextOps {
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_vocab" -> (vocab _),
     "q_bpe_merge_candidates" -> (bpeMergeCandidates _),
+    "q_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "q_unigram_segment" -> (unigramSegment _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_hashkey" -> (dedupHashKey _),
     "q_fingerprint" -> (fingerprint _),
@@ -1671,6 +1897,8 @@ object TextOps {
         |       ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin,
 
+    "q_bpe_train" -> bpeTrainOracle,
+    "q_unigram_segment" -> unigramOracle,
     "q_bpe_merge_candidates" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -422,6 +422,60 @@ class TextVectorSpec extends SparkSpec {
       "r" -> 1L, "ow" -> 1L, "ta" -> 2L))
   }
 
+  test("bpeTrain learns the independent 6-rank merge table") {
+    // literals computed by the independent DuckDB implementation offline
+    val rows = TextOps.bpeTrain(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1, "e", "r", 4650L), (2, "o", "r", 2880L), (3, "i", "n", 2858L),
+      (4, "o", "w", 2763L), (5, "s", "t", 2721L), (6, "l", "u", 1928L)))
+  }
+
+  test("bpeTrain merge ranks compose: a learned merge reappears inside later rounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpetrain").toString
+    // 'erer' forces rank 1 = (e, r) [4 occurrences], then rank 2 must be
+    // the COMPOSED pair (er, er) [2 occurrences after merging] — proving
+    // the loop re-counts over merged subtokens, not raw characters; the
+    // chain 'erer' also exercises the doubled-space non-overlap merge
+    Seq((0L, "erer erer ax ax ax", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.bpeTrain(spark, dir, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1, "e", "r", 4L), (2, "a", "x", 3L), (3, "er", "er", 2L)))
+  }
+
+  test("unigramSegment matches the independent sf0.001 segmentation table") {
+    // literals computed by the independent DuckDB implementation offline
+    val rows = TextOps.unigramSegment(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == 31)
+    assert(rows.map(_._3).sum == -437663481486L) // Σ score_q
+    assert(rows.map(_._4.toLong).sum == 90L)     // Σ n_tok
+    val byWord = rows.map(r => r._1 -> r).toMap
+    assert(byWord("a") == ("a", 931L, -3502660945L, 1))
+    assert(byWord("customer") == ("customer", 889L, -23814114064L, 5))
+    assert(byWord("the") == ("the", 910L, -12200898939L, 3))
+    assert(byWord("window") == ("window", 976L, -11439889342L, 2))
+  }
+
+  test("unigramSegment Viterbi prefers a frequent multi-char piece over characters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("unigram").toString
+    // vocab: all single chars + top multi-char substrings ('ab' among them).
+    // For word 'ab': q(ab) = ln(3/T) beats q(a)+q(b) = 2·ln(3/T) (both
+    // negative), so the DP must take the single piece — n_tok = 1, and the
+    // combined-key decode must recover exactly (score_q, n_tok) from comb
+    Seq((0L, "ab ab ab c", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.unigramSegment(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(rows.toSeq == Seq(("ab", 3L, 1), ("c", 1L, 1)))
+  }
+
   test("ndcg is exactly 1 when every relevant doc outranks every irrelevant one") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
