@@ -1199,19 +1199,25 @@ object TextOps {
     * equi join, each O(vocab · len) — the SSSP/BFS frontier discipline
     * applied to the position DAG, with localCheckpoint lineage cuts. The
     * oracle re-derives all 12 rounds via unrolled MATERIALIZED CTEs. */
-  def unigramSegment(s: SparkSession, dir: String): DataFrame = {
-    val maxLen = 12
-    val maxPiece = 4
+  private val ugMaxLen = 12
+  private val ugMaxPiece = 4
+
+  /** Shared unigram-LM model build for [[unigramSegment]] (E-step) and
+    * [[unigramPrune]] (M-step): the distinct-word table, the quantized
+    * seed-vocabulary log-probs, and the per-word position-DAG edge list.
+    * Everything past the first token count is O(vocab), never O(corpus). */
+  private def unigramGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val wrds = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")).between(1, maxLen))
+      .filter(length(col("w")).between(1, ugMaxLen))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
       .localCheckpoint()
     val pieces = wrds
       .select(col("w"), col("wn"),
         explode(sequence(lit(1), length(col("w")))).as("p"))
       .select(col("w"), col("wn"), col("p"),
-        explode(sequence(lit(1), lit(maxPiece))).as("l"))
+        explode(sequence(lit(1), lit(ugMaxPiece))).as("l"))
       .filter(col("p") + col("l") - 1 <= length(col("w")))
       .select(col("w"), col("wn"), col("p"), col("l"),
         expr("substring(w, p, l)").as("piece"))
@@ -1222,13 +1228,20 @@ object TextOps {
       .union(pieceCnt.filter(length(col("piece")) > 1)
         .orderBy(col("cnt").desc, col("piece")).limit(64))
     val vq = voc.crossJoin(broadcast(tot))
-      .select(col("piece"),
+      .select(col("piece"), col("cnt"),
         floor((lnDet(col("cnt")) - lnDet(col("t"))) * lit(1073741824.0))
           .cast("long").as("q"))
+      .localCheckpoint()
     val edges = pieces.join(vq, "piece")
       .select(col("w"), (col("p") - 1).as("j"),
-        (col("p") + col("l") - 1).as("i"), col("q"))
+        (col("p") + col("l") - 1).as("i"), col("piece"), col("q"))
       .localCheckpoint()
+    (wrds, vq, edges)
+  }
+
+  def unigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val maxLen = ugMaxLen
+    val (wrds, _, edges) = unigramGraph(s, dir)
     var dp = wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb"))
     for (pos <- 1 to maxLen) {
       val parent = dp.select(col("w").as("dw"), col("i").as("di"),
@@ -1246,6 +1259,81 @@ object TextOps {
         (lit(15L) - (col("comb") - lit(16L) * col("score_q")))
           .cast("int").as("n_tok"))
       .orderBy(col("word"))
+  }
+
+  /** Unigram-LM tokenizer M-step + vocabulary prune (Kudo '18 §3.2, the
+    * hard-EM round of SentencePiece training) — the training-side
+    * complement of the E-step [[unigramSegment]]: re-run the Viterbi DP
+    * with ARGUMENT TRACKING (per DAG node, the chosen edge under the
+    * deterministic tie order comb desc, j asc, piece asc — all exact
+    * int64, so the decoded path is unambiguous), walk the best path
+    * backward per word to get hard-EM piece usage counts, re-estimate
+    * add-1-smoothed quantized log-probs from those counts, and prune the
+    * vocabulary to all single characters (segmentability floor) plus the
+    * top-32 multi-char pieces by (usage desc, piece asc).
+    *
+    * Scale shape: the DP and backwalk run on the DISTINCT-word table —
+    * `ugMaxLen` join rounds each, O(vocab·len) per round, localCheckpoint
+    * lineage cuts throughout; the final rank/re-estimate acts on the
+    * ≤(64 + alphabet)-row vocabulary relation (the bounded global window
+    * is over that, never corpus rows). The oracle re-derives the full
+    * arg-tracked DP + backwalk via unrolled MATERIALIZED CTEs. */
+  def unigramPrune(s: SparkSession, dir: String): DataFrame = {
+    val maxLen = ugMaxLen
+    val (wrds, vq, edges) = unigramGraph(s, dir)
+    var dp = wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb"),
+      lit(null).cast("int").as("bj"), lit(null).cast("string").as("bpiece"))
+    for (pos <- 1 to maxLen) {
+      val parent = dp.select(col("w").as("dw"), col("i").as("di"),
+        col("comb").as("pc"))
+      val step = edges.filter(col("i") === pos)
+        .join(parent, col("w") === col("dw") && col("j") === col("di"))
+        .select(col("w"), lit(pos).as("i"),
+          (col("pc") + lit(16L) * col("q") - 1).as("comb"),
+          col("j").as("bj"), col("piece").as("bpiece"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("w"))
+          .orderBy(col("comb").desc, col("bj"), col("bpiece"))))
+        .filter(col("rn") === 1).drop("rn")
+      dp = dp.union(step).localCheckpoint()
+    }
+    // hard-EM backwalk: from each word's final DAG node, follow the argmax
+    // edges to node 0, crediting wn to every piece on the path. Each hop
+    // consumes >= 1 character, so maxLen rounds drain every word.
+    var cur = wrds.join(dp, Seq("w")).filter(col("i") === length(col("w")))
+      .select(col("w"), col("wn"), col("bj"), col("bpiece"))
+      .localCheckpoint()
+    val usedParts = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to maxLen) {
+      usedParts += cur.select(col("bpiece").as("piece"), col("wn"))
+      cur = cur.filter(col("bj") > 0)
+        .select(col("w"), col("wn"), col("bj").as("ci"))
+        .join(dp, Seq("w"))
+        .filter(col("i") === col("ci"))
+        .select(col("w"), col("wn"), col("bj"), col("bpiece"))
+        .localCheckpoint()
+    }
+    val usage = usedParts.result().reduce(_.union(_))
+      .groupBy(col("piece")).agg(sum(col("wn")).as("usage"))
+    val joined = vq.join(usage, Seq("piece"), "left")
+      .select(col("piece"), col("cnt"),
+        coalesce(col("usage"), lit(0L)).as("usage"))
+      .localCheckpoint()
+    val totU = joined.agg(sum(col("usage")).as("tu"),
+      count(lit(1)).as("nv"))
+    // bounded relation (<= 64 multi-char + alphabet): the global rank
+    // window is over the vocabulary, never corpus rows
+    val ranked = joined
+      .withColumn("mrank",
+        when(length(col("piece")) === 1, lit(0)).otherwise(
+          row_number().over(Window.orderBy(
+            (length(col("piece")) === 1).asc, col("usage").desc, col("piece")))))
+    ranked.crossJoin(broadcast(totU))
+      .select(col("piece"), col("cnt"), col("usage"),
+        floor((lnDet(col("usage") + lit(1L)) - lnDet(col("tu") + col("nv")))
+          * lit(1073741824.0)).cast("long").as("q_new"),
+        (length(col("piece")) === 1 || col("mrank") <= 32)
+          .cast("int").as("kept"))
+      .orderBy(col("piece"))
   }
 
   private def unigramOracle: String = {
@@ -1306,6 +1394,110 @@ object TextOps {
          |       AS INTEGER) AS n_tok
          |FROM wrds JOIN du$maxLen d ON d.w = wrds.w AND d.i = len(wrds.w)
          |ORDER BY word""".stripMargin
+    sb.toString
+  }
+
+  private def unigramPruneOracle: String = {
+    val maxLen = ugMaxLen
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH wrds AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wn
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) BETWEEN 1 AND $maxLen GROUP BY w
+         |), pc AS MATERIALIZED (
+         |  SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+         |         CAST(sum(wn) AS BIGINT) AS cnt
+         |  FROM wrds, UNNEST(range(1, len(w)+1)) AS a(p),
+         |       UNNEST(range(1, ${ugMaxPiece + 1})) AS b(l)
+         |  WHERE p + l - 1 <= len(w) GROUP BY 1
+         |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pc
+         |), voc AS (
+         |  SELECT piece, cnt FROM pc WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM pc WHERE len(piece) > 1
+         |    ORDER BY cnt DESC, piece LIMIT 64) mv
+         |), vq AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(floor((${lnDetSeriesSql("ta")} - ${lnDetSeriesSql("tb")})
+         |               * 1073741824) AS BIGINT) AS q
+         |  FROM (SELECT piece, cnt, ${sqrt16Sql("cnt")} - 1.0 AS ta,
+         |               ${sqrt16Sql("t")} - 1.0 AS tb
+         |        FROM voc, tot) sq
+         |), edges AS MATERIALIZED (
+         |  SELECT sp.w, sp.j, sp.i, sp.piece, vq.q
+         |  FROM (SELECT w, CAST(p - 1 AS INT) AS j, CAST(p + l - 1 AS INT) AS i,
+         |               substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece
+         |        FROM wrds, UNNEST(range(1, len(w)+1)) AS a(p),
+         |             UNNEST(range(1, ${ugMaxPiece + 1})) AS b(l)
+         |        WHERE p + l - 1 <= len(w)) sp
+         |  JOIN vq USING (piece)
+         |), du0 AS MATERIALIZED (
+         |  SELECT w, 0 AS i, CAST(15 AS BIGINT) AS comb,
+         |         CAST(NULL AS INTEGER) AS bj, CAST(NULL AS VARCHAR) AS bpiece
+         |  FROM wrds)"""
+        .stripMargin
+    for (pos <- 1 to maxLen) {
+      sb ++=
+        s""",
+           |d$pos AS MATERIALIZED (
+           |  SELECT w, $pos AS i, comb, bj, bpiece FROM (
+           |    SELECT e.w, d.comb + 16*e.q - 1 AS comb, e.j AS bj,
+           |           e.piece AS bpiece,
+           |           row_number() OVER (PARTITION BY e.w
+           |             ORDER BY (d.comb + 16*e.q - 1) DESC, e.j, e.piece) AS rn
+           |    FROM edges e JOIN du${pos - 1} d ON e.w = d.w AND e.j = d.i
+           |    WHERE e.i = $pos) rr WHERE rn = 1
+           |), du$pos AS MATERIALIZED (
+           |  SELECT * FROM du${pos - 1} UNION ALL SELECT * FROM d$pos)"""
+          .stripMargin
+    }
+    sb ++=
+      s""",
+         |bw0 AS MATERIALIZED (
+         |  SELECT d.w, wrds.wn, d.bj, d.bpiece
+         |  FROM du$maxLen d JOIN wrds ON d.w = wrds.w AND d.i = len(wrds.w))"""
+        .stripMargin
+    for (k <- 1 until maxLen) {
+      sb ++=
+        s""",
+           |bw$k AS MATERIALIZED (
+           |  SELECT d.w, b.wn, d.bj, d.bpiece
+           |  FROM bw${k - 1} b JOIN du$maxLen d ON d.w = b.w AND d.i = b.bj
+           |  WHERE b.bj > 0)"""
+          .stripMargin
+    }
+    val usedUnion = (0 until maxLen)
+      .map(k => s"SELECT bpiece AS piece, wn FROM bw$k").mkString(" UNION ALL ")
+    sb ++=
+      s""",
+         |usage AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(wn) AS BIGINT) AS usage
+         |  FROM ($usedUnion) GROUP BY 1
+         |), joined AS MATERIALIZED (
+         |  SELECT vq.piece, vq.cnt, coalesce(u.usage, 0) AS usage
+         |  FROM vq LEFT JOIN usage u USING (piece)
+         |), totu AS (
+         |  SELECT CAST(sum(usage) AS BIGINT) AS tu,
+         |         CAST(count(*) AS BIGINT) AS nv FROM joined
+         |), ranked AS (
+         |  SELECT piece, cnt, usage,
+         |    CASE WHEN len(piece) = 1 THEN 0
+         |         ELSE CAST(row_number() OVER (
+         |           ORDER BY (len(piece) = 1) ASC, usage DESC, piece) AS INT)
+         |    END AS mrank
+         |  FROM joined
+         |)
+         |SELECT piece, cnt, usage,
+         |  CAST(floor((${lnDetSeriesSql("na")} - ${lnDetSeriesSql("nb")})
+         |             * 1073741824) AS BIGINT) AS q_new,
+         |  CAST(len(piece) = 1 OR mrank <= 32 AS INT) AS kept
+         |FROM (SELECT piece, cnt, usage, mrank,
+         |        ${sqrt16Sql("usage + 1")} - 1.0 AS na,
+         |        ${sqrt16Sql("tu + nv")} - 1.0 AS nb
+         |      FROM ranked, totu) f
+         |ORDER BY piece""".stripMargin
     sb.toString
   }
 
@@ -1647,6 +1839,126 @@ object TextOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Multinomial Naive-Bayes language classifier — the TRAINED-classifier
+    * filter stage of modern pretraining pipelines (CCNet's fastText LID,
+    * FineWeb-Edu's quality scorer), as opposed to the fixed-profile
+    * heuristic [[languageIdOn]]: FIT per-(lang, token) integer counts with
+    * add-1 smoothing on the deterministic train split (doc_id % 5 ≠ 0),
+    * APPLY to the held-out split, EVALUATE as the test confusion matrix.
+    *
+    * Determinism across engines: the model is exact integers end to end —
+    * log-likelihoods ln((c+1)/(T_l+V)) and log-priors ln(D_l/D) are
+    * 2⁻³⁰-quantized int64 via [[lnDet]]'s IEEE-exact ln, a doc's score is
+    * an exact int64 dot product Σ n_tok·q(lang,tok) + q_prior(lang)
+    * (|q| < 2³⁵, ≤~10³ terms — no overflow), and the argmax breaks score
+    * ties by lang ascending. No float enters any comparison.
+    *
+    * Scale shape: fit is one map-side-combined groupBy over the token
+    * stream; the dense likelihood table is vocab × |langs| rows built by
+    * broadcasting the |langs|-row totals (vocab is Heaps-law bounded, the
+    * CROSS side is 5 rows — never corpus-sized); apply is a shuffle equi
+    * join on token (vocab-keyed, NOT a broadcast: at 100 TB the vocab may
+    * exceed broadcast limits) + one hash agg per (doc, lang); OOV test
+    * tokens drop in the inner join on BOTH engines (the standard NB
+    * treatment — no lang is favored since the drop is lang-independent). */
+  def nbClassify(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val cnt = train.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals + the dense table; cut the rescan
+    val langTot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("lt"))
+    val vocab = cnt.select(col("tok")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val lik = vocab
+      .crossJoin(broadcast(langTot))
+      .crossJoin(broadcast(vSize))
+      .join(cnt, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("tok"),
+        floor((lnDet(coalesce(col("c"), lit(0L)) + lit(1L))
+          - lnDet(col("lt") + col("v"))) * lit(1073741824.0))
+          .cast("long").as("q"))
+    val dl = train.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("d"))
+    val dTot = dl.agg(sum(col("d")).as("t"))
+    val prior = dl.crossJoin(broadcast(dTot))
+      .select(col("lang"),
+        floor((lnDet(col("d")) - lnDet(col("t"))) * lit(1073741824.0))
+          .cast("long").as("qp"))
+    val test = toks.filter(col("doc_id") % 5 === 0)
+    val tc = test.groupBy(col("doc_id"), col("lang").as("actual_lang"),
+        col("tok")).agg(count(lit(1)).as("n"))
+    val scores = tc.join(lik, "tok")
+      .groupBy(col("doc_id"), col("actual_lang"), col("lang"))
+      .agg(sum(col("n") * col("q")).as("s"))
+      .join(broadcast(prior), "lang")
+      .select(col("doc_id"), col("actual_lang"), col("lang"),
+        (col("s") + col("qp")).as("score"))
+    val pred = scores
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang"))))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("actual_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
+  private def nbClassifyOracle: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, lang, tok FROM (
+       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) WHERE len(tok) > 0
+       |), tr AS (SELECT * FROM toks WHERE doc_id % 5 <> 0
+       |), cnt AS MATERIALIZED (
+       |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM tr GROUP BY 1, 2
+       |), lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS lt FROM cnt GROUP BY 1
+       |), voc AS (SELECT DISTINCT tok FROM cnt
+       |), vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc
+       |), lik1 AS (
+       |  SELECT l.lang, voc.tok,
+       |    ${sqrt16Sql("coalesce(cnt.c, 0) + 1")} - 1.0 AS ta,
+       |    ${sqrt16Sql("l.lt + vs.v")} - 1.0 AS tb
+       |  FROM voc CROSS JOIN lt l CROSS JOIN vs
+       |  LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.tok = voc.tok
+       |), lik AS MATERIALIZED (
+       |  SELECT lang, tok,
+       |    CAST(floor((${lnDetSeriesSql("ta")} - ${lnDetSeriesSql("tb")})
+       |               * 1073741824) AS BIGINT) AS q
+       |  FROM lik1
+       |), dl AS (
+       |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+       |  FROM tr GROUP BY 1
+       |), dt AS (SELECT CAST(sum(d) AS BIGINT) AS t FROM dl
+       |), prior AS (
+       |  SELECT lang,
+       |    CAST(floor((${lnDetSeriesSql("pa")} - ${lnDetSeriesSql("pb")})
+       |               * 1073741824) AS BIGINT) AS qp
+       |  FROM (SELECT lang, ${sqrt16Sql("d")} - 1.0 AS pa,
+       |               ${sqrt16Sql("t")} - 1.0 AS pb FROM dl, dt)
+       |), tc AS (
+       |  SELECT doc_id, lang AS actual_lang, tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3
+       |), sc AS (
+       |  SELECT tc.doc_id, tc.actual_lang, lik.lang,
+       |    CAST(sum(tc.n * lik.q) AS BIGINT) AS s
+       |  FROM tc JOIN lik USING (tok) GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT sc.doc_id, sc.actual_lang, sc.lang, sc.s + p.qp AS score
+       |  FROM sc JOIN prior p ON p.lang = sc.lang
+       |), pred AS (
+       |  SELECT doc_id, actual_lang, lang AS pred_lang,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, lang) AS rn
+       |  FROM scored
+       |)
+       |SELECT actual_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_keywords" -> (sourceKeywords _),
     "q_kl_divergence" -> (klDivergence _),
@@ -1658,6 +1970,8 @@ object TextOps {
     "q_bpe_merge_candidates" -> (bpeMergeCandidates _),
     "q_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "q_unigram_segment" -> (unigramSegment _),
+    "q_unigram_prune" -> (unigramPrune _),
+    "q_nb_classify" -> (nbClassify _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_hashkey" -> (dedupHashKey _),
     "q_fingerprint" -> (fingerprint _),
@@ -1899,6 +2213,8 @@ object TextOps {
 
     "q_bpe_train" -> bpeTrainOracle,
     "q_unigram_segment" -> unigramOracle,
+    "q_unigram_prune" -> unigramPruneOracle,
+    "q_nb_classify" -> nbClassifyOracle,
     "q_bpe_merge_candidates" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -476,6 +476,63 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("ab", 3L, 1), ("c", 1L, 1)))
   }
 
+  test("unigramPrune hard-EM usage + prune match the independent sf0.001 table") {
+    // literals computed by the independent DuckDB implementation offline
+    val rows = TextOps.unigramPrune(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.length == 88)
+    assert(rows.map(_._3).sum == 81340L)          // Σ hard-EM usage
+    assert(rows.map(_._4).sum == -721364167182L)  // Σ q_new
+    assert(rows.map(_._5.toLong).sum == 56L)      // kept = 24 chars + 32 multi
+    assert(rows.count(r => r._1.length > 1 && r._5 == 1) == 32)
+    val byPiece = rows.map(r => r._1 -> r).toMap
+    assert(byPiece("a") == ("a", 12949L, 3659L, -3331022067L, 1))
+    assert(byPiece("er") == ("er", 4650L, 917L, -4816029596L, 1))
+    // 'scan' is a whole-word piece: Viterbi keeps it intact for all 984 uses
+    assert(byPiece("scan") == ("scan", 984L, 984L, -4740390658L, 1))
+  }
+
+  test("unigramPrune backwalk credits the chosen piece, not the unused ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ugprune").toString
+    // word 'ab' (wn=3) Viterbi-segments as the single piece 'ab', so hard-EM
+    // usage must credit ab=3 and leave a=0, b=0 — counting SEED occurrences
+    // (a appears in every 'ab') instead of decoded-path usage would differ
+    Seq((0L, "ab ab ab c", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.unigramPrune(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(4)))
+    assert(rows.toSeq.sortBy(_._1) == Seq(
+      ("a", 0L, 1), ("ab", 3L, 1), ("b", 0L, 1), ("c", 1L, 1)))
+  }
+
+  test("nbClassify matches the independent sf0.001 confusion matrix") {
+    // literals computed by the independent DuckDB implementation offline
+    val rows = TextOps.nbClassify(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("de", "de", 1L), ("de", "en", 9L), ("de", "es", 1L), ("de", "fr", 1L),
+      ("en", "en", 27L), ("en", "es", 5L), ("en", "fr", 4L),
+      ("es", "en", 12L), ("es", "fr", 2L),
+      ("fr", "de", 1L), ("fr", "en", 15L), ("fr", "es", 1L),
+      ("fr", "fr", 2L), ("fr", "zh", 2L),
+      ("zh", "de", 3L), ("zh", "en", 11L), ("zh", "es", 2L), ("zh", "fr", 1L)))
+  }
+
+  test("nbClassify separates disjoint-vocabulary languages perfectly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nbc").toString
+    Seq((1L, "foo foo fim", "xx", "web", 0L), (2L, "foo fim foo", "xx", "web", 0L),
+        (3L, "bar baz bar", "yy", "web", 0L), (4L, "baz bar bar", "yy", "web", 0L),
+        (0L, "foo fim", "xx", "web", 0L), (5L, "bar baz", "yy", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.nbClassify(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("xx", "xx", 1L), ("yy", "yy", 1L)))
+  }
+
   test("ndcg is exactly 1 when every relevant doc outranks every irrelevant one") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
