@@ -334,9 +334,63 @@ class EventsGroupedAggReaderFactory(lo: Long, hi: Long, kinds: Seq[String],
 
 class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType,
                  rowsPerBatch: Long = 1000L)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // Runtime (post-planning) state: DPP-style filters arrive AFTER the scan
+  // is built but BEFORE planInputPartitions — the batch-only late-pruning
+  // window. rlo/rhi narrow the planned range; idSet, when every IN element
+  // is understood, restricts generation to EXACTLY the matching ids (the
+  // custom-source analogue of dynamic partition pruning skipping
+  // partitions a runtime join key set can never hit).
+  private var rlo = lo
+  private var rhi = hi
+  private var idSet: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("event_id"))
+
+  /** Runtime filters are a correctness-preserving REDUCTION (the join
+    * still re-checks its keys), so the conservative action on anything
+    * not understood is a no-op — over-returning is safe, under-returning
+    * never happens because ids are only dropped on a fully-decoded IN/=
+    * whose value set is complete. */
+  override def filter(predicates: Array[Predicate]): Unit = predicates.foreach { p =>
+    def isEventId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("event_id"))
+        case _ => false
+      }
+    def applyIds(vals: Array[Long]): Unit = {
+      val inRange = vals.filter(v => v >= rlo && v < rhi).distinct.sorted
+      idSet = Some(idSet.fold(inRange)(prev => prev.filter(inRange.toSet)))
+      if (inRange.isEmpty) { rlo = 0L; rhi = 0L }
+      else {
+        rlo = math.max(rlo, inRange.head)
+        rhi = math.min(rhi, inRange.last + 1L)
+      }
+    }
+    def longOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] =
+      e match {
+        case l: Literal[_] => l.value() match {
+          case v: java.lang.Long => Some(v.longValue())
+          case _ => None
+        }
+        case _ => None
+      }
+    (p.name(), p.children()) match {
+      case ("IN", cs) if cs.nonEmpty && isEventId(cs.head) =>
+        val vals = cs.tail.flatMap(longOf)
+        if (vals.length == cs.length - 1) applyIds(vals) // every element decoded
+      case ("=", Array(c, l)) if isEventId(c) =>
+        longOf(l).foreach(v => applyIds(Array(v)))
+      case _ => () // unknown/partial predicate: safe no-op
+    }
+  }
 
   /** Same generator as a MICRO-BATCH stream: offsets are positions in the
     * id space, each trigger drains ≤ rowsPerBatch ids (rate limiting),
@@ -349,13 +403,20 @@ class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType,
   override def description(): String =
     s"graft_events[range=[$lo,$hi), partitions=$parts, cols=${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    if (n == 0L) return Array.empty
-    val step = math.max(1L, (n + parts - 1) / parts)
-    (lo until hi by step)
-      .map(s => EventsRange(s, math.min(s + step, hi)): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = idSet match {
+    case Some(ids) =>
+      if (ids.isEmpty) Array.empty
+      else {
+        val step = math.max(1, (ids.length + parts - 1) / parts)
+        ids.grouped(step).map(a => EventsIdSet(a): InputPartition).toArray
+      }
+    case None =>
+      val n = math.max(0L, rhi - rlo)
+      if (n == 0L) return Array.empty
+      val step = math.max(1L, (n + parts - 1) / parts)
+      (rlo until rhi by step)
+        .map(s => EventsRange(s, math.min(s + step, rhi)): InputPartition)
+        .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -363,6 +424,10 @@ class EventsScan(lo: Long, hi: Long, parts: Int, required: StructType,
 }
 
 case class EventsRange(start: Long, end: Long) extends InputPartition
+
+/** Exact id list from a fully-decoded runtime IN filter — generation
+  * touches ONLY these ids. */
+case class EventsIdSet(ids: Array[Long]) extends InputPartition
 
 /** Offset = position in the id space; json is just the long. */
 case class EventsOffset(pos: Long)
@@ -417,23 +482,33 @@ class EventsMicroBatchStream(lo: Long, hi: Long, parts: Int,
 
 class EventsReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val EventsRange(start, end) = partition.asInstanceOf[EventsRange]
-    new PartitionReader[InternalRow] {
-      private var i = start - 1
-      override def next(): Boolean = { i += 1; i < end }
-      override def get(): InternalRow = {
-        // materialize ONLY the pruned-to fields, in requested order
-        val values: Array[Any] = fields.map {
-          case "event_id" => i
-          case "user_id" => EventsSource.userId(i)
-          case "event_type" => UTF8String.fromString(EventsSource.eventType(i))
-          case "ts_us" => EventsSource.tsUs(i)
-          case "value" => EventsSource.value(i)
-        }
-        InternalRow.fromSeq(values.toIndexedSeq)
-      }
-      override def close(): Unit = ()
+  // materialize ONLY the pruned-to fields, in requested order
+  private def row(i: Long): InternalRow = {
+    val values: Array[Any] = fields.map {
+      case "event_id" => i
+      case "user_id" => EventsSource.userId(i)
+      case "event_type" => UTF8String.fromString(EventsSource.eventType(i))
+      case "ts_us" => EventsSource.tsUs(i)
+      case "value" => EventsSource.value(i)
     }
+    InternalRow.fromSeq(values.toIndexedSeq)
   }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case EventsRange(start, end) =>
+        new PartitionReader[InternalRow] {
+          private var i = start - 1
+          override def next(): Boolean = { i += 1; i < end }
+          override def get(): InternalRow = row(i)
+          override def close(): Unit = ()
+        }
+      case EventsIdSet(ids) =>
+        new PartitionReader[InternalRow] {
+          private var k = -1
+          override def next(): Boolean = { k += 1; k < ids.length }
+          override def get(): InternalRow = row(ids(k))
+          override def close(): Unit = ()
+        }
+    }
 }

@@ -252,4 +252,69 @@ class SourcesV2Spec extends SparkSpec {
     assert(r42.getAs[String]("event_type") === graft.sources.EventsSource.eventType(42))
     assert(r42.getAs[Double]("value") === graft.sources.EventsSource.value(42))
   }
+
+  private def inPredicate(vals: Long*) = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    new Predicate("IN", (Expressions.column("event_id") +:
+      vals.map(v => Expressions.literal(v): Expression)).toArray[Expression])
+  }
+
+  test("runtime v2 filtering: a decoded IN prunes generation to the exact id set") {
+    import org.apache.spark.sql.connector.read.{Batch, SupportsRuntimeV2Filtering}
+    val scan = new graft.sources.EventsScanBuilder(100000L, 8).build()
+      .asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("event_id"))
+    // 123456 is outside [0, rows): dropped; 7 repeats: deduped
+    scan.filter(Array(inPredicate(7L, 99999L, 123456L, 7L)))
+    val parts = scan.asInstanceOf[Batch].planInputPartitions()
+    val ids = parts.flatMap { case graft.sources.EventsIdSet(a) => a.toSeq }.sorted
+    assert(ids.toSeq == Seq(7L, 99999L))
+  }
+
+  test("runtime v2 filtering: an empty surviving id set plans zero partitions") {
+    import org.apache.spark.sql.connector.read.{Batch, SupportsRuntimeV2Filtering}
+    val scan = new graft.sources.EventsScanBuilder(1000L, 8).build()
+      .asInstanceOf[SupportsRuntimeV2Filtering]
+    scan.filter(Array(inPredicate(5000L, 6000L))) // all outside [0, 1000)
+    assert(scan.asInstanceOf[Batch].planInputPartitions().isEmpty)
+  }
+
+  test("runtime v2 filtering: an undecodable predicate is a safe no-op") {
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.{Batch, SupportsRuntimeV2Filtering}
+    val scan = new graft.sources.EventsScanBuilder(1000L, 8).build()
+      .asInstanceOf[SupportsRuntimeV2Filtering]
+    // a predicate shape the scan does not understand must not drop rows
+    scan.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty[Expression]),
+      new Predicate("IN", Array[Expression](Expressions.column("user_id")))))
+    val parts = scan.asInstanceOf[Batch].planInputPartitions()
+    val n = parts.map { case graft.sources.EventsRange(s, e) => e - s }.sum
+    assert(n == 1000L)
+  }
+
+  test("runtime v2 filtering fires end-to-end through a broadcast equi join") {
+    import spark.implicits._
+    // plain (non-adaptive) plan so the BatchScanExec is structurally
+    // reachable; runtime filtering itself works under both planners.
+    // The build side must be a real scan + Filter — DPP's
+    // hasSelectivePredicate check never fires on a constant-folded
+    // LocalRelation, exactly like partitioned-parquet DPP.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = events(100000L, 8)
+      val dim = Tables(spark, sf001, "documents")
+        .filter(col("lang") === "zh").select(col("doc_id").as("k"))
+      val j = ev.join(broadcast(dim), ev("event_id") === dim("k"))
+      // collect() executes THIS DataFrame's plan instance, so its metrics
+      // populate (count() would re-plan a separate execution)
+      assert(j.collect().length == 74) // zh docs at sf0.001; every doc_id < rows
+      val scans = j.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.nonEmpty)
+      // the scan received the runtime IN filter and generated ONLY those ids
+      assert(scans.head.runtimeFilters.nonEmpty)
+      assert(scans.head.metrics("numOutputRows").value == 74L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
