@@ -1262,6 +1262,56 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** Mean average precision @10 — the fourth leg of the retrieval-eval
+    * stool next to [[ndcg]] (graded ranking), [[mrr]] (first hit), and
+    * the ANN family's recall@k: per query, AP@10 = (1/min(R,10)) ·
+    * Σ_{relevant k ≤ 10} precision@k over the label-relevance top-10,
+    * macro-averaged (R = corpus-wide relevant count for the query label,
+    * self excluded).
+    *
+    * Float discipline: precision@k = run_k/k is never summed as doubles —
+    * AP's numerator is the exact int64 Σ run_k·(2520 div k) (2520 =
+    * lcm(1..10), every term integral), ap = num/2520.0/denom is a
+    * two-division IEEE chain on identical exact integers, and the macro
+    * average quantizes each ap to floor(ap·2³⁰) and divides two exact
+    * int64 window sums once — no order-dependent float accumulation
+    * anywhere. Same broadcast-probe scoring pass as [[mrr]]. */
+  def mapEval(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("norm").as("qnorm"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("label").as("clabel"), col("embedding").as("cv"),
+      col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val top = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .withColumn("rel", (col("clabel") === col("qlabel")).cast("long"))
+    val wRun = Window.partitionBy(col("query_id")).orderBy(col("rk"))
+    val num = top.withColumn("run", sum(col("rel")).over(wRun))
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(when(col("rel") === 1,
+        col("run") * expr("2520 div rk"))), lit(0L)).as("ap_num"))
+    val labCnt = e.groupBy(col("label")).agg(count(lit(1)).as("lc"))
+    val denom = q.join(broadcast(labCnt), col("qlabel") === col("label"))
+      .select(col("query_id"), least(col("lc") - 1, lit(10L)).as("n_rel"))
+    val wAll = Window.partitionBy(lit(1))
+    num.join(denom, "query_id")
+      .withColumn("ap", when(col("n_rel") === 0, lit(0.0))
+        .otherwise(col("ap_num") / lit(2520.0) / col("n_rel")))
+      .withColumn("apq", floor(col("ap") * lit(1073741824.0)).cast("long"))
+      .withColumn("map",
+        sum(col("apq")).over(wAll).cast("double")
+          / count(lit(1)).over(wAll).cast("double") / lit(1073741824.0))
+      .select(col("query_id"), col("n_rel"), col("ap"), col("map"))
+      .orderBy(col("query_id"))
+  }
+
   /** Margin-denominator depth for [[mutualKnn]]: each side's local density
     * estimate is the mean cosine of its 4 nearest neighbors. */
   private val MknnK = 4
@@ -1342,6 +1392,7 @@ object VectorOps {
     "q_lof" -> (lof _),
     "q_silhouette" -> (silhouette _),
     "q_mrr" -> (mrr _),
+    "q_map_eval" -> (mapEval _),
   )
 
   private def mmrOracle: String = {
@@ -1401,6 +1452,51 @@ object VectorOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_map_eval" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |      c.label AS clabel,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6)
+        |          DESC, c.vec_id) AS rk
+        |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rk <= 10),
+        |runs AS (
+        |  SELECT query_id, rk,
+        |    CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel,
+        |    sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY query_id ORDER BY rk) AS run
+        |  FROM top),
+        |num AS (
+        |  SELECT query_id,
+        |    CAST(coalesce(sum(CASE WHEN rel = 1
+        |      THEN run * (2520 // rk) END), 0) AS BIGINT) AS ap_num
+        |  FROM runs GROUP BY query_id),
+        |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS lc FROM e GROUP BY 1),
+        |den AS (
+        |  SELECT q.vec_id AS query_id,
+        |    least(lc.lc - 1, 10) AS n_rel
+        |  FROM e q JOIN lc ON lc.label = q.label WHERE q.vec_id < 10),
+        |perq AS (
+        |  SELECT n.query_id, d.n_rel,
+        |    CASE WHEN d.n_rel = 0 THEN 0.0
+        |      ELSE n.ap_num / 2520.0 / d.n_rel END AS ap
+        |  FROM num n JOIN den d ON d.query_id = n.query_id),
+        |qz AS (
+        |  SELECT query_id, n_rel, ap,
+        |    CAST(floor(ap * 1073741824) AS BIGINT) AS apq
+        |  FROM perq)
+        |SELECT query_id, n_rel, ap,
+        |  CAST(sum(apq) OVER () AS DOUBLE)
+        |    / CAST(count(*) OVER () AS DOUBLE) / 1073741824 AS map
+        |FROM qz ORDER BY query_id""".stripMargin,
+
     "q_mrr" ->
       """WITH e AS (
         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,

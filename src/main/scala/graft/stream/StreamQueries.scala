@@ -133,9 +133,69 @@ object StreamQueries {
   private val ranEnrich =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  /** Streaming exactly-once ingestion dedup: at-least-once delivery (every
+    * third event delivered TWICE, the second copy in a separate file so
+    * `maxFilesPerTrigger=1` lands it in a LATER micro-batch) pushed through
+    * `dropDuplicates(event_id)`'s key state store in append mode — each key
+    * is emitted exactly once across ALL micro-batches, so the union of the
+    * per-batch appends is the duplicate-free relation regardless of batch
+    * slicing. The cross-batch arrival is the point: the second copy only
+    * disappears if the state store remembered the first batch's keys.
+    * Kafka-consumer at-least-once → exactly-once, the standard ingestion
+    * front door for every pipeline in this repo.
+    *
+    * The persisted event-grain relation is compacted to a per-type summary
+    * of exact integer sums — any lost or double-emitted row breaks
+    * count/sum/min/max vs the DuckDB oracle, which reads the ORIGINAL
+    * events table (dedup must restore it exactly). Unbounded key state is
+    * the documented bounded-replay trade: on an unbounded stream the same
+    * query runs `dropDuplicatesWithinWatermark` with state eviction
+    * ([[StreamSessions]] spec family). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_dedup.parquet"
+    if (ranDedup.add((s, dir))) {
+      val replay = s"$base/dedup_replay"
+      val chk = s"$base/dedup_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      ev.coalesce(1).write.mode("overwrite").parquet(replay)
+      ev.filter(col("event_id") % 3 === 0)
+        .coalesce(1).write.mode("append").parquet(replay)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val q = src.dropDuplicates("event_id").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val ranDedup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
+    "q_stream_dedup" -> (streamDedup _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -171,5 +231,17 @@ object StreamQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2, 3
         |ORDER BY nation, window_us, event_type""".stripMargin,
+    // dedup must restore the ORIGINAL relation exactly: the oracle never
+    // sees the duplicated replay, only `events` itself
+    "q_stream_dedup" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |       min(event_id) AS min_id,
+        |       max(event_id) AS max_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -643,4 +643,23 @@ class StreamingSpec extends SparkSpec {
     assert(st.size === 988) // independent DuckDB literal over sf0.001
     assert(st.map(_.getLong(3)).sum === 1000L) // every event joins a customer
   }
+
+  test("driver streaming query (q_stream_dedup) removes cross-batch duplicates") {
+    import graft.stream.StreamQueries
+    // the at-least-once replay delivers 1000 + 334 rows (every third event
+    // twice, the copies in a later micro-batch); the state-store dedup must
+    // restore the original relation's exact integer aggregates
+    val st = StreamQueries.streamDedup(spark, sf001).collect().toSeq
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(st === batch)
+    // had ANY duplicate survived, the total would exceed the corpus size
+    assert(st.map(_.getLong(1)).sum === 1000L)
+  }
 }

@@ -574,6 +574,36 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("map_eval scores a rank-2 single-relevant hit as exactly AP 0.5") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mapev").toString
+    def mix(w: Map[Int, Double]): Array[Float] =
+      Array.tabulate(64)(d => w.getOrElse(d, 0.0).toFloat)
+    // Queries 0 and 1 share label 0; the label-1 distractor (id 2) sits
+    // ANGULARLY closer to both than they sit to each other, so each
+    // query's single relevant doc lands at rank 2: AP = (1/2)/1 = 0.5.
+    // Query 2 has no other label-1 doc -> n_rel = 0 -> AP = 0. Fillers
+    // (ids >= 10) are orthogonal and not queries. MAP = (0.5+0.5+0)/3.
+    val rows = Seq(
+      (0L, mix(Map(0 -> 1.0)), 0),
+      (1L, mix(Map(0 -> 1.0, 1 -> 0.3)), 0),
+      (2L, mix(Map(0 -> 1.0, 1 -> 0.1)), 1),
+      (10L, mix(Map(5 -> 1.0)), 2),
+      (11L, mix(Map(5 -> 1.0, 6 -> 0.01)), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.mapEval(spark, dir).collect()
+    assert(out.length == 3)
+    val byQ = out.map(r => r.getLong(0) ->
+      (r.getLong(r.fieldIndex("n_rel")), r.getDouble(r.fieldIndex("ap")))).toMap
+    assert(byQ(0L) == ((1L, 0.5)))
+    assert(byQ(1L) == ((1L, 0.5)))
+    assert(byQ(2L) == ((0L, 0.0)))
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("map")) - 1.0 / 3) < 1e-9)
+    }
+  }
+
   test("silhouette reads near-1 on separated clusters, lower on mixed labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("silh").toString
