@@ -400,7 +400,7 @@ class PlanSpec extends SparkSpec {
     // the broadcast-probe scorers (cosineTopK convention) NL-join a
     // bounded Q-row broadcast against the corpus scan — that is the
     // intended map-side probe; the top-k must still group-limit
-    for (q <- Seq("q_knn_classify", "q_ndcg")) {
+    for (q <- Seq("q_knn_classify", "q_ndcg", "q_map_eval")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(1500)}")
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
