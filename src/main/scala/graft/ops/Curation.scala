@@ -678,7 +678,11 @@ object Curation {
       .orderBy(col("node"))
   }
 
-  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+  /** The undirected tree+quadratic doc graph shared by the community
+    * queries ([[labelPropagation]], [[modularity]], [[louvainMove]]):
+    * tree edge doc→⌊doc/2⌋ plus quadratic edge doc→(doc²+1) mod n,
+    * deduplicated as (least, greatest) pairs. */
+  private def docUndirected(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"))
     val nAgg = d.agg(count(lit(1)).as("n"))
     val withN = d.crossJoin(broadcast(nAgg))
@@ -686,11 +690,103 @@ object Curation {
       .select(col("doc_id").as("u"), expr("doc_id div 2").as("v"))
       .union(withN.select(col("doc_id"),
         ((col("doc_id") * col("doc_id") + 1) % col("n")).as("v")))
-    val und = raw.filter(col("u") =!= col("v"))
+    raw.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-    labelPropOf(d.select(col("doc_id").as("node")), und)
+  }
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    labelPropOf(d.select(col("doc_id").as("node")), docUndirected(s, dir))
+  }
+
+  /** Exact-integer Newman–Girvan modularity (Newman & Girvan, Phys. Rev.
+    * E 2004) of the [[labelPropagation]] communities, per community:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] reported as the integer numerator
+    * q_num_c = 4·m·e_c − d_c² over the common denominator 4m² — every
+    * column is an exact int64 (e_c = intra-community undirected edges,
+    * d_c = degree sum, m = |E|), so the quality of a community
+    * assignment is hash-comparable with no float anywhere; Σ q_num / 4m²
+    * recovers Q. One edge-relation join against the community relation
+    * on each endpoint (broadcast-sized right sides at any scale: the
+    * community relation is node-grain) and two keyed aggregates. */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val und = docUndirected(s, dir)
+    val coms = labelPropOf(d.select(col("doc_id").as("node")), und)
+      .persist()
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val mAgg = und.agg(count(lit(1)).as("m"))
+    val internal = und
+      .join(coms.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(coms.select(col("node").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_c"))
+    val dsum = coms.join(deg, Seq("node"), "left").na.fill(0L, Seq("d"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("size"), sum(col("d")).as("d_c"))
+    dsum.join(internal, Seq("community"), "left").na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(mAgg))
+      .select(col("community"), col("size"), col("e_c"), col("d_c"),
+        (lit(4) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+          .as("q_num"),
+        col("m"))
+      .orderBy(col("community"))
+  }
+
+  /** One synchronous Louvain local-move round (Blondel et al., J. Stat.
+    * Mech. 2008 §2) refining the [[labelPropagation]] communities: every
+    * node i evaluates each neighboring community C ≠ A(i) with the
+    * standard gain ΔQ(i: A→C) — here scaled by the positive constant 2m²
+    * so it stays an exact int64,
+    * g = 2m·(k_iC − k_iA) − k_i·(Σ_tot(C) − Σ_tot(A) + k_i) —
+    * and moves to the argmax when g > 0 (tie-break: max g, then min
+    * community id), else stays. Synchronous decisions on the OLD labels
+    * keep the round deterministic and oracle-checkable (the sequential
+    * sweep of the paper is inherently order-dependent). Shapes: one
+    * (node, neighbor-community) count off the symmetric edge list, two
+    * node-grain joins, one `min_by` argmax aggregate — no window over the
+    * full candidate relation, no quadratic candidate space (candidates
+    * are bounded by degree). */
+  def louvainMove(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val und = docUndirected(s, dir)
+    val coms = labelPropOf(d.select(col("doc_id").as("node")), und)
+      .persist()
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val mAgg = und.agg(count(lit(1)).as("m"))
+    val sig = coms.join(deg, Seq("node"), "left").na.fill(0L, Seq("d"))
+      .groupBy(col("community")).agg(sum(col("d")).as("sigc"))
+    val kuc = sym
+      .join(coms.select(col("node").as("v"), col("community").as("c")), "v")
+      .groupBy(col("u"), col("c")).agg(count(lit(1)).as("k_uc"))
+    val own = coms.select(col("node").as("u"), col("community").as("a"))
+    val base = own
+      .join(deg.select(col("node").as("u"), col("d").as("k")), Seq("u"), "left")
+      .na.fill(0L, Seq("k"))
+      .join(kuc.select(col("u"), col("c").as("a"), col("k_uc").as("k_ua")),
+        Seq("u", "a"), "left")
+      .na.fill(0L, Seq("k_ua"))
+      .join(sig.select(col("community").as("a"), col("sigc").as("sig_a")),
+        Seq("a"))
+    val cand = base
+      .join(kuc, Seq("u")).filter(col("c") =!= col("a"))
+      .join(sig.select(col("community").as("c"), col("sigc")), Seq("c"))
+      .crossJoin(broadcast(mAgg))
+      .select(col("u"), col("a"), col("c"),
+        (lit(2) * col("m") * (col("k_uc") - col("k_ua")) -
+          col("k") * (col("sigc") - col("sig_a") + col("k"))).as("g"))
+    val best = cand.groupBy(col("u"))
+      .agg(expr("min_by(struct(c, g), struct(-g, c))").as("bc"))
+      .select(col("u"), col("bc.c").as("c"), col("bc.g").as("g"))
+    own.join(best, Seq("u"), "left")
+      .select(col("u").as("node"), col("a").as("old_community"),
+        when(col("g") > 0, col("c")).otherwise(col("a")).as("new_community"),
+        when(col("g") > 0, col("g")).otherwise(lit(0L)).as("gain_num"))
+      .orderBy(col("node"))
   }
 
   /** HITS hubs & authorities (Kleinberg JACM'99) over a DIRECTED node/edge
@@ -773,9 +869,13 @@ object Curation {
        |ORDER BY a3.node""".stripMargin
   }
 
-  /** DuckDB twin of [[labelPropagation]]: 4 unrolled rounds, row_number
-    * tie-break (cnt DESC, lab) ≡ min_by(lab, (-cnt, lab)). */
-  private[graft] def labelPropagationOracleSql(table: String): String = {
+  /** Shared DuckDB CTE prefix for the doc-graph community oracles
+    * ([[labelPropagationOracleSql]], [[modularityOracleSql]],
+    * [[louvainMoveOracleSql]]): the undirected tree+quadratic edge list
+    * `e`, its symmetric closure `sym`, and 4 unrolled label-propagation
+    * rounds — `l4` is the community relation [[labelPropOf]] computes
+    * (row_number tie-break (cnt DESC, lab) ≡ min_by(lab, (-cnt, lab))). */
+  private def lpCtePrefix(table: String): String = {
     val rounds = (1 to 4).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT node, lab FROM (
@@ -796,9 +896,74 @@ object Curation {
        |sym AS MATERIALIZED (
        |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
        |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lab FROM $table),
-       |$rounds
-       |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** DuckDB twin of [[labelPropagation]]. */
+  private[graft] def labelPropagationOracleSql(table: String): String =
+    s"""${lpCtePrefix(table)}
+       |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin
+
+  /** DuckDB twin of [[modularity]]: per-community exact-integer
+    * modularity numerators over the l4 communities. */
+  private[graft] def modularityOracleSql(table: String): String =
+    s"""${lpCtePrefix(table)},
+       |coms AS MATERIALIZED (SELECT node, lab AS community FROM l4),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |deg AS MATERIALIZED (
+       |  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+       |internal AS (
+       |  SELECT c1.community, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM e JOIN coms c1 ON e.u = c1.node JOIN coms c2 ON e.v = c2.node
+       |  WHERE c1.community = c2.community GROUP BY c1.community),
+       |dsum AS (
+       |  SELECT c.community, CAST(count(*) AS BIGINT) AS size,
+       |         CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS d_c
+       |  FROM coms c LEFT JOIN deg ON c.node = deg.node GROUP BY c.community)
+       |SELECT d.community, d.size, CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c,
+       |       d.d_c,
+       |       4 * mm.m * coalesce(i.e_c, 0) - d.d_c * d.d_c AS q_num, mm.m
+       |FROM dsum d LEFT JOIN internal i ON d.community = i.community, mm
+       |ORDER BY d.community""".stripMargin
+
+  /** DuckDB twin of [[louvainMove]]: the same scaled-integer ΔQ argmax,
+    * via row_number (g DESC, c) ≡ min_by(struct(c,g), struct(-g,c)). */
+  private[graft] def louvainMoveOracleSql(table: String): String =
+    s"""${lpCtePrefix(table)},
+       |coms AS MATERIALIZED (SELECT node, lab AS community FROM l4),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |deg AS MATERIALIZED (
+       |  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+       |sig AS MATERIALIZED (
+       |  SELECT c.community, CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS sigc
+       |  FROM coms c LEFT JOIN deg ON c.node = deg.node GROUP BY c.community),
+       |kuc AS MATERIALIZED (
+       |  SELECT sym.u, cv.lab AS c, CAST(count(*) AS BIGINT) AS k_uc
+       |  FROM sym JOIN l4 cv ON sym.v = cv.node GROUP BY sym.u, cv.lab),
+       |own AS (SELECT node AS u, community AS a FROM coms),
+       |base AS (
+       |  SELECT o.u, o.a, coalesce(deg.d, 0) AS k,
+       |         coalesce(ka.k_uc, 0) AS k_ua, sa.sigc AS sig_a
+       |  FROM own o
+       |  LEFT JOIN deg ON o.u = deg.node
+       |  LEFT JOIN kuc ka ON ka.u = o.u AND ka.c = o.a
+       |  JOIN sig sa ON sa.community = o.a),
+       |cand AS (
+       |  SELECT b.u, b.a, k.c,
+       |         2 * mm.m * (k.k_uc - b.k_ua) -
+       |         b.k * (s.sigc - b.sig_a + b.k) AS g
+       |  FROM base b JOIN kuc k ON k.u = b.u AND k.c <> b.a
+       |  JOIN sig s ON s.community = k.c, mm),
+       |best AS (
+       |  SELECT u, c, g FROM (
+       |    SELECT u, c, g,
+       |      row_number() OVER (PARTITION BY u ORDER BY g DESC, c) AS rk
+       |    FROM cand) WHERE rk = 1)
+       |SELECT o.u AS node, o.a AS old_community,
+       |       CASE WHEN b.g > 0 THEN b.c ELSE o.a END AS new_community,
+       |       CAST(CASE WHEN b.g > 0 THEN b.g ELSE 0 END AS BIGINT) AS gain_num
+       |FROM own o LEFT JOIN best b ON o.u = b.u
+       |ORDER BY node""".stripMargin
 
   /** Per-rule filter attribution for the quality-gate stack — when a
     * curation run drops 12% of the corpus, this answers WHICH gate did it
@@ -1432,6 +1597,8 @@ object Curation {
     "q_adamic_adar" -> (adamicAdar _),
     "q_kcore" -> (kCore _),
     "q_label_prop" -> (labelPropagation _),
+    "q_modularity" -> (modularity _),
+    "q_louvain_move" -> (louvainMove _),
     "q_hits" -> (hits _),
     "q_filter_attribution" -> (filterAttribution _),
     "q_hybrid_dedup" -> (hybridDedup _),
@@ -1507,6 +1674,8 @@ object Curation {
     "q_ppr" -> personalizedPageRankOracleSql("documents"),
     "q_kcore" -> kCoreOracleSql("documents"),
     "q_label_prop" -> labelPropagationOracleSql("documents"),
+    "q_modularity" -> modularityOracleSql("documents"),
+    "q_louvain_move" -> louvainMoveOracleSql("documents"),
     "q_hits" -> hitsOracleSql("documents"),
 
     // plain a<b<c triple join — degree-ordered orientation in the Spark

@@ -243,6 +243,37 @@ class CurationSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L).foreach(s => assert(got(s) === ((0L, 64L))))
   }
 
+  test("modularity: exact-integer invariants and fixture literals") {
+    val rows = Curation.modularity(spark, sf001).collect()
+    assert(rows.length === 66) // independent DuckDB literal over sf0.001
+    val m = rows.head.getLong(5)
+    assert(m === 992L)
+    // every community row: q_num ≡ 4·m·e_c − d_c² exactly
+    rows.foreach { r =>
+      assert(r.getLong(4) === 4L * m * r.getLong(2) - r.getLong(3) * r.getLong(3))
+    }
+    // handshake identity: Σ d_c = 2m; partition identity: Σ size = |V|
+    assert(rows.map(_.getLong(3)).sum === 2L * m)
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    // independent DuckDB pins for the global numerator and intra edges
+    assert(rows.map(_.getLong(4)).sum === -93188L)
+    assert(rows.map(_.getLong(2)).sum === 33L)
+  }
+
+  test("louvainMove: moves are exactly the strictly-positive-gain argmaxes") {
+    val rows = Curation.louvainMove(spark, sf001).collect()
+    assert(rows.length === 500)
+    // a node moves iff its best scaled gain is strictly positive
+    rows.foreach { r =>
+      val moved = r.getLong(1) != r.getLong(2)
+      assert(r.getLong(3) >= 0L)
+      assert(moved === (r.getLong(3) > 0L), s"node ${r.getLong(0)}")
+    }
+    // independent DuckDB literals over sf0.001
+    assert(rows.count(r => r.getLong(1) != r.getLong(2)) === 489)
+    assert(rows.map(_.getLong(3)).max === 30104L)
+  }
+
   test("labelPropagation on the fixture: 500 rows, several communities, deterministic") {
     val a = Curation.labelPropagation(spark, sf001).collect()
     assert(a.length === 500)
