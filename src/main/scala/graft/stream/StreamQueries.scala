@@ -2,8 +2,14 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+/** Typed rows for [[StreamQueries.streamState]]'s mapGroupsWithState. */
+case class StreamEv(user_id: Long, event_id: Long, ts_us: Long)
+case class UserRunState(n: Long, sumId: Long, minUs: Long, maxUs: Long)
+case class UserRunOut(user_id: Long, n_events: Long, sum_ids: Long,
+    first_us: Long, last_us: Long)
 
 /** The §2.10 streaming family's entry into the driver's rows+schema+hash
   * CORRECTNESS gate (previously spec-only by declared design): a query that
@@ -192,10 +198,286 @@ object StreamQueries {
   private val ranDedup =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  /** Stream–stream interval inner join through the real join state store:
+    * views and purchases arrive in SEPARATE micro-batches (views file
+    * written first, purchases second, `maxFilesPerTrigger=1`), so every
+    * emitted pair requires the view side to have been buffered in join
+    * state from batch 0 and matched by a purchase arriving in batch 1 —
+    * the cross-batch buffering IS the operator. Both sides carry
+    * watermarks (45 days, beyond the 30-day data span, so no state row is
+    * evicted and no input is late — the bounded-replay determinism trade,
+    * same discipline as [[streamDedup]]'s unbounded key state); on an
+    * unbounded stream the identical plan evicts buffered rows once the
+    * 6-hour join range falls behind the watermark. Inner joins emit each
+    * matched pair exactly once regardless of batch slicing, so the
+    * append-mode union is the full interval join, hash-comparable to a
+    * DuckDB self-join over `events`. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_join.parquet"
+    if (ranJoin.add((s, dir))) {
+      val replay = s"$base/join_replay"
+      val chk = s"$base/join_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      ev.filter(col("event_type") === "view")
+        .coalesce(1).write.mode("overwrite").parquet(replay)
+      ev.filter(col("event_type") === "purchase")
+        .coalesce(1).write.mode("append").parquet(replay)
+      def src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "45 days")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+          col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "45 days")
+      val pairs = views.join(buys,
+          col("user_id") === col("buy_user") &&
+            col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("user_id"), col("view_id"), col("buy_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("buy_ts")).as("buy_us"))
+      val q = pairs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
+  private val ranJoin =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Watermark late-data semantics under the hash oracle: every fifth
+    * event arrives in the replay's THIRD micro-batch, after the watermark
+    * that will judge it has been established by batch 0 — Spark filters a
+    * batch's late rows against the watermark of the PREVIOUS micro-batch
+    * (`WatermarkSupport.watermarkPredicateForDataForLateEvents`,
+    * SPARK-40925: the current batch's advanced watermark is used only for
+    * state eviction), and the watermark carried into batch N is computed
+    * from batches < N. Hence the 3-batch shape: batch 0 (on-time rows with
+    * even event_id, whose max ts − 6 h becomes the cutoff), batch 1
+    * (remaining on-time rows, judged against watermark 0), batch 2 (the
+    * late file, judged against batch 0's cutoff — a late row reaches the
+    * aggregation only if its 1-hour window still ends beyond it). Update
+    * mode emits each changed window per batch; tagging emissions with the
+    * micro-batch id and keeping the LAST version per (window, type)
+    * reconstructs the final state. The DuckDB oracle re-derives the
+    * accepted set relationally — on-time rows plus late rows whose window
+    * end exceeds the same ms-truncated cutoff (watermarks are millisecond
+    * values; window ends are hour-aligned and the cutoff is not, so the
+    * </ ≤ boundary cannot be hit) — pinning the drop boundary itself
+    * against an engine with no watermark concept. */
+  def streamLate(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_late.parquet"
+    if (ranLate.add((s, dir))) {
+      val replay = s"$base/late_replay"
+      val chk = s"$base/late_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val onTime = ev.filter(col("event_id") % 5 =!= 0)
+      onTime.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(replay)
+      onTime.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(replay)
+      ev.filter(col("event_id") % 5 === 0)
+        .coalesce(1).write.mode("append").parquet(replay)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val agg = src.withWatermark("ts", "6 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_ids"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"), col("sum_ids"),
+          col("min_id"), col("max_id"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_us"), col("event_type"))
+      .orderBy(col("batch_id").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("window_us"), col("event_type"), col("n_events"),
+        col("sum_ids"), col("min_id"), col("max_id"))
+      .orderBy(col("window_us"), col("event_type"))
+  }
+
+  private val ranLate =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Arbitrary stateful processing (`mapGroupsWithState`) under the hash
+    * oracle: per-user running (count, Σid, min/max µs) accumulated across
+    * THREE micro-batches (`event_id mod 3` split, `maxFilesPerTrigger=1`)
+    * — a user seen in several batches must fold new rows into the state
+    * store's carried value; any lost or re-initialized state breaks the
+    * exact integer sums vs the oracle's plain GROUP BY over `events`.
+    * Update-mode emissions are batch-tagged and compacted to the last
+    * version per user (same discipline as [[streamLate]]). Fold order
+    * within a batch is irrelevant: every accumulator is commutative. */
+  def streamState(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_state.parquet"
+    if (ranState.add((s, dir))) {
+      val replay = s"$base/state_replay"
+      val chk = s"$base/state_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      ev.filter(col("event_id") % 3 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(replay)
+      ev.filter(col("event_id") % 3 === 1)
+        .coalesce(1).write.mode("append").parquet(replay)
+      ev.filter(col("event_id") % 3 === 2)
+        .coalesce(1).write.mode("append").parquet(replay)
+      import s.implicits._
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[StreamEv]
+      val updated = src.groupByKey(_.user_id)
+        .mapGroupsWithState[UserRunState, UserRunOut](
+          GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+          val st = evs.foldLeft(state.getOption.getOrElse(
+            UserRunState(0L, 0L, Long.MaxValue, Long.MinValue))) { (a, e) =>
+            UserRunState(a.n + 1, a.sumId + e.event_id,
+              math.min(a.minUs, e.ts_us), math.max(a.maxUs, e.ts_us))
+          }
+          state.update(st)
+          UserRunOut(uid, st.n, st.sumId, st.minUs, st.maxUs)
+        }
+      val q = updated.toDF().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("sum_ids"),
+        col("first_us"), col("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ranState =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** `transformWithState` (Spark 4's arbitrary-state successor to
+    * mapGroupsWithState) under the hash oracle, on its required RocksDB
+    * state store: [[TypeCounts.dominantType]]'s per-user MapState counts
+    * accumulate across THREE micro-batches (`event_id mod 3` split), each
+    * batch emitting the user's current dominant event type — point
+    * MapState reads/writes against RocksDB, exactly the at-scale profile
+    * store shape. The last emission per user must equal the relational
+    * argmax (count DESC, type ASC) DuckDB re-derives from `events`; a
+    * single lost or double-counted MapState update flips a dominant type
+    * and breaks the hash. The provider override is scoped to this query's
+    * start (queries read the conf at start) and restored after. */
+  def streamTypedState(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_tws.parquet"
+    if (ranTws.add((s, dir))) {
+      val replay = s"$base/tws_replay"
+      val chk = s"$base/tws_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.filter(col("event_id") % 3 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(replay)
+      ev.filter(col("event_id") % 3 === 1)
+        .coalesce(1).write.mode("append").parquet(replay)
+      ev.filter(col("event_id") % 3 === 2)
+        .coalesce(1).write.mode("append").parquet(replay)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val src = s.readStream
+          .schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(replay)
+          .select(col("user_id"), col("event_type")).as[(Long, String)]
+        val q = TypeCounts.dominantType(src).toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None    => s.conf.unset(key)
+        }
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("top_type"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ranTws =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_join" -> (streamJoin _),
+    "q_stream_late" -> (streamLate _),
+    "q_stream_state" -> (streamState _),
+    "q_stream_tws" -> (streamTypedState _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -243,5 +525,63 @@ object StreamQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // the join state store must reconstruct exactly the relational
+    // interval self-join — the oracle never sees the two-batch replay
+    "q_stream_join" ->
+      """SELECT v.user_id,
+        |       v.event_id AS view_id,
+        |       b.event_id AS buy_id,
+        |       epoch_us(v.ts) AS view_us,
+        |       epoch_us(b.ts) AS buy_us
+        |FROM events v JOIN events b
+        |  ON v.user_id = b.user_id
+        | AND v.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 6 HOUR
+        |ORDER BY v.user_id, view_id, buy_id""".stripMargin,
+    // watermark cutoff re-derived relationally: the cutoff is batch 0's
+    // watermark — max ts over on-time rows with even event_id, truncated
+    // to ms (watermarks are ms values), minus the 6 h delay; a late row
+    // (event_id%5=0) survives iff its 1-hour window ends beyond it;
+    // window start = epoch µs floored to the hour
+    "q_stream_late" ->
+      """WITH a AS (SELECT * FROM events WHERE event_id % 5 <> 0),
+        |wm AS (SELECT (max(epoch_us(ts)) // 1000 - 21600000) * 1000 AS w
+        |       FROM a WHERE event_id % 2 = 0),
+        |ok AS (
+        |  SELECT event_id, ts, event_type FROM a
+        |  UNION ALL
+        |  SELECT b.event_id, b.ts, b.event_type
+        |  FROM events b, wm
+        |  WHERE b.event_id % 5 = 0
+        |    AND (epoch_us(b.ts) // 3600000000 + 1) * 3600000000 > wm.w)
+        |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       min(event_id) AS min_id,
+        |       max(event_id) AS max_id
+        |FROM ok
+        |GROUP BY 1, 2
+        |ORDER BY window_us, event_type""".stripMargin,
+    // cross-batch state carry must reconstruct the plain GROUP BY exactly
+    "q_stream_state" ->
+      """SELECT user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       min(epoch_us(ts)) AS first_us,
+        |       max(epoch_us(ts)) AS last_us
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // the MapState counts must reconstruct the relational per-user argmax
+    // (count DESC, event_type ASC) exactly
+    "q_stream_tws" ->
+      """SELECT user_id, event_type AS top_type, n FROM (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
   )
 }

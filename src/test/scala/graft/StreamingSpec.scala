@@ -662,4 +662,98 @@ class StreamingSpec extends SparkSpec {
     // had ANY duplicate survived, the total would exceed the corpus size
     assert(st.map(_.getLong(1)).sum === 1000L)
   }
+
+  test("driver streaming query (q_stream_join) equals the batch interval self-join") {
+    import graft.stream.StreamQueries
+    // views arrive in micro-batch 0, purchases in micro-batch 1, so every
+    // emitted pair was matched through the join state store across batches
+    val st = StreamQueries.streamJoin(spark, sf001).collect().toSeq
+    val ev = Tables(spark, sf001, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+        col("ts").as("buy_ts"))
+    val batch = v.join(b,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("view_id"), col("buy_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("buy_ts")).as("buy_us"))
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+      .collect().toSeq
+    assert(st === batch)
+    assert(st.size === 22) // independent DuckDB literal over sf0.001
+  }
+
+  test("driver streaming query (q_stream_late) drops exactly the watermark-closed late rows") {
+    import graft.stream.StreamQueries
+    // batch 0 = on-time even event_ids (establishes the cutoff), batch 1 =
+    // on-time odd, batch 2 = every fifth event, judged against batch 0's
+    // watermark: max(batch-0 ts) truncated to ms, minus 6 h. At sf0.001
+    // exactly 2 of the 200 late rows have a 1-hour window still open.
+    val st = StreamQueries.streamLate(spark, sf001).collect().toSeq
+    assert(st.size === 711) // independent DuckDB literal over sf0.001
+    assert(st.map(_.getLong(2)).sum === 802L) // 800 on-time + 2 accepted late
+    // re-derive relationally with the documented cutoff
+    val ev = Tables(spark, sf001, "events")
+    val onTime = ev.filter(col("event_id") % 5 =!= 0)
+    val cutoff = onTime.filter(col("event_id") % 2 === 0)
+      .agg((floor(max(unix_micros(col("ts"))) / 1000L) * 1000L -
+        21600000000L).as("w"))
+    val okLate = ev.filter(col("event_id") % 5 === 0).crossJoin(cutoff)
+      .filter((floor(unix_micros(col("ts")) / 3600000000L) + 1) * 3600000000L > col("w"))
+      .drop("w")
+    val batch = onTime.select(col("event_id"), col("ts"), col("event_type"))
+      .union(okLate.select(col("event_id"), col("ts"), col("event_type")))
+      .groupBy((floor(unix_micros(col("ts")) / 3600000000L) * 3600000000L).as("window_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("window_us"), col("event_type"))
+      .collect().toSeq
+    assert(st === batch)
+  }
+
+  test("driver streaming query (q_stream_state) carries state across three micro-batches") {
+    import graft.stream.StreamQueries
+    // event_id mod 3 splits every user's rows across the three files, so
+    // the per-user aggregates only match the plain GROUP BY if the state
+    // store's carried value was folded correctly in every batch
+    val st = StreamQueries.streamState(spark, sf001).collect().toSeq
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 15) // independent DuckDB literal over sf0.001
+    assert(st.map(_.getLong(1)).sum === 1000L)
+  }
+
+  test("driver streaming query (q_stream_tws) equals the batch per-user dominant type") {
+    import graft.stream.StreamQueries
+    // transformWithState MapState counts on RocksDB, accumulated across
+    // three micro-batches, must reproduce the relational argmax exactly
+    val st = StreamQueries.streamTypedState(spark, sf001).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("n"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 15) // independent DuckDB literal over sf0.001
+    assert(st.map(_.getLong(2)).sum === 258L)
+    // the provider override must not leak into the session
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").forall(
+      !_.contains("RocksDB")))
+  }
 }
