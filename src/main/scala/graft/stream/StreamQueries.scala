@@ -470,6 +470,71 @@ object StreamQueries {
   private val ranTws =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  /** Event-time TIMERS ([[SessionCloser]], `TimeMode.EventTime`) under the
+    * hash oracle — the last transformWithState surface (ValueState/
+    * ListState/MapState are gate-proven above): the replay is split at
+    * 2024-01-21 into two micro-batches, so the watermark established by
+    * batch 0 fires the timers of users idle in batch 1, and the final
+    * no-data micro-batch (watermark advanced to the stream's end) fires
+    * the rest; a user whose last hit is within the 15-minute gap of the
+    * stream's maximum event time never closes (timer still armed at
+    * shutdown — the append-mode withheld-tail trade, here made exact).
+    * Input rows are processed BEFORE expired timers within a batch
+    * (pinned by [[StreamingSpec]]), so a user active in batch 1 re-arms
+    * its timer past batch 0's watermark and closes exactly once, with its
+    * FULL hit count. The DuckDB oracle re-derives the closed set and both
+    * emitted values (close_at = ms-truncated last hit + gap, n_hits)
+    * relationally from `events` and the same split constant. */
+  def streamTimer(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_timer.parquet"
+    if (ranTimer.add((s, dir))) {
+      val replay = s"$base/timer_replay"
+      val chk = s"$base/timer_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+      val split = lit("2024-01-21").cast("timestamp")
+      ev.filter(col("ts") < split)
+        .coalesce(1).write.mode("overwrite").parquet(replay)
+      ev.filter(col("ts") >= split)
+        .coalesce(1).write.mode("append").parquet(replay)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val src = s.readStream
+          .schema(StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("ts", TimestampType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(replay)
+          .as[(Long, java.sql.Timestamp)]
+        val q = SessionCloser.closedSessions(src, gapMs = 900000L)
+          .toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None    => s.conf.unset(key)
+        }
+      }
+    }
+    s.read.parquet(out)
+      .select(col("user_id"), col("close_at_ms"), col("n_hits"))
+      .orderBy(col("user_id"), col("close_at_ms"))
+  }
+
+  private val ranTimer =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -478,6 +543,7 @@ object StreamQueries {
     "q_stream_late" -> (streamLate _),
     "q_stream_state" -> (streamState _),
     "q_stream_tws" -> (streamTypedState _),
+    "q_stream_timer" -> (streamTimer _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -583,5 +649,19 @@ object StreamQueries {
         |  FROM events GROUP BY user_id, event_type)
         |WHERE rk = 1
         |ORDER BY user_id""".stripMargin,
+    // under rows-before-timers ordering a user closes exactly once with
+    // its full history (idle-in-batch-1 users emit the same row whether
+    // the timer fired mid-stream or at the final no-data batch), so the
+    // closed set is simply: every user whose ms-truncated last hit + gap
+    // lies strictly below the final watermark (the stream's max event ms)
+    "q_stream_timer" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+        |wm AS (SELECT max(ms) AS w FROM e),
+        |per AS (SELECT user_id, count(*) AS n_hits, max(ms) AS last_ms
+        |        FROM e GROUP BY user_id)
+        |SELECT user_id, last_ms + 900000 AS close_at_ms, n_hits
+        |FROM per, wm
+        |WHERE last_ms + 900000 < wm.w
+        |ORDER BY user_id, close_at_ms""".stripMargin,
   )
 }

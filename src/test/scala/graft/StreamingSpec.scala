@@ -756,4 +756,28 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass").forall(
       !_.contains("RocksDB")))
   }
+
+  test("driver streaming query (q_stream_timer) closes exactly the watermark-passed users") {
+    import graft.stream.StreamQueries
+    // rows are processed before expired timers in a batch, so a user
+    // active in the second half re-arms past batch 0's watermark and
+    // closes exactly once with its FULL history; only users whose last
+    // hit + 15 min lies beyond the final watermark stay open
+    val st = StreamQueries.streamTimer(spark, sf001).collect().toSeq
+    val per = Tables(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(floor(unix_micros(col("ts")) / 1000L)).as("last_ms"))
+    val wm = per.agg(max(col("last_ms")).as("w"))
+    val batch = per.crossJoin(broadcast(wm))
+      .filter(col("last_ms") + 900000L < col("w"))
+      .select(col("user_id"), (col("last_ms") + 900000L).as("close_at_ms"),
+        col("n_hits"))
+      .orderBy(col("user_id"), col("close_at_ms")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 14) // independent DuckDB literal: 15 users, 1 open
+    // every close carries the user's complete event count — a mid-stream
+    // double-close (timers-before-rows) would split these totals
+    assert(st.map(_.getLong(0)).distinct.size === st.size)
+  }
 }
