@@ -1889,6 +1889,37 @@ object Analytics {
         round(pTwoSided(col("z")), 6).as("p_value"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT-integer: D =
+    * max_v |F̂₁(v) − F̂₂(v)| over click vs view `events.value`, computed
+    * as the max |n₂·cum₁(v) − n₁·cum₂(v)| over distinct values — the
+    * numerator over the common denominator n₁n₂ is pure int64, so the
+    * supremum of two empirical CDFs hash-matches with no float ordering
+    * anywhere (d_stat itself is ONE IEEE division of exact integers at
+    * the end). Ties across samples land on the same distinct-value row,
+    * so both CDFs jump together — the correct discrete-KS treatment.
+    * Shapes: distinct-value grain aggregate (map-side combined), the
+    * signed per-value delta n₂c₁ − n₁c₂ run through
+    * [[ScaledRank.withGlobalCumSum]] (range exchange + local pass —
+    * never a single-partition window), then a 1-row max. */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val totals = perVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val deltas = perVal.crossJoin(broadcast(totals))
+      .select(col("value"), col("n1"), col("n2"),
+        (col("n2") * col("c1") - col("n1") * col("c2")).as("delta"))
+    ScaledRank.withGlobalCumSum(deltas, Seq(col("value")), col("delta"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("cumsum"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("d_stat"))
+  }
+
   /** ALS ridge regularizer for [[alsStep]]. */
   private val AlsLambda = 0.1
 
@@ -2359,6 +2390,7 @@ object Analytics {
     "q_cuped" -> (cuped _),
     "q_benjamini_hochberg" -> (benjaminiHochberg _),
     "q_mann_whitney" -> (mannWhitney _),
+    "q_ks_test" -> (ksTest _),
     "q_erlang_c" -> (erlangC _),
     "q_bot_flags" -> (botFlags _),
     "q_user_recs" -> (userRecs _),
@@ -2742,6 +2774,29 @@ object Analytics {
          |  rk <= coalesce(max_pass_rk, 0) AS rejected
          |FROM cut ORDER BY rk""".stripMargin
     },
+
+    // exact-integer KS numerator; d_stat is one IEEE division at the end
+    "q_ks_test" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY value),
+        |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |              CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+        |cum AS (
+        |  SELECT tt.n1, tt.n2,
+        |    CAST(sum(tt.n2 * pv.c1 - tt.n1 * pv.c2)
+        |         OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cs
+        |  FROM pv, tt)
+        |SELECT n1, n2, CAST(max(abs(cs)) AS BIGINT) AS d_num,
+        |  CAST(CAST(max(abs(cs)) AS BIGINT) AS DOUBLE) /
+        |    CAST(n1 * n2 AS DOUBLE) AS d_stat
+        |FROM cum GROUP BY n1, n2""".stripMargin,
 
     "q_mann_whitney" -> {
       val p = pTwoSidedSql("z")

@@ -336,6 +336,26 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Spark 4 SQL PIPE syntax (`|>`, SPARK-49555 — the linear query-flow
+    * surface): filter → EXTEND a derived column → AGGREGATE with GROUP
+    * BY → post-aggregation WHERE (pipe HAVING) → ORDER BY, all as pipe
+    * stages. Pipe operators desugar to the SAME logical plan as the
+    * classic nesting (one hash aggregate after a scan-level filter), so
+    * this pins the parser surface, not new execution; the DuckDB oracle
+    * is the classic-SQL equivalent — proving the desugaring preserves
+    * semantics against an engine with no pipe syntax. */
+  def sqlPipe(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """FROM lineitem_v
+        ||> WHERE l_quantity >= 5
+        ||> EXTEND l_extendedprice * (1 - l_discount) AS net
+        ||> AGGREGATE count(*) AS n, round(sum(net), 2) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 100
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Paging: ORDER BY ... OFFSET/LIMIT (deterministic keyset order). */
   def limitOffset(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1370,6 +1390,7 @@ object Relational {
     "q_date_funcs" -> (dateFuncs _),
     "q_case_when" -> (caseWhen _),
     "q_sql_grouping_sets" -> (sqlGroupingSets _),
+    "q_sql_pipe" -> (sqlPipe _),
     "q_unpivot" -> (unpivotCharges _),
     "q_recursive_depth" -> (recursiveDepth _),
     "q_sql_udf" -> (sqlUdfCharge _),
@@ -1889,6 +1910,16 @@ object Relational {
     "q_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10""".stripMargin,
+
+    // classic-SQL equivalent of the pipe-syntax stages
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity >= 5
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_sample_percentile" ->
       """WITH l AS (

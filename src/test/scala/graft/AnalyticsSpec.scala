@@ -321,6 +321,26 @@ class AnalyticsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ks test: fully separated samples reach D = 1, fixture literals pinned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    // every click value strictly below every view value → sup|F1-F2| = 1
+    val ev = ((1 to 6).map(i => (i.toLong, ts("2024-01-05 10:00:00"),
+      i.toLong, "click", i * 1.0, "{}")) ++
+      (7 to 15).map(i => (i.toLong, ts("2024-01-05 10:00:00"),
+        i.toLong, "view", 100.0 + i, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.parquet(s"$tmp/events.parquet")
+    val r = Analytics.ksTest(spark, tmp).collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 9L)
+    assert(r.getLong(2) === 54L) // d_num = n1*n2 ⇒ D = 1 exactly
+    assert(r.getDouble(3) === 1.0)
+    // fixture: independent DuckDB literals over sf0.001
+    val f = Analytics.ksTest(spark, sf001).collect().head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) === ((210L, 188L, 2552L)))
+    assert(f.getDouble(3) === 2552.0 / (210L * 188L))
+    spark.catalog.clearCache()
+  }
+
   test("bh rejection set is a prefix of the p-value ranking") {
     val all = Analytics.benjaminiHochberg(spark, sf001).collect()
     val byRk = all.sortBy(_.getInt(all.head.fieldIndex("rk")))

@@ -106,6 +106,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("SQL pipe syntax desugars to the classic nesting exactly") {
+    // q_sql_pipe's |> stages must produce the identical rows AND plan
+    // family as the classic WHERE/GROUP BY/HAVING/ORDER BY phrasing
+    val piped = graft.ops.Relational.sqlPipe(spark, sf001).collect().toSeq
+    val classic = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem_v
+        |WHERE l_quantity >= 5
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect().toSeq
+    assert(piped === classic)
+    assert(piped.size === 6) // independent DuckDB literal over sf0.001
+  }
+
   test("Misra-Gries over an empty relation aggregates to an empty summary") {
     val mg = udaf(new MisraGries(8), Encoders.STRING)
     val out = Seq.empty[String].toDF("k")
