@@ -428,4 +428,48 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n${p.take(3000)}")
   }
+
+  /** Every BNLJ in `p` must be the bounded broadcast-agg crossJoin
+    * pattern (`BuildRight, Cross` — the Q11 convention); a data-sized
+    * nest-loop would surface as BuildLeft or a non-Cross join type. The
+    * occurrence COUNT is meaningless here: un-cached lineage re-expands
+    * the same bounded 1-row aggregate at every reference. */
+  private def onlyBoundedCrossBnlj(p: String): Unit =
+    "BroadcastNestedLoopJoin [^\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("BuildRight, Cross"),
+        s"non-bounded nest-loop shape: $line")
+    }
+
+  test("modularity: community joins stay keyed; nest-loops only broadcast bounded aggs") {
+    val p = plan("q_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    onlyBoundedCrossBnlj(p)
+    // the per-community stats meet on keyed exchanges
+    assert(p.contains("SortMergeJoin [community#") ||
+      p.contains("BroadcastHashJoin [community#"), p.take(3000))
+  }
+
+  test("louvain move: candidate space is degree-bounded (keyed joins, argmax aggregate)") {
+    val p = plan("q_louvain_move")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // per-node best move is min_by, never a window over all candidates
+    assert(!p.contains("WindowExec"), p.take(3000))
+    onlyBoundedCrossBnlj(p)
+  }
+
+  test("ks test: CDF supremum rides the range-partitioned cumsum, no global window") {
+    val p = plan("q_ks_test")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the signed-delta running sum must be the two-phase mapPartitions
+    // pass (checkpoint-free range exchange), not a single-partition sort
+    assert(!p.contains("WindowExec"), s"global window leaked in:\n${p.take(3000)}")
+    onlyBoundedCrossBnlj(p)
+  }
+
+  test("sql pipe: desugars to one hash aggregate over the filtered scan") {
+    val p = plan("q_sql_pipe")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, // partial + final
+      p.take(2000))
+  }
 }
