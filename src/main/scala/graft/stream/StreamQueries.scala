@@ -535,6 +535,73 @@ object StreamQueries {
   private val ranTimer =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  /** Streaming CDC apply under the hash oracle: a change stream (every
+    * event is an upsert to its user's profile) delivered across three
+    * micro-batches in NON-time order (`event_id mod 3` split), merged by
+    * `foreachBatch` into a versioned key-state table with last-write-wins
+    * on (ts, event_id) — the MERGE INTO shape every lakehouse sink runs.
+    * Each batch writes a NEW version directory from prior-version ∪ batch
+    * (never in-place: readers of version N are isolated from the N+1
+    * write, and a failed batch retries against the intact prior version —
+    * the idempotence `foreachBatch`'s at-least-once contract requires).
+    * Because the merge compares (ts, event_id) rather than trusting
+    * arrival order, the final state is independent of batch slicing; the
+    * DuckDB oracle re-derives it as the relational argmax per user. */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_cdc"
+    if (ranCdc.add((s, dir))) {
+      val replay = s"$base/cdc_replay"
+      val chk = s"$base/cdc_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      ev.filter(col("event_id") % 3 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(replay)
+      ev.filter(col("event_id") % 3 === 1)
+        .coalesce(1).write.mode("append").parquet(replay)
+      ev.filter(col("event_id") % 3 === 2)
+        .coalesce(1).write.mode("append").parquet(replay)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val ss = batch.sparkSession
+          val changes = batch
+            .select(col("user_id"), unix_micros(col("ts")).as("last_us"),
+              col("event_id").as("last_event_id"), col("event_type"))
+          val merged =
+            if (bid == 0) changes
+            else ss.read.parquet(s"$out/v${bid - 1}").union(changes)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("last_us").desc, col("last_event_id").desc)
+          merged.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .write.mode("overwrite").parquet(s"$out/v$bid")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val last = new java.io.File(out).list()
+      .filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    s.read.parquet(s"$out/v$last")
+      .select(col("user_id"), col("last_us"), col("last_event_id"),
+        col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ranCdc =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -544,6 +611,7 @@ object StreamQueries {
     "q_stream_state" -> (streamState _),
     "q_stream_tws" -> (streamTypedState _),
     "q_stream_timer" -> (streamTimer _),
+    "q_stream_cdc" -> (streamCdc _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -663,5 +731,17 @@ object StreamQueries {
         |FROM per, wm
         |WHERE last_ms + 900000 < wm.w
         |ORDER BY user_id, close_at_ms""".stripMargin,
+    // last-write-wins per user on (ts, event_id) — the merged CDC state
+    // must equal the relational argmax over the full change history
+    "q_stream_cdc" ->
+      """SELECT user_id, last_us, last_event_id, event_type FROM (
+        |  SELECT user_id, epoch_us(ts) AS last_us,
+        |         event_id AS last_event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC,
+        |                                     event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
   )
 }

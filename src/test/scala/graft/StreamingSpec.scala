@@ -780,4 +780,22 @@ class StreamingSpec extends SparkSpec {
     // double-close (timers-before-rows) would split these totals
     assert(st.map(_.getLong(0)).distinct.size === st.size)
   }
+
+  test("driver streaming query (q_stream_cdc) merges to the relational last-write-wins state") {
+    import graft.stream.StreamQueries
+    // the change stream arrives in non-time order across three batches;
+    // the versioned foreachBatch merge must still land on the per-user
+    // (ts, event_id) argmax — arrival order is compared, never trusted
+    val st = StreamQueries.streamCdc(spark, sf001).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("last_us").desc, col("last_event_id").desc)
+    val batch = Tables(spark, sf001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("last_us"),
+        col("event_id").as("last_event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").orderBy(col("user_id")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 15) // independent DuckDB literal over sf0.001
+  }
 }
