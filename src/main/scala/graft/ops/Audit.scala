@@ -35,6 +35,55 @@ object Audit {
        |SELECT 'value_nonpositive', c_nonpos, n_total FROM n
        |ORDER BY metric""".stripMargin
 
+  /** Deequ-style declarative expectation suite (Schelter et al.,
+    * VLDB'18): completeness, uniqueness, range, set-membership, and
+    * format constraints over `orders`, ALL measured in ONE scan (a
+    * single aggregate computes every violation tally; UNION ALL unpivots
+    * the 1-row result into the (expectation, n_bad, n_total, passed)
+    * report — no per-constraint re-scan, the property that makes a
+    * 100-constraint suite O(1 pass) at 100 TB). `uniqueness_custkey` is
+    * deliberately a FAILING expectation (customers repeat), so both
+    * verdict paths are exercised. Portable SQL text — the identical
+    * string runs on Spark and DuckDB. */
+  private def expectationsSql(table: String): String =
+    s"""WITH n AS (
+       |  SELECT count(*) AS n_total,
+       |    count(*) - count(o_custkey) AS c_nullcust,
+       |    count(*) - count(DISTINCT o_orderkey) AS c_dupkey,
+       |    count(*) - count(DISTINCT o_custkey) AS c_dupcust,
+       |    count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS c_nonpos,
+       |    count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END)
+       |      AS c_status,
+       |    count(CASE WHEN NOT (substr(o_orderpriority, 1, 1)
+       |                           BETWEEN '1' AND '5'
+       |                         AND substr(o_orderpriority, 2, 1) = '-')
+       |               THEN 1 END) AS c_prio
+       |  FROM $table)
+       |SELECT 'completeness_custkey' AS expectation,
+       |  CAST(c_nullcust AS BIGINT) AS n_bad, n_total,
+       |  c_nullcust = 0 AS passed FROM n
+       |UNION ALL
+       |SELECT 'uniqueness_orderkey', CAST(c_dupkey AS BIGINT), n_total,
+       |  c_dupkey = 0 FROM n
+       |UNION ALL
+       |SELECT 'uniqueness_custkey', CAST(c_dupcust AS BIGINT), n_total,
+       |  c_dupcust = 0 FROM n
+       |UNION ALL
+       |SELECT 'positive_totalprice', CAST(c_nonpos AS BIGINT), n_total,
+       |  c_nonpos = 0 FROM n
+       |UNION ALL
+       |SELECT 'status_domain', CAST(c_status AS BIGINT), n_total,
+       |  c_status = 0 FROM n
+       |UNION ALL
+       |SELECT 'priority_format', CAST(c_prio AS BIGINT), n_total,
+       |  c_prio = 0 FROM n
+       |ORDER BY expectation""".stripMargin
+
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(expectationsSql("orders_v"))
+  }
+
   /** First-significant-digit distribution of order totals (Benford-style
     * fraud/quality screen): bounded 9-row output, share via a window over
     * the aggregated digits. */
@@ -339,6 +388,7 @@ object Audit {
     "q_k_anonymity" -> (kAnonymity _),
     "q_t_closeness" -> (tCloseness _),
     "q_null_audit" -> (nullAudit _),
+    "q_expectations" -> (expectations _),
     "q_benford" -> (benford _),
     "q_sequence_gaps" -> (sequenceGaps _),
   )
@@ -381,6 +431,7 @@ object Audit {
     "q_k_anonymity" -> kAnonymitySql("customer"),
     "q_t_closeness" -> tClosenessSql("customer"),
     "q_null_audit" -> nullAuditSql("events"),
+    "q_expectations" -> expectationsSql("orders"),
     "q_benford" -> benfordSql("orders"),
     "q_sequence_gaps" -> gapsSql("events"),
   )

@@ -121,6 +121,34 @@ class SkylineAuditSpec extends SparkSpec {
     expected.foreach { case (seg, v) => assert(got(seg) == v, s"segment $seg") }
   }
 
+  test("expectations suite tallies every constraint from one crafted scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    val ords = Seq(
+      (1L, Option(10L), "F", 100.0, ts("2024-01-05 10:00:00"), "1-URGENT"),
+      (2L, Option.empty[Long], "O", 60.0, ts("2024-01-05 10:00:00"), "2-HIGH"),
+      (2L, Option(11L), "O", 50.0, ts("2024-01-05 10:00:00"), "5-LOW"),
+      (3L, Option(12L), "X", 75.0, ts("2024-01-05 10:00:00"), "3-MEDIUM"),
+      (4L, Option(13L), "P", -5.0, ts("2024-01-05 10:00:00"), "9-BAD"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    ords.write.parquet(s"$tmp/orders.parquet")
+    val got = Audit.expectations(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "completeness_custkey" -> ((1L, false)), // one null custkey
+      "uniqueness_orderkey" -> ((1L, false)),  // orderkey 2 twice
+      "uniqueness_custkey" -> ((1L, false)),   // null not a distinct value
+      "positive_totalprice" -> ((1L, false)),  // the -5.0 order
+      "status_domain" -> ((1L, false)),        // the 'X' status
+      "priority_format" -> ((1L, false))))     // '9-BAD'
+    // fixture: clean corpus passes everything except customer uniqueness
+    val fix = Audit.expectations(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(fix.count(!_._2) === 1 && !fix("uniqueness_custkey"))
+    spark.catalog.clearCache()
+  }
+
   test("t_closeness matches a plain-Scala total-variation recompute") {
     val cust = Tables(spark, sf001, "customer")
       .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
