@@ -602,6 +602,55 @@ object StreamQueries {
   private val ranCdc =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  /** The custom DSv2 MicroBatchStream
+    * ([[graft.sources.EventsSource]]) under the hash oracle — the last
+    * spec-only streaming surface: a 20,000-id space drained through the
+    * source's admission control (`SupportsAdmissionControl`,
+    * `rowsPerBatch=1000` ⇒ 20 rate-limited micro-batches, the
+    * Kafka-style offset bookkeeping), aggregated per event_type across
+    * ALL batches by the streaming state store. Every measure is exact
+    * integer arithmetic on the row id (cents re-derived as
+    * (id·7919) mod 10⁴ rather than `value·100` — the ×100 float
+    * round-trip is not exact); the DuckDB oracle re-derives the whole
+    * relation from `generate_series` and the source's published
+    * Knuth-scatter formulas — the generator contract itself is what the
+    * hash pins. `dir` is unused: the source is synthetic by design. */
+  def streamV2Source(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_v2src.parquet"
+    if (ranV2.add((s, dir))) {
+      val chk = s"$base/v2src_chk"
+      val src = s.readStream.format("graft.sources.EventsSource")
+        .option("rows", 20000L).option("partitions", 8)
+        .option("rowsPerBatch", 1000L).load()
+      val agg = src
+        .withColumn("cents", (col("event_id") * 7919L) % 10000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_ids"),
+          sum(col("user_id")).as("sum_users"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("ts_us")).as("min_us"),
+          max(col("ts_us")).as("max_us"))
+      // processAllAvailable, not Trigger.AvailableNow: the AvailableNow
+      // wrapper for a source without SupportsTriggerAvailableNow captures
+      // the FIRST rate-limited offset as its end target, stopping after
+      // one batch; processAllAvailable drains until the admission-control
+      // loop reaches hi (the SourcesV2Spec-pinned shape)
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("overwrite").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.read.parquet(out).orderBy(col("event_type"))
+  }
+
+  private val ranV2 =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -612,6 +661,7 @@ object StreamQueries {
     "q_stream_tws" -> (streamTypedState _),
     "q_stream_timer" -> (streamTimer _),
     "q_stream_cdc" -> (streamCdc _),
+    "q_stream_v2src" -> (streamV2Source _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -743,5 +793,28 @@ object StreamQueries {
         |  FROM events)
         |WHERE rk = 1
         |ORDER BY user_id""".stripMargin,
+    // the DSv2 generator contract re-derived from first principles:
+    // generate_series + the source's published Knuth-scatter formulas
+    "q_stream_v2src" ->
+      """WITH e AS (
+        |  SELECT i AS event_id,
+        |    (i * 2654435761) % 1000 AS user_id,
+        |    CASE CAST((i * 31) % 5 AS INT)
+        |      WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+        |      WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+        |      ELSE 'error' END AS event_type,
+        |    1700000000000000 + i * 250000 AS ts_us,
+        |    (i * 7919) % 10000 AS cents
+        |  FROM generate_series(0, 19999) t(i))
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(ts_us) AS min_us,
+        |  max(ts_us) AS max_us
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -798,4 +798,23 @@ class StreamingSpec extends SparkSpec {
     assert(st === batch)
     assert(st.size === 15) // independent DuckDB literal over sf0.001
   }
+
+  test("driver streaming query (q_stream_v2src) equals the batch read of the custom source") {
+    import graft.stream.StreamQueries
+    // the rate-limited micro-batch drain of the DSv2 generator must land
+    // on the same aggregates as one batch read of the identical source
+    val st = StreamQueries.streamV2Source(spark, sf001).collect().toSeq
+    val batch = spark.read.format("graft.sources.EventsSource")
+      .option("rows", 20000L).option("partitions", 8).load()
+      .withColumn("cents", (col("event_id") * 7919L) % 10000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users"), sum(col("cents")).as("sum_cents"),
+        min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 5)
+    assert(st.map(_.getLong(1)).sum === 20000L)
+    assert(st.map(_.getLong(2)).sum === 20000L * 19999L / 2)
+  }
 }
