@@ -651,6 +651,57 @@ object StreamQueries {
   private val ranV2 =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  /** SLIDING (overlapping) windows through the streaming state store —
+    * the remaining windowing shape next to tumbling ([[streamEnrich]])
+    * and session ([[streamSessionize]]): every event lands in FOUR
+    * 2-hour/30-minute-slide windows, so the state-store row expansion
+    * (one row per (window, type)) and the per-window re-aggregation are
+    * what the hash pins. Complete output mode on the bounded replay
+    * (arrival-order-insensitive aggregates ⇒ deterministic under any
+    * batch slicing); the DuckDB oracle re-derives the 4-way expansion
+    * relationally as events × generate_series(0,3) with the same
+    * epoch-aligned window starts (session TZ is UTC, so Spark's window
+    * alignment is epoch arithmetic). */
+  def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/stream_sliding.parquet"
+    if (ranSliding.add((s, dir))) {
+      val replay = s"$base/sliding_replay"
+      val chk = s"$base/sliding_chk"
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(replay)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .parquet(replay)
+      val agg = src
+        .groupBy(window(col("ts"), "2 hours", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_ids"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"), col("sum_ids"),
+          col("min_id"), col("max_id"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("window_us"), col("event_type"))
+  }
+
+  private val ranSliding =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -662,6 +713,7 @@ object StreamQueries {
     "q_stream_timer" -> (streamTimer _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_v2src" -> (streamV2Source _),
+    "q_stream_sliding" -> (streamSliding _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -816,5 +868,22 @@ object StreamQueries {
         |FROM e
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // the 4-way sliding-window expansion re-derived relationally:
+    // window starts are epoch-aligned 30-min slides, and every event's
+    // four candidate windows are valid (us − window_us < 4·slide = size)
+    "q_stream_sliding" ->
+      """WITH k AS (SELECT i FROM generate_series(0, 3) t(i)),
+        |e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_id, event_type,
+        |             (us // 1800000000 - i) * 1800000000 AS window_us
+        |      FROM e, k)
+        |SELECT window_us, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  min(event_id) AS min_id,
+        |  max(event_id) AS max_id
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY window_us, event_type""".stripMargin,
   )
 }

@@ -817,4 +817,21 @@ class StreamingSpec extends SparkSpec {
     assert(st.map(_.getLong(1)).sum === 20000L)
     assert(st.map(_.getLong(2)).sum === 20000L * 19999L / 2)
   }
+
+  test("driver streaming query (q_stream_sliding) equals the batch sliding-window agg") {
+    import graft.stream.StreamQueries
+    val st = StreamQueries.streamSliding(spark, sf001).collect().toSeq
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("event_type"), col("n_events"), col("sum_ids"),
+        col("min_id"), col("max_id"))
+      .orderBy(col("window_us"), col("event_type")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 3011) // independent DuckDB literal over sf0.001
+    // every event lands in exactly four overlapping windows
+    assert(st.map(_.getLong(2)).sum === 4000L)
+  }
 }
