@@ -129,6 +129,55 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978; the corpus-statistics
+    * companion to [[zipfFit]]): distinct-vocabulary size V as a function
+    * of corpus token count n over 20 FIXED doc-id-prefix checkpoints,
+    * plus the log–log OLS slope β (natural text ⇒ β ≈ 0.4–0.6; β → 0
+    * a closed vocabulary). The token unit is the word BIGRAM — on the
+    * fixture's closed ~31-word vocabulary, unigram V saturates at the
+    * first checkpoint (β = 0 exactly, the degenerate diagnosis), while
+    * the bigram space keeps growing and exercises the whole fit. The
+    * cumulative-distinct count never re-scans prefixes: a term
+    * contributes to the checkpoint of its FIRST occurrence, so the whole
+    * curve is one explode + two keyed aggregates + a cumsum over the
+    * bounded 20-row checkpoint relation (fixed size at ANY corpus scale
+    * — checkpoints are quantiles of the doc-id space, not fixed-width
+    * blocks). */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nAgg = d.agg(count(lit(1)).as("nd"))
+    val toks = d.crossJoin(broadcast(nAgg))
+      .select(col("doc_id"), col("nd"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("nd"),
+        explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
+          "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))"))
+          .as("term"))
+      .withColumn("ck", least(lit(20L), expr("(doc_id * 20) div nd") + 1L))
+    val newTerms = toks.groupBy(col("term"))
+      .agg(min(col("ck")).as("ck"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("new_terms"))
+    val tokCnt = toks.groupBy(col("ck")).agg(count(lit(1)).as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ck"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // 20-row relation: the global window is bounded by construction.
+    // LEFT join: a checkpoint can introduce ZERO new terms on a
+    // closed-vocabulary corpus — an inner join would silently drop its
+    // row (the clusterSplit full-outer lesson, ADVICE r10)
+    val curve = tokCnt.join(newTerms, Seq("ck"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .withColumn("n_tokens", sum(col("toks")).over(w))
+      .withColumn("vocab", sum(col("new_terms")).over(w))
+      .select(col("ck"), col("n_tokens"), col("vocab"))
+      .persist()
+    val fit = curve.agg(
+      round(expr("regr_slope(ln(vocab), ln(n_tokens))"), 6).as("heaps_beta"))
+    curve.crossJoin(broadcast(fit))
+      .select(col("ck"), col("n_tokens"), col("vocab"), col("heaps_beta"))
+      .orderBy(col("ck"))
+  }
+
   /** Heuristic quality score: stopword ratio + mean word length + length
     * band, the classic cheap pre-filter for training-data curation. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -1979,6 +2028,7 @@ object TextOps {
     "q_lang_stats" -> (langStats _),
     "q_term_freq" -> (termFreq _),
     "q_zipf_fit" -> (zipfFit _),
+    "q_heaps_law" -> (heapsLaw _),
     "q_quality_score" -> (qualityScore _),
     "q_gopher_rules" -> (gopherRules _),
     "q_dsir_importance" -> (dsirImportance _),
@@ -2278,6 +2328,34 @@ object TextOps {
         |  (SELECT round(regr_slope(ln(n), ln(rank)), 6) FROM ranked)
         |    AS zipf_slope
         |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    // cumulative BIGRAM vocabulary via first-occurrence checkpoints — no
+    // prefix re-scan; 20 quantile checkpoints of the doc-id space
+    "q_heaps_law" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+        |toks AS (
+        |  SELECT doc_id, least(20, (doc_id * 20) // (SELECT n FROM nd) + 1)
+        |           AS ck, t[i.g] || ' ' || t[i.g + 1] AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents) d,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) i
+        |  WHERE len(t) >= 2),
+        |new_terms AS (
+        |  SELECT ck, count(*) AS new_terms FROM (
+        |    SELECT term, min(ck) AS ck FROM toks GROUP BY term)
+        |  GROUP BY ck),
+        |tok_cnt AS (SELECT ck, count(*) AS toks FROM toks GROUP BY ck),
+        |curve AS (
+        |  SELECT t.ck,
+        |    CAST(sum(t.toks) OVER (ORDER BY t.ck
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+        |    CAST(sum(coalesce(n.new_terms, 0)) OVER (ORDER BY t.ck
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+        |  FROM tok_cnt t LEFT JOIN new_terms n ON t.ck = n.ck)
+        |SELECT ck, n_tokens, vocab,
+        |  (SELECT round(regr_slope(ln(vocab), ln(n_tokens)), 6) FROM curve)
+        |    AS heaps_beta
+        |FROM curve ORDER BY ck""".stripMargin,
 
     "q_term_freq" ->
       """SELECT term, count(*) AS n FROM (

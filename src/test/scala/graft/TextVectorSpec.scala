@@ -921,4 +921,18 @@ class TextVectorSpec extends SparkSpec {
     // every language pays for its >6-char words; none segments below 1
     assert(m.values.forall { case (_, w, t, f) => t >= w && f >= 1.0 })
   }
+
+  test("heaps law: bigram vocabulary curve is monotone with the pinned slope") {
+    val rows = TextOps.heapsLaw(spark, sf001).collect()
+    assert(rows.length === 20)
+    // both cumulative series strictly ordered by checkpoint, vocab ≤ tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) < b.getLong(1) && a.getLong(2) <= b.getLong(2))
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // independent DuckDB pins over sf0.001
+    assert(rows.head.getLong(1) === 1402L && rows.head.getLong(2) === 718L)
+    assert(rows.last.getLong(1) === 27439L && rows.last.getLong(2) === 916L)
+    assert(rows.head.getDouble(3) === 0.049133)
+  }
 }
