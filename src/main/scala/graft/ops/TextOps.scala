@@ -143,16 +143,20 @@ object TextOps {
     * bounded 20-row checkpoint relation (fixed size at ANY corpus scale
     * — checkpoints are quantiles of the doc-id space, not fixed-width
     * blocks). */
-  def heapsLaw(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val nAgg = d.agg(count(lit(1)).as("nd"))
-    val toks = d.crossJoin(broadcast(nAgg))
-      .select(col("doc_id"), col("nd"), split(col("text"), " ").as("t"))
+  /** (doc_id, bigram) rows — the word-bigram explode shared by
+    * [[heapsLaw]], [[ngramNovelty]], and [[burstiness]]. */
+  private def bigrams(d: DataFrame): DataFrame =
+    d.withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("nd"),
+      .select(col("doc_id"),
         explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
           "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))"))
           .as("term"))
+
+  def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nAgg = d.agg(count(lit(1)).as("nd"))
+    val toks = bigrams(d).crossJoin(broadcast(nAgg))
       .withColumn("ck", least(lit(20L), expr("(doc_id * 20) div nd") + 1L))
     val newTerms = toks.groupBy(col("term"))
       .agg(min(col("ck")).as("ck"))
@@ -176,6 +180,60 @@ object TextOps {
     curve.crossJoin(broadcast(fit))
       .select(col("ck"), col("n_tokens"), col("vocab"), col("heaps_beta"))
       .orderBy(col("ck"))
+  }
+
+  /** Per-document n-gram NOVELTY (the memorization/boilerplate profile
+    * used to rank documents for curation, cf. Lee '21's duplicated-text
+    * analysis): the fraction of a document's bigram OCCURRENCES whose
+    * bigram first appears in THIS document under deterministic doc-id
+    * order — repeated-boilerplate docs score near 0, fresh prose near 1.
+    * No prefix re-scan: first-occurrence doc per bigram is one keyed
+    * `min`, joined back to the occurrence stream (vocabulary-keyed
+    * shuffle join, never a corpus broadcast). Exact integer counts; the
+    * rate is one IEEE division. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val occ = bigrams(docs(s, dir))
+    val firstDoc = occ.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    occ.join(firstDoc, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Term BURSTINESS (Church & Gale 1995): the variance-to-mean ratio of
+    * a term's per-document counts — content words clump (VMR ≫ 1),
+    * function words spread evenly (VMR ≈ 1 under Poisson). Computed with
+    * NO float accumulation: over the n-doc corpus with per-doc counts x
+    * (absent docs contribute 0), VMR = (n·Σx² − (Σx)²) / (n·Σx) — both
+    * sides exact int64 (absent docs add nothing to Σx or Σx², so the
+    * present-rows aggregate IS the full-corpus sum); one IEEE division
+    * at the end, ordering tie-broken on the term. Top 25 by VMR over
+    * terms appearing ≥ 20 times — the doc-frequency floor keeps the
+    * ranked relation bounded and the estimate stable. */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nAgg = d.agg(count(lit(1)).as("nd"))
+    val perDoc = bigrams(d)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("x"))
+    perDoc.groupBy(col("term"))
+      .agg(sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("df"))
+      .filter(col("sx") >= 20L)
+      .crossJoin(broadcast(nAgg))
+      .select(col("term"), col("df"), col("sx"), col("sxx"),
+        (col("nd") * col("sxx") - col("sx") * col("sx")).as("vmr_num"),
+        (col("nd") * col("sx")).as("vmr_den"))
+      .withColumn("vmr",
+        col("vmr_num").cast("double") / col("vmr_den").cast("double"))
+      .orderBy(col("vmr").desc, col("term"))
+      .limit(25)
   }
 
   /** Heuristic quality score: stopword ratio + mean word length + length
@@ -2029,6 +2087,8 @@ object TextOps {
     "q_term_freq" -> (termFreq _),
     "q_zipf_fit" -> (zipfFit _),
     "q_heaps_law" -> (heapsLaw _),
+    "q_ngram_novelty" -> (ngramNovelty _),
+    "q_burstiness" -> (burstiness _),
     "q_quality_score" -> (qualityScore _),
     "q_gopher_rules" -> (gopherRules _),
     "q_dsir_importance" -> (dsirImportance _),
@@ -2356,6 +2416,51 @@ object TextOps {
         |  (SELECT round(regr_slope(ln(vocab), ln(n_tokens)), 6) FROM curve)
         |    AS heaps_beta
         |FROM curve ORDER BY ck""".stripMargin,
+
+    // first-occurrence novelty per document; docs with <2 tokens have no
+    // bigrams and drop out on both engines
+    "q_ngram_novelty" ->
+      """WITH occ AS (
+        |  SELECT doc_id, t[i.g] || ' ' || t[i.g + 1] AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents) d,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) i
+        |  WHERE len(t) >= 2),
+        |fd AS (SELECT term, min(doc_id) AS fd FROM occ GROUP BY term)
+        |SELECT o.doc_id,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN f.fd = o.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(CAST(sum(CASE WHEN f.fd = o.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS novelty
+        |FROM occ o JOIN fd f ON o.term = f.term
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
+
+    // exact-integer Church-Gale variance-to-mean: absent docs contribute
+    // 0 to both sums, so the present-rows aggregate is the corpus sum
+    "q_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |occ AS (
+        |  SELECT doc_id, t[i.g] || ' ' || t[i.g + 1] AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents) d,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) i
+        |  WHERE len(t) >= 2),
+        |perdoc AS (SELECT term, doc_id, count(*) AS x
+        |           FROM occ GROUP BY term, doc_id),
+        |agg AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM perdoc GROUP BY term)
+        |SELECT term, df, sx, sxx,
+        |  (SELECT n FROM nd) * sxx - sx * sx AS vmr_num,
+        |  (SELECT n FROM nd) * sx AS vmr_den,
+        |  CAST((SELECT n FROM nd) * sxx - sx * sx AS DOUBLE)
+        |    / CAST((SELECT n FROM nd) * sx AS DOUBLE) AS vmr
+        |FROM agg WHERE sx >= 20
+        |ORDER BY vmr DESC, term LIMIT 25""".stripMargin,
 
     "q_term_freq" ->
       """SELECT term, count(*) AS n FROM (

@@ -935,4 +935,32 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.last.getLong(1) === 27439L && rows.last.getLong(2) === 916L)
     assert(rows.head.getDouble(3) === 0.049133)
   }
+
+  test("ngram novelty: doc 0 is fully novel, every rate is the exact count ratio") {
+    val rows = TextOps.ngramNovelty(spark, sf001).collect()
+    assert(rows.length === 500)
+    // first document under doc-id order introduces every bigram it has
+    assert(rows.head.getLong(0) === 0L && rows.head.getDouble(3) === 1.0)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("burstiness: exact-integer VMR identity and descending order") {
+    val rows = TextOps.burstiness(spark, sf001).collect()
+    assert(rows.length === 25)
+    val n = 500L // corpus size at sf0.001
+    rows.foreach { r =>
+      assert(r.getLong(4) === n * r.getLong(3) - r.getLong(2) * r.getLong(2))
+      assert(r.getLong(5) === n * r.getLong(2))
+      assert(r.getDouble(6) === r.getLong(4).toDouble / r.getLong(5))
+      assert(r.getLong(2) >= 20L)
+    }
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a.getDouble(6) >= b.getDouble(6) })
+    // independent DuckDB pin: the burstiest bigram over sf0.001
+    assert(rows.head.getString(0) === "data batch")
+    assert(rows.head.getDouble(6) === 24131.0 / 18500.0)
+  }
 }
