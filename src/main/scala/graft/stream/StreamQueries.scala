@@ -33,10 +33,45 @@ object StreamQueries {
     s"$b/p${ProcessHandle.current().pid()}"
   }
 
-  /** (session, dir)s whose replay already ran in this process — the stream
-    * executes once; later constructions reuse the persisted result. */
-  private val ran =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  /** Run-once memo: (session, fixture dir, query tag) → persisted output
+    * path. `computeIfAbsent` gives three properties the previous
+    * add-to-a-Set flag lacked (ADVICE r11): concurrent callers BLOCK until
+    * the first writer finishes (no read-before-write race), a failed
+    * replay records NO mapping (retries re-run instead of reading a
+    * missing/partial parquet), and because the work paths embed the
+    * sanitized dir, running the same query against two fixture dirs in one
+    * JVM (the growth harness's batch pattern) never cross-contaminates —
+    * the same discipline as Curation.docCommunities and
+    * AffineSketch.minhashCandEst. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
+
+  private def safe(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Runs `body` at most once per (session, dir, tag), handing it a
+    * dir-keyed path prefix for its replay/checkpoint/output files; returns
+    * the output path `body` yields (conventionally `$prefix.parquet`). */
+  private def runOnce(s: SparkSession, dir: String, tag: String)(
+      body: String => String): String =
+    memo.computeIfAbsent((s, dir, tag),
+      _ => body(s"$base/${tag}_${safe(dir)}"))
+
+  /** Stamps the part files a replay stage just wrote with a strictly
+    * increasing synthetic mtime. FileStreamSource orders files by
+    * modification time (ms resolution): two stages written within the same
+    * millisecond would tie and could flip micro-batch assignment — fatal
+    * for the order-SENSITIVE replays (streamLate's watermark cutoff,
+    * streamTimer's split), silent for the commutative ones. Stage stamps
+    * sit in 2023 (1.7e12 ms), far below any real write time, so "new this
+    * stage" is simply "mtime above the stamp range". */
+  private def stampStage(replayDir: String, stage: Int): Unit = {
+    val d = new java.io.File(replayDir)
+    val t = 1700000000000L + stage * 60000L
+    for (f <- Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+         if f.getName.startsWith("part-") && f.lastModified() > 1750000000000L)
+      f.setLastModified(t)
+  }
 
   /** Streaming 15-min session_window sessionization of the events replay.
     *
@@ -52,10 +87,10 @@ object StreamQueries {
     * streaming aggregation does not support; item sets here are bounded by
     * the event-type alphabet, never corpus-proportional. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_sessions.parquet"
-    if (ran.add((s, dir))) {
-      val replay = s"$base/stream_replay"
-      val chk = s"$base/stream_chk"
+    val out = runOnce(s, dir, "stream_sessions") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       graft.Tables(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"))
         .write.mode("overwrite").parquet(replay)
@@ -83,6 +118,7 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     s.read.parquet(out).orderBy(col("user_id"), col("session_start_us"))
   }
@@ -99,10 +135,10 @@ object StreamQueries {
     * At scale the static side is the classic broadcast dim; the stream
     * side shuffles once on the (nation, window, type) grain. */
   def streamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_enrich.parquet"
-    if (ranEnrich.add((s, dir))) {
-      val replay = s"$base/enrich_replay"
-      val chk = s"$base/enrich_chk"
+    val out = runOnce(s, dir, "stream_enrich") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       graft.Tables(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"))
         .write.mode("overwrite").parquet(replay)
@@ -131,13 +167,11 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     s.read.parquet(out)
       .orderBy(col("nation"), col("window_us"), col("event_type"))
   }
-
-  private val ranEnrich =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Streaming exactly-once ingestion dedup: at-least-once delivery (every
     * third event delivered TWICE, the second copy in a separate file so
@@ -158,15 +192,17 @@ object StreamQueries {
     * query runs `dropDuplicatesWithinWatermark` with state eviction
     * ([[StreamSessions]] spec family). */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_dedup.parquet"
-    if (ranDedup.add((s, dir))) {
-      val replay = s"$base/dedup_replay"
-      val chk = s"$base/dedup_chk"
+    val out = runOnce(s, dir, "stream_dedup") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       ev.coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
       ev.filter(col("event_id") % 3 === 0)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
       val src = s.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType),
@@ -184,6 +220,7 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     s.read.parquet(out)
       .groupBy(col("event_type"))
@@ -194,9 +231,6 @@ object StreamQueries {
         max(col("event_id")).as("max_id"))
       .orderBy(col("event_type"))
   }
-
-  private val ranDedup =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Stream–stream interval inner join through the real join state store:
     * views and purchases arrive in SEPARATE micro-batches (views file
@@ -213,16 +247,18 @@ object StreamQueries {
     * append-mode union is the full interval join, hash-comparable to a
     * DuckDB self-join over `events`. */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_join.parquet"
-    if (ranJoin.add((s, dir))) {
-      val replay = s"$base/join_replay"
-      val chk = s"$base/join_chk"
+    val out = runOnce(s, dir, "stream_join") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       ev.filter(col("event_type") === "view")
         .coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
       ev.filter(col("event_type") === "purchase")
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
       def src = s.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType),
@@ -255,13 +291,11 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     s.read.parquet(out)
       .orderBy(col("user_id"), col("view_id"), col("buy_id"))
   }
-
-  private val ranJoin =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Watermark late-data semantics under the hash oracle: every fifth
     * event arrives in the replay's THIRD micro-batch, after the watermark
@@ -284,19 +318,22 @@ object StreamQueries {
     * </ ≤ boundary cannot be hit) — pinning the drop boundary itself
     * against an engine with no watermark concept. */
   def streamLate(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_late.parquet"
-    if (ranLate.add((s, dir))) {
-      val replay = s"$base/late_replay"
-      val chk = s"$base/late_chk"
+    val out = runOnce(s, dir, "stream_late") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), col("event_type"))
       val onTime = ev.filter(col("event_id") % 5 =!= 0)
       onTime.filter(col("event_id") % 2 === 0)
         .coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
       onTime.filter(col("event_id") % 2 === 1)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
       ev.filter(col("event_id") % 5 === 0)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 2)
       val src = s.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType),
@@ -323,6 +360,7 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_us"), col("event_type"))
@@ -334,9 +372,6 @@ object StreamQueries {
       .orderBy(col("window_us"), col("event_type"))
   }
 
-  private val ranLate =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
-
   /** Arbitrary stateful processing (`mapGroupsWithState`) under the hash
     * oracle: per-user running (count, Σid, min/max µs) accumulated across
     * THREE micro-batches (`event_id mod 3` split, `maxFilesPerTrigger=1`)
@@ -347,18 +382,21 @@ object StreamQueries {
     * version per user (same discipline as [[streamLate]]). Fold order
     * within a batch is irrelevant: every accumulator is commutative. */
   def streamState(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_state.parquet"
-    if (ranState.add((s, dir))) {
-      val replay = s"$base/state_replay"
-      val chk = s"$base/state_chk"
+    val out = runOnce(s, dir, "stream_state") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"))
       ev.filter(col("event_id") % 3 === 0)
         .coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
       ev.filter(col("event_id") % 3 === 1)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
       ev.filter(col("event_id") % 3 === 2)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 2)
       import s.implicits._
       val src = s.readStream
         .schema(StructType(Seq(
@@ -391,6 +429,7 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
@@ -400,9 +439,6 @@ object StreamQueries {
         col("first_us"), col("last_us"))
       .orderBy(col("user_id"))
   }
-
-  private val ranState =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** `transformWithState` (Spark 4's arbitrary-state successor to
     * mapGroupsWithState) under the hash oracle, on its required RocksDB
@@ -416,18 +452,21 @@ object StreamQueries {
     * and breaks the hash. The provider override is scoped to this query's
     * start (queries read the conf at start) and restored after. */
   def streamTypedState(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_tws.parquet"
-    if (ranTws.add((s, dir))) {
-      val replay = s"$base/tws_replay"
-      val chk = s"$base/tws_chk"
+    val out = runOnce(s, dir, "stream_tws") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
       ev.filter(col("event_id") % 3 === 0)
         .coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
       ev.filter(col("event_id") % 3 === 1)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
       ev.filter(col("event_id") % 3 === 2)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 2)
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
@@ -458,6 +497,7 @@ object StreamQueries {
           case None    => s.conf.unset(key)
         }
       }
+      out
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
@@ -466,9 +506,6 @@ object StreamQueries {
       .select(col("user_id"), col("top_type"), col("n"))
       .orderBy(col("user_id"))
   }
-
-  private val ranTws =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Event-time TIMERS ([[SessionCloser]], `TimeMode.EventTime`) under the
     * hash oracle — the last transformWithState surface (ValueState/
@@ -486,17 +523,19 @@ object StreamQueries {
     * emitted values (close_at = ms-truncated last hit + gap, n_hits)
     * relationally from `events` and the same split constant. */
   def streamTimer(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_timer.parquet"
-    if (ranTimer.add((s, dir))) {
-      val replay = s"$base/timer_replay"
-      val chk = s"$base/timer_chk"
+    val out = runOnce(s, dir, "stream_timer") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
         .select(col("user_id"), col("ts"))
       val split = lit("2024-01-21").cast("timestamp")
       ev.filter(col("ts") < split)
         .coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
       ev.filter(col("ts") >= split)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
@@ -526,14 +565,12 @@ object StreamQueries {
           case None    => s.conf.unset(key)
         }
       }
+      out
     }
     s.read.parquet(out)
       .select(col("user_id"), col("close_at_ms"), col("n_hits"))
       .orderBy(col("user_id"), col("close_at_ms"))
   }
-
-  private val ranTimer =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Streaming CDC apply under the hash oracle: a change stream (every
     * event is an upsert to its user's profile) delivered across three
@@ -548,19 +585,22 @@ object StreamQueries {
     * arrival order, the final state is independent of batch slicing; the
     * DuckDB oracle re-derives it as the relational argmax per user. */
   def streamCdc(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_cdc"
-    if (ranCdc.add((s, dir))) {
-      val replay = s"$base/cdc_replay"
-      val chk = s"$base/cdc_chk"
+    val out = runOnce(s, dir, "stream_cdc") { p =>
+      val out = p
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"))
       ev.filter(col("event_id") % 3 === 0)
         .coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
       ev.filter(col("event_id") % 3 === 1)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
       ev.filter(col("event_id") % 3 === 2)
         .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 2)
       val src = s.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType),
@@ -590,6 +630,7 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     val last = new java.io.File(out).list()
       .filter(_.startsWith("v")).map(_.drop(1).toInt).max
@@ -598,9 +639,6 @@ object StreamQueries {
         col("event_type"))
       .orderBy(col("user_id"))
   }
-
-  private val ranCdc =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** The custom DSv2 MicroBatchStream
     * ([[graft.sources.EventsSource]]) under the hash oracle — the last
@@ -616,9 +654,9 @@ object StreamQueries {
     * Knuth-scatter formulas — the generator contract itself is what the
     * hash pins. `dir` is unused: the source is synthetic by design. */
   def streamV2Source(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_v2src.parquet"
-    if (ranV2.add((s, dir))) {
-      val chk = s"$base/v2src_chk"
+    val out = runOnce(s, dir, "stream_v2src") { p =>
+      val out = s"$p.parquet"
+      val chk = s"${p}_chk"
       val src = s.readStream.format("graft.sources.EventsSource")
         .option("rows", 20000L).option("partitions", 8)
         .option("rowsPerBatch", 1000L).load()
@@ -644,12 +682,10 @@ object StreamQueries {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      out
     }
     s.read.parquet(out).orderBy(col("event_type"))
   }
-
-  private val ranV2 =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** SLIDING (overlapping) windows through the streaming state store —
     * the remaining windowing shape next to tumbling ([[streamEnrich]])
@@ -663,10 +699,10 @@ object StreamQueries {
     * epoch-aligned window starts (session TZ is UTC, so Spark's window
     * alignment is epoch arithmetic). */
   def streamSliding(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/stream_sliding.parquet"
-    if (ranSliding.add((s, dir))) {
-      val replay = s"$base/sliding_replay"
-      val chk = s"$base/sliding_chk"
+    val out = runOnce(s, dir, "stream_sliding") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
       graft.Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), col("event_type"))
         .coalesce(1).write.mode("overwrite").parquet(replay)
@@ -695,12 +731,10 @@ object StreamQueries {
         }
         .start()
       q.awaitTermination()
+      out
     }
     s.read.parquet(out).orderBy(col("window_us"), col("event_type"))
   }
-
-  private val ranSliding =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
