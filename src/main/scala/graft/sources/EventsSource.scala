@@ -438,13 +438,25 @@ case class EventsOffset(pos: Long)
 class EventsMicroBatchStream(lo: Long, hi: Long, parts: Int,
                              required: StructType, rowsPerBatch: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = EventsOffset(lo)
 
   override def deserializeOffset(json: String): Offset =
     EventsOffset(json.trim.toLong)
+
+  /** Trigger.AvailableNow end target, captured ONCE at trigger start (the
+    * Kafka-source shape): the engine keeps firing rate-limited batches
+    * until the offset reaches this snapshot, then terminates — even if a
+    * live source kept appending past it. Here the id space is static so
+    * the snapshot is always `hi`, but the capture point is the contract;
+    * without this interface the engine's generic AvailableNow wrapper
+    * snapshots the FIRST rate-limited latestOffset as its end and stops
+    * after one batch (the pre-round-12 processAllAvailable workaround). */
+  @volatile private var availableNowEnd: Long = hi
+  override def prepareForTriggerAvailableNow(): Unit = { availableNowEnd = hi }
 
   /** Without admission control the whole id space would land in one
     * micro-batch; with it, each trigger admits ≤ rowsPerBatch ids and the
@@ -454,7 +466,7 @@ class EventsMicroBatchStream(lo: Long, hi: Long, parts: Int,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[EventsOffset].pos
-    EventsOffset(math.min(hi, s + rowsPerBatch))
+    EventsOffset(math.min(availableNowEnd, s + rowsPerBatch))
   }
 
   override def reportLatestOffset(): Offset = EventsOffset(hi)

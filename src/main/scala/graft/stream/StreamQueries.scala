@@ -669,19 +669,20 @@ object StreamQueries {
           sum(col("cents")).as("sum_cents"),
           min(col("ts_us")).as("min_us"),
           max(col("ts_us")).as("max_us"))
-      // processAllAvailable, not Trigger.AvailableNow: the AvailableNow
-      // wrapper for a source without SupportsTriggerAvailableNow captures
-      // the FIRST rate-limited offset as its end target, stopping after
-      // one batch; processAllAvailable drains until the admission-control
-      // loop reaches hi (the SourcesV2Spec-pinned shape)
+      // Trigger.AvailableNow is honored natively since EventsSource
+      // implements SupportsTriggerAvailableNow (prepare snapshots the end
+      // offset; each trigger drains one rate-limited batch toward it) —
+      // the properly bounded drain, replacing the round-11
+      // processAllAvailable workaround with an unchanged result hash
       val q = agg.writeStream
         .outputMode("complete")
         .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.coalesce(1).write.mode("overwrite").parquet(out)
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      q.awaitTermination()
       out
     }
     s.read.parquet(out).orderBy(col("event_type"))

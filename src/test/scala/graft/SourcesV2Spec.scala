@@ -232,6 +232,30 @@ class SourcesV2Spec extends SparkSpec {
       q.recentProgress.map(p => p.numInputRows).mkString(","))
   }
 
+  test("Trigger.AvailableNow drains the WHOLE id space rate-limited, then terminates") {
+    // SupportsTriggerAvailableNow: prepare snapshots the end offset and
+    // the engine keeps firing rate-limited batches until it is reached —
+    // without the interface, AvailableNow's generic wrapper stops after
+    // the first 1000-id batch and n/s here would come up 1000/499500
+    val n = 5000L
+    val stream = spark.readStream.format("graft.sources.EventsSource")
+      .option("rows", n).option("partitions", 4)
+      .option("rowsPerBatch", 1000).load()
+    val q = stream.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .writeStream.format("memory").queryName("v2_stream_an")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val r = spark.table("v2_stream_an").head()
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("s") === n * (n - 1) / 2)
+    // still rate-limited: the drain ran as ≥ 5 admission-controlled batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      q.recentProgress.map(p => p.numInputRows).mkString(","))
+  }
+
   test("content is a pure function of the row id — exact aggregates") {
     val n = 10000L
     val df = events(n, 8)
