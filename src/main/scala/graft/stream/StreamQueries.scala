@@ -737,6 +737,73 @@ object StreamQueries {
     s.read.parquet(out).orderBy(col("window_us"), col("event_type"))
   }
 
+  /** Streaming RESTART-RECOVERY under the hash oracle — the failure half
+    * of exactly-once that run-to-completion queries never exercise: a
+    * checkpointed per-user aggregation over an 8-shard replay
+    * (`maxFilesPerTrigger=1`) is STOPPED as soon as its first micro-batch
+    * commits (`StreamingQuery.stop()` mid-drain — possibly mid-batch, the
+    * interruption a real failure produces), four more shards arrive while
+    * it is down, and a SECOND query instance restarts from the same
+    * checkpoint and drains to completion. The final complete-mode state
+    * equals the relational aggregate over ALL events only if recovery was
+    * exact on both logs: a lost/rewound offset log re-reads a processed
+    * shard and double-counts (complete mode folds it into recovered
+    * state); a lost state store drops the pre-stop shards and
+    * undercounts; an uncommitted-but-written batch must replay
+    * deterministically onto its pre-batch state version. Every measure is
+    * a commutative exact integer, so the result is invariant to WHERE the
+    * stop landed — the hash pins recovery, not timing. The deterministic
+    * two-phase variant (exact batch counts across the restart) is pinned
+    * in StreamingSpec. */
+  def streamResume(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_resume") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      def shard(k: Int): Unit = {
+        ev.filter(col("event_id") % 8 === k)
+          .coalesce(1)
+          .write.mode(if (k == 0) "overwrite" else "append").parquet(replay)
+        stampStage(replay, k)
+      }
+      (0 to 3).foreach(shard)
+      def start() = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_ids"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("overwrite").parquet(out)
+        }
+        .start()
+      val q1 = start()
+      // interrupt mid-drain: stop the moment the first batch has committed
+      // (AvailableNow bounds the race — if the drain outruns the poll, q1
+      // simply terminated and the appended shards below still force q2 to
+      // resume against the checkpointed state)
+      while (q1.isActive && q1.lastProgress == null) Thread.sleep(25)
+      q1.stop()
+      q1.awaitTermination()
+      (4 to 7).foreach(shard)
+      val q2 = start()
+      q2.awaitTermination()
+      out
+    }
+    s.read.parquet(out).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -749,6 +816,7 @@ object StreamQueries {
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_v2src" -> (streamV2Source _),
     "q_stream_sliding" -> (streamSliding _),
+    "q_stream_resume" -> (streamResume _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -920,5 +988,17 @@ object StreamQueries {
         |FROM w
         |GROUP BY 1, 2
         |ORDER BY window_us, event_type""".stripMargin,
+    // the restarted query's recovered state must reconstruct the plain
+    // GROUP BY exactly: offset-log rewind double-counts, state loss
+    // undercounts — either breaks the integer sums
+    "q_stream_resume" ->
+      """SELECT user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       min(event_id) AS min_id,
+        |       max(event_id) AS max_id
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

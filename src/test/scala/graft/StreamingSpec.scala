@@ -834,4 +834,61 @@ class StreamingSpec extends SparkSpec {
     // every event lands in exactly four overlapping windows
     assert(st.map(_.getLong(2)).sum === 4000L)
   }
+
+  test("checkpoint restart recovers the offset log and state store exactly") {
+    // deterministic twin of the racy mid-drain q_stream_resume gate query:
+    // phase A drains exactly files 0-1 (AvailableNow terminates at its
+    // snapshot), files 2-3 arrive while the query is DOWN, and the phase-B
+    // restart must (a) continue batch ids from the recovered offset log,
+    // (b) read ONLY the new files, and (c) fold them into the recovered
+    // aggregation state — exact batch counts, no timing race
+    val work = java.nio.file.Files.createTempDirectory("graft_resume").toFile
+    val replay = new java.io.File(work, "replay").getAbsolutePath
+    val chk = new java.io.File(work, "chk").getAbsolutePath
+    val out = new java.io.File(work, "out.parquet").getAbsolutePath
+    val all = (0L until 1000L).map(i => (i, i % 7L))
+    def shard(k: Int): Unit = {
+      all.filter(_._1 % 4 == k).toDF("event_id", "user_id")
+        .coalesce(1)
+        .write.mode(if (k == 0) "overwrite" else "append").parquet(replay)
+      // strictly increasing mtimes: FileStreamSource orders files by
+      // ms-resolution mtime, and same-ms writes would tie
+      for (f <- new java.io.File(replay).listFiles()
+           if f.getName.startsWith("part-") && f.lastModified() > 1750000000000L)
+        f.setLastModified(1700000000000L + k * 60000L)
+    }
+    def start() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("s"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("overwrite").parquet(out)
+      }.start()
+    shard(0); shard(1)
+    val q1 = start(); q1.awaitTermination()
+    assert(q1.recentProgress.count(_.numInputRows > 0) === 2,
+      "phase A = exactly one batch per file")
+    shard(2); shard(3)
+    val q2 = start(); q2.awaitTermination()
+    val p2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(p2.length === 2, "restart processed ONLY the two new files")
+    assert(p2.map(_.batchId).min === 2,
+      "batch ids continue from the recovered offset log")
+    assert(p2.map(_.numInputRows).sum === all.count(t => t._1 % 4 >= 2),
+      "no phase-A row was re-read after restart")
+    val fin = spark.read.parquet(out).orderBy($"user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = all.groupBy(_._2).map { case (u, xs) =>
+      (u, xs.size.toLong, xs.map(_._1).sum) }.toSeq.sortBy(_._1)
+    assert(fin === exp)
+  }
 }
