@@ -121,8 +121,28 @@ object TextOps {
       Seq(col("n").desc, col("term").asc), Seq(col("n"), col("term")))
       .select(col("term"), col("n"), col("rn").as("rank"))
       .persist() // scanned twice: whole-vocab slope + bounded top-k
-    val fit = ranked.agg(
-      round(expr("regr_slope(ln(n), ln(rank))"), 6).as("zipf_slope"))
+    // OLS on 2^-10-quantized lnDet values (not regr_slope(ln, ln)): the
+    // per-row int64s and their sums are exact on both engines — neither
+    // libm's not-correctly-rounded ln nor float summation ORDER (a
+    // whole-vocab regr_slope accumulates in engine-dependent order) can
+    // move the 6-dp fit. Scale 2^10 keeps Σxq², Σxq·yq within int64 out
+    // to ~10⁹ distinct terms (ln ≤ 64 ⇒ q ≤ 65 536, q² ≤ 4.3e9); the
+    // cross-products then run in fixed-order IEEE double because m·Σxy
+    // itself can exceed int64 at that scale.
+    val rq = ranked.select(
+      floor(lnDet(col("rank")) * lit(1024.0)).cast("long").as("xq"),
+      floor(lnDet(col("n")) * lit(1024.0)).cast("long").as("yq"))
+    val fit = rq
+      .agg(count(lit(1)).as("m"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .select(round(
+        (col("m").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+          (col("m").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")),
+        6).as("zipf_slope"))
     ranked.filter(col("rank") <= 30)
       .crossJoin(broadcast(fit))
       .select(col("rank"), col("term"), col("n"), col("zipf_slope"))
@@ -175,8 +195,22 @@ object TextOps {
       .withColumn("vocab", sum(col("new_terms")).over(w))
       .select(col("ck"), col("n_tokens"), col("vocab"))
       .persist()
-    val fit = curve.agg(
-      round(expr("regr_slope(ln(vocab), ln(n_tokens))"), 6).as("heaps_beta"))
+    // OLS on 2^-20-quantized lnDet values — the [[zipfFit]] discipline,
+    // and on this FIXED 20-row curve the cross-products stay exact int64
+    // end to end (ln ≤ 28 ⇒ q ≤ 3e7, m·Σxy ≤ 3.4e17): the slope is an
+    // exact rational until its one closing IEEE division
+    val cq = curve.select(
+      floor(lnDet(col("n_tokens")) * lit(1048576.0)).cast("long").as("xq"),
+      floor(lnDet(col("vocab")) * lit(1048576.0)).cast("long").as("yq"))
+    val fit = cq
+      .agg(count(lit(1)).as("m"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .select(round(
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
+        6).as("heaps_beta"))
     curve.crossJoin(broadcast(fit))
       .select(col("ck"), col("n_tokens"), col("vocab"), col("heaps_beta"))
       .orderBy(col("ck"))
@@ -313,7 +347,21 @@ object TextOps {
     * ln is ~1e-10 (irrelevant for importance weighting; determinism is
     * the contract). [[lnDetSql]] is the operation-order-identical DuckDB
     * mirror; both sides are left-associative with explicit /2.0, /3.0,
-    * /4.0 divisions so the expression trees match term for term. */
+    * /4.0 divisions so the expression trees match term for term.
+    *
+    * Repo-wide transcendental policy (the declared platform assumption):
+    * every hash-gated expression where float error can COMPOUND — a
+    * regression/sum over transcendental terms, where libm ulps AND
+    * engine-dependent accumulation order both move the result — uses this
+    * lnDet discipline (DSIR log-ratios, NB/unigram likelihoods, the
+    * zipfFit/heapsLaw quantized-OLS slopes). The remaining `ln`/`log`
+    * sites (psi_term, mi_term, KM survival steps, the regr_* built-in
+    * family, ln-ratings) are accepted as-is because each emitted value
+    * applies ONE libm transcendental to an argument that is exactly equal
+    * on both engines (integer-derived ratio) and is then rounded to 6 dp:
+    * with both libms faithful (≤1 ulp), a flip needs the true value
+    * within ~1 ulp of a 0.5·10⁻⁶ decimal boundary — accepted, and
+    * regression-guarded by the committed sf0.001 pins. */
   private def lnDet(x: Column): Column = {
     val y = (1 to 16).foldLeft(x.cast("double"))((c, _) => sqrt(c))
     val t = y - lit(1.0)
@@ -2376,23 +2424,40 @@ object TextOps {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // slope = OLS on 2^-10-quantized lnDet values, exact int64 sums,
+    // cross-products in fixed-order IEEE double — mirrors zipfFit op
+    // for op (see the lnDet scaladoc for why ln() itself is banned here)
     "q_zipf_fit" ->
-      """WITH tf AS (
-        |  SELECT term, count(*) AS n FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        |  WHERE length(term) > 0 GROUP BY term),
-        |ranked AS (
-        |  SELECT term, n,
-        |    row_number() OVER (ORDER BY n DESC, term) AS rank FROM tf)
-        |SELECT rank, term, n,
-        |  (SELECT round(regr_slope(ln(n), ln(rank)), 6) FROM ranked)
-        |    AS zipf_slope
-        |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin,
+      s"""WITH tf AS (
+         |  SELECT term, count(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE length(term) > 0 GROUP BY term),
+         |ranked AS (
+         |  SELECT term, n,
+         |    row_number() OVER (ORDER BY n DESC, term) AS rank FROM tf),
+         |tq AS (
+         |  SELECT ${sqrt16Sql("rank")} - 1.0 AS tx,
+         |         ${sqrt16Sql("n")} - 1.0 AS ty FROM ranked),
+         |q AS (
+         |  SELECT CAST(floor((${lnDetSeriesSql("tx")}) * 1024.0) AS BIGINT) AS xq,
+         |         CAST(floor((${lnDetSeriesSql("ty")}) * 1024.0) AS BIGINT) AS yq
+         |  FROM tq),
+         |fit AS (
+         |  SELECT round(
+         |    (CAST(count(*) AS DOUBLE) * CAST(CAST(sum(xq * yq) AS BIGINT) AS DOUBLE)
+         |      - CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE)
+         |        * CAST(CAST(sum(yq) AS BIGINT) AS DOUBLE))
+         |    / (CAST(count(*) AS DOUBLE) * CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE)
+         |      - CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE)
+         |        * CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE)), 6) AS zipf_slope
+         |  FROM q)
+         |SELECT rank, term, n, (SELECT zipf_slope FROM fit) AS zipf_slope
+         |FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin,
 
     // cumulative BIGRAM vocabulary via first-occurrence checkpoints — no
     // prefix re-scan; 20 quantile checkpoints of the doc-id space
     "q_heaps_law" ->
-      """WITH nd AS (SELECT count(*) AS n FROM documents),
+      s"""WITH nd AS (SELECT count(*) AS n FROM documents),
         |toks AS (
         |  SELECT doc_id, least(20, (doc_id * 20) // (SELECT n FROM nd) + 1)
         |           AS ck, t[i.g] || ' ' || t[i.g + 1] AS term
@@ -2411,10 +2476,24 @@ object TextOps {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
         |    CAST(sum(coalesce(n.new_terms, 0)) OVER (ORDER BY t.ck
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
-        |  FROM tok_cnt t LEFT JOIN new_terms n ON t.ck = n.ck)
+        |  FROM tok_cnt t LEFT JOIN new_terms n ON t.ck = n.ck),
+        |tq AS (
+        |  SELECT ${sqrt16Sql("n_tokens")} - 1.0 AS tx,
+        |         ${sqrt16Sql("vocab")} - 1.0 AS ty FROM curve),
+        |q AS (
+        |  SELECT CAST(floor((${lnDetSeriesSql("tx")}) * 1048576.0) AS BIGINT) AS xq,
+        |         CAST(floor((${lnDetSeriesSql("ty")}) * 1048576.0) AS BIGINT) AS yq
+        |  FROM tq),
+        |fit AS (
+        |  SELECT round(
+        |    CAST(count(*) * CAST(sum(xq * yq) AS BIGINT)
+        |         - CAST(sum(xq) AS BIGINT) * CAST(sum(yq) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) * CAST(sum(xq * xq) AS BIGINT)
+        |         - CAST(sum(xq) AS BIGINT) * CAST(sum(xq) AS BIGINT) AS DOUBLE),
+        |    6) AS heaps_beta
+        |  FROM q)
         |SELECT ck, n_tokens, vocab,
-        |  (SELECT round(regr_slope(ln(vocab), ln(n_tokens)), 6) FROM curve)
-        |    AS heaps_beta
+        |  (SELECT heaps_beta FROM fit) AS heaps_beta
         |FROM curve ORDER BY ck""".stripMargin,
 
     // first-occurrence novelty per document; docs with <2 tokens have no

@@ -933,7 +933,22 @@ class TextVectorSpec extends SparkSpec {
     // independent DuckDB pins over sf0.001
     assert(rows.head.getLong(1) === 1402L && rows.head.getLong(2) === 718L)
     assert(rows.last.getLong(1) === 27439L && rows.last.getLong(2) === 916L)
+    // quantized-lnDet OLS (exact int64 sums; no libm ln, no float
+    // accumulation order) — 6-dp equal to the regr_slope(ln, ln) it
+    // replaced, now bit-deterministic across engines
     assert(rows.head.getDouble(3) === 0.049133)
+  }
+
+  test("zipf fit: whole-vocab quantized-lnDet slope with the pinned value") {
+    val rows = TextOps.zipfFit(spark, sf001).collect()
+    assert(rows.length === 30)
+    // ranks 1..30 in order, counts non-increasing
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 30L))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a.getLong(2) >= b.getLong(2) })
+    // independent DuckDB pin over sf0.001 (closed ~31-word vocabulary ⇒
+    // a shallow slope, far from natural text's ≈ −1)
+    assert(rows.head.getDouble(3) === -0.178907)
   }
 
   test("ngram novelty: doc 0 is fully novel, every rate is the exact count ratio") {
