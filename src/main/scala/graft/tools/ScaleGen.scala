@@ -29,17 +29,35 @@ import org.apache.spark.sql.functions._
   *    SIZE stays constant.
   *  - orders/lineitem: order/cust/part/supp keys offset consistently
   *    (per-shard basket and co-purchase structure identical).
+  *  - nation/part/supplier: REPLICATED with the same per-shard key
+  *    offsets their fact-side FKs get (ADVICE r11: pass-through dims
+  *    left shards k>0 with dangling l_partkey/l_suppkey/c_nationkey, so
+  *    any dim join would have measured a constant-size output and
+  *    reported a falsely flat exponent). Offsets come from the DIM's own
+  *    key max (≥ the fact side's, so shard key ranges cannot collide).
   *  - embeddings: vec_id offset; dimension perturbed by a tiny
   *    shard-specific delta so shards aren't mutual near-dups.
-  *  - region/nation/part/supplier: copied through (bounded dims).
+  *  - region: copied through (nation keeps n_regionkey — 5 bounded
+  *    regions stay a bounded broadcast dim at any scale).
   *
-  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> <copies>
+  * Optional 4th arg — a fixture MODE on top of the scale-up:
+  *  - `hotkey`: one bot user owns 30% of all events (`event_id%10<3` →
+  *    user_id 0 across every shard) — the skewed window/group load for
+  *    the sessionizer skew measurements (VERDICT r11 task 6).
+  *  - `vocab[:V]` (default V=50000): every word occurrence in documents
+  *    is rewritten to a deterministic token drawn from a V-word space
+  *    (`t<murmur3(doc_id,pos,w) mod V>`) — tokenizer-training stress at
+  *    realistic vocabulary scale (VERDICT r11 task 8); the per-shard
+  *    suffix still applies for copies > 1, so vocab stays ∝ shards.
+  *
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> <copies> [mode]
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val mode = args.lift(3).getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,11 +66,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, copies)
+    generate(spark, src, out, copies, mode)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, copies: Int,
+               mode: String = ""): Unit = {
     def t(name: String): DataFrame = graft.Tables(spark, src, name)
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
@@ -63,19 +82,41 @@ object ScaleGen {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
-    // bounded dims: pass through
-    Seq("region", "nation", "part", "supplier").foreach(n => write(t(n), n))
+    write(t("region"), "region") // bounded dim: pass through
+
+    val nat = t("nation")
+    write(shards(nat) { (df, k) =>
+      df.withColumn("n_nationkey", col("n_nationkey") + lit(k * 25L))
+    }, "nation")
 
     val ev = t("events")
     val (evOff, uOff) = (off(ev, "event_id"), off(ev, "user_id"))
     write(shards(ev) { (df, k) =>
-      df.withColumn("event_id", col("event_id") + lit(k * evOff))
+      val scaled = df
+        .withColumn("event_id", col("event_id") + lit(k * evOff))
         .withColumn("user_id", col("user_id") + lit(k * uOff))
         .withColumn("ts", timestamp_micros(
           unix_micros(col("ts")) + lit(k * 30L * 86400L * 1000000L)))
+      if (mode == "hotkey")
+        scaled.withColumn("user_id",
+          when(col("event_id") % 10 < 3, lit(0L)).otherwise(col("user_id")))
+      else scaled
     }, "events")
 
-    val doc = t("documents")
+    val vocabSize: Option[Int] = mode.split(":", 2) match {
+      case Array("vocab") => Some(50000)
+      case Array("vocab", v) => Some(v.toInt)
+      case _ => None
+    }
+    val doc0 = t("documents")
+    val doc = vocabSize match {
+      case Some(v) =>
+        val txt = expr("array_join(transform(split(text, ' '), " +
+          s"(w, i) -> concat('t', pmod(hash(doc_id, i, w), $v))), ' ')")
+        doc0.withColumn("text", txt).withColumn("n_chars",
+          length(col("text")).cast("long"))
+      case None => doc0
+    }
     val dOff = off(doc, "doc_id")
     write(shards(doc) { (df, k) =>
       val txt =
@@ -108,15 +149,29 @@ object ScaleGen {
         .withColumn("o_custkey", col("o_custkey") + lit(k * cOff))
     }, "orders")
 
+    // dim-keyed offsets (not the fact side's max) so shard key ranges
+    // can't collide; the SAME offset is applied to lineitem's FKs below
+    val part = t("part")
+    val pOff = off(part, "p_partkey")
+    write(shards(part) { (df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(k * pOff))
+    }, "part")
+
+    val supp = t("supplier")
+    val sOff = off(supp, "s_suppkey")
+    write(shards(supp) { (df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(k * sOff))
+        .withColumn("s_nationkey", col("s_nationkey") + lit(k * 25L))
+    }, "supplier")
+
     val li = t("lineitem")
-    val pOff = off(li, "l_partkey")
-    val sOff = off(li, "l_suppkey")
     write(shards(li) { (df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(k * oOff))
         .withColumn("l_partkey", col("l_partkey") + lit(k * pOff))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * sOff))
     }, "lineitem")
 
-    println(s"[scalegen] wrote ${copies}x of $src to $out")
+    val tag = if (mode.isEmpty) "" else s" (mode=$mode)"
+    println(s"[scalegen] wrote ${copies}x of $src to $out$tag")
   }
 }
