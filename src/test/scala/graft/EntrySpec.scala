@@ -14,6 +14,22 @@ class EntrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("README query counters match SparkEntry (drift guard)") {
+    // the r11 verdict found README two rounds stale — the counters are
+    // now asserted against the code, the same discipline as the twin map
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = raw"(\d+)\s+driver\s+queries,\s+(\d+)\s+of\s+them\s+hash-oracled"
+      .r.findFirstMatchIn(readme)
+    assert(m.isDefined,
+      "README.md must state '<N> driver queries, <M> of them hash-oracled'")
+    assert(m.get.group(1).toInt === SparkEntry.queries.size,
+      s"README query count drifted (code: ${SparkEntry.queries.size})")
+    assert(m.get.group(2).toInt === SparkEntry.oracleSql.size,
+      s"README oracle count drifted (code: ${SparkEntry.oracleSql.size})")
+  }
+
   test("every rows-only query has a committed hash-oracled twin") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val untwinned = rowsOnly -- SparkEntry.rowsOnlyTwins.keySet
