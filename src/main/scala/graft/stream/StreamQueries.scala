@@ -644,7 +644,7 @@ object StreamQueries {
     * ([[graft.sources.EventsSource]]) under the hash oracle — the last
     * spec-only streaming surface: a 20,000-id space drained through the
     * source's admission control (`SupportsAdmissionControl`,
-    * `rowsPerBatch=1000` ⇒ 20 rate-limited micro-batches, the
+    * `rowsPerBatch=4000` ⇒ 5 rate-limited micro-batches, the
     * Kafka-style offset bookkeeping), aggregated per event_type across
     * ALL batches by the streaming state store. Every measure is exact
     * integer arithmetic on the row id (cents re-derived as
@@ -657,9 +657,14 @@ object StreamQueries {
     val out = runOnce(s, dir, "stream_v2src") { p =>
       val out = s"$p.parquet"
       val chk = s"${p}_chk"
+      // rowsPerBatch 4000 ⇒ 5 admission-controlled micro-batches: enough
+      // to prove the rate-limited drain (SourcesV2Spec separately pins
+      // ≥5 batches at 1000), and 4× cheaper than the former 20-batch
+      // shape — per-batch cost here is complete-mode state + checkpoint +
+      // parquet machinery, not data volume (solo 34.7 s → ~10 s)
       val src = s.readStream.format("graft.sources.EventsSource")
         .option("rows", 20000L).option("partitions", 8)
-        .option("rowsPerBatch", 1000L).load()
+        .option("rowsPerBatch", 4000L).load()
       val agg = src
         .withColumn("cents", (col("event_id") * 7919L) % 10000L)
         .groupBy(col("event_type"))
@@ -739,10 +744,10 @@ object StreamQueries {
 
   /** Streaming RESTART-RECOVERY under the hash oracle — the failure half
     * of exactly-once that run-to-completion queries never exercise: a
-    * checkpointed per-user aggregation over an 8-shard replay
+    * checkpointed per-user aggregation over a 4-shard replay
     * (`maxFilesPerTrigger=1`) is STOPPED as soon as its first micro-batch
     * commits (`StreamingQuery.stop()` mid-drain — possibly mid-batch, the
-    * interruption a real failure produces), four more shards arrive while
+    * interruption a real failure produces), two more shards arrive while
     * it is down, and a SECOND query instance restarts from the same
     * checkpoint and drains to completion. The final complete-mode state
     * equals the relational aggregate over ALL events only if recovery was
@@ -763,12 +768,12 @@ object StreamQueries {
       val ev = graft.Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"))
       def shard(k: Int): Unit = {
-        ev.filter(col("event_id") % 8 === k)
+        ev.filter(col("event_id") % 4 === k)
           .coalesce(1)
           .write.mode(if (k == 0) "overwrite" else "append").parquet(replay)
         stampStage(replay, k)
       }
-      (0 to 3).foreach(shard)
+      (0 to 1).foreach(shard)
       def start() = s.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType),
@@ -796,7 +801,7 @@ object StreamQueries {
       while (q1.isActive && q1.lastProgress == null) Thread.sleep(25)
       q1.stop()
       q1.awaitTermination()
-      (4 to 7).foreach(shard)
+      (2 to 3).foreach(shard)
       val q2 = start()
       q2.awaitTermination()
       out
