@@ -162,8 +162,22 @@ object SessionQueries {
       .orderBy(col("minute_us"))
   }
 
+  /** Goal 1 under a HOT KEY (bot IP): the salted two-phase sessionizer
+    * ([[Sessionize.sessionsSalted]]) — identical output to [[sessionize]]
+    * proven by hash against the SAME DuckDB session CTE; the point is the
+    * PLAN (time-block-salted window, no serialized hot-user sort task —
+    * measured in BASELINE.md's skew table at 100×/30%-hot). */
+  def sessionizeSalted(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionsSalted(events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("session_end_us"), col("hit_count"), col("unique_item_count"),
+        col("duration_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_sessionize_salted" -> (sessionizeSalted _),
     "q_sql_sessionize" -> (sqlSessionize _),
     "q_session_gap_dist" -> (sessionGapDist _),
     "q_avg_session_time" -> (avgSessionTime _),
@@ -180,6 +194,14 @@ object SessionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_sessionize" ->
+      s"""$cte
+         |SELECT user_id, session_id, session_start_us, session_end_us,
+         |       hit_count, unique_item_count, duration_sec
+         |FROM sessions ORDER BY user_id, session_id""".stripMargin,
+
+    // the salted two-phase plan must reconstruct the SAME sessions
+    // relation — one oracle text, two physical strategies
+    "q_sessionize_salted" ->
       s"""$cte
          |SELECT user_id, session_id, session_start_us, session_end_us,
          |       hit_count, unique_item_count, duration_sec

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * sees hash(user) satisfies hash(user, session_id)'s co-partitioning need
   * only via AQE; regardless, only ONE wide exchange feeds both the window
   * and the aggregate at 100 TB the partition key is the user/IP, which
-  * distributes evenly except for bot IPs — AQE skew-join/agg handles those,
-  * and the gap logic itself is O(hits-per-user) per key).
+  * distributes evenly except for bot IPs. AQE can NOT fix a hot window
+  * key — its skew handling splits join/rebalance partitions, never a
+  * Window.partitionBy group (measured: a 30%-hot bot at 100× costs +10%
+  * with AQE on, all of it one serialized sort task) — the remedy is
+  * [[sessionsSalted]], the time-block two-phase rewrite below.
   *
   * All timestamp math is done on epoch-microsecond longs so results are
   * bit-identical to the DuckDB oracle despite the ns-parquet / µs-Spark
@@ -81,6 +84,64 @@ object Sessionize {
         max(col("ts_us")).as("session_end_us"),
         count(lit(1)).as("hit_count"),
         countDistinct(item).as("unique_item_count"))
+      .withColumn("duration_sec",
+        (col("session_end_us") - col("session_start_us")) / lit(1000000.0))
+  }
+
+  /** Skew-proof two-phase sessionizer — the salting recipe for hot keys
+    * (bot IPs). AQE cannot split a WINDOW partition (its skew handling
+    * applies to joins and rebalance reads, not `Window.partitionBy`), so
+    * one bot owning 30% of a 10M-row stream still serializes 3M rows
+    * through one [[withSessionIds]] sort task. Phase 1 salts the window
+    * key with a TIME BLOCK — partition (user, floor(ts/block)) — and
+    * sessionizes each block locally, spreading hit-grain work over
+    * users×blocks tasks; phase 2 re-applies the SAME strictly-greater
+    * gap rule to the per-block LOCAL SESSIONS (session-grain rows,
+    * orders of magnitude fewer than hits — a bot's hits collapse to its
+    * session count), stitching sessions that span block boundaries.
+    * Correct for ANY block size: consecutive locals within one block are
+    * already > gap apart by construction, so the phase-2 flag over
+    * (start − prev_end) reproduces the hit-level flags exactly, and
+    * blocks smaller than the gap just yield longer merge chains, which
+    * the running sum collapses. `collect_set(item)` per local session is
+    * bounded by the item alphabet, never hits (the streaming
+    * sessionizer's argument). Output ≡ [[sessions]] row for row —
+    * hash-proven by q_sessionize_salted against the SAME DuckDB CTE, and
+    * measured in BASELINE.md's skew table. */
+  def sessionsSalted(df: DataFrame, user: Column, ts: Column,
+                     tieBreak: Column, item: Column,
+                     gapSec: Long = DefaultGapSec,
+                     blockSec: Long = 86400L): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val hits = df.select(user.as("user_id"), unix_micros(ts).as("ts_us"),
+        tieBreak.as("tie"), item.as("item"))
+      .withColumn("blk", floor(col("ts_us") / lit(blockSec * 1000000L)))
+    val wLoc = Window.partitionBy(col("user_id"), col("blk"))
+      .orderBy(col("ts_us"), col("tie"))
+    val prevUs = lag(col("ts_us"), 1).over(wLoc)
+    val loc = hits
+      .withColumn("new_sess",
+        when(prevUs.isNull || col("ts_us") - prevUs > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("loc_sid", sum(col("new_sess")).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("blk"), col("loc_sid"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("hits"), collect_set(col("item")).as("items"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    val prevEnd = lag(col("end_us"), 1).over(wU)
+    loc
+      .withColumn("new_chain",
+        when(prevEnd.isNull || col("start_us") - prevEnd > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_chain")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("start_us")).as("session_start_us"),
+        max(col("end_us")).as("session_end_us"),
+        sum(col("hits")).as("hit_count"),
+        size(array_distinct(flatten(collect_list(col("items")))))
+          .cast("long").as("unique_item_count"))
       .withColumn("duration_sec",
         (col("session_end_us") - col("session_start_us")) / lit(1000000.0))
   }

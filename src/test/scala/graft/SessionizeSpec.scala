@@ -97,6 +97,40 @@ class SessionizeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("salted two-phase sessionizer equals the naive sessionizer row for row") {
+    val ev = Tables(spark, sf001, "events")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("session_end_us"), col("hit_count"), col("unique_item_count"))
+      .orderBy(col("user_id"), col("session_id")).collect().toSeq
+    val naive = canon(Sessionize.sessions(ev, col("user_id"), col("ts"),
+      col("event_id"), col("event_type")))
+    // 1-hour blocks: far smaller than the fixture's activity span, so
+    // plenty of sessions genuinely cross block boundaries here
+    val salted = canon(Sessionize.sessionsSalted(ev, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"), blockSec = 3600L))
+    assert(naive === salted)
+    assert(naive.nonEmpty)
+  }
+
+  test("salted sessionizer stitches a session spanning many blocks (block < gap)") {
+    // one user hitting every 10 min for 6 hours: ONE session, but with
+    // 15-min blocks (block SMALLER than the 15-min gap) it is cut into
+    // many single-hit local sessions whose merge chain must collapse
+    val t0 = 1700000000000000L
+    val hits = (0 until 37).map { i =>
+      (7L, new java.sql.Timestamp((t0 + i * 600000000L) / 1000L), s"u${i % 3}")
+    }
+    val df = hits.toDF("user_id", "ts", "url")
+    val out = Sessionize.sessionsSalted(df, col("user_id"), col("ts"),
+      col("url"), col("url"), gapSec = 900L, blockSec = 900L).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("hit_count") === 37L)
+    assert(out.head.getAs[Long]("unique_item_count") === 3L)
+    assert(out.head.getAs[Long]("session_end_us")
+      - out.head.getAs[Long]("session_start_us") === 36L * 600000000L)
+  }
+
   test("batch session_window agrees with lag-based sessionizer on events") {
     val ev = Tables(spark, sf001, "events")
     val lagBased = Sessionize.sessions(ev, col("user_id"), col("ts"),
