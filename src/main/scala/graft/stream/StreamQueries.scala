@@ -809,6 +809,146 @@ object StreamQueries {
     s.read.parquet(out).orderBy(col("user_id"))
   }
 
+  /** `dropDuplicatesWithinWatermark` under the hash oracle — the
+    * BOUNDED-STATE dedup ([[streamDedup]]'s production variant: key state
+    * is EVICTED once the watermark passes event time + delay, so state ∝
+    * the watermark window, never stream length). The replay makes both
+    * halves of its correctness argument bite: batch 1 re-delivers the
+    * stream's TAIL (ts ≥ max − 6 d — inside the 7-day window, so the
+    * retained state must drop them as duplicates), batch 2 re-delivers
+    * OLD rows (ts < max − 8 d — behind batch 0's watermark, so the LATE
+    * filter must drop them; without it, keys already evicted from state
+    * would re-emit and break the hash). Either failure mode double-emits
+    * and breaks the exact integer sums vs a DuckDB oracle that reads the
+    * ORIGINAL events relation. */
+  def streamDedupWm(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_dedup_wm") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val d6 = maxUs - 6L * 86400L * 1000000L
+      val d8 = maxUs - 8L * 86400L * 1000000L
+      ev.coalesce(1).write.mode("overwrite").parquet(replay)
+      stampStage(replay, 0)
+      ev.filter(unix_micros(col("ts")) >= d6)
+        .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 1)
+      ev.filter(unix_micros(col("ts")) < d8)
+        .coalesce(1).write.mode("append").parquet(replay)
+      stampStage(replay, 2)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val q = src.withWatermark("ts", "7 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      out
+    }
+    s.read.parquet(out)
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(7L * 86400L * 1000000L))
+          .as("wk"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
+  /** LEFT-OUTER stream–stream interval join under the hash oracle — the
+    * semantics outer streaming joins exist for (funnel drop-off feeds):
+    * an unmatched view emits its null-click row ONLY once the watermark
+    * proves no matching purchase can still arrive (wm > view_ts + 6 h).
+    * The replay arrives as TIME-ORDERED weekly micro-batches with BOTH
+    * event types interleaved — that is what makes the query well-posed:
+    * each batch's rows are strictly newer than everything before, so
+    * nothing is ever late-dropped (any positive delay), while the
+    * watermark genuinely advances week by week and evicts+emits
+    * unmatched views progressively (the 45-day-watermark trick
+    * [[streamJoin]] uses to AVOID eviction would here emit zero outer
+    * rows). The DuckDB oracle re-derives both halves relationally: the
+    * interval inner join, plus NOT-EXISTS views whose 6-hour horizon
+    * lies strictly below the final global watermark — min over both
+    * sides of (ms-truncated max event time) minus the 24-hour delay;
+    * views inside that tail are provably WITHHELD (the append-mode
+    * outer-join contract, here made exact). The weekly split is a
+    * bounded driver collect (O(span/week) values). */
+  def streamOuter(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_outer") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("wk",
+          floor(unix_micros(col("ts")) / lit(7L * 86400L * 1000000L)))
+      val weeks = ev.select(col("wk")).distinct().orderBy(col("wk"))
+        .collect().map(_.getLong(0))
+      weeks.zipWithIndex.foreach { case (w, i) =>
+        ev.filter(col("wk") === w).drop("wk")
+          .coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(replay)
+        stampStage(replay, i)
+      }
+      def src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "24 hours")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+          col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "24 hours")
+      val joined = views.join(buys,
+          col("user_id") === col("buy_user") &&
+            col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("buy_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("buy_ts")).as("buy_us"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      out
+    }
+    s.read.parquet(out)
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -822,6 +962,8 @@ object StreamQueries {
     "q_stream_v2src" -> (streamV2Source _),
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_resume" -> (streamResume _),
+    "q_stream_outer" -> (streamOuter _),
+    "q_stream_dedup_wm" -> (streamDedupWm _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -1005,5 +1147,50 @@ object StreamQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // inner pairs plus watermark-proven unmatched views: the null-click
+    // row exists iff the view's 6-hour horizon lies strictly below the
+    // final global watermark (min over both sides of ms-truncated max
+    // event time, minus the 24-hour delay)
+    "q_stream_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts,
+        |                  epoch_us(ts) AS view_us
+        |           FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS buy_id, ts, epoch_us(ts) AS buy_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_us(ts)) // 1000 FROM v),
+        |                    (SELECT max(epoch_us(ts)) // 1000 FROM b))
+        |              - 86400000 AS w_ms),
+        |pairs AS (
+        |  SELECT v.user_id, v.view_id, b.buy_id, v.view_us, b.buy_us
+        |  FROM v JOIN b
+        |    ON v.user_id = b.user_id
+        |   AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 6 HOUR),
+        |unmatched AS (
+        |  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS buy_id,
+        |         v.view_us, CAST(NULL AS BIGINT) AS buy_us
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM b
+        |                    WHERE b.user_id = v.user_id
+        |                      AND b.ts >= v.ts
+        |                      AND b.ts <= v.ts + INTERVAL 6 HOUR)
+        |    AND v.view_us + 21600000000 < wm.w_ms * 1000)
+        |SELECT * FROM pairs
+        |UNION ALL
+        |SELECT * FROM unmatched
+        |ORDER BY user_id, view_id, buy_id NULLS FIRST""".stripMargin,
+    // bounded-state dedup must restore the ORIGINAL relation exactly:
+    // within-window replays die on retained state, behind-watermark
+    // replays die on the late filter
+    "q_stream_dedup_wm" ->
+      """SELECT event_type,
+        |       epoch_us(ts) // 604800000000 AS wk,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |       min(event_id) AS min_id,
+        |       max(event_id) AS max_id
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, wk""".stripMargin,
   )
 }

@@ -835,6 +835,43 @@ class StreamingSpec extends SparkSpec {
     assert(st.map(_.getLong(2)).sum === 4000L)
   }
 
+  test("driver streaming left-outer join emits nulls only beyond the watermark") {
+    import graft.stream.StreamQueries
+    val rows = StreamQueries.streamOuter(spark, sf001).collect()
+    // independent DuckDB literals over sf0.001: 22 matched pairs, 157
+    // watermark-proven null emissions, and (188 views total) 9 views in
+    // the final-watermark tail provably WITHHELD
+    assert(rows.length === 179)
+    assert(rows.count(_.isNullAt(2)) === 157)
+    val views = Tables(spark, sf001, "events")
+      .filter(col("event_type") === "view").count()
+    assert(views === 188L)
+    val matchedViews = rows.filter(!_.isNullAt(2)).map(_.getLong(1)).distinct
+    assert(views - matchedViews.length - 157 === 9L)
+  }
+
+  test("driver bounded-state dedup (withinWatermark) restores the exact relation") {
+    import graft.stream.StreamQueries
+    val st = StreamQueries.streamDedupWm(spark, sf001).collect().toSeq
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(7L * 86400L * 1000000L)).as("wk"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"), col("wk")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 25) // independent DuckDB literal over sf0.001
+    // both replay halves actually re-delivered rows: the tail (state-hit)
+    // and the stale half (late-filtered) each cover > 0 source rows
+    val ev = Tables(spark, sf001, "events")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    assert(ev.filter(unix_micros(col("ts")) >= maxUs - 6L * 86400000000L)
+      .count() > 0)
+    assert(ev.filter(unix_micros(col("ts")) < maxUs - 8L * 86400000000L)
+      .count() > 0)
+  }
+
   test("checkpoint restart recovers the offset log and state store exactly") {
     // deterministic twin of the racy mid-drain q_stream_resume gate query:
     // phase A drains exactly files 0-1 (AvailableNow terminates at its
