@@ -872,6 +872,54 @@ class StreamingSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("transformWithState TTL: value state survives within the TTL and resets after") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long)]
+      // ProcessingTime time mode keeps scheduling no-data batches (that is
+      // how TTL/timers advance without input), so processAllAvailable never
+      // observes a quiescent stream — throttle the trigger and poll the
+      // sink for the expected emission count instead
+      val q = graft.stream.ExpiringCounts
+        .countsSinceActive(ms.toDS(), java.time.Duration.ofSeconds(8))
+        .toDF().writeStream.format("memory").queryName("ttl_counts")
+        .outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (spark.table("ttl_counts").count() < n
+            && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(spark.table("ttl_counts").count() >= n,
+          s"sink never reached $n rows")
+      }
+      try {
+        ms.addData((1L, 10L), (1L, 11L))
+        awaitRows(1) // n = 2
+        ms.addData((1L, 12L))
+        awaitRows(2) // within TTL: state alive, n = 3 (8 s absorbs cold-start batch latency)
+        Thread.sleep(10000) // let the 8 s TTL lapse (processing time)
+        ms.addData((1L, 13L))
+        awaitRows(3) // state expired: count restarts at 1
+      } finally q.stop()
+      val ns = spark.table("ttl_counts")
+        .filter(col("user_id") === 1L).select("n_since_active")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ns === Seq(2L, 3L, 1L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("checkpoint restart recovers the offset log and state store exactly") {
     // deterministic twin of the racy mid-drain q_stream_resume gate query:
     // phase A drains exactly files 0-1 (AvailableNow terminates at its
