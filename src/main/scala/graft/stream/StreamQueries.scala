@@ -877,20 +877,24 @@ object StreamQueries {
     * semantics outer streaming joins exist for (funnel drop-off feeds):
     * an unmatched view emits its null-click row ONLY once the watermark
     * proves no matching purchase can still arrive (wm > view_ts + 6 h).
-    * The replay arrives as TIME-ORDERED weekly micro-batches with BOTH
-    * event types interleaved — that is what makes the query well-posed:
-    * each batch's rows are strictly newer than everything before, so
-    * nothing is ever late-dropped (any positive delay), while the
-    * watermark genuinely advances week by week and evicts+emits
-    * unmatched views progressively (the 45-day-watermark trick
-    * [[streamJoin]] uses to AVOID eviction would here emit zero outer
-    * rows). The DuckDB oracle re-derives both halves relationally: the
-    * interval inner join, plus NOT-EXISTS views whose 6-hour horizon
-    * lies strictly below the final global watermark — min over both
-    * sides of (ms-truncated max event time) minus the 24-hour delay;
-    * views inside that tail are provably WITHHELD (the append-mode
-    * outer-join contract, here made exact). The weekly split is a
-    * bounded driver collect (O(span/week) values). */
+    * The replay arrives as TIME-ORDERED micro-batches (the time range
+    * cut into 3 equal slices) with BOTH event types interleaved — that
+    * is what makes the query well-posed: each batch's rows are strictly
+    * newer than everything before, so nothing is ever late-dropped (any
+    * positive delay), while the watermark genuinely advances slice by
+    * slice and evicts+emits unmatched views progressively (the
+    * 45-day-watermark trick [[streamJoin]] uses to AVOID eviction would
+    * here emit zero outer rows). The RESULT is slice-count-independent —
+    * the emission set is determined by the FINAL watermark alone, so the
+    * batch granularity is a free operational knob (a span-proportional
+    * weekly split was measured at 10× growing with batch COUNT, pure
+    * machinery; the fixed split measures the operator). The DuckDB
+    * oracle re-derives both halves relationally: the interval inner
+    * join, plus NOT-EXISTS views whose 6-hour horizon lies strictly
+    * below the final global watermark — min over both sides of
+    * (ms-truncated max event time) minus the 24-hour delay; views
+    * inside that tail are provably WITHHELD (the append-mode outer-join
+    * contract, here made exact). */
   def streamOuter(s: SparkSession, dir: String): DataFrame = {
     val out = runOnce(s, dir, "stream_outer") { p =>
       val out = s"$p.parquet"
@@ -900,12 +904,14 @@ object StreamQueries {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"))
         .filter(col("event_type").isin("view", "purchase"))
-        .withColumn("wk",
-          floor(unix_micros(col("ts")) / lit(7L * 86400L * 1000000L)))
-      val weeks = ev.select(col("wk")).distinct().orderBy(col("wk"))
-        .collect().map(_.getLong(0))
-      weeks.zipWithIndex.foreach { case (w, i) =>
-        ev.filter(col("wk") === w).drop("wk")
+      val Array(loUs, hiUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val width = (hiUs - loUs) / 3L + 1L
+      val sliced = ev.withColumn("sl",
+        least(lit(2L), expr(s"(unix_micros(ts) - ${loUs}L) div ${width}L")))
+      (0 to 2).foreach { i =>
+        sliced.filter(col("sl") === i).drop("sl")
           .coalesce(1)
           .write.mode(if (i == 0) "overwrite" else "append").parquet(replay)
         stampStage(replay, i)
