@@ -380,7 +380,38 @@ object Audit {
     s.sql(colEntropySql("events_v"))
   }
 
+  /** `observe()` under the hash oracle — one-pass piggybacked audit
+    * metrics (the Observation API, spec-pinned in ObservabilitySpec)
+    * promoted to the gate: the "real work" is a count over the
+    * error-filtered relation, and the SAME action carries an observation
+    * over the PRE-filter relation (row count, exact id sums/bounds,
+    * error tally). The query's result IS the observation plus the
+    * work's own count, which must equal the relational truth DuckDB
+    * re-derives from `events` — a drifted observation (wrong attach
+    * point, post-filter metrics, lost rows) breaks the hash. At 100 TB
+    * this is the audit pattern that costs zero extra scans. */
+  def observeAudit(s: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val work = Tables(s, dir, "events")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_ids"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_error"))
+      .filter(col("event_type") =!= "error")
+    val kept = work.count()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_ids").asInstanceOf[Long],
+      m("min_id").asInstanceOf[Long], m("max_id").asInstanceOf[Long],
+      m("n_error").asInstanceOf[Long], kept))
+      .toDF("n_rows", "sum_ids", "min_id", "max_id", "n_error", "n_kept")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_observe_audit" -> (observeAudit _),
     "q_col_entropy" -> (colEntropy _),
     "q_rendezvous" -> (rendezvous _),
     "q_zone_map" -> (zoneMap _),
@@ -394,6 +425,18 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the observation must equal the relational truth over the
+    // pre-filter relation; n_kept is the filtered work's own count
+    "q_observe_audit" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  min(event_id) AS min_id,
+        |  max(event_id) AS max_id,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM events""".stripMargin,
     "q_col_entropy" -> colEntropySql("events"),
     "q_rendezvous" -> {
       def hrwCte(n: Int, out: String): String =
