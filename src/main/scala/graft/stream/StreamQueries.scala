@@ -49,13 +49,37 @@ object StreamQueries {
   private def safe(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Scopes a reduced shuffle/state partition count around a gate
+    * replay. At the session default (32), every micro-batch pays 32
+    * state-store instances PER stateful operator of checkpoint IO for
+    * partitions holding a few hundred rows — pure machinery on these
+    * tens-of-thousands-row replays. Batch queries get this right-sizing
+    * from AQE; a stream's state partition count is fixed at first start,
+    * so it must be chosen — 8 keeps genuine multi-partition semantics
+    * coverage (cross-partition shuffles, parallel state commits) at a
+    * quarter of the IO. Results are partitioning-independent (exact
+    * aggregates/joins), which the unchanged oracle hashes prove; at
+    * production volume the knob goes the other way (more partitions per
+    * state size), which is exactly the point: it is a per-stream sizing
+    * decision, not a session constant. */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Runs `body` at most once per (session, dir, tag), handing it a
     * dir-keyed path prefix for its replay/checkpoint/output files; returns
-    * the output path `body` yields (conventionally `$prefix.parquet`). */
+    * the output path `body` yields (conventionally `$prefix.parquet`).
+    * The body runs under [[withStreamPartitions]]. */
   private def runOnce(s: SparkSession, dir: String, tag: String)(
       body: String => String): String =
     memo.computeIfAbsent((s, dir, tag),
-      _ => body(s"$base/${tag}_${safe(dir)}"))
+      _ => withStreamPartitions(s) { body(s"$base/${tag}_${safe(dir)}") })
 
   /** Stamps the part files a replay stage just wrote with a strictly
     * increasing synthetic mtime. FileStreamSource orders files by
