@@ -410,8 +410,47 @@ object Audit {
       .toDF("n_rows", "sum_ids", "min_id", "max_id", "n_error", "n_kept")
   }
 
+  /** Z-order (Morton) clustering audit — the 2-D half of [[zoneMap]]'s
+    * story: a 1-D sorted layout prunes on one key and nothing else;
+    * interleaving the bits of two bucketed keys ([[graft.ops.Layout.zValue]],
+    * pure codegen'd bitwise expressions) and cutting the relation into
+    * ALIGNED z-ranges bounds every zone in BOTH dimensions. With 6-bit
+    * keys and 16 zones each zone is an aligned 16×16 Morton square —
+    * span ≤ 16 per axis, proven per zone by the hash oracle — while the
+    * b-sorted comparison layout's zones span the full 64-cell a-domain.
+    * Equal-WIDTH z-ranges (z div 256) are used instead of
+    * `repartitionByRange`'s equal-depth boundaries deliberately: the
+    * boundaries are data-independent constants, so there is no sampled
+    * nondeterminism to leak into the hash — the write path
+    * ([[graft.ops.Layout.zorderBy]], LayoutSpec) keeps the sampled
+    * range-partitioner, which balances file sizes at 100 TB where skew,
+    * not alignment, is the constraint. */
+  def zorderZones(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select(
+      (col("user_id") % 64).as("a"), (col("event_id") % 64).as("b"))
+    val zoned = ev
+      .withColumn("z", graft.ops.Layout.zValue(col("a"), col("b"), 6))
+      .withColumn("zone", expr("z div 256"))
+    val morton = zoned.groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max(col("a")) - min(col("a")) + 1).as("span_a"),
+        (max(col("b")) - min(col("b")) + 1).as("span_b"))
+      .withColumn("layout", lit("morton"))
+    val bsorted = ev.withColumn("zone", expr("b div 4"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max(col("a")) - min(col("a")) + 1).as("span_a"),
+        (max(col("b")) - min(col("b")) + 1).as("span_b"))
+      .withColumn("layout", lit("b_sorted"))
+    morton.union(bsorted)
+      .select(col("layout"), col("zone"), col("n_rows"),
+        col("span_a"), col("span_b"))
+      .orderBy(col("layout"), col("zone"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_observe_audit" -> (observeAudit _),
+    "q_zorder_zones" -> (zorderZones _),
     "q_col_entropy" -> (colEntropy _),
     "q_rendezvous" -> (rendezvous _),
     "q_zone_map" -> (zoneMap _),
@@ -469,6 +508,34 @@ object Audit {
          |FROM (SELECT * FROM m UNION ALL SELECT * FROM r)
          |ORDER BY scheme""".stripMargin
     },
+    // Layout.zValue's bit interleave re-derived in pure integer
+    // arithmetic ((x // 2^i) % 2 per bit — no engine bitwise ops), so the
+    // Morton key itself is what the hash checks
+    "q_zorder_zones" ->
+      """WITH ab AS (
+        |  SELECT user_id % 64 AS a, event_id % 64 AS b FROM events),
+        |mz AS (
+        |  SELECT a, b,
+        |    (((a // 1) % 2) * 2 + ((a // 2) % 2) * 8 + ((a // 4) % 2) * 32
+        |     + ((a // 8) % 2) * 128 + ((a // 16) % 2) * 512
+        |     + ((a // 32) % 2) * 2048
+        |     + ((b // 1) % 2) * 1 + ((b // 2) % 2) * 4 + ((b // 4) % 2) * 16
+        |     + ((b // 8) % 2) * 64 + ((b // 16) % 2) * 256
+        |     + ((b // 32) % 2) * 1024) // 256 AS zone
+        |  FROM ab),
+        |m AS (
+        |  SELECT 'morton' AS layout, zone, count(*) AS n_rows,
+        |         max(a) - min(a) + 1 AS span_a, max(b) - min(b) + 1 AS span_b
+        |  FROM mz GROUP BY zone),
+        |s AS (
+        |  SELECT 'b_sorted' AS layout, b // 4 AS zone, count(*) AS n_rows,
+        |         max(a) - min(a) + 1 AS span_a, max(b) - min(b) + 1 AS span_b
+        |  FROM ab GROUP BY b // 4)
+        |SELECT layout, CAST(zone AS BIGINT) AS zone, n_rows,
+        |       CAST(span_a AS BIGINT) AS span_a,
+        |       CAST(span_b AS BIGINT) AS span_b
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM s)
+        |ORDER BY layout, zone""".stripMargin,
     "q_zone_map" -> zoneMapSql("lineitem"),
     "q_l_diversity" -> lDiversitySql("customer"),
     "q_k_anonymity" -> kAnonymitySql("customer"),

@@ -391,6 +391,73 @@ object Curation {
     visited.orderBy(col("node"))
   }
 
+  /** Landmark harmonic centrality (Boldi & Vigna "Axioms for Centrality"
+    * 2014; pivot scheme after Eppstein & Wang SODA 2001) over the derived
+    * doc graph ([[graphBfs]]'s edge set): exact all-pairs centrality is
+    * O(n·m) and off the table at corpus scale, so the standard move is a
+    * deterministic landmark set (here `doc_id % 97 == 0` — size grows
+    * with the corpus, ~n/97) and ONE multi-source BFS that carries the
+    * source id in the frontier key. Per landmark, harmonic centrality
+    * within the hop horizon H=6 is Σ_{0<d(s,v)≤H} 1/d — computed as the
+    * exact integer Σ 2520 div d (2520 = lcm(1..6), the same
+    * denominator-clearing trick as VectorOps' MAP@10), so the hash oracle
+    * never sees a float. The horizon is not a concession: harmonic
+    * centrality's 1/d terms beyond 6 hops contribute < 1/7 each and
+    * truncated-horizon harmonic ("h-index centrality") is itself a
+    * published variant; operationally it bounds the frontier state to
+    * landmarks × reachable₆.
+    *
+    * Plan shape at scale: state is (src, node, hops) — a key-partitioned
+    * relation, never driver-resident; each round is one frontier⋈edges
+    * shuffle + a min-merge + a left-anti visited check, lineage cut per
+    * round via localCheckpoint (the [[connectedComponents]] discipline).
+    * K landmarks ride ONE plan (the src column just widens the key), so
+    * the cluster amortizes scheduling over all sources instead of looping
+    * K BFS jobs. */
+  def harmonicLandmarks(s: SparkSession, dir: String,
+      maxHops: Int = 6): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("n")).as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") + 2) % col("n")).as("v")))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val lm = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("src"))
+    var visited = lm.select(col("src"), col("src").as("node"),
+      lit(0L).as("hops")).localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    var active = 1L
+    while (active > 0 && hop < maxHops) {
+      val next = frontier.join(edges, col("node") === col("u"))
+        .select(col("src"), col("v").as("node"),
+          (col("hops") + 1L).as("hops"))
+        .groupBy(col("src"), col("node")).agg(min(col("hops")).as("hops"))
+        .join(visited.select(col("src"), col("node")),
+          Seq("src", "node"), "left_anti")
+        .localCheckpoint()
+      active = next.count()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+      hop += 1
+    }
+    visited.groupBy(col("src"))
+      .agg((count(lit(1)) - 1L).as("n_reached"),
+        sum(when(col("hops") > 0L, expr("2520 div hops"))
+          .otherwise(0L)).cast("long").as("harmonic_x2520"))
+      .orderBy(col("src"))
+  }
+
   /** Degree assortativity (Newman PRL 2002) over the tree + quadratic-
     * hash doc graph ([[kCore]]'s edge set — chosen over [[graphBfs]]'s
     * ring graph, which is exactly 6-regular and therefore has UNDEFINED
@@ -1616,6 +1683,7 @@ object Curation {
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_assortativity" -> (assortativity _),
+    "q_harmonic" -> ((s, d) => harmonicLandmarks(s, d)),
     "q_adamic_adar" -> (adamicAdar _),
     "q_kcore" -> (kCore _),
     "q_label_prop" -> (labelPropagation _),
@@ -1874,6 +1942,34 @@ object Curation {
         |  WHERE r.dist + ed.w <= $SsspCostCap)
         |SELECT node, min(dist) AS dist
         |FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    // same derived graph as q_graph_bfs; multi-source bounded BFS with the
+    // landmark id carried in the recursion key; 2520 div d clears every
+    // 1/d denominator for d ≤ 6, so the centrality is an exact integer
+    "q_harmonic" ->
+      """WITH RECURSIVE nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |lm AS (SELECT doc_id AS src FROM documents WHERE doc_id % 97 = 0),
+        |r(src, node, d) AS (
+        |  SELECT src, src AS node, 0 FROM lm
+        |  UNION
+        |  SELECT r.src, ed.v, r.d + 1 FROM r JOIN ed ON ed.u = r.node
+        |  WHERE r.d < 6),
+        |best AS (SELECT src, node, min(d) AS d FROM r GROUP BY src, node)
+        |SELECT src, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+        |       CAST(sum(CASE WHEN d > 0 THEN 2520 // d ELSE 0 END) AS BIGINT)
+        |         AS harmonic_x2520
+        |FROM best GROUP BY src ORDER BY src""".stripMargin,
 
     "q_graph_bfs" ->
       """WITH RECURSIVE nn AS (

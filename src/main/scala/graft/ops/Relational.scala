@@ -356,6 +356,63 @@ object Relational {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Parameterized dynamic SQL — `EXECUTE IMMEDIATE ... USING` (SQL-2016
+    * dynamic SQL, in Spark since 4.0): the statement is a VALUE and the
+    * parameters bind by position through USING — the injection-safe path
+    * for an orchestrator templating one query over thousands of nightly
+    * partitions, instead of string-splicing literals. Binding happens at
+    * parse time, so the bound plan is indistinguishable from the static
+    * one: the date predicate still reaches the parquet scan as a pushed
+    * filter and partition-prunes at 100 TB exactly like a literal. */
+  def execImmediate(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderpriority, count(*) AS n,
+        |          min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |   FROM orders_v
+        |   WHERE o_orderdate >= ? AND o_orderstatus = ?
+        |   GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        |  USING DATE '1995-01-01', 'O'""".stripMargin)
+  }
+
+  /** SQL scripting (SQL/PSM control flow, Spark 4's
+    * `spark.sql.scripting.enabled`): a BEGIN…END block with DECLAREd
+    * variables and a WHILE loop, executed engine-side as ONE script —
+    * the migration path for warehouse stored procedures. The script
+    * doubles a price threshold until ≤ 100 orders remain above it (an
+    * exponential probe — each iteration is a full aggregate the driver
+    * would otherwise round-trip); the result is the script's final
+    * SELECT. The loop's work stays distributed — only the loop VARIABLES
+    * live on the driver, exactly like the engine's own iterative
+    * operators ([[graft.ops.Curation.connectedComponents]] et al.).
+    * Exactness: thresholds are 1000·2^k — power(2,k) is IEEE-exact for
+    * k ≤ 40, so the crossing count is engine-independent. */
+  def sqlScript(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    val key = "spark.sql.scripting.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try s.sql(
+      """BEGIN
+        |  DECLARE k INT DEFAULT 0;
+        |  DECLARE n BIGINT DEFAULT 0;
+        |  SET n = (SELECT count(*) FROM orders_v WHERE o_totalprice >= 1000.0);
+        |  WHILE n > 100 DO
+        |    SET k = k + 1;
+        |    SET n = (SELECT count(*) FROM orders_v
+        |             WHERE o_totalprice >= 1000.0 * power(2, k));
+        |  END WHILE;
+        |  SELECT CAST(k AS BIGINT) AS k_doublings,
+        |         CAST(1000.0 * power(2, k) AS DOUBLE) AS cutoff,
+        |         n AS n_above;
+        |END""".stripMargin)
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Paging: ORDER BY ... OFFSET/LIMIT (deterministic keyset order). */
   def limitOffset(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1391,6 +1448,8 @@ object Relational {
     "q_case_when" -> (caseWhen _),
     "q_sql_grouping_sets" -> (sqlGroupingSets _),
     "q_sql_pipe" -> (sqlPipe _),
+    "q_exec_immediate" -> (execImmediate _),
+    "q_sql_script" -> (sqlScript _),
     "q_unpivot" -> (unpivotCharges _),
     "q_recursive_depth" -> (recursiveDepth _),
     "q_sql_udf" -> (sqlUdfCharge _),
@@ -1920,6 +1979,29 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus
         |HAVING count(*) > 100
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // closed-form re-derivation of the script's exponential probe: the
+    // smallest k with count(price >= 1000·2^k) <= 100, plus that count
+    "q_sql_script" ->
+      """WITH ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 40)),
+        |cnt AS (
+        |  SELECT k, (SELECT count(*) FROM orders
+        |             WHERE o_totalprice >= 1000.0 * power(2, k)) AS n
+        |  FROM ks),
+        |pick AS (SELECT min(k) AS k FROM cnt WHERE n <= 100)
+        |SELECT p.k AS k_doublings,
+        |       CAST(1000.0 * power(2, p.k) AS DOUBLE) AS cutoff,
+        |       c.n AS n_above
+        |FROM pick p JOIN cnt c ON c.k = p.k""".stripMargin,
+
+    // the statically-bound equivalent of the EXECUTE IMMEDIATE ... USING
+    // parameter binding
+    "q_exec_immediate" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_sample_percentile" ->
       """WITH l AS (

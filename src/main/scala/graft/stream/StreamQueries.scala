@@ -979,6 +979,73 @@ object StreamQueries {
       .orderBy(col("user_id"), col("view_id"), col("buy_id"))
   }
 
+  /** STATE-STORE OBSERVABILITY under the hash oracle: after a checkpointed
+    * streaming aggregation drains (per-user count/Σid/min-max µs across 3
+    * time-ordered micro-batches), the checkpoint's state store itself is
+    * read back as a BATCH relation via Spark 4's `statestore` data source
+    * and hash-compared to the oracle's plain GROUP BY over `events`. This
+    * is a different claim from [[streamState]] (which gates the EMITTED
+    * rows): here the bytes persisted in the state store — the thing a
+    * restart recovers from, the thing an operator debugs with — must
+    * reconstruct the relational aggregate exactly. Together with
+    * `q_stream_resume` (recovery replays correctly) this closes the loop:
+    * the state is right, and restarting from it is right. Key/value struct
+    * columns are unnested positionally (the store's internal value-row
+    * field names are an implementation detail; its FIELD ORDER is the
+    * aggregation schema, which we pin). At scale the same reader is the
+    * ops tool for state-size audits and skew triage: it is partitioned by
+    * `partition_id`, so a 1000-executor cluster scans a TB-sized RocksDB
+    * checkpoint in parallel without touching the running stream. */
+  def streamStateRead(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_state_read") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      (0 to 2).foreach { i =>
+        ev.filter(col("event_id") % 3 === i)
+          .coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(replay)
+        stampStage(replay, i)
+      }
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val agg = src.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.count() // force the micro-batch (foreachBatch is lazy —
+          (): Unit      // no action, no state update); rows discarded:
+        }               // the QUERY RESULT here is the checkpoint, read below
+        .start()
+      q.awaitTermination()
+      val state = s.read.format("statestore").load(chk)
+      val keyF = state.select(col("key.*")).columns
+      val valF = state.select(col("value.*")).columns
+      state.select(
+          col(s"key.`${keyF(0)}`").cast(LongType).as("user_id"),
+          col(s"value.`${valF(0)}`").cast(LongType).as("n_events"),
+          col(s"value.`${valF(1)}`").cast(LongType).as("sum_ids"),
+          col(s"value.`${valF(2)}`").cast(LongType).as("first_us"),
+          col(s"value.`${valF(3)}`").cast(LongType).as("last_us"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(out).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -994,6 +1061,7 @@ object StreamQueries {
     "q_stream_resume" -> (streamResume _),
     "q_stream_outer" -> (streamOuter _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
+    "q_stream_state_read" -> (streamStateRead _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -1081,6 +1149,19 @@ object StreamQueries {
         |ORDER BY window_us, event_type""".stripMargin,
     // cross-batch state carry must reconstruct the plain GROUP BY exactly
     "q_stream_state" ->
+      """SELECT user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       min(epoch_us(ts)) AS first_us,
+        |       max(epoch_us(ts)) AS last_us
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // the CHECKPOINT'S STATE STORE (read back via the statestore batch
+    // source) must reconstruct the plain GROUP BY exactly — same relation
+    // as q_stream_state but asserted on the persisted state, not the
+    // emitted rows
+    "q_stream_state_read" ->
       """SELECT user_id,
         |       count(*) AS n_events,
         |       CAST(sum(event_id) AS BIGINT) AS sum_ids,

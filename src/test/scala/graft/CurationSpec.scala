@@ -332,6 +332,33 @@ class CurationSpec extends SparkSpec {
     assert(dist.values.max <= 60L)
   }
 
+  test("harmonic landmarks match an exact JVM BFS recompute of the same graph") {
+    val n = Tables(spark, sf001, "documents").count()
+    val got = Curation.harmonicLandmarks(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // rebuild the derived graph (+1, +2, *31+7 ring chords) in memory
+    val adj = Array.fill(n.toInt)(scala.collection.mutable.Set.empty[Int])
+    for (u <- 0 until n.toInt;
+         v <- Seq((u + 1) % n.toInt, (u + 2) % n.toInt,
+           ((u.toLong * 31 + 7) % n).toInt) if u != v) {
+      adj(u) += v; adj(v) += u
+    }
+    val want = (0 until n.toInt by 97).map { src =>
+      var frontier = Set(src)
+      var dist = Map(src -> 0)
+      for (d <- 1 to 6) {
+        frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d)
+      }
+      (src.toLong, (dist.size - 1).toLong,
+        dist.values.filter(_ > 0).map(2520L / _).sum)
+    }
+    assert(got === want)
+    // the ring graph is connected and ~6-regular: six landmarks at
+    // sf0.001, each reaching a large fraction of the 500 docs in 6 hops
+    assert(got.size === 6 && got.forall(_._2 > 400L))
+  }
+
   test("cluster split: zero leakage by construction, naive split leaks") {
     val rows = Curation.clusterSplit(spark, sf001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

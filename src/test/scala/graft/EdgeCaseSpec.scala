@@ -106,6 +106,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("EXECUTE IMMEDIATE binds positional params to the static plan's rows") {
+    val dyn = graft.ops.Relational.execImmediate(spark, sf001).collect().toSeq
+    val static = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM orders_v
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect().toSeq
+    assert(dyn === static)
+    assert(dyn.size === 5) // all five priorities survive the filter
+    // binding is typed, not spliced: a quote in a USING string stays data
+    val probe = spark.sql(
+      "EXECUTE IMMEDIATE 'SELECT ? AS s' USING 'it''s data'")
+      .collect()(0).getString(0)
+    assert(probe === "it's data")
+  }
+
+  test("SQL scripting WHILE loop converges to the closed-form crossing") {
+    val r = graft.ops.Relational.sqlScript(spark, sf001).collect()
+    assert(r.length === 1)
+    val k = r(0).getLong(0)
+    def above(kk: Long): Long = spark.table("orders_v")
+      .filter(col("o_totalprice") >= 1000.0 * math.pow(2, kk.toDouble))
+      .count()
+    // k is the FIRST doubling that brings the count to <= 100
+    assert(above(k) <= 100L)
+    assert(k === 0L || above(k - 1) > 100L)
+    assert(r(0).getDouble(1) === 1000.0 * math.pow(2, k.toDouble))
+    assert(r(0).getLong(2) === above(k))
+  }
+
   test("SQL pipe syntax desugars to the classic nesting exactly") {
     // q_sql_pipe's |> stages must produce the identical rows AND plan
     // family as the classic WHERE/GROUP BY/HAVING/ORDER BY phrasing

@@ -100,4 +100,24 @@ class LayoutSpec extends SparkSpec {
     assert(zPb < 48.0, s"z-order did not bound price span: $zPb")
     assert(oneDPb < 16.0, s"1-D layout should be tight on its own key: $oneDPb")
   }
+
+  test("q_zorder_zones: aligned Morton zones bound BOTH spans, 1-D zones don't") {
+    val rows = graft.ops.Audit.zorderZones(spark, sf001).collect()
+    val (m, b) = rows.partition(_.getString(0) == "morton")
+    assert(m.nonEmpty && b.nonEmpty)
+    // an aligned 256-cell z-range is a 16×16 Morton square
+    m.foreach { r =>
+      assert(r.getLong(3) <= 16L && r.getLong(4) <= 16L,
+        s"morton zone ${r.getLong(1)} spans ${r.getLong(3)}×${r.getLong(4)}")
+    }
+    // the b-sorted layout is tight on b but spans the whole a-domain
+    // (at sf0.001 only 15 users exist, so the domain is 15 wide, not 64)
+    val aSpan = Tables(spark, sf001, "events")
+      .agg(max(col("user_id") % 64) - min(col("user_id") % 64) + 1)
+      .head().getLong(0)
+    assert(b.forall(_.getLong(4) <= 4L))
+    assert(b.exists(_.getLong(3) === aSpan))
+    // both layouts cover every row exactly once
+    assert(m.map(_.getLong(2)).sum === b.map(_.getLong(2)).sum)
+  }
 }

@@ -734,6 +734,60 @@ class StreamingSpec extends SparkSpec {
     assert(st.map(_.getLong(1)).sum === 1000L)
   }
 
+  test("driver state-store read (q_stream_state_read) reconstructs the batch GROUP BY") {
+    import graft.stream.StreamQueries
+    // the statestore batch source reads the checkpoint the drained query
+    // left behind; the persisted state — not the emitted rows — must equal
+    // the relational aggregate
+    val st = StreamQueries.streamStateRead(spark, sf001).collect().toSeq
+    val batch = Tables(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(st === batch)
+    assert(st.size === 15) // independent DuckDB literal over sf0.001
+    assert(st.map(_.getLong(1)).sum === 1000L)
+  }
+
+  test("state-metadata source exposes a checkpoint's operator and partitioning") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_statemeta_").toString
+    val ms = MemoryStream[Ev]
+    ms.addData(mkEvents())
+    val q = ms.toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("statemeta_probe")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", chk)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val meta = spark.read.format("state-metadata").load(chk)
+      .select("operatorId", "operatorName", "stateStoreName", "numPartitions")
+      .collect()
+    assert(meta.length === 1)
+    assert(meta(0).getLong(0) === 0L)
+    assert(meta(0).getString(1) === "stateStoreSave")
+    assert(meta(0).getString(2) === "default")
+    // the session's shuffle-partition setting is the state partition count
+    assert(meta(0).getInt(3) ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // and the statestore source re-reads exactly the per-user counts —
+    // positionally: the value row keeps the BUFFER field names (`count`),
+    // not the query's output aliases
+    val st = spark.read.format("statestore").load(chk)
+    val valField = st.select(col("value.*")).columns.head
+    val got = st.select(col("key.user_id"),
+        col(s"value.`$valField`").cast("long").as("n"))
+      .orderBy("user_id").collect().toSeq
+    val want = mkEvents().toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).orderBy("user_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("driver streaming query (q_stream_tws) equals the batch per-user dominant type") {
     import graft.stream.StreamQueries
     // transformWithState MapState counts on RocksDB, accumulated across
