@@ -448,9 +448,43 @@ object Audit {
       .orderBy(col("layout"), col("zone"))
   }
 
+  /** Hilbert clustering audit — [[zorderZones]]'s companion on the
+    * stronger curve ([[graft.ops.Layout.withHilbert]]). Runs over the
+    * DISTINCT occupied cells of the (user%64, event%64) grid so the hash
+    * checks the Hilbert key of every cell, then audits the aligned
+    * 256-cell ranges: each is an exact 16×16 square (the curve is a
+    * quadtree traversal — same guarantee as Morton), and `max_step` — the
+    * largest Manhattan distance between curve-consecutive occupied cells
+    * inside a zone — pins the property Morton does NOT have: on a full
+    * grid every Hilbert step is exactly 1 (Morton seams jump up to 63),
+    * which is why a contiguous Hilbert key-range is one connected blob
+    * and the better range-scan layout. LayoutSpec proves step≡1 and
+    * 16×16 exactly on a constructed full grid; here sparse cells at tiny
+    * SFs merely raise max_step identically on both engines. */
+  def hilbertZones(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "events")
+      .select((col("user_id") % 64).as("a"), (col("event_id") % 64).as("b"))
+      .distinct()
+    val keyed = graft.ops.Layout.withHilbert(cells, col("a"), col("b"), 6, "d")
+      .withColumn("zone", expr("d div 256"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("zone")).orderBy(col("d"))
+    keyed
+      .withColumn("step",
+        coalesce(abs(col("a") - lag("a", 1).over(w)) +
+          abs(col("b") - lag("b", 1).over(w)), lit(0L)))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_cells"),
+        (max(col("a")) - min(col("a")) + 1).as("span_a"),
+        (max(col("b")) - min(col("b")) + 1).as("span_b"),
+        max(col("step")).as("max_step"))
+      .orderBy(col("zone"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_observe_audit" -> (observeAudit _),
     "q_zorder_zones" -> (zorderZones _),
+    "q_hilbert_zones" -> (hilbertZones _),
     "q_col_entropy" -> (colEntropy _),
     "q_rendezvous" -> (rendezvous _),
     "q_zone_map" -> (zoneMap _),
@@ -536,6 +570,45 @@ object Audit {
         |       CAST(span_b AS BIGINT) AS span_b
         |FROM (SELECT * FROM m UNION ALL SELECT * FROM s)
         |ORDER BY layout, zone""".stripMargin,
+    // the Hilbert key re-derived level-by-level in pure integer CASE
+    // arithmetic (Gray-code quadrant 0,1,3,2 + frame reflection — no
+    // engine bitwise ops), per-level columns x0..x6/y0..y6/d0..d6 so no
+    // alias ever shadows a base column on either engine
+    "q_hilbert_zones" -> {
+      def level(s: Int, k: Int): String = {
+        val (x, y, d) = (s"x$k", s"y$k", s"d$k")
+        s"""h${k + 1} AS (
+           |  SELECT a, b,
+           |    $d + ${s * s} * (CASE WHEN ($y // $s) % 2 = 1
+           |        THEN (CASE WHEN ($x // $s) % 2 = 1 THEN 2 ELSE 1 END)
+           |        ELSE (CASE WHEN ($x // $s) % 2 = 1 THEN 3 ELSE 0 END)
+           |      END) AS d${k + 1},
+           |    CASE WHEN ($y // $s) % 2 = 1 THEN $x
+           |         WHEN ($x // $s) % 2 = 0 THEN $y ELSE 63 - $y
+           |      END AS x${k + 1},
+           |    CASE WHEN ($y // $s) % 2 = 1 THEN $y
+           |         WHEN ($x // $s) % 2 = 0 THEN $x ELSE 63 - $x
+           |      END AS y${k + 1}
+           |  FROM h$k)""".stripMargin
+      }
+      val levels = Seq(32, 16, 8, 4, 2, 1).zipWithIndex
+        .map { case (s, k) => level(s, k) }.mkString(",\n")
+      s"""WITH ab AS (
+         |  SELECT DISTINCT user_id % 64 AS a, event_id % 64 AS b FROM events),
+         |h0 AS (SELECT a, b, a AS x0, b AS y0, 0 AS d0 FROM ab),
+         |$levels,
+         |st AS (
+         |  SELECT a, b, d6 // 256 AS zone, d6,
+         |    lag(a) OVER (PARTITION BY d6 // 256 ORDER BY d6) AS pa,
+         |    lag(b) OVER (PARTITION BY d6 // 256 ORDER BY d6) AS pb
+         |  FROM h6)
+         |SELECT CAST(zone AS BIGINT) AS zone, count(*) AS n_cells,
+         |  CAST(max(a) - min(a) + 1 AS BIGINT) AS span_a,
+         |  CAST(max(b) - min(b) + 1 AS BIGINT) AS span_b,
+         |  CAST(max(CASE WHEN pa IS NULL THEN 0
+         |    ELSE abs(a - pa) + abs(b - pb) END) AS BIGINT) AS max_step
+         |FROM st GROUP BY zone ORDER BY zone""".stripMargin
+    },
     "q_zone_map" -> zoneMapSql("lineitem"),
     "q_l_diversity" -> lDiversitySql("customer"),
     "q_k_anonymity" -> kAnonymitySql("customer"),

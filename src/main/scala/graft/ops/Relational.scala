@@ -413,6 +413,106 @@ object Relational {
     }
   }
 
+  /** Templated identifiers — `IDENTIFIER(:name)` (Spark 4): table and
+    * column names bind as PARAMETERS instead of string-spliced SQL text,
+    * the injection-safe half of dynamic SQL that [[execImmediate]]'s
+    * value-binding can't cover (a `?` can never be a table name). The
+    * identifier resolves at parse time, so the plan is byte-identical to
+    * the static text — same pushdown, same pruning. */
+  def sqlIdentifier(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(IDENTIFIER(:keycol)) AS min_key,
+        |  max(IDENTIFIER(:keycol)) AS max_key
+        |FROM IDENTIFIER(:tbl)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      Map("tbl" -> "orders_v", "keycol" -> "o_orderkey"))
+  }
+
+  /** Case-insensitive grouping via Spark 4 collations
+    * (`COLLATE UTF8_LCASE`) — the engine-native form of "group ignoring
+    * case": the collation rides the TYPE, so every comparison the plan
+    * makes (hash partitioning, group equality, the distinct) honors it
+    * with no per-row lower() rewrite in user code, and at 100 TB the
+    * grouping hash-shuffles exactly like any binary-string key. Case
+    * variants are minted deterministically from doc_id (the corpus
+    * itself is single-case); output keys are lowered + cast back to
+    * binary collation so the hash compares byte-stable strings. ASCII
+    * corpus ⇒ UTF8_LCASE grouping ≡ the oracle's lower() grouping
+    * (EdgeCaseSpec pins the equality/ordering semantics directly). */
+  def collationGroups(s: SparkSession, dir: String): DataFrame = {
+    val terms = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("w",
+        when(col("doc_id") % 3 === 0, upper(col("term")))
+          .when(col("doc_id") % 3 === 1,
+            concat(upper(substring(col("term"), 1, 1)),
+              substring(col("term"), 2, 1 << 20)))
+          .otherwise(col("term")))
+    terms
+      .groupBy(expr("collate(w, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("w")).as("n_variants"))
+      .select(lower(col("k")).cast("string").as("word"),
+        col("n"), col("n_variants"))
+      .orderBy(col("word"))
+  }
+
+  /** Per-process oracle-input base (same contract as
+    * [[graft.elb.ElbQueries]]'s: checkout-derived, pid-suffixed so
+    * concurrent bench/verify JVMs never race on part files). */
+  private val OracleInputDir: String = {
+    val base = sys.env.getOrElse("GRAFT_ORACLE_INPUT_DIR",
+      s"${sys.props("user.dir")}/target/oracle_inputs")
+    s"$base/p${ProcessHandle.current().pid()}"
+  }
+
+  /** (session, dir)s whose evolved-orders fixture this process has
+    * written — computeIfAbsent-style guard via a concurrent set; the
+    * fixture is deterministic so later constructions reuse the bytes. */
+  private val evolvedWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  private def evolvedOrdersPath(s: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val out = s"$OracleInputDir/evolved_orders_$safe"
+    if (evolvedWritten.add((s, dir))) {
+      val o = t(s, dir, "orders")
+      // batch=1 predates the column; batch=2 added o_orderpriority
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=2")
+    }
+    out
+  }
+
+  /** Schema evolution on read — `mergeSchema` over hive-partitioned
+    * parquet whose shards DISAGREE on columns (a column added mid-year:
+    * the defining shape of any multi-year 100 TB lake). Spark unions the
+    * file schemas (absent columns → null) and discovers the partition
+    * column from the directory layout; the oracle reads the SAME bytes
+    * via union_by_name. Footer-only work at planning time — no data scan
+    * to build the merged schema. Exact-integer aggregates per batch pin
+    * both the null-fill and the partition discovery. */
+  def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = evolvedOrdersPath(s, dir)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("n_no_priority"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .select(col("batch").cast("long").as("batch"), col("n"),
+        col("n_no_priority"), col("sum_keys"), col("n_priorities"))
+      .orderBy(col("batch"))
+  }
+
   /** Paging: ORDER BY ... OFFSET/LIMIT (deterministic keyset order). */
   def limitOffset(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1450,6 +1550,9 @@ object Relational {
     "q_sql_pipe" -> (sqlPipe _),
     "q_exec_immediate" -> (execImmediate _),
     "q_sql_script" -> (sqlScript _),
+    "q_sql_identifier" -> (sqlIdentifier _),
+    "q_collation" -> (collationGroups _),
+    "q_schema_merge" -> (schemaMerge _),
     "q_unpivot" -> (unpivotCharges _),
     "q_recursive_depth" -> (recursiveDepth _),
     "q_sql_udf" -> (sqlUdfCharge _),
@@ -2002,6 +2105,47 @@ object Relational {
         |FROM orders
         |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the statically-named equivalent of IDENTIFIER(:tbl)/(:keycol)
+    "q_sql_identifier" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // UTF8_LCASE grouping re-derived as lower() grouping (ASCII corpus)
+    "q_collation" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |w AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN upper(term)
+        |              WHEN doc_id % 3 = 1
+        |                THEN upper(substr(term, 1, 1)) || substr(term, 2)
+        |              ELSE term END AS w
+        |  FROM t WHERE length(term) > 0)
+        |SELECT lower(w) AS word, count(*) AS n,
+        |       count(DISTINCT w) AS n_variants
+        |FROM w GROUP BY lower(w) ORDER BY word""".stripMargin,
+
+    // the evolved shards are a deterministic function of orders, so the
+    // oracle re-derives the by-name union (absent column → NULL) from the
+    // base table — any mergeSchema/null-fill/partition-discovery drift on
+    // the Spark side breaks the hash
+    "q_schema_merge" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |         1 AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, 2 AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_no_priority,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM evolved GROUP BY batch ORDER BY batch""".stripMargin,
 
     "q_sample_percentile" ->
       """WITH l AS (

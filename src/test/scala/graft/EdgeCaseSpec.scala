@@ -124,6 +124,60 @@ class EdgeCaseSpec extends SparkSpec {
     assert(probe === "it's data")
   }
 
+  test("IDENTIFIER(:name) binds table/column names; injection fails to parse") {
+    val dyn = graft.ops.Relational.sqlIdentifier(spark, sf001).collect().toSeq
+    val static = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders_v
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      .collect().toSeq
+    assert(dyn === static)
+    // an identifier parameter is a NAME, not spliced SQL: a predicate
+    // smuggled into it must fail to resolve, never execute
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM IDENTIFIER(:t)",
+        Map("t" -> "orders_v WHERE o_orderkey < 0")).collect()
+    }
+  }
+
+  test("UTF8_LCASE collation: equality, grouping, and ordering ignore case") {
+    // equality under the collated type
+    val eq = spark.sql(
+      "SELECT 'SPARK' COLLATE UTF8_LCASE = 'spark' AS same").head().getBoolean(0)
+    assert(eq)
+    // grouping: the collated key folds case variants into one group
+    val grouped = Seq("Scan", "SCAN", "scan", "sort")
+      .toDF("w")
+      .groupBy(expr("collate(w, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(lower(col("k")).cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(grouped === Map("scan" -> 3L, "sort" -> 1L))
+    // ordering: case-insensitive sort interleaves cases by letter
+    val ordered = Seq("b", "A", "a", "B").toDF("w")
+      .orderBy(expr("collate(w, 'UTF8_LCASE')").asc, col("w"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ordered === Seq("A", "a", "B", "b"))
+    // and the oracled query: minted variants fold back to the base corpus
+    val rows = graft.ops.Relational.collationGroups(spark, sf001).collect()
+    assert(rows.forall(r => r.getString(0) == r.getString(0).toLowerCase))
+    assert(rows.exists(_.getLong(2) > 1L), "no case variants were minted")
+  }
+
+  test("mergeSchema unions evolving shard schemas; absent columns null-fill") {
+    val merged = graft.ops.Relational.schemaMerge(spark, sf001).collect()
+    assert(merged.length === 2)
+    val byBatch = merged.map(r => r.getLong(0) -> r).toMap
+    // batch 1 predates the column: every row null; batch 2 has all 5
+    assert(byBatch(1L).getLong(2) === byBatch(1L).getLong(1))
+    assert(byBatch(2L).getLong(2) === 0L)
+    assert(byBatch(2L).getLong(4) === 5L)
+    // nothing lost across the evolution
+    val total = merged.map(_.getLong(1)).sum
+    assert(total === Tables(spark, sf001, "orders").count())
+  }
+
   test("SQL scripting WHILE loop converges to the closed-form crossing") {
     val r = graft.ops.Relational.sqlScript(spark, sf001).collect()
     assert(r.length === 1)

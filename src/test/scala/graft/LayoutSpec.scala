@@ -101,6 +101,49 @@ class LayoutSpec extends SparkSpec {
     assert(oneDPb < 16.0, s"1-D layout should be tight on its own key: $oneDPb")
   }
 
+  test("withHilbert on a full 64×64 grid: bijection, 16×16 aligned zones, unit steps") {
+    import graft.ops.Layout
+    val grid = spark.range(4096)
+      .withColumn("a", expr("id div 64"))
+      .withColumn("b", expr("id % 64"))
+    val cells = Layout.withHilbert(grid, col("a"), col("b"), 6, "d")
+      .select("a", "b", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // bijection onto [0, 4096)
+    val ds = cells.map(_._3)
+    assert(ds.distinct.length === 4096)
+    assert(ds.min === 0L && ds.max === 4095L)
+
+    // every aligned 256-cell range is an exact 16×16 square (quadtree
+    // traversal property — same min/max-skipping guarantee as Morton)
+    cells.groupBy(_._3 / 256).foreach { case (z, cs) =>
+      val (as, bs) = (cs.map(_._1), cs.map(_._2))
+      assert(as.max - as.min === 15L, s"zone $z a-span")
+      assert(bs.max - bs.min === 15L, s"zone $z b-span")
+    }
+
+    // the property Morton lacks: EVERY curve step is Manhattan distance 1
+    val byD = cells.sortBy(_._3)
+    byD.sliding(2).foreach { case Array((a0, b0, _), (a1, b1, _)) =>
+      assert(math.abs(a1 - a0) + math.abs(b1 - b0) === 1L)
+    }
+  }
+
+  test("q_hilbert_zones: occupied-cell zones stay inside 16×16 squares") {
+    val rows = graft.ops.Audit.hilbertZones(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 16L && r.getLong(3) <= 16L,
+        s"hilbert zone ${r.getLong(0)} spans ${r.getLong(2)}×${r.getLong(3)}")
+    }
+    // zones partition the occupied cells exactly once
+    val nCells = Tables(spark, sf001, "events")
+      .select((col("user_id") % 64).as("a"), (col("event_id") % 64).as("b"))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nCells)
+  }
+
   test("q_zorder_zones: aligned Morton zones bound BOTH spans, 1-D zones don't") {
     val rows = graft.ops.Audit.zorderZones(spark, sf001).collect()
     val (m, b) = rows.partition(_.getString(0) == "morton")
