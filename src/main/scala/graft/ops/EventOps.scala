@@ -46,6 +46,33 @@ object EventOps {
         round(avg(col("k")), 6).as("avg_k"))
       .orderBy(col("event_type"))
 
+  /** XML through Spark 4's built-in XML support — the third
+    * semi-structured path beside [[jsonExtract]]/[[variantExtract]]: each
+    * event renders to an XML fragment (deterministic concat — the text
+    * never reaches the oracle) with the type in an ATTRIBUTE and the
+    * id/k in nested ELEMENTS, then `from_xml` parses it back under an
+    * explicit schema (attributes surface under the default `_` prefix).
+    * The aggregate re-derives the source columns, so attribute parsing,
+    * element parsing, and integer text roundtrip are all hash-gated
+    * against the base table. All-exact-integer outputs; `from_xml` is a
+    * row-local scalar (no shuffle beyond the final aggregate), so the
+    * 100 TB shape is identical to the JSON path. */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("doc", concat(
+        lit("<event type=\""), col("event_type"),
+        lit("\"><id>"), col("event_id"),
+        lit("</id><k>"), get_json_object(col("props"), "$.k").cast("long"),
+        lit("</k></event>")))
+      .withColumn("p",
+        expr("from_xml(doc, '_type STRING, id BIGINT, k BIGINT')"))
+      .groupBy(col("p._type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.id")).as("sum_ids"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** Tumbling 1-minute load series: requests per minute + req/sec — the
     * label series for "predict the expected load in the next minute"
     * (R:19). Minute boundary = date_trunc, emitted as epoch µs. */
@@ -589,6 +616,7 @@ object EventOps {
     "q_latest_per_key" -> (latestPerKey _),
     "q_json_extract" -> (jsonExtract _),
     "q_variant_extract" -> (variantExtract _),
+    "q_xml_roundtrip" -> (xmlRoundtrip _),
     "q_load_per_minute" -> (loadPerMinute _),
     "q_sliding_load" -> (slidingLoad _),
     "q_asof_signup" -> (asofSignup _),
@@ -688,6 +716,14 @@ object EventOps {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the XML attribute/element parse must agree with the base columns
+    "q_xml_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_load_gapfill" ->

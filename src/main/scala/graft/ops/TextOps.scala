@@ -1109,6 +1109,87 @@ object TextOps {
       .limit(30)
   }
 
+  /** WordPiece greedy max-match encoding (Schuster & Nakajima '12; the
+    * BERT tokenizer's apply step) — the third subword surface beside the
+    * BPE merge chain ([[bpeEncode]]) and the unigram-LM Viterbi
+    * ([[unigramSegment]]): from each position take the LONGEST vocab
+    * piece that prefixes the remaining suffix, advance, repeat. The
+    * vocab is derived deterministically from the corpus (all single
+    * chars — guaranteed progress — plus length-2..4 substrings appearing
+    * in ≥ 5 distinct words).
+    *
+    * Scale shape: everything runs on the DISTINCT-word table, never the
+    * corpus (the [[bpeEncode]] memoization); the per-position best match
+    * is ONE equi broadcast-hash join (candidate substrings → vocab) +
+    * a (word, pos) window, and the greedy walk is `maxLen` fixed rounds
+    * of a small self-join with a localCheckpoint lineage cut — no
+    * per-round count jobs (the q_harmonic lesson: fixed-horizon loops
+    * shouldn't pay per-round convergence checks). */
+  def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+
+    val chars = words.select(explode(split(col("w"), "")).as("piece"))
+      .filter(length(col("piece")) > 0).distinct()
+    val subs = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("i"),
+        explode(array(lit(2), lit(3), lit(4))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("w")))
+      .select(col("w"), expr("substring(w, i, l)").as("piece"))
+      .distinct()
+      .groupBy(col("piece")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5).select(col("piece"))
+    val vocab = chars.union(subs).distinct()
+
+    // best (longest) vocab match per (word, position): equi join on the
+    // candidate substring, longest-wins window — at most one piece per
+    // length exists at a position, so the tie-break is vacuous
+    val best = words
+      .select(col("w"), explode(sequence(lit(0), length(col("w")) - 1)).as("pos"))
+      .select(col("w"), col("pos"),
+        explode(array(lit(1), lit(2), lit(3), lit(4))).as("l"))
+      .filter(col("pos") + col("l") <= length(col("w")))
+      .select(col("w"), col("pos"), col("l"),
+        expr("substring(w, pos + 1, l)").as("piece"))
+      .join(broadcast(vocab), Seq("piece"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("w"), col("pos")).orderBy(col("l").desc)))
+      .filter(col("rn") === 1)
+      .select(col("w").as("bw"), col("pos").as("bpos"),
+        col("piece"), col("l"))
+      .localCheckpoint()
+
+    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    require(maxLen <= 64,
+      s"wordpieceEncode: corpus word length $maxLen exceeds the 64-round cap")
+
+    var cur = words.select(col("w"), length(col("w")).as("wl"),
+      lit(0).as("pos"), lit(0L).as("n_pieces"), lit("").as("pieces"))
+    var round = 0
+    while (round < maxLen) {
+      val active = col("pos") < col("wl")
+      cur = cur.join(best,
+          cur("w") === col("bw") && cur("pos") === col("bpos"), "left")
+        .select(cur("w"), cur("wl"),
+          when(active, cur("pos") + col("l")).otherwise(cur("pos")).as("pos"),
+          when(active, cur("n_pieces") + 1)
+            .otherwise(cur("n_pieces")).as("n_pieces"),
+          when(active, when(cur("pieces") === "", col("piece"))
+            .otherwise(concat(cur("pieces"), lit(" "), col("piece"))))
+            .otherwise(cur("pieces")).as("pieces"))
+        .localCheckpoint()
+      round += 1
+    }
+    cur.join(words, Seq("w"))
+      .select(col("w").as("word"), col("wc").as("n_occ"),
+        col("n_pieces"), col("pieces"))
+      .orderBy(col("word"))
+  }
+
   /** Sparse-vector retrieval top-k — the TF-IDF twin of
     * [[VectorOps.cosineTopK]]: each query DOCUMENT (doc_id < 10) is itself
     * the sparse query vector, scored against the corpus through an
@@ -2160,6 +2241,7 @@ object TextOps {
     "q_tfidf" -> (tfidf _),
     "q_tfidf_retrieval" -> (tfidfRetrieval _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_wordpiece_encode" -> (wordpieceEncode _),
     "q_kn_bigram" -> (knBigram _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_mix" -> (sourceMix _),
@@ -2788,6 +2870,52 @@ object TextOps {
          |SELECT token, count(*) AS n_occ FROM sub GROUP BY token
          |ORDER BY n_occ DESC, token LIMIT 30""".stripMargin
     },
+
+    // WordPiece greedy max-match re-derived definitionally: the same
+    // corpus-derived vocab (chars ∪ df≥5 substrings of length 2-4), the
+    // same per-position longest-match table, and a recursive-CTE walk
+    "q_wordpiece_encode" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |chars AS (
+        |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+        |  FROM words, UNNEST(range(1, length(w) + 1)) AS t(i)),
+        |subs AS (
+        |  SELECT piece FROM (
+        |    SELECT DISTINCT w, substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece
+        |    FROM words,
+        |         UNNEST(range(1, length(w) + 1)) AS t(i),
+        |         UNNEST([2, 3, 4]) AS u(l)
+        |    WHERE i + l - 1 <= length(w))
+        |  GROUP BY piece HAVING count(*) >= 5),
+        |vocab AS (SELECT piece FROM chars UNION SELECT piece FROM subs),
+        |best AS (
+        |  SELECT w, pos, piece, len FROM (
+        |    SELECT wo.w, CAST(t.pos AS INT) AS pos, v.piece,
+        |      length(v.piece) AS len,
+        |      row_number() OVER (PARTITION BY wo.w, t.pos
+        |        ORDER BY length(v.piece) DESC) AS rn
+        |    FROM words wo,
+        |         UNNEST(range(0, length(wo.w))) AS t(pos),
+        |         vocab v
+        |    WHERE substr(wo.w, CAST(t.pos AS INT) + 1, length(v.piece)) = v.piece
+        |      AND t.pos + length(v.piece) <= length(wo.w))
+        |  WHERE rn = 1),
+        |walk AS (
+        |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS n_pieces, '' AS pieces
+        |  FROM words
+        |  UNION ALL
+        |  SELECT wk.w, wk.pos + b.len, wk.n_pieces + 1,
+        |    CASE WHEN wk.pieces = '' THEN b.piece
+        |         ELSE wk.pieces || ' ' || b.piece END
+        |  FROM walk wk JOIN best b ON b.w = wk.w AND b.pos = wk.pos
+        |  WHERE wk.pos < length(wk.w))
+        |SELECT wo.w AS word, wo.wc AS n_occ, wk.n_pieces, wk.pieces
+        |FROM walk wk JOIN words wo ON wo.w = wk.w
+        |WHERE wk.pos = length(wk.w)
+        |ORDER BY word""".stripMargin,
 
     "q_tfidf_retrieval" ->
       """WITH tok AS (

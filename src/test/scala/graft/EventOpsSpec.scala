@@ -22,6 +22,25 @@ class EventOpsSpec extends SparkSpec {
     assert(b.getAs[Double]("max_abs") <= 9000.0)
   }
 
+  test("XML roundtrip: attribute + element parse re-derives the base columns") {
+    import spark.implicits._
+    // the query itself must agree with the relational truth
+    val viaXml = graft.ops.EventOps.xmlRoundtrip(spark, sf001).collect()
+    val direct = Tables(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      .orderBy(col("event_type"))
+      .collect()
+    assert(viaXml.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // and to_xml is from_xml's inverse on a struct (escaping included)
+    val row = Seq(("a<b&c", 7L)).toDF("s", "v")
+      .select(expr("to_xml(struct(s, v))").as("doc"))
+      .select(expr("from_xml(doc, 's STRING, v BIGINT')").as("p"))
+      .select(col("p.s"), col("p.v")).head()
+    assert(row.getString(0) === "a<b&c" && row.getLong(1) === 7L)
+  }
+
   test("loadInterpolate: knowns kept exactly, holes bounded by their bracketing knowns") {
     val rows = EventOps.loadInterpolate(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -6,6 +6,39 @@ import graft.ops.{TextOps, VectorOps}
 
 class TextVectorSpec extends SparkSpec {
 
+  test("wordpiece greedy max-match: pieces respell the word, greed is honored") {
+    val rows = graft.ops.TextOps.wordpieceEncode(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // re-derive the vocab independently (chars ∪ df>=5 substrings, len 2-4)
+    val words = rows.map(_.getString(0))
+    val chars = words.flatMap(_.toSeq).map(_.toString).toSet
+    val subDf = words.flatMap { w =>
+      (for {
+        l <- 2 to 4
+        i <- 0 to w.length - l
+      } yield w.substring(i, i + l)).distinct
+    }.groupBy(identity).collect { case (p, os) if os.length >= 5 => p }.toSet
+    val vocab = chars ++ subDf
+    rows.foreach { r =>
+      val (w, n, pieces) = (r.getString(0), r.getLong(2), r.getString(3))
+      val ps = pieces.split(" ").toSeq
+      assert(ps.length.toLong === n)
+      assert(ps.mkString("") === w, s"pieces don't respell $w")
+      assert(ps.forall(vocab.contains), s"non-vocab piece for $w")
+      // greedy: each piece is the LONGEST vocab prefix of its suffix
+      var pos = 0
+      ps.foreach { p =>
+        val suffix = w.substring(pos)
+        val longest = (1 to math.min(4, suffix.length)).reverse
+          .map(suffix.take).find(vocab.contains).get
+        assert(p === longest, s"$w@$pos took $p, greedy wants $longest")
+        pos += p.length
+      }
+    }
+    // multi-char pieces actually fire somewhere (vocab isn't chars-only)
+    assert(rows.exists(_.getString(3).split(" ").exists(_.length > 1)))
+  }
+
   test("containment scores an embedded excerpt ~1.0 where jaccard stays low") {
     import spark.implicits._
     // doc 2 contains doc 1's text verbatim inside a much longer body:
