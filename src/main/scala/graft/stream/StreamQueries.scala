@@ -1046,6 +1046,72 @@ object StreamQueries {
     s.read.parquet(out).orderBy(col("user_id"))
   }
 
+  /** CHAINED STATEFUL AGGREGATIONS in one streaming query (Spark 3.4+
+    * multi-stateful-operator support): a per-(user, 10-min window) count
+    * feeds a per-hour rollup of those buckets — TWO state stores, one
+    * watermark, one query. Level-1 windows finalize when the watermark
+    * passes their end; level-2 consumes them re-timestamped via
+    * `window_time` (window end − 1 µs), so watermark propagation, not a
+    * second withWatermark, gates the rollup. Append mode is REQUIRED for
+    * chaining (the upstream agg must emit finalized rows downstream).
+    *
+    * Determinism on the bounded replay: three TIME-ORDERED slices
+    * (strictly-newer batches ⇒ nothing late-dropped at delay 0) + the
+    * final no-data batch advance the watermark to max(ts) exactly, so the
+    * emitted set is precisely the hour windows with end ≤ max(ts) — the
+    * same withheld-tail contract as [[streamOuter]], re-derived by the
+    * oracle from `events` alone. At 100 TB this is the streaming-rollup
+    * pattern (minute → hour → day) that otherwise costs one query + one
+    * intermediate topic per grain. */
+  def streamChained(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_chained") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val ev = graft.Tables(s, dir, "events").select(col("user_id"), col("ts"))
+      val Array(loUs, hiUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val width = (hiUs - loUs) / 3L + 1L
+      val sliced = ev.withColumn("sl",
+        least(lit(2L), expr(s"(unix_micros(ts) - ${loUs}L) div ${width}L")))
+      (0 to 2).foreach { i =>
+        sliced.filter(col("sl") === i).drop("sl")
+          .coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(replay)
+        stampStage(replay, i)
+      }
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val perUserBucket = src
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val hourly = perUserBucket
+        .groupBy(window(window_time(col("window")), "1 hour"))
+        .agg(count(lit(1)).as("n_user_buckets"),
+          sum(col("n")).as("n_events"),
+          max(col("n")).as("max_bucket"))
+        .select(unix_micros(col("window.start")).as("hour_us"),
+          col("n_user_buckets"), col("n_events"), col("max_bucket"))
+      val q = hourly.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      out
+    }
+    s.read.parquet(out).orderBy(col("hour_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -1062,6 +1128,7 @@ object StreamQueries {
     "q_stream_outer" -> (streamOuter _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_stream_state_read" -> (streamStateRead _),
+    "q_stream_chained" -> (streamChained _),
   )
 
   /** session_window's half-open interval: new session when gap >= 15 min
@@ -1303,5 +1370,23 @@ object StreamQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, wk""".stripMargin,
+    // chained rollup: the emitted set is exactly the hour windows whose
+    // end <= the final watermark (ms resolution — Spark tracks the
+    // watermark in milliseconds), re-derived from events alone; every
+    // 10-min bucket inside an emitted hour necessarily finalized first
+    "q_stream_chained" ->
+      """WITH wm AS (
+        |  SELECT (max(epoch_us(ts)) // 1000) * 1000 AS wm_us FROM events),
+        |b AS (
+        |  SELECT user_id, epoch_us(ts) // 600000000 AS bkt, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT bkt // 6 AS hr, n FROM b)
+        |SELECT CAST(hr * 3600000000 AS BIGINT) AS hour_us,
+        |  count(*) AS n_user_buckets,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(n) AS max_bucket
+        |FROM h, wm
+        |WHERE (hr + 1) * 3600000000 <= wm.wm_us
+        |GROUP BY hr ORDER BY hour_us""".stripMargin,
   )
 }

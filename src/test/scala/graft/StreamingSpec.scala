@@ -61,6 +61,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === 9, "3 users x 3 sessions")
   }
 
+  test("chained windowed aggs: two state stores, rollup gated by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = ms.toDF().toDF("user_id", "ts")
+    val lvl1 = src.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val hourly = lvl1
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(count(lit(1)).as("n_user_buckets"), sum(col("n")).as("n_events"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("n_user_buckets"), col("n_events"))
+    val q = hourly.writeStream.format("memory").queryName("chained_mem")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 10: user 1 has buckets 10:00(2 hits) + 10:15(1); user 2 one
+      ms.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+        (1L, ts("2024-01-01 10:15:00")), (2L, ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      assert(spark.table("chained_mem").count() === 0,
+        "hour emitted before the watermark passed its end")
+      // advance the watermark past 11:00 → hour 10 finalizes end-to-end
+      ms.addData((3L, ts("2024-01-01 12:05:00")))
+      q.processAllAvailable()
+      ms.addData((3L, ts("2024-01-01 12:06:00")))
+      q.processAllAvailable()
+      val rows = spark.table("chained_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val hour10 = ts("2024-01-01 10:00:00").getTime * 1000L
+      assert(rows === Seq((hour10, 3L, 4L)),
+        s"unexpected chained emission: $rows")
+      // the defining property: ONE query, TWO stateful operators
+      assert(q.lastProgress.stateOperators.length === 2,
+        "chained aggregation did not run as two stateful operators")
+    } finally q.stop()
+  }
+
+  test("q_stream_chained equals the batch two-level rollup under the cutoff") {
+    val streamed = graft.stream.StreamQueries.streamChained(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables(spark, sf001, "events")
+    val wmUs = ev.agg(expr("max(unix_micros(ts)) div 1000 * 1000"))
+      .head().getLong(0)
+    val batch = ev
+      .groupBy(expr("unix_micros(ts) div 600000000").as("bkt"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hr", expr("bkt div 6"))
+      .filter((col("hr") + 1L) * 3600000000L <= wmUs)
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("nb"), sum(col("n")).as("ne"), max(col("n")).as("mx"))
+      .select((col("hr") * 3600000000L).as("hour_us"), col("nb"), col("ne"), col("mx"))
+      .orderBy(col("hour_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("late data beyond watermark is dropped from streaming per-minute load") {
     implicit val sqlCtx = spark.sqlContext
     val base = ts("2015-07-22 09:00:00").getTime
