@@ -873,9 +873,56 @@ object MlPrep {
       .orderBy("col")
   }
 
+  /** MLM corruption plan (Devlin '18 BERT §3.1: select 15 % of tokens;
+    * of those 80 % → `[MASK]`, 10 % → a random vocab token, 10 % kept) —
+    * the masked-LM training-data prep step, made REPRODUCIBLE: the draw
+    * is a seeded md5 over (doc, position) exactly like [[q_hash_split]]'s
+    * bucket draw, so the corruption is a pure function of the corpus —
+    * re-runs, backfills, and the DuckDB oracle all derive the identical
+    * plan (no RNG state to ship). The random-replacement token indexes
+    * the SAME ranked vocabulary as `q_vocab` (broadcast join — the vocab
+    * is orders of magnitude smaller than the corpus), and the corrupted
+    * text is rebuilt with an order-pinned array_sort(collect_list) so the
+    * full corrupted string — not just counts — rides the hash. Per-token
+    * work is one md5 + arithmetic, embarrassingly parallel; the only
+    * shuffles are the vocab build and the per-doc regroup. */
+  def mlmMask(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+    val voc = graft.ops.TextOps.vocab(s, dir).select(col("token_id"), col("term"))
+    val planed = toks
+      .withColumn("h", conv(substring(md5(concat(
+        lit("graft-mlm:"), col("doc_id").cast("string"),
+        lit(":"), col("pos").cast("string"))), 1, 4), 16, 10).cast("long"))
+      .withColumn("sel", col("h") % 100 < 15)
+      .withColumn("sub", expr("(h div 100) % 10"))
+      .crossJoin(broadcast(voc.agg(count(lit(1)).as("v_size"))))
+      .withColumn("rid", expr("(h div 1000) % v_size + 1"))
+      .join(broadcast(voc), col("rid") === col("token_id"), "left")
+      .withColumn("out_tok",
+        when(!col("sel"), col("tok"))
+          .when(col("sub") <= 7, lit("[MASK]"))
+          .when(col("sub") === 8, col("term"))
+          .otherwise(col("tok")))
+    planed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("sel") && col("sub") <= 7, 1L).otherwise(0L))
+          .as("n_masked"),
+        sum(when(col("sel") && col("sub") === 8, 1L).otherwise(0L))
+          .as("n_random"),
+        sum(when(col("sel") && col("sub") === 9, 1L).otherwise(0L))
+          .as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, out_tok))), x -> x.out_tok), ' ')").as("corrupted"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mlm_mask" -> (mlmMask _),
     "q_substring_dedup" -> (substringDedup _),
     "q_line_dedup" -> (lineDedup _),
     "q_golden_record" -> (goldenRecord _),
@@ -901,6 +948,47 @@ object MlPrep {
     "q_gram_matrix" -> (gramMatrix _))
 
   val oracleSql: Map[String, String] = Map(
+    // the same seeded-md5 corruption plan re-derived definitionally:
+    // identical draws, identical ranked vocab, identical rebuilt text
+    "q_mlm_mask" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+        |        FROM documents) d,
+        |       UNNEST(range(1, len(parts) + 1)) AS r(i)),
+        |h AS (
+        |  SELECT doc_id, pos, tok,
+        |    ('0x' || substr(md5('graft-mlm:' || CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(pos AS VARCHAR)), 1, 4))::BIGINT AS h
+        |  FROM toks),
+        |voc AS (
+        |  SELECT row_number() OVER (ORDER BY n DESC, term) AS token_id, term
+        |  FROM (SELECT term, count(*) AS n FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS term
+        |          FROM documents)
+        |        WHERE length(term) > 0 GROUP BY term)),
+        |v AS (SELECT count(*) AS v_size FROM voc),
+        |plan AS (
+        |  SELECT doc_id, pos, tok, h % 100 < 15 AS sel, (h // 100) % 10 AS sub,
+        |    ((h // 1000) % v.v_size) + 1 AS rid
+        |  FROM h, v),
+        |outt AS (
+        |  SELECT p.doc_id, p.pos, p.sel, p.sub,
+        |    CASE WHEN NOT p.sel THEN p.tok
+        |         WHEN p.sub <= 7 THEN '[MASK]'
+        |         WHEN p.sub = 8 THEN voc.term
+        |         ELSE p.tok END AS out_tok
+        |  FROM plan p LEFT JOIN voc ON voc.token_id = p.rid)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |  CAST(sum(CASE WHEN sel AND sub <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  CAST(sum(CASE WHEN sel AND sub = 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_random,
+        |  CAST(sum(CASE WHEN sel AND sub = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  string_agg(out_tok, ' ' ORDER BY pos) AS corrupted
+        |FROM outt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_substring_dedup" ->
       s"""WITH w AS (
          |  SELECT doc_id, substr(text, CAST(p AS INT), $GramLen) AS gram

@@ -14,6 +14,42 @@ class MlPrepSpec extends SparkSpec {
 
   private def u(s: String) = UTF8String.fromString(s)
 
+  test("mlm corruption plan matches a full in-memory re-derivation") {
+    val rows = MlPrep.mlmMask(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val docsM = Tables(spark, sf001, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent vocab: count desc, term asc, 1-based ids
+    val vocab = docsM.values.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, os) => (t, os.size) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.map(_._1).toIndexedSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var (tot, sel) = (0L, 0L)
+    rows.foreach { r =>
+      val (id, cor) = (r.getLong(0), r.getString(6))
+      val orig = docsM(id).split(" ", -1)
+      val expected = orig.zipWithIndex.map { case (tok, pos) =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"graft-mlm:$id:$pos").take(4), 16)
+        if (h % 100 >= 15) tok
+        else (h / 100) % 10 match {
+          case s if s <= 7 => "[MASK]"
+          case 8 => vocab(((h / 1000) % vocab.size).toInt)
+          case _ => tok
+        }
+      }
+      assert(cor === expected.mkString(" "), s"doc $id corruption drifted")
+      assert(r.getLong(1) === orig.length.toLong)
+      assert(r.getLong(2) === r.getLong(3) + r.getLong(4) + r.getLong(5))
+      tot += r.getLong(1); sel += r.getLong(2)
+    }
+    // the selection rate is the designed 15 % (md5 uniformity)
+    val rate = sel.toDouble / tot
+    assert(rate > 0.10 && rate < 0.20, s"selection rate $rate")
+  }
+
   test("nfc composes combining marks; idempotent and ASCII-stable") {
     assert(TextNormalizers.nfc(u("a\u0301")).toString == "\u00e1")
     assert(TextNormalizers.nfc(u("\u00e1")).toString == "\u00e1")
