@@ -919,10 +919,68 @@ object MlPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** T5 span corruption (Raffel '20 §3.1.4: mask contiguous SPANS, not
+    * single tokens; each masked run is replaced by ONE numbered sentinel
+    * in the input, and the target spells the sentinels + original spans)
+    * — the seq-to-seq denoising twin of [[mlmMask]], built as (input,
+    * target) TRAINING PAIRS with the same seeded-md5 reproducibility: a
+    * token STARTS a 3-token span when its (doc, position) draw < 5 %
+    * (expected mask rate 1−0.95³ ≈ 14 %, the T5 default's
+    * neighborhood); overlapping spans merge into one run (classic
+    * gaps-and-islands: pos − row_number over masked rows), and runs
+    * number left-to-right into `<extra_id_k>`. Both full strings ride
+    * the hash. Plan: per-token md5 + a 3-row rolling max + two
+    * doc-keyed windows on the MASKED subset + one per-doc regroup —
+    * every shuffle is on doc_id, so one exchange serves all of it. */
+  def spanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("h", conv(substring(md5(concat(
+        lit("graft-t5:"), col("doc_id").cast("string"),
+        lit(":"), col("pos").cast("string"))), 1, 4), 16, 10).cast("long"))
+      .withColumn("start", (col("h") % 100 < 5).cast("int"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val flagged = toks.withColumn("masked",
+      max(col("start")).over(byDoc.rowsBetween(-2, 0)) === 1)
+    // runs among masked tokens: grp = pos - rank-among-masked; k = run no.
+    val runs = flagged.filter(col("masked"))
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .withColumn("k", dense_rank().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("grp"))) - 1)
+      .withColumn("first_of_run",
+        row_number().over(Window.partitionBy(col("doc_id"), col("grp"))
+          .orderBy(col("pos"))) === 1)
+      .select(col("doc_id"), col("pos"), col("k"), col("first_of_run"))
+    val joined = flagged.join(runs, Seq("doc_id", "pos"), "left")
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), col("k").cast("string"), lit(">")))
+      .withColumn("in_tok",
+        when(!col("masked"), col("tok"))
+          .when(col("first_of_run"), col("sentinel"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("tgt_tok",
+        when(!col("masked"), lit(null).cast("string"))
+          .when(col("first_of_run"), concat(col("sentinel"), lit(" "), col("tok")))
+          .otherwise(col("tok")))
+    def pinned(c: String): Column = expr(
+      s"array_join(transform(array_sort(collect_list(" +
+        s"CASE WHEN $c IS NOT NULL THEN struct(pos, $c) END)), " +
+        s"x -> x.$c), ' ')")
+    joined.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        countDistinct(when(col("first_of_run"), col("k"))).as("n_spans"),
+        pinned("in_tok").as("input_text"),
+        pinned("tgt_tok").as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mlm_mask" -> (mlmMask _),
+    "q_span_corrupt" -> (spanCorrupt _),
     "q_substring_dedup" -> (substringDedup _),
     "q_line_dedup" -> (lineDedup _),
     "q_golden_record" -> (goldenRecord _),
@@ -948,6 +1006,50 @@ object MlPrep {
     "q_gram_matrix" -> (gramMatrix _))
 
   val oracleSql: Map[String, String] = Map(
+    // the same seeded span plan: 5% span starts, 3-token spans merged via
+    // gaps-and-islands, sentinels numbered left-to-right, both strings
+    "q_span_corrupt" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+        |        FROM documents) d,
+        |       UNNEST(range(1, len(parts) + 1)) AS r(i)),
+        |h AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5('graft-t5:' || CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(pos AS VARCHAR)), 1, 4))::BIGINT % 100 < 5
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM toks),
+        |fl AS (
+        |  SELECT *, max(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked
+        |  FROM h),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM fl WHERE masked),
+        |rk AS (
+        |  SELECT doc_id, pos,
+        |    dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k,
+        |    row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) = 1
+        |      AS first_of_run
+        |  FROM runs),
+        |o AS (
+        |  SELECT f.doc_id, f.pos, f.masked, r.first_of_run, r.k,
+        |    CASE WHEN NOT f.masked THEN f.tok
+        |         WHEN r.first_of_run
+        |           THEN '<extra_id_' || CAST(r.k AS VARCHAR) || '>' END AS in_tok,
+        |    CASE WHEN NOT f.masked THEN NULL
+        |         WHEN r.first_of_run
+        |           THEN '<extra_id_' || CAST(r.k AS VARCHAR) || '>' || ' ' || f.tok
+        |         ELSE f.tok END AS tgt_tok
+        |  FROM fl f LEFT JOIN rk r ON r.doc_id = f.doc_id AND r.pos = f.pos)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  count(DISTINCT CASE WHEN first_of_run THEN k END) AS n_spans,
+        |  coalesce(string_agg(in_tok, ' ' ORDER BY pos), '') AS input_text,
+        |  coalesce(string_agg(tgt_tok, ' ' ORDER BY pos), '') AS target_text
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the same seeded-md5 corruption plan re-derived definitionally:
     // identical draws, identical ranked vocab, identical rebuilt text
     "q_mlm_mask" ->

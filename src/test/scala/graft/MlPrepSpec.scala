@@ -50,6 +50,44 @@ class MlPrepSpec extends SparkSpec {
     assert(rate > 0.10 && rate < 0.20, s"selection rate $rate")
   }
 
+  test("span corruption: (input, target) pairs splice back to the original") {
+    val rows = MlPrep.spanCorrupt(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val docsM = Tables(spark, sf001, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var sawSpan = false
+    rows.foreach { r =>
+      val (id, n, nm, ns) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      val orig = docsM(id).split(" ", -1)
+      assert(n === orig.length.toLong)
+      // independent mask re-derivation: start<5% then 3-token coverage
+      val starts = orig.indices.map { p =>
+        java.lang.Long.parseLong(md5hex(s"graft-t5:$id:$p").take(4), 16) % 100 < 5
+      }
+      val masked = orig.indices.map(p =>
+        (math.max(0, p - 2) to p).exists(starts))
+      assert(nm === masked.count(identity).toLong)
+      // T5's defining invariant: splicing each <extra_id_k> target span
+      // back into the input reproduces the original text exactly
+      val spans = target.split("<extra_id_\\d+> ").toSeq
+        .filter(_.nonEmpty).map(_.trim)
+      assert(ns === spans.length.toLong)
+      val spliced = ("<extra_id_\\d+>".r.split(input).toSeq, spans) match {
+        case (parts, sp) =>
+          parts.zipAll(sp.map(_ + ""), "", "").map { case (a, b) => a + b }
+            .mkString("").replaceAll(" +", " ").trim
+      }
+      assert(spliced === orig.mkString(" ").replaceAll(" +", " ").trim,
+        s"doc $id splice drifted")
+      if (ns > 0) sawSpan = true
+    }
+    assert(sawSpan, "no spans drawn anywhere — rate rule broken")
+  }
+
   test("nfc composes combining marks; idempotent and ASCII-stable") {
     assert(TextNormalizers.nfc(u("a\u0301")).toString == "\u00e1")
     assert(TextNormalizers.nfc(u("\u00e1")).toString == "\u00e1")
