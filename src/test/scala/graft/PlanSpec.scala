@@ -472,4 +472,44 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, // partial + final
       p.take(2000))
   }
+
+  test("mlm mask: vocab rides broadcast joins; per-token work never key-shuffles") {
+    val p = plan("q_mlm_mask")
+    // the 1-row v_size cross and the rid->token_id lookup both broadcast
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join leaked into the corruption plan:\n${p.take(3000)}")
+  }
+
+  test("span corruption: every exchange is doc-keyed (one grain, no all-pairs)") {
+    val p = plan("q_span_corrupt")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // windows, the run join, and the regroup all hash on doc_id
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("doc_id")),
+      s"non-doc_id exchange in:\n${p.take(3000)}")
+  }
+
+  test("wordpiece: candidate->vocab match is a broadcast equi join, no BNLJ") {
+    val p = plan("q_wordpiece_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("hilbert zones: the 6-level key fold is pure projection, one hash exchange") {
+    val p = plan("q_hilbert_zones")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the per-level rotate/accumulate collapses into narrow Projects —
+    // no join, no UDF, no extra shuffle beyond distinct + zone window +
+    // the final orderBy
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"expected <=2 hash exchanges (distinct, zone), got $hashEx:\n${p.take(3000)}")
+  }
 }
