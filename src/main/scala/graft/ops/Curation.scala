@@ -343,6 +343,64 @@ object Curation {
       .limit(20)
   }
 
+  /** Local clustering coefficient — the per-node refinement of
+    * [[triangleCount]]'s global census: coeff(v) = 2·T(v) / (d(v)·(d(v)−1)),
+    * the fraction of v's neighbor pairs that are themselves connected
+    * (Watts–Strogatz '98; the community-structure feature every
+    * graph-quality audit reports next to degree). Same derived doc graph
+    * and the SAME degree-ordered triangle orientation (wedges bounded by
+    * Σ d_min(e), hub-safe at 100 TB); the only additions are the
+    * per-node triangle regroup and a broadcast-joinable degree relation.
+    * Exact integers everywhere; the coefficient itself is ONE IEEE
+    * division of exact ints, rounded 6 dp — engine-independent. */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("n")).as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") + 2) % col("n")).as("v")))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .persist()
+    val wedges = oriented.select(col("a"), col("b"))
+      .join(oriented.select(col("a"), col("b").as("c")), "a")
+      .filter(col("b") =!= col("c"))
+    val close = oriented.select(col("a").as("b"), col("b").as("c"))
+      .union(oriented.select(col("b"), col("a").as("c")))
+    val tris = wedges.filter(col("b") < col("c"))
+      .join(close, Seq("b", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val triPerNode = tris.select(col("a").as("node"))
+      .union(tris.select(col("b")))
+      .union(tris.select(col("c")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+      .orderBy(col("node"))
+  }
+
   /** Single-source BFS hop counts over the derived doc graph (same edge
     * derivation as [[triangleCount]]): frontier expansion with an anti-join
     * against the visited set, `localCheckpoint` per round to cut lineage
@@ -1682,6 +1740,7 @@ object Curation {
     "q_pagerank" -> (pageRank _),
     "q_ppr" -> (personalizedPageRank _),
     "q_triangle_count" -> (triangleCount _),
+    "q_clustering_coeff" -> (clusteringCoeff _),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_assortativity" -> (assortativity _),
@@ -1794,6 +1853,37 @@ object Curation {
         |    UNION ALL SELECT c FROM tri)
         |  GROUP BY node)
         |ORDER BY tri_cnt DESC, node LIMIT 20""".stripMargin,
+    // same graph + triangle census, per-node: coeff = 2T / (d(d-1)) as
+    // one IEEE division of exact integers
+    "q_clustering_coeff" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, count(*) AS t FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(tn.t, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN round(CAST(2 * coalesce(tn.t, 0) AS DOUBLE)
+        |      / (d.deg * (d.deg - 1)), 6)
+        |    ELSE CAST(0 AS DOUBLE) END AS coeff
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node
+        |ORDER BY d.node""".stripMargin,
     "q_filter_attribution" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens

@@ -315,6 +315,34 @@ class CurationSpec extends SparkSpec {
       < 1e-5, s"got ${r.getDouble(r.fieldIndex("assortativity"))} vs $expected")
   }
 
+  test("clustering coefficient matches an exact JVM triangle recompute") {
+    val rows = Curation.clusteringCoeff(spark, sf001).collect()
+    val n = graft.Tables(spark, sf001, "documents").count()
+    // rebuild the ring + affine-hash graph in plain Scala
+    val raw = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n), (i, (i * 31 + 7) % n)))
+    val und = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val adj = (und ++ und.map { case (u, v) => (v, u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val (node, deg, tri, coeff) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val nbrs = adj(node).toSeq.sorted
+      assert(deg === nbrs.length.toLong, s"deg($node)")
+      val t = (for {
+        i <- nbrs.indices; j <- (i + 1) until nbrs.length
+        if und.contains((math.min(nbrs(i), nbrs(j)), math.max(nbrs(i), nbrs(j))))
+      } yield 1).size
+      assert(tri === t.toLong, s"tri($node)")
+      val expect = if (deg >= 2) 2.0 * t / (deg * (deg - 1)) else 0.0
+      assert(math.abs(coeff - expect) < 1e-6, s"coeff($node)")
+    }
+    // the synthetic graph is sparse but not triangle-free
+    assert(rows.exists(_.getLong(2) > 0L))
+    assert(rows.length.toLong === n)
+  }
+
   test("sssp: weighted distances bracketed by hop counts, source at zero") {
     val dist = Curation.sssp(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
