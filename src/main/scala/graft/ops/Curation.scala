@@ -518,6 +518,57 @@ object Curation {
       .orderBy(col("src"))
   }
 
+  /** Landmark shortest-path COUNTING — the Brandes (2001) forward pass:
+    * σ(v) = number of distinct shortest landmark→v paths, computed
+    * layer-by-layer (σ(v) = Σ σ(u) over previous-layer neighbors u; a
+    * node's count is fixed the first layer it is reached). Where
+    * [[harmonicLandmarks]] needs only DISTANCES (re-expand-and-min-merge
+    * is safe there), path counts would MULTIPLY under re-expansion, so
+    * this op keeps the settled-set discipline: candidates come from the
+    * previous frontier only, an anti-join against the settled union
+    * blocks re-counting, and only the frontier is checkpointed (the
+    * settled set is a union of already-materialized frames — no
+    * recompute tree). All σ are exact integers; K landmarks ride one
+    * iterative plan. σ is the input to betweenness/dependency
+    * accumulation and the standard "how redundant is this hub"
+    * connectivity audit. */
+  def pathCounts(s: SparkSession, dir: String, maxHops: Int = 6): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nAgg))
+    val raw = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("n")).as("v"))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") + 2) % col("n")).as("v")))
+      .union(withN.select(col("doc_id"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("v")))
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var frontier = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("landmark"), col("doc_id").as("node"),
+        lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var settled = frontier
+    for (k <- 1 to maxHops) {
+      val cand = frontier.join(broadcast(edges), col("node") === col("u"))
+        .groupBy(col("landmark"), col("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val st = settled.select(col("landmark").as("slm"), col("node").as("sn"))
+      frontier = cand.join(st,
+          col("landmark") === col("slm") && col("v") === col("sn"),
+          "left_anti")
+        .select(col("landmark"), col("v").as("node"),
+          lit(k.toLong).as("dist"), col("sigma"))
+        .localCheckpoint()
+      settled = settled.union(frontier)
+    }
+    settled.orderBy(col("landmark"), col("node"))
+  }
+
   /** Degree assortativity (Newman PRL 2002) over the tree + quadratic-
     * hash doc graph ([[kCore]]'s edge set — chosen over [[graphBfs]]'s
     * ring graph, which is exactly 6-regular and therefore has UNDEFINED
@@ -1741,6 +1792,7 @@ object Curation {
     "q_ppr" -> (personalizedPageRank _),
     "q_triangle_count" -> (triangleCount _),
     "q_clustering_coeff" -> (clusteringCoeff _),
+    "q_path_counts" -> ((ss, dd) => pathCounts(ss, dd)),
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_assortativity" -> (assortativity _),
@@ -1853,6 +1905,74 @@ object Curation {
         |    UNION ALL SELECT c FROM tri)
         |  GROUP BY node)
         |ORDER BY tri_cnt DESC, node LIMIT 20""".stripMargin,
+    // Brandes forward pass re-derived with six unrolled layers: each
+    // layer sums previous-layer sigmas into unsettled nodes only
+    "q_path_counts" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM raw WHERE u <> v),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |lms AS (SELECT doc_id AS landmark FROM documents WHERE doc_id % 97 = 0),
+        |l0 AS (SELECT landmark, landmark AS node, 0 AS dist,
+        |       CAST(1 AS BIGINT) AS sigma FROM lms),
+        |s0 AS (SELECT * FROM l0),
+        |l1 AS (
+        |  SELECT l.landmark, a.v AS node, 1 AS dist,
+        |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |  FROM l0 l JOIN adj a ON a.u = l.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s0 s
+        |    WHERE s.landmark = l.landmark AND s.node = a.v)
+        |  GROUP BY l.landmark, a.v),
+        |s1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM l1),
+        |l2 AS (
+        |  SELECT l.landmark, a.v AS node, 2 AS dist,
+        |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |  FROM l1 l JOIN adj a ON a.u = l.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1 s
+        |    WHERE s.landmark = l.landmark AND s.node = a.v)
+        |  GROUP BY l.landmark, a.v),
+        |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM l2),
+        |l3 AS (
+        |  SELECT l.landmark, a.v AS node, 3 AS dist,
+        |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |  FROM l2 l JOIN adj a ON a.u = l.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s2 s
+        |    WHERE s.landmark = l.landmark AND s.node = a.v)
+        |  GROUP BY l.landmark, a.v),
+        |s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM l3),
+        |l4 AS (
+        |  SELECT l.landmark, a.v AS node, 4 AS dist,
+        |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |  FROM l3 l JOIN adj a ON a.u = l.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s3 s
+        |    WHERE s.landmark = l.landmark AND s.node = a.v)
+        |  GROUP BY l.landmark, a.v),
+        |s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM l4),
+        |l5 AS (
+        |  SELECT l.landmark, a.v AS node, 5 AS dist,
+        |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |  FROM l4 l JOIN adj a ON a.u = l.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s4 s
+        |    WHERE s.landmark = l.landmark AND s.node = a.v)
+        |  GROUP BY l.landmark, a.v),
+        |s5 AS (SELECT * FROM s4 UNION ALL SELECT * FROM l5),
+        |l6 AS (
+        |  SELECT l.landmark, a.v AS node, 6 AS dist,
+        |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |  FROM l5 l JOIN adj a ON a.u = l.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s5 s
+        |    WHERE s.landmark = l.landmark AND s.node = a.v)
+        |  GROUP BY l.landmark, a.v),
+        |s6 AS (SELECT * FROM s5 UNION ALL SELECT * FROM l6)
+        |SELECT landmark, node, CAST(dist AS BIGINT) AS dist, sigma
+        |FROM s6 ORDER BY landmark, node""".stripMargin,
     // same graph + triangle census, per-node: coeff = 2T / (d(d-1)) as
     // one IEEE division of exact integers
     "q_clustering_coeff" ->

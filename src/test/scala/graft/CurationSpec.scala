@@ -315,6 +315,46 @@ class CurationSpec extends SparkSpec {
       < 1e-5, s"got ${r.getDouble(r.fieldIndex("assortativity"))} vs $expected")
   }
 
+  test("path counts match an exact JVM layered-BFS sigma recompute") {
+    val rows = Curation.pathCounts(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val n = graft.Tables(spark, sf001, "documents").count()
+    val raw = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n), (i, (i * 31 + 7) % n)))
+    val und = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val adj = (und ++ und.map { case (u, v) => (v, u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val landmarks = (0L until n).filter(_ % 97 == 0)
+    landmarks.foreach { lm =>
+      // layered BFS with path counting
+      var dist = Map(lm -> 0L)
+      var sigma = Map(lm -> 1L)
+      var layer = Seq(lm)
+      for (k <- 1 to 6) {
+        val next = scala.collection.mutable.Map[Long, Long]()
+        layer.foreach { u =>
+          adj.getOrElse(u, Seq.empty).foreach { v =>
+            if (!dist.contains(v)) next(v) = next.getOrElse(v, 0L) + sigma(u)
+          }
+        }
+        layer = next.keys.toSeq
+        dist ++= layer.map(_ -> k.toLong)
+        sigma ++= next
+      }
+      dist.foreach { case (node, d) =>
+        val (gd, gs) = rows((lm, node))
+        assert(gd === d, s"dist($lm,$node)")
+        assert(gs === sigma(node), s"sigma($lm,$node)")
+      }
+      // and the engine reports nothing beyond the 6-hop horizon
+      assert(rows.keys.count(_._1 == lm) === dist.size)
+    }
+    // multiple shortest paths genuinely occur (sigma > 1 somewhere)
+    assert(rows.values.exists(_._2 > 1L))
+  }
+
   test("clustering coefficient matches an exact JVM triangle recompute") {
     val rows = Curation.clusteringCoeff(spark, sf001).collect()
     val n = graft.Tables(spark, sf001, "documents").count()
