@@ -405,6 +405,53 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("host"), col("path"), col("ref"))
 
+  /** URL canonicalization — the crawl-dedup front door (every CommonCrawl
+    * -scale pipeline dedups by canonical URL before touching content):
+    * noisy variants are minted deterministically from the base fields
+    * (scheme/host case, an explicit `:443` default port, `utm_*`/`gclid`
+    * tracking params, a fragment, shuffled param order), then normalized
+    * with engine primitives — `parse_url` components, lowercased
+    * scheme/host (port dropped by HOST extraction), fragment dropped by
+    * QUERY extraction, tracking params removed with a `filter` HOF,
+    * surviving params re-sorted with `array_sort`. The oracle re-derives
+    * the canonical form DEFINITIONALLY from the base fields and rebuilds
+    * the noisy strings to count variants, so Spark's parse_url semantics
+    * and the HOF pipeline are hash-gated against ground truth. Pure
+    * row-local string work until one grouped pass. */
+  def urlCanon(s: SparkSession, dir: String): DataFrame = {
+    val noisy = events(s, dir)
+      .select(col("event_id").as("e"), col("user_id").as("u"),
+        col("event_type").as("t"))
+      .withColumn("url", concat(
+        when(col("e") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("u") % 3 === 0, upper(col("t"))).otherwise(col("t")),
+        when(col("u") % 3 === 0, lit(".EXAMPLE.COM")).otherwise(lit(".example.com")),
+        when(col("e") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/u/"), (col("u") % 50).cast("string"), lit("/item?"),
+        when(col("e") % 2 === 1,
+          concat(lit("v="), (col("e") % 3).cast("string"),
+            lit("&ref="), (col("e") % 7).cast("string")))
+          .otherwise(concat(lit("ref="), (col("e") % 7).cast("string"),
+            lit("&v="), (col("e") % 3).cast("string"))),
+        when(col("e") % 3 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+        when(col("e") % 7 === 0, lit("&gclid=Zx9")).otherwise(lit("")),
+        when(col("e") % 11 === 0, lit("#s2")).otherwise(lit(""))))
+    noisy
+      .withColumn("params", expr(
+        "filter(split(parse_url(url, 'QUERY'), '&'), p -> NOT (" +
+          "p LIKE 'utm_%' OR p LIKE 'gclid=%' OR p LIKE 'fbclid=%'))"))
+      .withColumn("canonical_url", concat(
+        lower(expr("parse_url(url, 'PROTOCOL')")), lit("://"),
+        lower(expr("parse_url(url, 'HOST')")),
+        expr("parse_url(url, 'PATH')"), lit("?"),
+        expr("array_join(array_sort(params), '&')")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("url")).as("n_variants"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** Map higher-order functions as the per-user behavior profile:
     * counts → map_from_entries → aggregate (map-total) → transform_values
     * (normalize to shares) → map_filter (keep dominant slices ≥ 25 %) →
@@ -617,6 +664,7 @@ object EventOps {
     "q_json_extract" -> (jsonExtract _),
     "q_variant_extract" -> (variantExtract _),
     "q_xml_roundtrip" -> (xmlRoundtrip _),
+    "q_url_canon" -> (urlCanon _),
     "q_load_per_minute" -> (loadPerMinute _),
     "q_sliding_load" -> (slidingLoad _),
     "q_asof_signup" -> (asofSignup _),
@@ -717,6 +765,35 @@ object EventOps {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // canonical form re-derived definitionally from the base fields; the
+    // noisy strings are rebuilt only to count variants per canonical URL
+    "q_url_canon" ->
+      """WITH b AS (
+        |  SELECT event_id AS e, user_id AS u, event_type AS t FROM events),
+        |noisy AS (
+        |  SELECT e, u, t,
+        |    (CASE WHEN e % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE WHEN u % 3 = 0 THEN upper(t) || '.EXAMPLE.COM'
+        |             ELSE t || '.example.com' END)
+        |    || (CASE WHEN e % 5 = 0 THEN ':443' ELSE '' END)
+        |    || '/u/' || CAST(u % 50 AS VARCHAR) || '/item?'
+        |    || (CASE WHEN e % 2 = 1
+        |          THEN 'v=' || CAST(e % 3 AS VARCHAR)
+        |            || '&ref=' || CAST(e % 7 AS VARCHAR)
+        |          ELSE 'ref=' || CAST(e % 7 AS VARCHAR)
+        |            || '&v=' || CAST(e % 3 AS VARCHAR) END)
+        |    || (CASE WHEN e % 3 = 0 THEN '&utm_source=feed' ELSE '' END)
+        |    || (CASE WHEN e % 7 = 0 THEN '&gclid=Zx9' ELSE '' END)
+        |    || (CASE WHEN e % 11 = 0 THEN '#s2' ELSE '' END) AS url
+        |  FROM b)
+        |SELECT 'https://' || t || '.example.com/u/' || CAST(u % 50 AS VARCHAR)
+        |    || '/item?ref=' || CAST(e % 7 AS VARCHAR)
+        |    || '&v=' || CAST(e % 3 AS VARCHAR) AS canonical_url,
+        |  count(*) AS n_events,
+        |  count(DISTINCT url) AS n_variants
+        |FROM noisy GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     // the XML attribute/element parse must agree with the base columns
     "q_xml_roundtrip" ->

@@ -22,6 +22,33 @@ class EventOpsSpec extends SparkSpec {
     assert(b.getAs[Double]("max_abs") <= 9000.0)
   }
 
+  test("URL canonicalization folds case/port/tracking/fragment/param-order") {
+    import spark.implicits._
+    // parse_url primitives behave as the canonicalizer assumes
+    val r = Seq("HTTPS://Host.EXAMPLE.com:443/p/x?v=1&ref=2&utm_source=f#frag")
+      .toDF("url")
+      .select(
+        expr("parse_url(url, 'PROTOCOL')"), expr("parse_url(url, 'HOST')"),
+        expr("parse_url(url, 'PATH')"), expr("parse_url(url, 'QUERY')"),
+        expr("parse_url(url, 'REF')")).head()
+    assert(r.getString(0) === "HTTPS")
+    assert(r.getString(1) === "Host.EXAMPLE.com") // port stripped, case kept
+    assert(r.getString(2) === "/p/x")
+    assert(r.getString(3) === "v=1&ref=2&utm_source=f") // fragment excluded
+    assert(r.getString(4) === "frag")
+    // the query: every canonical URL is normalized, variants collapse
+    val rows = graft.ops.EventOps.urlCanon(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val cu = row.getString(0)
+      assert(cu === cu.toLowerCase, s"case survived: $cu")
+      assert(!cu.contains(":443") && !cu.contains("#") && !cu.contains("utm_")
+        && !cu.contains("gclid"), s"noise survived: $cu")
+      assert(cu.contains("?ref=") && cu.contains("&v="), s"params unsorted: $cu")
+    }
+    assert(rows.exists(_.getLong(2) > 1L), "no variants collapsed anywhere")
+  }
+
   test("XML roundtrip: attribute + element parse re-derives the base columns") {
     import spark.implicits._
     // the query itself must agree with the relational truth
