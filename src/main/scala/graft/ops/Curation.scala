@@ -391,7 +391,7 @@ object Curation {
       .union(tris.select(col("b")))
       .union(tris.select(col("c")))
       .groupBy(col("node")).agg(count(lit(1)).as("t"))
-    deg.join(triPerNode, Seq("node"), "left")
+    val res = deg.join(triPerNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("t"), lit(0L)).as("n_tri"),
         when(col("deg") >= 2,
@@ -399,6 +399,13 @@ object Curation {
             (col("deg") * (col("deg") - 1)), 6))
           .otherwise(lit(0.0)).as("coeff"))
       .orderBy(col("node"))
+      // eagerly materialize the one-row-per-node result (≤ |docs| rows),
+      // then release the cached edge frames — without this, every driver
+      // sweep leaks two persisted frames per invocation
+      .localCheckpoint()
+    und.unpersist()
+    oriented.unpersist()
+    res
   }
 
   /** Single-source BFS hop counts over the derived doc graph (same edge
@@ -566,6 +573,10 @@ object Curation {
         .localCheckpoint()
       settled = settled.union(frontier)
     }
+    // every round was eagerly localCheckpointed, so the returned plan
+    // reads only checkpointed RDDs — release the cached edge frame now
+    // instead of leaking it into the 373-query driver sweep
+    edges.unpersist()
     settled.orderBy(col("landmark"), col("node"))
   }
 

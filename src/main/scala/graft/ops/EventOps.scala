@@ -48,22 +48,21 @@ object EventOps {
 
   /** XML through Spark 4's built-in XML support — the third
     * semi-structured path beside [[jsonExtract]]/[[variantExtract]]: each
-    * event renders to an XML fragment (deterministic concat — the text
-    * never reaches the oracle) with the type in an ATTRIBUTE and the
-    * id/k in nested ELEMENTS, then `from_xml` parses it back under an
-    * explicit schema (attributes surface under the default `_` prefix).
-    * The aggregate re-derives the source columns, so attribute parsing,
-    * element parsing, and integer text roundtrip are all hash-gated
-    * against the base table. All-exact-integer outputs; `from_xml` is a
-    * row-local scalar (no shuffle beyond the final aggregate), so the
-    * 100 TB shape is identical to the JSON path. */
+    * event renders to an XML fragment with `to_xml` (the writer escapes
+    * &, <, quotes — no fixture assumption about event_type's alphabet)
+    * with the type in an ATTRIBUTE (the default `_` prefix marks
+    * attribute fields on both the write and read side) and the id/k in
+    * nested ELEMENTS, then `from_xml` parses it back under an explicit
+    * schema. The aggregate re-derives the source columns, so attribute
+    * parsing, element parsing, and integer text roundtrip are all
+    * hash-gated against the base table. All-exact-integer outputs;
+    * `from_xml` is a row-local scalar (no shuffle beyond the final
+    * aggregate), so the 100 TB shape is identical to the JSON path. */
   def xmlRoundtrip(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .withColumn("doc", concat(
-        lit("<event type=\""), col("event_type"),
-        lit("\"><id>"), col("event_id"),
-        lit("</id><k>"), get_json_object(col("props"), "$.k").cast("long"),
-        lit("</k></event>")))
+      .withColumn("doc", expr(
+        "to_xml(struct(event_type AS _type, event_id AS id, " +
+          "CAST(get_json_object(props, '$.k') AS BIGINT) AS k))"))
       .withColumn("p",
         expr("from_xml(doc, '_type STRING, id BIGINT, k BIGINT')"))
       .groupBy(col("p._type").as("event_type"))
@@ -439,8 +438,10 @@ object EventOps {
         when(col("e") % 11 === 0, lit("#s2")).otherwise(lit(""))))
     noisy
       .withColumn("params", expr(
+        // startswith, not LIKE 'utm_%' — '_' is a single-char LIKE
+        // wildcard, so the LIKE spelling would also strip e.g. 'utms='
         "filter(split(parse_url(url, 'QUERY'), '&'), p -> NOT (" +
-          "p LIKE 'utm_%' OR p LIKE 'gclid=%' OR p LIKE 'fbclid=%'))"))
+          "startswith(p, 'utm_') OR p LIKE 'gclid=%' OR p LIKE 'fbclid=%'))"))
       .withColumn("canonical_url", concat(
         lower(expr("parse_url(url, 'PROTOCOL')")), lit("://"),
         lower(expr("parse_url(url, 'HOST')")),

@@ -892,13 +892,18 @@ object MlPrep {
       .toDF("doc_id", "pos", "tok")
     val voc = graft.ops.TextOps.vocab(s, dir).select(col("token_id"), col("term"))
     val planed = toks
-      .withColumn("h", conv(substring(md5(concat(
+      .withColumn("m", md5(concat(
         lit("graft-mlm:"), col("doc_id").cast("string"),
-        lit(":"), col("pos").cast("string"))), 1, 4), 16, 10).cast("long"))
+        lit(":"), col("pos").cast("string"))))
+      .withColumn("h", conv(substring(col("m"), 1, 4), 16, 10).cast("long"))
+      // the random-replacement draw gets its OWN 32-bit hash segment
+      // (hex digits 5-12) so `rid` ranges over the FULL vocabulary, not
+      // the 66 ids a 16-bit `h div 1000` would reach
+      .withColumn("h2", conv(substring(col("m"), 5, 8), 16, 10).cast("long"))
       .withColumn("sel", col("h") % 100 < 15)
       .withColumn("sub", expr("(h div 100) % 10"))
       .crossJoin(broadcast(voc.agg(count(lit(1)).as("v_size"))))
-      .withColumn("rid", expr("(h div 1000) % v_size + 1"))
+      .withColumn("rid", expr("h2 % v_size + 1"))
       .join(broadcast(voc), col("rid") === col("token_id"), "left")
       .withColumn("out_tok",
         when(!col("sel"), col("tok"))
@@ -1060,9 +1065,10 @@ object MlPrep {
         |       UNNEST(range(1, len(parts) + 1)) AS r(i)),
         |h AS (
         |  SELECT doc_id, pos, tok,
-        |    ('0x' || substr(md5('graft-mlm:' || CAST(doc_id AS VARCHAR)
-        |      || ':' || CAST(pos AS VARCHAR)), 1, 4))::BIGINT AS h
-        |  FROM toks),
+        |    ('0x' || substr(m, 1, 4))::BIGINT AS h,
+        |    ('0x' || substr(m, 5, 8))::BIGINT AS h2
+        |  FROM (SELECT *, md5('graft-mlm:' || CAST(doc_id AS VARCHAR)
+        |          || ':' || CAST(pos AS VARCHAR)) AS m FROM toks)),
         |voc AS (
         |  SELECT row_number() OVER (ORDER BY n DESC, term) AS token_id, term
         |  FROM (SELECT term, count(*) AS n FROM (
@@ -1072,7 +1078,7 @@ object MlPrep {
         |v AS (SELECT count(*) AS v_size FROM voc),
         |plan AS (
         |  SELECT doc_id, pos, tok, h % 100 < 15 AS sel, (h // 100) % 10 AS sub,
-        |    ((h // 1000) % v.v_size) + 1 AS rid
+        |    (h2 % v.v_size) + 1 AS rid
         |  FROM h, v),
         |outt AS (
         |  SELECT p.doc_id, p.pos, p.sel, p.sub,

@@ -31,12 +31,14 @@ class MlPrepSpec extends SparkSpec {
       val (id, cor) = (r.getLong(0), r.getString(6))
       val orig = docsM(id).split(" ", -1)
       val expected = orig.zipWithIndex.map { case (tok, pos) =>
-        val h = java.lang.Long.parseLong(
-          md5hex(s"graft-mlm:$id:$pos").take(4), 16)
+        val m = md5hex(s"graft-mlm:$id:$pos")
+        val h = java.lang.Long.parseLong(m.take(4), 16)
+        // rid uses its own 32-bit segment (hex 5-12) → full-vocab draws
+        val h2 = java.lang.Long.parseLong(m.substring(4, 12), 16)
         if (h % 100 >= 15) tok
         else (h / 100) % 10 match {
           case s if s <= 7 => "[MASK]"
-          case 8 => vocab(((h / 1000) % vocab.size).toInt)
+          case 8 => vocab((h2 % vocab.size).toInt)
           case _ => tok
         }
       }
