@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Counter drift guard beyond README (r12 verdict item 4: COVERAGE.md and
+  * BASELINE.md both disagreed with the actual test count because only
+  * README was machine-checked). Every CURRENT-STATE counter a doc claims
+  * is asserted against the code here; historical BASELINE rows (bench-time
+  * snapshots of past rounds) are exempt by format.
+  *
+  * Ground truth for the suite size: every test in this repo is declared
+  * fun-suite style as `test("...")` at the start of a line in
+  * src/test/scala/graft — the same number ScalaTest reports as "Total
+  * number of tests run" on a full `sbt test`.
+  */
+class DocCountersSpec extends AnyFunSuite {
+
+  private def read(p: String) =
+    new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  private val nQueries = SparkEntry.queries.size
+  private val nOracled = SparkEntry.oracleSql.size
+  private val nRowsOnly = nQueries - nOracled
+
+  private lazy val specSources: Seq[String] =
+    Files.list(Paths.get("src/test/scala/graft")).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).map(p => read(p.toString)).toSeq
+  private lazy val nTests =
+    specSources.map(s => raw"(?m)^\s*test\(".r.findAllIn(s).size).sum
+  private lazy val nSuites =
+    specSources.count(s => raw"\bclass \w+Spec\b".r.findFirstIn(s).isDefined)
+
+  test("COVERAGE.md round-status counters match the code") {
+    val m = raw"(?s)Round-\d+ status: \*\*(\d+) driver queries, (\d+)\s+hash-matched,\s+(\d+)\s+rows-only.*?(\d+)\s+ScalaTest tests green across (\d+) suites".r
+      .findFirstMatchIn(read("COVERAGE.md"))
+    assert(m.isDefined,
+      "COVERAGE.md must open with 'Round-N status: **<Q> driver queries, " +
+        "<H> hash-matched, <R> rows-only ... <T> ScalaTest tests green " +
+        "across <S> suites'")
+    val g = m.get
+    assert(g.group(1).toInt === nQueries, s"COVERAGE query count (code: $nQueries)")
+    assert(g.group(2).toInt === nOracled, s"COVERAGE oracled count (code: $nOracled)")
+    assert(g.group(3).toInt === nRowsOnly, s"COVERAGE rows-only count (code: $nRowsOnly)")
+    assert(g.group(4).toInt === nTests, s"COVERAGE test count (code: $nTests)")
+    assert(g.group(5).toInt === nSuites, s"COVERAGE suite count (code: $nSuites)")
+  }
+
+  test("BASELINE.md guarded current-state line matches the code") {
+    // historical rows are snapshots and keep their bench-time numbers; the
+    // one CURRENT-STATE claim uses this exact 5-field format, which no
+    // historical row matches
+    val pat = raw"state: \*\*(\d+) queries / (\d+)\s+hash-oracled / (\d+)\s+rows-only / (\d+)\s+ScalaTest\s+tests across (\d+) suites\*\*".r
+    val ms = pat.findAllMatchIn(read("BASELINE.md")).toSeq
+    assert(ms.nonEmpty,
+      "BASELINE.md must carry one guarded 'state: **<Q> queries / <H> " +
+        "hash-oracled / <R> rows-only / <T> ScalaTest tests across <S> " +
+        "suites**' line")
+    val g = ms.last
+    assert(g.group(1).toInt === nQueries, s"BASELINE query count (code: $nQueries)")
+    assert(g.group(2).toInt === nOracled, s"BASELINE oracled count (code: $nOracled)")
+    assert(g.group(3).toInt === nRowsOnly, s"BASELINE rows-only count (code: $nRowsOnly)")
+    assert(g.group(4).toInt === nTests, s"BASELINE test count (code: $nTests)")
+    assert(g.group(5).toInt === nSuites, s"BASELINE suite count (code: $nSuites)")
+  }
+
+  test("committed full bench artifact covers exactly the timed query set") {
+    // r12 verdict item 3: the driver's BENCH_rN.json keeps only a stdout
+    // tail; graft.Bench now persists the untruncated per-query map. This
+    // pins that the committed artifact is regenerated whenever the query
+    // registry changes, so per-query regression tracking never gaps.
+    val p = Paths.get(Bench.fullOutPath)
+    assert(Files.exists(p),
+      s"${Bench.fullOutPath} missing — run `sbt \"runMain graft.Bench\"` to regenerate")
+    val artifact = raw""""(q_\w+)":""".r
+      .findAllMatchIn(read(p.toString)).map(_.group(1)).toSet
+    val expected = SparkEntry.queries.keySet -- Bench.benchSkip
+    val missing = expected -- artifact
+    val stale = artifact -- expected
+    assert(missing.isEmpty, s"bench artifact missing queries: $missing")
+    assert(stale.isEmpty, s"bench artifact has stale queries: $stale")
+  }
+}
