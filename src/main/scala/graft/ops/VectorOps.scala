@@ -326,15 +326,23 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
-  /** IVF-flavored ANN (the "IVF or LSH-bucketed variant" of the north
-    * star): k-means coarse quantizer (MLlib, fixed seed) buckets vectors by
-    * nearest centroid; each query searches its nProbe nearest cells
-    * (multiprobe) and exact-cosine re-ranks. Self-evaluating like the SRP variant —
-    * reports recall@5 vs the exact top-5. At 100 TB the centroid table is
-    * a broadcast dim and per-cell candidate lists are the partition key;
-    * only the tiny centroid model ever reaches the driver. */
-  def annIvfRecall(s: SparkSession, dir: String,
-                   fitSampleThreshold: Long = 100000L): DataFrame = {
+  /** IVF-flavored ANN, MLlib-quantizer variant: k-means coarse quantizer
+    * (MLlib, fixed seed) buckets vectors by nearest centroid; each query
+    * searches its nProbe nearest cells (multiprobe) and exact-cosine
+    * re-ranks. Self-evaluating like the SRP variant — reports recall@5 vs
+    * the exact top-5. At 100 TB the centroid table is a broadcast dim and
+    * per-cell candidate lists are the partition key; only the tiny
+    * centroid model ever reaches the driver.
+    *
+    * Spec-pinned (TextVectorSpec recall floors, incl. the sampled-fit
+    * 100 TB branch) rather than driver-gated: MLlib's float k-means is
+    * not reproducible across engines, so the REGISTERED `q_ann_ivf_recall`
+    * is [[annIvfRecall]] — the same probe pipeline over the exact-integer
+    * [[intLloydFit]] quantizer, hash-matched against DuckDB end-to-end
+    * (r12 verdict task 6). This variant keeps the size-switched fit (the
+    * sample-vs-cache decision a real corpus needs) under test. */
+  def annIvfRecallMl(s: SparkSession, dir: String,
+                     fitSampleThreshold: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(emb(s, dir))
@@ -426,6 +434,87 @@ object VectorOps {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos",
         round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id").as("ivf_id"))
+    exactTop
+      .join(ivfTop, exactTop("query_id") === ivfTop("query_id") &&
+        col("cand_id") === col("ivf_id"), "left")
+      .groupBy(exactTop("query_id").as("query_id"))
+      .agg((count(col("ivf_id")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  private val ivfIters = 2 // unrolled integer-Lloyd rounds for the quantizer
+
+  /** IVF ANN recall, fully hash-oracled (the registered `q_ann_ivf_recall`):
+    * the same spherical coarse-quantize → multiprobe → exact-cosine-re-rank
+    * pipeline as [[annIvfRecallMl]], with every step made exact-integer
+    * deterministic so recall itself hash-matches a DuckDB twin (r12 verdict
+    * task 6 — previously the one rows-only query whose twin proved a
+    * different algorithm's probe path):
+    *
+    *   - coordinates are L2-NORMALIZED first (norm = sqrt of the codegen'd
+    *     DotProduct — identical doubles in DuckDB's list_dot_product), then
+    *     quantized q_d = floor((x_d/norm)·2^20) — spherical k-means on
+    *     int64 lattice points, so Euclidean cells rank like cosine;
+    *   - the quantizer is the unrolled [[intLloydFit]] (init = vec_id
+    *     0..k−1, exact integer distances, floor-divided centroid means);
+    *   - corpus-adaptive sizing survives the oracle: k = max(16, ⌈√n⌉) and
+    *     nProbe = max(6, ⌈k/2⌉) are computed from count(*) on BOTH sides
+    *     (Spark: one count() action; DuckDB: a scalar-subquery CTE) — the
+    *     fixed-cell-count degradation measured in r9 (recall 0.84→0.70 at
+    *     4× corpus) stays fixed;
+    *   - multiprobe order is exact integer centroid distance, ties to the
+    *     smaller cell id; candidate ranking is int64 dot / (sqrt·sqrt) —
+    *     correctly-rounded IEEE on identical inputs ⇒ identical ranking.
+    *
+    * Recall is vs the exact top-5 under the SAME quantized metric (2^−20
+    * per-coordinate error — far below this corpus's neighbor gaps), so the
+    * number measures exactly what the probe loses, nothing else. Plan
+    * shape at 100 TB is unchanged from the ML variant: k-row broadcast
+    * assignments, banded cell join, per-query top-k windows over probed
+    * cells only. */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val qs = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") / col("norm") * lit(semScale)).cast("long"))
+        .as("q"))
+      .persist()
+    val n = qs.count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(6, math.ceil(k * 0.5).toInt)
+
+    val cent = intLloydFit(qs, k, ivfIters)
+    val vec = intAssign(qs, cent)
+      .withColumn("dd",
+        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+      .persist()
+    val q = vec.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("dd").as("qdd"))
+    // multiprobe: nProbe nearest cells by exact integer distance
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("c"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", intSqDist(col("qq"), col("m")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("c"))
+    val scored = vec
+      .select(col("vec_id").as("cand_id"), col("q").as("cq"),
+        col("dd").as("cdd"), col("c"))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y), lit(0L), _ + _)
+          / (sqrt(col("qdd")) * sqrt(col("cdd"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exactTop = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    val ivfTop = scored.join(broadcast(probed), Seq("query_id", "c"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("cand_id").as("ivf_id"))
@@ -743,6 +832,49 @@ object VectorOps {
     * map-side-combined min-struct agg per iteration; centroid update =
     * posexplode + groupBy(c, pos) over k·64 cells; dup pairs = one
     * within-cluster self-join. No driver collect, no corpus broadcast. */
+  /** Exact int64 squared distance between two quantized coordinate
+    * arrays — the order-fixed, engine-portable metric the whole integer
+    * Lloyd's family runs on. */
+  private def intSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Nearest-centroid assignment of a quantized relation `qs(vec_id, q)`
+    * against `cent(c, m)`: argmin over exact integer distances, ties to
+    * the smaller cluster id. One crossJoin(broadcast(k rows)) + one
+    * map-side-combined min-struct agg — never a corpus-sized shuffle. */
+  private def intAssign(qs: DataFrame, cent: DataFrame): DataFrame =
+    qs.crossJoin(broadcast(cent))
+      .withColumn("dist", intSqDist(col("q"), col("m")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("c"))).as("best"),
+        first(col("q")).as("q")) // q is constant per vec_id
+      .select(col("vec_id"), col("best.c").as("c"), col("q"))
+
+  /** Floor-divided integer centroid update (error < 1 quantum), with the
+    * `(s − ((s%n + n)%n)) div n` form so Spark's truncating `div` and
+    * DuckDB's floor `//` agree on negative sums. */
+  private def intCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("c"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("c"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
+      .groupBy(col("c"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("m"))
+
+  /** Deterministic unrolled integer Lloyd's fit over `qs(vec_id, q)`:
+    * init = the quantized vectors of vec_id 0..k−1, `iters` rounds of
+    * assign→update, returns the fitted centroid relation (c, m). Shared
+    * by [[semClusters]] (raw-coordinate clustering) and [[annIvfRecall]]
+    * (unit-sphere IVF quantizer). */
+  private[ops] def intLloydFit(qs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val init = qs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c"), col("q").as("m"))
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      intCentroids(intAssign(qs, cent))
+    }
+  }
+
   /** Final exact-integer cluster assignment (vec_id, c, q) under the
     * deterministic unrolled Lloyd's fit — shared by [[semDedup]] (which
     * adds the within-cluster dup detection) and [[diversitySample]] (which
@@ -751,33 +883,7 @@ object VectorOps {
     val qs = emb(s, dir).select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
       .as("q")).persist()
-
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-
-    def assign(cent: DataFrame): DataFrame =
-      qs.crossJoin(broadcast(cent))
-        .withColumn("dist", sqDist(col("q"), col("m")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("c"))).as("best"),
-          first(col("q")).as("q")) // q is constant per vec_id
-        .select(col("vec_id"), col("best.c").as("c"), col("q"))
-
-    def centroidsOf(assigned: DataFrame): DataFrame =
-      assigned.select(col("c"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy(col("c"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
-        .groupBy(col("c"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("m"))
-
-    val init = qs.filter(col("vec_id") < semK)
-      .select(col("vec_id").as("c"), col("q").as("m"))
-    val fitted = (1 to semIters).foldLeft(init) { (cent, _) =>
-      centroidsOf(assign(cent))
-    }
-    assign(fitted)
+    intAssign(qs, intLloydFit(qs, semK, semIters))
   }
 
   def semDedup(s: SparkSession, dir: String): DataFrame = {
@@ -805,37 +911,109 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** DuckDB mirror of [[intAssign]]: nearest-centroid assignment of CTE
+    * `src(vec_id, q)` against `cent(c, m)` by exact integer distance. */
+  private def lloydAssignCte(src: String, cent: String, out: String): String = {
+    val distExpr = "list_sum(list_transform(range(1,65), i -> (q[i]-m[i])*(q[i]-m[i])))"
+    s"""$out AS (
+       |  SELECT vec_id, q, c FROM (
+       |    SELECT qs.vec_id, qs.q, $cent.c,
+       |      row_number() OVER (PARTITION BY qs.vec_id ORDER BY $distExpr, $cent.c) AS rn
+       |    FROM $src qs, $cent) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[intCentroids]]: floor-divided integer means. */
+  private def lloydCentCte(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT c, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS m FROM (
+       |    SELECT c, pos, sum(v) AS s, count(*) AS n FROM (
+       |      SELECT c, unnest(q) AS v, unnest(range(1,65)) AS pos FROM $src)
+       |    GROUP BY c, pos)
+       |  GROUP BY c
+       |)""".stripMargin
+
+  /** The 2-iteration assign→update→assign chain `a1,c1,a2,c2,a3` over an
+    * existing `qs`/`init` pair — shared by the semdedup-family and IVF
+    * oracles (both run [[intLloydFit]] at 2 unrolled rounds). */
+  private def lloydChainCtes: String =
+    s"""${lloydAssignCte("qs", "init", "a1")},
+       |${lloydCentCte("a1", "c1")},
+       |${lloydAssignCte("qs", "c1", "a2")},
+       |${lloydCentCte("a2", "c2")},
+       |${lloydAssignCte("qs", "c2", "a3")}""".stripMargin
+
   /** Shared oracle prefix: the DuckDB mirror of [[semClusters]] — ends
     * with `a3(vec_id, q, c)`, the final assignment. */
-  private def semClustersCtes: String = {
-    val distExpr = "list_sum(list_transform(range(1,65), i -> (q[i]-m[i])*(q[i]-m[i])))"
-    def assignCte(src: String, cent: String, out: String): String =
-      s"""$out AS (
-         |  SELECT vec_id, q, c FROM (
-         |    SELECT qs.vec_id, qs.q, $cent.c,
-         |      row_number() OVER (PARTITION BY qs.vec_id ORDER BY $distExpr, $cent.c) AS rn
-         |    FROM $src qs, $cent) WHERE rn = 1
-         |)""".stripMargin
-    def centCte(src: String, out: String): String =
-      s"""$out AS (
-         |  SELECT c, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS m FROM (
-         |    SELECT c, pos, sum(v) AS s, count(*) AS n FROM (
-         |      SELECT c, unnest(q) AS v, unnest(range(1,65)) AS pos FROM $src)
-         |    GROUP BY c, pos)
-         |  GROUP BY c
-         |)""".stripMargin
+  private def semClustersCtes: String =
     s"""WITH qs AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*$semScale) AS BIGINT)) AS q
        |  FROM embeddings
        |), init AS (
        |  SELECT vec_id AS c, q AS m FROM qs WHERE vec_id < $semK
-       |), ${assignCte("qs", "init", "a1")},
-       |${centCte("a1", "c1")},
-       |${assignCte("qs", "c1", "a2")},
-       |${centCte("a2", "c2")},
-       |${assignCte("qs", "c2", "a3")}""".stripMargin
-  }
+       |), $lloydChainCtes""".stripMargin
+
+  /** DuckDB twin of [[annIvfRecall]]: normalized-lattice quantization,
+    * scalar-subquery corpus-adaptive k/nProbe, the shared Lloyd chain,
+    * integer multiprobe, and the recall join. */
+  private def annIvfOracle: String =
+    s"""WITH nq AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) / norm * $semScale) AS BIGINT)) AS q
+       |  FROM nq
+       |), kk AS (
+       |  SELECT CAST(greatest(16, ceil(sqrt(count(*)))) AS BIGINT) AS k,
+       |    CAST(greatest(6, ceil(greatest(16, ceil(sqrt(count(*)))) * 0.5)) AS BIGINT) AS np
+       |  FROM qs
+       |), init AS (
+       |  SELECT vec_id AS c, q AS m FROM qs WHERE vec_id < (SELECT k FROM kk)
+       |), $lloydChainCtes,
+       |vec AS (
+       |  SELECT vec_id, c, q,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS dd
+       |  FROM a3
+       |), qr AS (
+       |  SELECT vec_id AS query_id, q AS qq, dd AS qdd FROM vec
+       |  WHERE vec_id < 10
+       |), probed AS (
+       |  SELECT query_id, c FROM (
+       |    SELECT qr.query_id, c2.c,
+       |      row_number() OVER (PARTITION BY qr.query_id ORDER BY
+       |        list_sum(list_transform(range(1,65),
+       |          i -> (qr.qq[i]-c2.m[i])*(qr.qq[i]-c2.m[i]))), c2.c) AS prk
+       |    FROM qr, c2)
+       |  WHERE prk <= (SELECT np FROM kk)
+       |), scored AS (
+       |  SELECT qr.query_id, v.vec_id AS cand_id, v.c,
+       |    CAST(list_sum(list_transform(range(1,65), i -> qr.qq[i]*v.q[i])) AS BIGINT)
+       |      / (sqrt(qr.qdd) * sqrt(v.dd)) AS cos
+       |  FROM qr JOIN vec v ON v.vec_id <> qr.query_id
+       |), exact_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, cand_id) AS rk
+       |    FROM scored) WHERE rk <= 5
+       |), ivf_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT s.query_id, s.cand_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY s.cos DESC, s.cand_id) AS rk
+       |    FROM scored s JOIN probed p
+       |      ON s.query_id = p.query_id AND s.c = p.c)
+       |  WHERE rk <= 5
+       |)
+       |SELECT e.query_id, count(i.cand_id) / 5.0 AS recall_at_5
+       |FROM exact_top e LEFT JOIN ivf_top i
+       |  ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   private def semDedupOracle: String =
     s"""$semClustersCtes,
@@ -1452,6 +1630,8 @@ object VectorOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_ann_ivf_recall" -> annIvfOracle,
+
     "q_map_eval" ->
       """WITH e AS (
         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,

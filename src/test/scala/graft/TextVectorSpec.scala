@@ -184,8 +184,16 @@ class TextVectorSpec extends SparkSpec {
       s"simhash missed exact near-dups: ${exact -- sim}")
   }
 
-  test("ivf-ann recall@5 >= 0.8 with sqrt(n)-adaptive cells, 50% probed") {
+  test("ivf-ann (integer quantizer, oracled) recall@5 >= 0.8 at sf0.001") {
     val recalls = VectorOps.annIvfRecall(spark, sf001).collect()
+      .map(_.getDouble(1))
+    assert(recalls.nonEmpty)
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.8, s"avg ivf recall@5 = $avg")
+  }
+
+  test("ivf-ann MLlib quantizer recall@5 >= 0.8 (sqrt(n) cells, 50% probed)") {
+    val recalls = VectorOps.annIvfRecallMl(spark, sf001).collect()
       .map(_.getDouble(1))
     assert(recalls.nonEmpty)
     val avg = recalls.sum / recalls.length
@@ -196,7 +204,7 @@ class TextVectorSpec extends SparkSpec {
     // force the large-corpus branch: threshold below the fixture size makes
     // the quantizer train on a seeded half-ish sample instead of the full
     // cached copy — the 100 TB configuration, exercised end-to-end
-    val recalls = VectorOps.annIvfRecall(spark, sf001, fitSampleThreshold = 250L)
+    val recalls = VectorOps.annIvfRecallMl(spark, sf001, fitSampleThreshold = 250L)
       .collect().map(_.getDouble(1))
     assert(recalls.nonEmpty)
     val avg = recalls.sum / recalls.length
