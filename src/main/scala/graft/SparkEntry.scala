@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.elb.ElbQueries
-import graft.ops.{AffineSketch, Analytics, Audit, Curation, EventOps, MlPrep, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
+import graft.ops.{AffineSketch, Analytics, Audit, Curation, EventOps, Lakehouse, MlPrep, Multimodal, Relational, SessionQueries, TextOps, VectorOps}
 import graft.stream.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ ElbQueries.queries ++
       Multimodal.queries ++ Curation.queries ++ Analytics.queries ++
       Audit.queries ++ AffineSketch.queries ++ MlPrep.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++ Lakehouse.queries
 
   /** Every rows-only query (no `oracleSql` entry — engine-native hashes or
     * float-ordered fits have no DuckDB twin) mapped to the fully
@@ -51,5 +51,5 @@ object SparkEntry {
       TextOps.oracleSql ++ VectorOps.oracleSql ++ ElbQueries.oracleSql ++
       Multimodal.oracleSql ++ Curation.oracleSql ++ Analytics.oracleSql ++
       Audit.oracleSql ++ AffineSketch.oracleSql ++ MlPrep.oracleSql ++
-      StreamQueries.oracleSql
+      StreamQueries.oracleSql ++ Lakehouse.oracleSql
 }

@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-snapshot table — the lakehouse ACID surface (r12
+  * verdict task 5: `q_merge_upsert`/`q_stream_cdc` already implement MERGE
+  * and CDC *semantics* over versioned parquet state, but a real lake user
+  * hits snapshot isolation, time travel, and concurrent writers on day
+  * one). Same commit-log design as the public Delta/Iceberg protocols,
+  * reduced to the invariants that make them work:
+  *
+  *   - A table is a directory: immutable data file-groups under `data/`
+  *     plus an append-only commit log `_commits/v%05d.json`. A manifest is
+  *     the COMPLETE list of file-groups forming that version's snapshot
+  *     (the Iceberg snapshot model; data files are never mutated or
+  *     reused across rewrites, only re-listed).
+  *   - Readers resolve ONE manifest, then read exactly its files: snapshot
+  *     isolation by construction — a concurrent commit writes v+1 and can
+  *     never change what an in-flight reader sees. `VERSION AS OF k` is
+  *     the same read against an older manifest, so time travel is free
+  *     until a vacuum deletes unreferenced file-groups.
+  *   - Writers are optimistic: stage data files (invisible until
+  *     committed — the log is the source of truth), then publish with an
+  *     ATOMIC create of the next manifest (`Files.createFile`, the POSIX
+  *     O_EXCL analogue of S3 put-if-absent / HDFS rename). Exactly one of
+  *     N racing writers wins a version; losers see
+  *     FileAlreadyExistsException, re-read the new latest, REBASE (their
+  *     snapshot function is re-run against the winner's state), and
+  *     retry. That is serializable commit ordering with no locks and no
+  *     coordinator — SnapshotTableSpec race-proves it.
+  *
+  * 100 TB shape: manifests carry file NAMES, never data — commit cost is
+  * O(changed file-groups), independent of table size; `append` stages only
+  * the new rows. [[transact]] here rewrites the full snapshot
+  * (copy-on-write at fixture scale); a production MERGE prunes to the
+  * touched file-groups first (join the batch against per-file min/max
+  * zone maps — the same pruning `q_zone_map` measures) and rewrites only
+  * those, which this log format already supports since a manifest may mix
+  * old and new file-groups. Vacuum = delete file-groups referenced by no
+  * retained manifest; never required for correctness.
+  */
+object SnapshotTable {
+
+  /** One committed version: the complete file-group list of the snapshot.
+    * `op` is a human-readable audit tag, not protocol state. */
+  final case class Manifest(version: Int, op: String, files: Seq[String])
+
+  private def commitsDir(table: String): Path = Paths.get(table, "_commits")
+
+  private def manifestPath(table: String, v: Int): Path =
+    commitsDir(table).resolve(f"v$v%05d.json")
+
+  /** Largest committed version, or 0 if the log is empty (version numbers
+    * start at 1; "version 0" reads as the empty table). */
+  def latestVersion(table: String): Int = {
+    val d = commitsDir(table)
+    if (!Files.isDirectory(d)) 0
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  // Hand-rolled single-line JSON, mirroring graft.Verify's discipline (the
+  // library keeps zero JSON deps). File-group names are UUIDs we mint, so
+  // no escaping is ever needed; the parser rejects anything else loudly.
+  private def render(m: Manifest): String = {
+    require(m.files.forall(f => f.matches("[A-Za-z0-9/_.-]+")),
+      s"unexpected characters in file-group name: ${m.files}")
+    val fs = m.files.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${m.version},"op":"${m.op}","files":$fs}"""
+  }
+
+  private def parse(v: Int, s: String): Manifest = {
+    val op = """"op":"([^"]*)"""".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"malformed manifest v$v: $s")).group(1)
+    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"malformed manifest v$v: $s")).group(1)
+    val fs =
+      if (files.isEmpty) Seq.empty[String]
+      else files.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+    Manifest(v, op, fs)
+  }
+
+  def manifest(table: String, version: Int): Manifest = {
+    val p = manifestPath(table, version)
+    require(Files.exists(p),
+      s"version $version does not exist (latest: ${latestVersion(table)})")
+    parse(version, Files.readString(p))
+  }
+
+  /** Snapshot read. `asOf = Some(k)` is `VERSION AS OF k`; None reads the
+    * latest committed version. Version 0 / an empty log is an error — the
+    * caller owns schema knowledge we don't have for an empty table. */
+  def read(s: SparkSession, table: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(latestVersion(table))
+    require(v > 0, s"table $table has no committed versions")
+    val m = manifest(table, v)
+    s.read.parquet(m.files.map(f => s"$table/$f"): _*)
+  }
+
+  /** Stage a DataFrame as a new immutable file-group; returns its
+    * table-relative name. Staged groups are invisible to every reader
+    * until a manifest lists them. */
+  private def stage(df: DataFrame, table: String): String = {
+    val name = s"data/${java.util.UUID.randomUUID().toString}"
+    df.write.parquet(s"$table/$name")
+    name
+  }
+
+  /** The one atomic primitive: publish `m` as version `m.version` iff no
+    * other writer got there first — open(O_CREAT|O_EXCL) via CREATE_NEW,
+    * the POSIX analogue of an object store's put-if-absent on the manifest
+    * key. (NOT tmp-file + Files.move: Java's no-replace move is a
+    * check-then-rename — two racers can both pass the check and the POSIX
+    * rename silently replaces, losing a committed version.) The claim is
+    * atomic; the one-page content lands in the same call, and a reader
+    * only ever resolves a manifest version it saw in a directory listing
+    * or as latestVersion, after the claim. */
+  private def tryCommit(table: String, m: Manifest): Boolean = {
+    Files.createDirectories(commitsDir(table))
+    try {
+      Files.writeString(manifestPath(table, m.version), render(m),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      true
+    } catch { case _: FileAlreadyExistsException => false }
+  }
+
+  /** Optimistic-concurrency commit loop: compute the next snapshot's
+    * file-group list FROM the current latest version, try to publish as
+    * latest+1, rebase and retry on conflict. `next` receives the current
+    * manifest (None on an empty table) and returns the complete new file
+    * list; it re-runs on every retry, so losers always rebase onto the
+    * winner's state. Returns the committed version. */
+  def commit(table: String, op: String, maxRetries: Int = 10)(
+      next: Option[Manifest] => Seq[String]): Int = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = latestVersion(table)
+      val cur = if (base == 0) None else Some(manifest(table, base))
+      val m = Manifest(base + 1, op, next(cur))
+      if (tryCommit(table, m)) return m.version
+      attempt += 1
+    }
+    sys.error(s"commit of '$op' to $table lost $maxRetries OCC races; giving up")
+  }
+
+  /** Append: stage the new rows once, then commit prev ∪ new. The staged
+    * group never depends on the base version, so OCC retries re-run only
+    * the O(1) manifest step — the production fast path. */
+  def append(s: SparkSession, table: String, df: DataFrame): Int = {
+    val staged = stage(df, table)
+    commit(table, "append") { cur => cur.map(_.files).getOrElse(Nil) :+ staged }
+  }
+
+  /** Full-rewrite transaction (MERGE / DELETE / UPDATE at fixture scale):
+    * the new snapshot is `f(current snapshot)`, staged as one new group.
+    * Re-stages on OCC retry — the rebase a serializable rewrite needs.
+    * On an empty table `f` receives None. */
+  def transact(s: SparkSession, table: String, op: String)(
+      f: Option[DataFrame] => DataFrame): Int =
+    commit(table, op) { cur =>
+      val in = cur.filter(_.files.nonEmpty)
+        .map(m => s.read.parquet(m.files.map(f => s"$table/$f"): _*))
+      Seq(stage(f(in), table))
+    }
+}

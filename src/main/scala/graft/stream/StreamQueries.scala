@@ -55,9 +55,12 @@ object StreamQueries {
     * partitions holding a few hundred rows — pure machinery on these
     * tens-of-thousands-row replays. Batch queries get this right-sizing
     * from AQE; a stream's state partition count is fixed at first start,
-    * so it must be chosen — 8 keeps genuine multi-partition semantics
-    * coverage (cross-partition shuffles, parallel state commits) at a
-    * quarter of the IO. Results are partitioning-independent (exact
+    * so it must be chosen — 4 keeps genuine multi-partition semantics
+    * coverage (cross-partition shuffles, parallel state commits) at an
+    * eighth of the IO (r12 ran 8; the r12 verdict's machinery-diet task
+    * re-measured the knob — state-store instance setup/commit dominates
+    * these replays, not state volume — and every oracle hash is
+    * unchanged; BASELINE.md records the before/after subtotals). Results are partitioning-independent (exact
     * aggregates/joins), which the unchanged oracle hashes prove; at
     * production volume the knob goes the other way (more partitions per
     * state size), which is exactly the point: it is a per-stream sizing
@@ -65,7 +68,7 @@ object StreamQueries {
   private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
     try body finally prev match {
       case Some(p) => s.conf.set(key, p)
       case None => s.conf.unset(key)
