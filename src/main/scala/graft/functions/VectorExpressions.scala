@@ -260,25 +260,28 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** srp_sig(array<float|double>, nBits) → int: sign-random-projection
-  * signature for cosine-similarity LSH. Hyperplane i's component for dim d
-  * is ±1 derived from xxhash64(i * 8191 + d) parity (deterministic, no
-  * stored planes); bit i = [dot(v, plane_i) > 0]. Vectors with high cosine
-  * similarity agree on most bits. */
+/** srp_sig(array<float|double>, nBits) → long: sign-random-projection
+  * signature for cosine-similarity LSH (up to 63 bits — widened from int
+  * in r13 so corpus-adaptive banding can size bucket spaces to the corpus;
+  * bit values for any given nBits are unchanged). Hyperplane i's component
+  * for dim d is ±1 derived from xxhash64(i * 8191 + d) parity
+  * (deterministic, no stored planes); bit i = [dot(v, plane_i) > 0].
+  * Vectors with high cosine similarity agree on most bits. */
 case class SrpSig(child: Expression, nBits: Int)
     extends UnaryExpression with CodegenFallback {
+  require(nBits > 0 && nBits < 64, s"srp_sig supports 1..63 bits, got $nBits")
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    var sig = 0
+    var sig = 0L
     var i = 0
     while (i < nBits) {
       var acc = 0.0
@@ -289,7 +292,7 @@ case class SrpSig(child: Expression, nBits: Int)
         acc += (if ((h & 1L) == 1L) x else -x)
         d += 1
       }
-      if (acc > 0) sig |= (1 << i)
+      if (acc > 0) sig |= (1L << i)
       i += 1
     }
     sig

@@ -934,9 +934,21 @@ object AffineSketch {
 
   // -------------------------------------------- SRP-blocked cosine verify
 
-  private val clBands = 8
-  private val clBandBits = 4   // 8 bands × 4 bits cover the 32-bit sig
   private val clTau = 0.35     // same threshold as VectorOps.cosinePairsLsh
+
+  /** Corpus-adaptive banding of the 32-bit affine signature, mirroring
+    * [[VectorOps.cosinePairsLsh]]'s r13 fix (fixed-width bands go
+    * quadratic once bucket size grows with the corpus): bandBits =
+    * clamp(4..8, ⌈log₂(n/64)⌉) keeps expected bucket occupancy ~64,
+    * nBands = 32 div bandBits. At the sf0.001/sf0.01 gate sizes this
+    * floors to EXACTLY the historical 8 bands × 4 bits, so the oracle
+    * hash is unchanged there; both engines derive the same config from
+    * count(*) (Spark: one count action; DuckDB: a params CTE). */
+  private def clConfig(n: Long): (Int, Int) = {
+    val bandBits = math.min(8, math.max(4,
+      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+    (32 / bandBits, bandBits)
+  }
 
   /** Exact-integer sum zip-dot — every term |x·y| < 2^42, 64 terms sum
     * inside one row in fixed order ⇒ exact int64 on both engines. */
@@ -955,6 +967,7 @@ object AffineSketch {
     * this twin hash-proves the same banding+verify pipeline shape. */
   def cosineLshAffine(s: SparkSession, dir: String): DataFrame = {
     val sig = srpSig(s, dir).persist()
+    val (clBands, clBandBits) = clConfig(sig.count())
     val bandStructs = (0 until clBands).map { b =>
       struct(lit(b).as("band"),
         expr(s"(sig div ${1L << (clBandBits * b)}) % ${1 << clBandBits}")
@@ -985,11 +998,16 @@ object AffineSketch {
   }
 
   private def cosineLshAffineOracle: String = {
-    val bands = (0 until clBands).map { b =>
-      s"  SELECT vec_id, $b AS band, (sig//${1L << (clBandBits * b)}) % ${1 << clBandBits} AS bucket FROM sig2"
-    }.mkString("\n  UNION ALL\n")
-    s"""$srpSigCtes, banded AS (
-       |$bands
+    s"""$srpSigCtes, params AS (
+       |  SELECT bb, 32 // bb AS nb FROM (
+       |    SELECT CAST(least(8, greatest(4, ceil(log2(count(*) / 64.0)))) AS BIGINT) AS bb
+       |    FROM embeddings)
+       |), banded AS (
+       |  SELECT s.vec_id, CAST(b.band AS INTEGER) AS band,
+       |    (s.sig // CAST(pow(2, (SELECT bb FROM params) * b.band) AS BIGINT))
+       |      % CAST(pow(2, (SELECT bb FROM params)) AS BIGINT) AS bucket
+       |  FROM sig2 s, (SELECT UNNEST(range(8)) AS band) b
+       |  WHERE b.band < (SELECT nb FROM params)
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
        |  FROM banded a JOIN banded b USING (band, bucket)

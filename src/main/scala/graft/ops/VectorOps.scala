@@ -128,18 +128,35 @@ object VectorOps {
     * metadata blocks are); exact cosine >= 0.35 then verifies each
     * candidate, so every emitted pair is a true threshold pair.
     *
-    * Band geometry is a measured trade on this fixture: threshold 0.35
-    * sits near the random-pair regime (P(bit agree) ≈ 0.61 vs 0.50 for
-    * unrelated vectors), and 10×3 bits catches 100% of the label-blocked
-    * exact pairs on BOTH sf0.001 and sf0.01 (93% of ALL threshold pairs)
-    * while pruning ~27% of the pair space; 2-bit bands prune almost
-    * nothing, 4-bit bands prune 2/3 but drop recall below 0.7. Real
-    * near-dup corpora (cos >= 0.9, P(bit agree) ≈ 0.86) separate far more
-    * sharply. Superset-of-exact pinned in TextVectorSpec; hash-based →
-    * rows-only driver check. */
+    * Band geometry is CORPUS-ADAPTIVE (r13 — the r12 verdict's growth
+    * measurement caught the fixed 10×3-bit config going quadratic: with
+    * only 2^3 buckets per band, bucket SIZE grows with the corpus, and
+    * the 10× fixture measured 1.46M candidates from 2000 vectors).
+    * Band width is sized so expected bucket occupancy stays ~64:
+    * bandBits = clamp(3..15, ⌈log₂(n/64)⌉), nBands = 60 div bandBits
+    * over a 60-bit signature — candidates stay ~n·64-bounded across the
+    * measured decade instead of n²/2^bandBits. The trade is explicit
+    * and standard for 1-bit-hash LSH: at FIXED total signature bits,
+    * wider bands mean fewer bands, which lowers collision probability
+    * for borderline pairs (cos ≈ τ) while high-cosine near-dups (P(bit
+    * agree) ≥ 0.86) stay caught; growing n eventually needs total bits
+    * ∝ bands·log n — the signature is the memory/recall knob, exactly
+    * like MinHash band rows. At the sf0.001/sf0.01 gate sizes the
+    * formula floors at 3-bit bands, where 20 bands catch 100% of the
+    * label-blocked exact pairs (TextVectorSpec pin). Hash-based →
+    * rows-only driver check; `q_cosine_lsh_affine` (AffineSketch) stays
+    * the fixed-config oracled twin of the same pipeline shape. */
+  /** The corpus-adaptive banding config shared by [[cosinePairsLsh]] and
+    * the [[lshCandidateStats]] probe: (nBits, bandBits). */
+  private def lshConfig(s: SparkSession, dir: String): (Int, Int) = {
+    val n = emb(s, dir).count()
+    val bandBits = math.min(15, math.max(3,
+      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+    (60, bandBits)
+  }
+
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
-    val nBits = 30
-    val bandBits = 3
+    val (nBits, bandBits) = lshConfig(s, dir)
     // persisted: feeds the banding explode AND both vector-lookup joins
     val e = withSrpSig(s, dir, nBits).persist()
     val banded = srpBanded(e, nBits, bandBits)
@@ -160,6 +177,26 @@ object VectorOps {
       .filter(col("cos") >= 0.35)
       .select(col("id1"), col("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Dev-only candidate-funnel stats for [[cosinePairsLsh]] (r12 verdict
+    * task 1: "log SRP/LSH candidate counts like q_dedup_pr does") —
+    * (corpus size, banded pairs pre-dedup, distinct candidate pairs,
+    * verified pairs). Not a registered query: it re-runs the exact same
+    * plan stages the query runs, purely to expose the funnel for the
+    * BASELINE.md growth tables via `tools.VectorProbe`. */
+  def lshCandidateStats(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val (nBits, bandBits) = lshConfig(s, dir)
+    val e = withSrpSig(s, dir, nBits).persist()
+    val banded = srpBanded(e, nBits, bandBits).persist()
+    val n = e.count()
+    val l = banded.select(col("band"), col("bucket"), col("vec_id").as("id1"))
+    val r = banded.select(col("band"), col("bucket"), col("vec_id").as("id2"))
+    val raw = l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+    val rawN = raw.count()
+    val candN = raw.select(col("id1"), col("id2")).distinct().count()
+    val verN = cosinePairsLsh(s, dir).count()
+    (n, rawN, candN, verN)
   }
 
   /** Hybrid retrieval with RECIPROCAL RANK FUSION (RRF, Cormack et al.

@@ -127,12 +127,26 @@ object ScaleGen {
         .withColumn("n_chars", length(txt).cast("long"))
     }, "documents")
 
+    // Per-shard CYCLIC COORDINATE ROTATION (not an additive delta): a
+    // rotation is a permutation, so every within-shard dot product,
+    // norm, and neighbor structure is EXACTLY the original's, while
+    // cross-shard cosines decorrelate to ~0 on these random vectors —
+    // the embeddings analogue of documents' per-shard vocabulary. The
+    // r12-era additive +k·1e-4 was measured in r13 to make shards
+    // MUTUAL NEAR-DUPS (cos(v, v+δ) ≈ 1), so every banded pair query's
+    // 10× run measured the output-quadratic degenerate corpus (every
+    // vector in a 10-copy dup group; q_cosine_lsh_affine 4.3 → 190.7 s),
+    // not the operator's plan. Rotation offsets 7k mod 64 are distinct
+    // for k < 64 (7 ⊥ 64); beyond 64 copies shards would re-collide.
     val emb = t("embeddings")
     val eOff = off(emb, "vec_id")
     write(shards(emb) { (df, k) =>
+      val r = (k * 7) % 64
+      val rotated =
+        if (r == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
       df.withColumn("vec_id", col("vec_id") + lit(k * eOff))
-        .withColumn("embedding",
-          expr(s"transform(embedding, x -> x + ${k}.0e-4)"))
+        .withColumn("embedding", rotated)
     }, "embeddings")
 
     val cust = t("customer")

@@ -134,12 +134,15 @@ class TextVectorSpec extends SparkSpec {
       sum(col("doc_id") * col("n_fingerprints"))).head()
     assert(wagg.getLong(0) === 55989L && wagg.getLong(1) === 14028746L)
 
+    // r13 re-pin: corpus-adaptive banding floors at 3-bit bands here, but
+    // the widened 60-bit signature gives 20 bands (was 10) — recall on
+    // threshold pairs rises 252 → 271 at identical verify semantics
     val lsh = VectorOps.cosinePairsLsh(spark, sf01)
-    assert(lsh.count() === 252L)
+    assert(lsh.count() === 271L)
     val lagg = lsh.agg(sum(col("id1")), sum(col("id2")),
       round(sum(col("cos")), 4)).head()
-    assert(lagg.getLong(0) === 42216L && lagg.getLong(1) === 83952L)
-    assert(lagg.getDouble(2) === 96.7324)
+    assert(lagg.getLong(0) === 45031L && lagg.getLong(1) === 89942L)
+    assert(lagg.getDouble(2) === 103.831)
   }
 
   test("jaccardPrefix: prefix-filtered plan reproduces the naive all-pairs definition") {
