@@ -124,9 +124,42 @@ object Lakehouse {
       .orderBy(col("k"))
   }
 
+  private val compactMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Compaction under the hash oracle: its OWN table (so the shared
+    * [[buildOnce]] table's version history stays stable for the other
+    * two queries) gets the same three versions, then
+    * [[SnapshotTable.compact]] rewrites the multi-group v3 snapshot into
+    * a single-group v4. The query reads the COMPACTED latest and
+    * aggregates per src — hash-equal to DuckDB's reconstruction of v3
+    * if and only if compaction changed layout and nothing else. The
+    * layout half (exactly one file-group at v4, all pre-compaction
+    * versions still readable, vacuum reclaim semantics) is pinned in
+    * SnapshotTableSpec. */
+  def snapshotCompact(s: SparkSession, dir: String): DataFrame = {
+    val table = compactMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snapcompact_${safe(dir)}"
+      SnapshotTable.transact(s, t, "create") { _ => baseRows(s, dir) }
+      SnapshotTable.transact(s, t, "merge-b1") { cur =>
+        upsert(cur.get, batch1(s, dir))
+      }
+      SnapshotTable.transact(s, t, "delete+merge-b2") { cur =>
+        upsert(cur.get.filter(col("cust") % 10 =!= 0), batch2(s, dir))
+      }
+      SnapshotTable.compact(s, t)
+      t
+    })
+    SnapshotTable.read(s, table)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("src"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravel _),
-    "q_snapshot_cdf" -> (snapshotCdf _))
+    "q_snapshot_cdf" -> (snapshotCdf _),
+    "q_snapshot_compact" -> (snapshotCompact _))
 
   /** Shared oracle prefix: the pure-relational reconstruction of versions
     * v2 and v3 from `orders` — the declarative truth both lakehouse
@@ -168,6 +201,13 @@ object Lakehouse {
         |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM states GROUP BY version, src
         |ORDER BY version, src""".stripMargin,
+
+    "q_snapshot_compact" ->
+      s"""$versionCtes
+        |SELECT src, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v3 GROUP BY src
+        |ORDER BY src""".stripMargin,
 
     "q_snapshot_cdf" ->
       s"""$versionCtes

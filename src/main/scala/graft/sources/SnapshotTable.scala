@@ -170,4 +170,52 @@ object SnapshotTable {
         .map(m => s.read.parquet(m.files.map(f => s"$table/$f"): _*))
       Seq(stage(f(in), table))
     }
+
+  /** Compaction (OPTIMIZE): rewrite the current snapshot's file-groups
+    * into ONE group and commit a manifest listing only it — content
+    * identical (`q_snapshot_compact` hash-proves it against the same
+    * relational truth as the uncompacted read), per-read file fan-out
+    * collapsed. Runs through the same OCC loop as any write, so a
+    * concurrent append simply wins or loses a version like any other
+    * committer. Old groups stay on disk — every pre-compaction version
+    * remains readable — until [[vacuum]] reclaims them. Production
+    * compacts per size-tiered partition bins (q_compaction_plan is that
+    * planner), not the whole table. */
+  def compact(s: SparkSession, table: String): Int =
+    transact(s, table, "compact")(cur => cur.getOrElse(
+      sys.error(s"cannot compact empty table $table")))
+
+  /** Vacuum: retire history. Keeps the newest `retainLast` versions;
+    * deletes every manifest below the horizon and every file-group no
+    * retained manifest references. Never needed for correctness — purely
+    * a storage-reclaim policy, and the ONLY operation that makes a
+    * `VERSION AS OF` unreadable (it then fails the loud "does not exist"
+    * path, not a missing-file read). Returns the deleted group names. */
+  def vacuum(table: String, retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(table)
+    require(latest > 0, s"table $table has no committed versions")
+    val horizon = math.max(1, latest - retainLast + 1)
+    val retained = (horizon to latest).flatMap(v => manifest(table, v).files).toSet
+    // drop pre-horizon manifests first: readers resolve manifests before
+    // files, so a version either resolves fully or fails the loud check
+    (1 until horizon).foreach(v => Files.deleteIfExists(manifestPath(table, v)))
+    val dataDir = Paths.get(table, "data")
+    val victims =
+      if (!Files.isDirectory(dataDir)) Seq.empty[String]
+      else Files.list(dataDir).iterator().asScala
+        .map(p => s"data/${p.getFileName}")
+        .filterNot(retained)
+        .toSeq
+    victims.foreach { g =>
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(p)
+        ()
+      }
+      rm(Paths.get(table, g))
+    }
+    victims.sorted
+  }
 }

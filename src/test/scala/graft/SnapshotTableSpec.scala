@@ -122,6 +122,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(latest === (1 to n).map(_.toLong))
   }
 
+  test("compact collapses the snapshot to one group; history stays readable") {
+    val t = freshTable("compact")
+    SnapshotTable.append(spark, t, df(1, 2))
+    SnapshotTable.append(spark, t, df(3))
+    SnapshotTable.append(spark, t, df(4))
+    assert(SnapshotTable.manifest(t, 3).files.size === 3)
+    val before = SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val v = SnapshotTable.compact(spark, t)
+    assert(v === 4)
+    // layout changed, content identical
+    assert(SnapshotTable.manifest(t, 4).files.size === 1)
+    val after = SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before && after === Seq(1L, 2L, 3L, 4L))
+    // compaction is not destructive: every pre-compaction version reads
+    assert(SnapshotTable.read(spark, t, Some(2)).count() === 3)
+    assert(SnapshotTable.read(spark, t, Some(1)).count() === 2)
+  }
+
+  test("vacuum reclaims unreferenced groups; latest intact, history gone loudly") {
+    val t = freshTable("vacuum")
+    SnapshotTable.append(spark, t, df(1, 2))
+    SnapshotTable.append(spark, t, df(3))
+    SnapshotTable.compact(spark, t) // v3, one fresh group
+    val victims = SnapshotTable.vacuum(t, retainLast = 1)
+    // the two original append groups are gone; the compacted group stays
+    assert(victims.size === 2, s"victims: $victims")
+    val latest = SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(latest === Seq(1L, 2L, 3L))
+    // retired versions fail the loud missing-version path, not a
+    // missing-file read
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.read(spark, t, Some(1)))
+    assert(e.getMessage.contains("does not exist"))
+    // vacuum is idempotent once clean
+    assert(SnapshotTable.vacuum(t, retainLast = 1).isEmpty)
+  }
+
   test("manifests list complete snapshots; data files are immutable") {
     val t = freshTable("manifest")
     SnapshotTable.append(spark, t, df(1))
