@@ -523,6 +523,11 @@ object VectorOps {
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nProbe = math.max(6, math.ceil(k * 0.5).toInt)
 
+    // NOT persisted: `cent` feeds both the final assignment and the
+    // multiprobe broadcast, but caching it measured NO win (×3 solo:
+    // 7.3/8.2/7.9 s vs 6.0/7.2/8.7 unpersisted — the reused exchange
+    // already covers the second consumer); the wall cost is the ~15
+    // tiny-data stages of the unrolled fit, not recompute
     val cent = intLloydFit(qs, k, ivfIters)
     val vec = intAssign(qs, cent)
       .withColumn("dd",
