@@ -156,10 +156,47 @@ object Lakehouse {
       .orderBy(col("src"))
   }
 
+  private val pruneMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long)]()
+
+  /** Manifest zone-map pruning under the hash oracle: three appends of
+    * disjoint o_orderkey thirds (each group's (min, max) recorded in the
+    * manifest via `statsCol`), then a [0.4·mx, 0.5·mx] range read that
+    * intersects ONLY the middle group — [[SnapshotTable.readPruned]]
+    * plans from the manifest alone, opening 1 of 3 groups. The emitted
+    * `n_groups_read` column rides the hash (oracle pins it to 1, which
+    * holds by integer arithmetic for any mx ≥ 15: ⌊0.4mx⌋ > ⌊mx/3⌋ and
+    * ⌊mx/2⌋ ≤ ⌊2mx/3⌋), so a pruning bug that opens extra groups — or
+    * misses the right one — breaks the gate, not just a spec. At 100 TB
+    * this is the read path a selective MERGE/CDF/point-lookup takes:
+    * manifest consulted, matching groups scanned, nothing else. */
+  def snapshotPrune(s: SparkSession, dir: String): DataFrame = {
+    val (table, mx) = pruneMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snapprune_${safe(dir)}"
+      val rows = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents("o_totalprice").as("cents"))
+      val m = rows.agg(max(col("k"))).head().getLong(0)
+      val (b1, b2) = (m / 3, 2 * m / 3)
+      SnapshotTable.append(s, t, rows.filter(col("k") <= b1), Some("k"))
+      SnapshotTable.append(s, t,
+        rows.filter(col("k") > b1 && col("k") <= b2), Some("k"))
+      SnapshotTable.append(s, t, rows.filter(col("k") > b2), Some("k"))
+      (t, m)
+    })
+    val (lo, hi) = (4 * mx / 10, mx / 2)
+    val kept = SnapshotTable.prunedFiles(
+      table, SnapshotTable.latestVersion(table), lo, hi)
+    SnapshotTable.readPruned(s, table, lo, hi)
+      .filter(col("k").between(lo, hi))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_groups_read", lit(kept.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravel _),
     "q_snapshot_cdf" -> (snapshotCdf _),
-    "q_snapshot_compact" -> (snapshotCompact _))
+    "q_snapshot_compact" -> (snapshotCompact _),
+    "q_snapshot_prune" -> (snapshotPrune _))
 
   /** Shared oracle prefix: the pure-relational reconstruction of versions
     * v2 and v3 from `orders` — the declarative truth both lakehouse
@@ -201,6 +238,17 @@ object Lakehouse {
         |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM states GROUP BY version, src
         |ORDER BY version, src""".stripMargin,
+
+    "q_snapshot_prune" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |sel AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders, mx
+        |  WHERE o_orderkey BETWEEN (4 * m) // 10 AND m // 2)
+        |SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(1 AS INTEGER) AS n_groups_read
+        |FROM sel""".stripMargin,
 
     "q_snapshot_compact" ->
       s"""$versionCtes

@@ -45,9 +45,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotTable {
 
-  /** One committed version: the complete file-group list of the snapshot.
-    * `op` is a human-readable audit tag, not protocol state. */
-  final case class Manifest(version: Int, op: String, files: Seq[String])
+  /** One committed version: the complete file-group list of the snapshot,
+    * plus optional per-group (min, max) stats over one designated int64
+    * key column — the manifest-level zone map that lets a reader plan
+    * which groups to open WITHOUT touching data (Iceberg's column
+    * bounds / Delta's file stats, reduced to the key column). `op` is a
+    * human-readable audit tag, not protocol state. */
+  final case class Manifest(version: Int, op: String, files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   private def commitsDir(table: String): Path = Paths.get(table, "_commits")
 
@@ -69,10 +74,18 @@ object SnapshotTable {
   // Hand-rolled single-line JSON, mirroring graft.Verify's discipline (the
   // library keeps zero JSON deps). File-group names are UUIDs we mint, so
   // no escaping is ever needed; the parser rejects anything else loudly.
+  // A group WITH key stats serializes as "name|min|max" inside the same
+  // array — flat, order-stable, and groups without stats stay plain names
+  // (stats are an optimization, never required for correctness).
   private def render(m: Manifest): String = {
     require(m.files.forall(f => f.matches("[A-Za-z0-9/_.-]+")),
       s"unexpected characters in file-group name: ${m.files}")
-    val fs = m.files.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs = m.files.sorted.map { f =>
+      m.stats.get(f) match {
+        case Some((lo, hi)) => "\"" + f + "|" + lo + "|" + hi + "\""
+        case None => "\"" + f + "\""
+      }
+    }.mkString("[", ",", "]")
     s"""{"version":${m.version},"op":"${m.op}","files":$fs}"""
   }
 
@@ -81,10 +94,18 @@ object SnapshotTable {
       .getOrElse(sys.error(s"malformed manifest v$v: $s")).group(1)
     val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .getOrElse(sys.error(s"malformed manifest v$v: $s")).group(1)
-    val fs =
+    val entries =
       if (files.isEmpty) Seq.empty[String]
       else files.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
-    Manifest(v, op, fs)
+    val (fs, st) = entries.foldLeft(
+      (Vector.empty[String], Map.empty[String, (Long, Long)])) {
+      case ((f, m), e) => e.split('|') match {
+        case Array(name, lo, hi) => (f :+ name, m + (name -> (lo.toLong, hi.toLong)))
+        case Array(name) => (f :+ name, m)
+        case _ => sys.error(s"malformed file-group entry in v$v: $e")
+      }
+    }
+    Manifest(v, op, fs, st)
   }
 
   def manifest(table: String, version: Int): Manifest = {
@@ -105,12 +126,22 @@ object SnapshotTable {
   }
 
   /** Stage a DataFrame as a new immutable file-group; returns its
-    * table-relative name. Staged groups are invisible to every reader
-    * until a manifest lists them. */
-  private def stage(df: DataFrame, table: String): String = {
+    * table-relative name plus (min, max) of `statsCol` when one is
+    * designated (computed on the staged data — one cheap agg — and
+    * carried in the manifest so readers can prune without opening the
+    * group). Staged groups are invisible to every reader until a
+    * manifest lists them. */
+  private def stage(df: DataFrame, table: String,
+      statsCol: Option[String]): (String, Option[(Long, Long)]) = {
     val name = s"data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(s"$table/$name")
-    name
+    val st = statsCol.map { c =>
+      val r = df.sparkSession.read.parquet(s"$table/$name")
+        .agg(org.apache.spark.sql.functions.min(c).cast("long"),
+          org.apache.spark.sql.functions.max(c).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    (name, st)
   }
 
   /** The one atomic primitive: publish `m` as version `m.version` iff no
@@ -139,12 +170,13 @@ object SnapshotTable {
     * list; it re-runs on every retry, so losers always rebase onto the
     * winner's state. Returns the committed version. */
   def commit(table: String, op: String, maxRetries: Int = 10)(
-      next: Option[Manifest] => Seq[String]): Int = {
+      next: Option[Manifest] => (Seq[String], Map[String, (Long, Long)])): Int = {
     var attempt = 0
     while (attempt <= maxRetries) {
       val base = latestVersion(table)
       val cur = if (base == 0) None else Some(manifest(table, base))
-      val m = Manifest(base + 1, op, next(cur))
+      val (files, stats) = next(cur)
+      val m = Manifest(base + 1, op, files, stats)
       if (tryCommit(table, m)) return m.version
       attempt += 1
     }
@@ -153,22 +185,30 @@ object SnapshotTable {
 
   /** Append: stage the new rows once, then commit prev ∪ new. The staged
     * group never depends on the base version, so OCC retries re-run only
-    * the O(1) manifest step — the production fast path. */
-  def append(s: SparkSession, table: String, df: DataFrame): Int = {
-    val staged = stage(df, table)
-    commit(table, "append") { cur => cur.map(_.files).getOrElse(Nil) :+ staged }
+    * the O(1) manifest step — the production fast path. Pass `statsCol`
+    * to record the group's (min, max) of that int64 column in the
+    * manifest for [[readPruned]]. */
+  def append(s: SparkSession, table: String, df: DataFrame,
+      statsCol: Option[String] = None): Int = {
+    val (staged, st) = stage(df, table, statsCol)
+    commit(table, "append") { cur =>
+      (cur.map(_.files).getOrElse(Nil) :+ staged,
+        cur.map(_.stats).getOrElse(Map.empty) ++ st.map(staged -> _))
+    }
   }
 
   /** Full-rewrite transaction (MERGE / DELETE / UPDATE at fixture scale):
     * the new snapshot is `f(current snapshot)`, staged as one new group.
     * Re-stages on OCC retry — the rebase a serializable rewrite needs.
     * On an empty table `f` receives None. */
-  def transact(s: SparkSession, table: String, op: String)(
+  def transact(s: SparkSession, table: String, op: String,
+      statsCol: Option[String] = None)(
       f: Option[DataFrame] => DataFrame): Int =
     commit(table, op) { cur =>
       val in = cur.filter(_.files.nonEmpty)
         .map(m => s.read.parquet(m.files.map(f => s"$table/$f"): _*))
-      Seq(stage(f(in), table))
+      val (staged, st) = stage(f(in), table, statsCol)
+      (Seq(staged), st.map(staged -> _).toMap)
     }
 
   /** Compaction (OPTIMIZE): rewrite the current snapshot's file-groups
@@ -177,13 +217,55 @@ object SnapshotTable {
     * relational truth as the uncompacted read), per-read file fan-out
     * collapsed. Runs through the same OCC loop as any write, so a
     * concurrent append simply wins or loses a version like any other
-    * committer. Old groups stay on disk — every pre-compaction version
-    * remains readable — until [[vacuum]] reclaims them. Production
-    * compacts per size-tiered partition bins (q_compaction_plan is that
-    * planner), not the whole table. */
+    * committer. The merged group's key stats need NO data scan: when
+    * every input group carried stats, the union's bounds are the
+    * min-of-mins / max-of-maxes straight from the previous manifest.
+    * Old groups stay on disk — every pre-compaction version remains
+    * readable — until [[vacuum]] reclaims them. Production compacts per
+    * size-tiered partition bins (q_compaction_plan is that planner),
+    * not the whole table. */
   def compact(s: SparkSession, table: String): Int =
-    transact(s, table, "compact")(cur => cur.getOrElse(
-      sys.error(s"cannot compact empty table $table")))
+    commit(table, "compact") { cur =>
+      val m = cur.filter(_.files.nonEmpty).getOrElse(
+        sys.error(s"cannot compact empty table $table"))
+      val in = s.read.parquet(m.files.map(f => s"$table/$f"): _*)
+      val (staged, _) = stage(in, table, None)
+      val merged =
+        if (m.files.forall(m.stats.contains))
+          Map(staged -> (m.stats.values.map(_._1).min,
+            m.stats.values.map(_._2).max))
+        else Map.empty[String, (Long, Long)]
+      (Seq(staged), merged)
+    }
+
+  /** Manifest-level zone-map pruning: the file-groups of version `v`
+    * whose recorded key range intersects [lo, hi] — groups without stats
+    * are always kept (stats are an optimization, never a correctness
+    * gate). Planning-only: touches no data. */
+  def prunedFiles(table: String, v: Int, lo: Long, hi: Long): Seq[String] = {
+    val m = manifest(table, v)
+    m.files.filter(f => m.stats.get(f).forall {
+      case (mn, mx) => mx >= lo && mn <= hi
+    })
+  }
+
+  /** Snapshot read of only the file-groups whose manifest key range
+    * intersects [lo, hi] — the production shape for selective MERGE /
+    * CDF / point-lookup reads: at 100 TB the manifest (file names +
+    * bounds) is the only thing consulted before the matching groups'
+    * parquet scan, so the read cost is proportional to the MATCHING
+    * data, not the table. The caller still applies its own row-level
+    * predicate; pruning only guarantees a superset. Returns an empty
+    * relation with the snapshot's schema when nothing intersects. */
+  def readPruned(s: SparkSession, table: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(latestVersion(table))
+    require(v > 0, s"table $table has no committed versions")
+    val keep = prunedFiles(table, v, lo, hi)
+    if (keep.isEmpty)
+      read(s, table, Some(v)).limit(0)
+    else s.read.parquet(keep.map(f => s"$table/$f"): _*)
+  }
 
   /** Vacuum: retire history. Keeps the newest `retainLast` versions;
     * deletes every manifest below the horizon and every file-group no

@@ -162,6 +162,45 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.vacuum(t, retainLast = 1).isEmpty)
   }
 
+  test("manifest key stats prune reads; statless groups are never pruned") {
+    val t = freshTable("prune")
+    SnapshotTable.append(spark, t, df(1, 2, 3), statsCol = Some("id"))
+    SnapshotTable.append(spark, t, df(10, 11), statsCol = Some("id"))
+    SnapshotTable.append(spark, t, df(100)) // no stats: must always be read
+    val v = SnapshotTable.latestVersion(t)
+    // range [10, 12] intersects group 2's bounds + the statless group
+    val kept = SnapshotTable.prunedFiles(t, v, 10L, 12L)
+    assert(kept.size === 2, s"kept: $kept")
+    val got = SnapshotTable.readPruned(spark, t, 10L, 12L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(10L, 11L, 100L)) // superset; caller filters rows
+    // stats round-trip the manifest JSON exactly
+    val m = SnapshotTable.manifest(t, v)
+    assert(m.stats.values.toSet === Set((1L, 3L), (10L, 11L)))
+    // compaction derives merged bounds only when EVERY group has stats
+    SnapshotTable.compact(spark, t)
+    assert(SnapshotTable.manifest(t, v + 1).stats.isEmpty)
+    // even a nothing-intersects range must read the statless group —
+    // stats are an optimization, never a correctness gate
+    val none = SnapshotTable.readPruned(spark, t, -5L, -1L, Some(v))
+      .collect().map(_.getLong(0)).toSeq
+    assert(none === Seq(100L))
+  }
+
+  test("compacting an all-stats table merges bounds without a data scan") {
+    val t = freshTable("prunecompact")
+    SnapshotTable.append(spark, t, df(1, 2), statsCol = Some("id"))
+    SnapshotTable.append(spark, t, df(50), statsCol = Some("id"))
+    SnapshotTable.compact(spark, t)
+    val m = SnapshotTable.manifest(t, 3)
+    assert(m.files.size === 1 && m.stats(m.files.head) === ((1L, 50L)))
+    // the merged bounds still prune correctly; on an ALL-stats table a
+    // nothing-intersects range reads an empty relation with the schema
+    assert(SnapshotTable.prunedFiles(t, 3, 60L, 99L).isEmpty)
+    assert(SnapshotTable.prunedFiles(t, 3, 40L, 99L).size === 1)
+    assert(SnapshotTable.readPruned(spark, t, 60L, 99L).count() === 0)
+  }
+
   test("manifests list complete snapshots; data files are immutable") {
     val t = freshTable("manifest")
     SnapshotTable.append(spark, t, df(1))
