@@ -943,10 +943,15 @@ object AffineSketch {
     * nBands = 32 div bandBits. At the sf0.001/sf0.01 gate sizes this
     * floors to EXACTLY the historical 8 bands × 4 bits, so the oracle
     * hash is unchanged there; both engines derive the same config from
-    * count(*) (Spark: one count action; DuckDB: a params CTE). */
+    * count(*) (Spark: one count action; DuckDB: a params CTE).
+    *
+    * INTEGER-EXACT (ADVICE r13): ceil(log2(n/64)) ≥ k+1 ⟺ n > 64·2^k, so
+    * the clamped value is 4 plus the count of exceeded power-of-two
+    * thresholds — no libm log whose 1-ulp drift vs DuckDB's log2 could
+    * flip the ceil at n = 2048/4096/8192 and split the two engines onto
+    * different band widths. The oracle CTE mirrors the same comparisons. */
   private def clConfig(n: Long): (Int, Int) = {
-    val bandBits = math.min(8, math.max(4,
-      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+    val bandBits = 4 + Seq(1024L, 2048L, 4096L, 8192L).count(n > _)
     (32 / bandBits, bandBits)
   }
 
@@ -1000,7 +1005,10 @@ object AffineSketch {
   private def cosineLshAffineOracle: String = {
     s"""$srpSigCtes, params AS (
        |  SELECT bb, 32 // bb AS nb FROM (
-       |    SELECT CAST(least(8, greatest(4, ceil(log2(count(*) / 64.0)))) AS BIGINT) AS bb
+       |    SELECT 4 + (CASE WHEN count(*) > 1024 THEN 1 ELSE 0 END)
+       |             + (CASE WHEN count(*) > 2048 THEN 1 ELSE 0 END)
+       |             + (CASE WHEN count(*) > 4096 THEN 1 ELSE 0 END)
+       |             + (CASE WHEN count(*) > 8192 THEN 1 ELSE 0 END) AS bb
        |    FROM embeddings)
        |), banded AS (
        |  SELECT s.vec_id, CAST(b.band AS INTEGER) AS band,

@@ -150,8 +150,12 @@ object VectorOps {
     * the [[lshCandidateStats]] probe: (nBits, bandBits). */
   private def lshConfig(s: SparkSession, dir: String): (Int, Int) = {
     val n = emb(s, dir).count()
-    val bandBits = math.min(15, math.max(3,
-      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+    // integer-exact ceil(log2(n/64)): ceil(log2(n)) = 64 - nlz(n-1) for
+    // n ≥ 2 — no libm log whose 1-ulp drift could flip the ceil at exact
+    // powers of two (the ADVICE r13 clConfig fix, applied here too)
+    val ceilLog2 =
+      if (n < 2) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val bandBits = math.min(15, math.max(3, ceilLog2 - 6))
     (60, bandBits)
   }
 

@@ -5,6 +5,8 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
 
 /** Minimal versioned-snapshot table — the lakehouse ACID surface (r12
   * verdict task 5: `q_merge_upsert`/`q_stream_cdc` already implement MERGE
@@ -25,23 +27,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     until a vacuum deletes unreferenced file-groups.
   *   - Writers are optimistic: stage data files (invisible until
   *     committed — the log is the source of truth), then publish with an
-  *     ATOMIC create of the next manifest (`Files.createFile`, the POSIX
-  *     O_EXCL analogue of S3 put-if-absent / HDFS rename). Exactly one of
-  *     N racing writers wins a version; losers see
-  *     FileAlreadyExistsException, re-read the new latest, REBASE (their
-  *     snapshot function is re-run against the winner's state), and
-  *     retry. That is serializable commit ordering with no locks and no
-  *     coordinator — SnapshotTableSpec race-proves it.
+  *     atomic claim of the next manifest name. Exactly one of N racing
+  *     writers wins a version; losers see FileAlreadyExistsException,
+  *     re-read the new latest, REBASE (their snapshot function is re-run
+  *     against the winner's state), and retry. That is serializable
+  *     commit ordering with no locks and no coordinator —
+  *     SnapshotTableSpec race-proves it.
+  *   - Exactly-once sinks: a manifest may carry a transaction tag
+  *     (`txn = "appId:batchId"`, the Delta txn-action shape). A committer
+  *     that finds its tag already in the log no-ops — so an at-least-once
+  *     replayer (foreachBatch after a crash) never double-applies a
+  *     batch. [[appendOnce]] is that contract; StreamQueries'
+  *     `q_stream_snapshot` runs it under the hash oracle.
   *
   * 100 TB shape: manifests carry file NAMES, never data — commit cost is
   * O(changed file-groups), independent of table size; `append` stages only
   * the new rows. [[transact]] here rewrites the full snapshot
-  * (copy-on-write at fixture scale); a production MERGE prunes to the
-  * touched file-groups first (join the batch against per-file min/max
-  * zone maps — the same pruning `q_zone_map` measures) and rewrites only
-  * those, which this log format already supports since a manifest may mix
-  * old and new file-groups. Vacuum = delete file-groups referenced by no
-  * retained manifest; never required for correctness.
+  * (copy-on-write at fixture scale); [[merge]] is the production MERGE:
+  * partition-grouped staging ([[appendPartitioned]]) gives every
+  * file-group a partition tag, and the upsert rewrites ONLY the groups of
+  * partitions the batch touches — cost ∝ touched partitions, untouched
+  * groups re-listed by name (byte-identical, spec-pinned). Vacuum =
+  * delete file-groups referenced by no retained manifest (with an mtime
+  * grace window so in-flight writers' staged-but-uncommitted groups
+  * survive a concurrent vacuum); never required for correctness.
   */
 object SnapshotTable {
 
@@ -49,22 +58,37 @@ object SnapshotTable {
     * plus optional per-group (min, max) stats over one designated int64
     * key column — the manifest-level zone map that lets a reader plan
     * which groups to open WITHOUT touching data (Iceberg's column
-    * bounds / Delta's file stats, reduced to the key column). `op` is a
-    * human-readable audit tag, not protocol state. */
+    * bounds / Delta's file stats, reduced to the key column). `schema` is
+    * the snapshot's DDL (the Delta metaData action): the read-time source
+    * of truth, so add-column evolution needs no parquet footer merging at
+    * plan time. `txn` is the idempotence tag of the committing streaming
+    * batch, if any. `op` is a human-readable audit tag, not protocol
+    * state. */
   final case class Manifest(version: Int, op: String, files: Seq[String],
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      schema: Option[String] = None,
+      txn: Option[String] = None)
 
   private def commitsDir(table: String): Path = Paths.get(table, "_commits")
 
   private def manifestPath(table: String, v: Int): Path =
     commitsDir(table).resolve(f"v$v%05d.json")
 
+  /** Files.list with the DirectoryStream CLOSED after iteration (ADVICE
+    * r13: the bare iterator leaks an fd per call — and [[latestVersion]]
+    * sits inside the hot OCC retry loop, so the leak compounds under
+    * contention). */
+  private def listDir(d: Path): Seq[Path] = {
+    val st = Files.list(d)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
   /** Largest committed version, or 0 if the log is empty (version numbers
     * start at 1; "version 0" reads as the empty table). */
   def latestVersion(table: String): Int = {
     val d = commitsDir(table)
     if (!Files.isDirectory(d)) 0
-    else Files.list(d).iterator().asScala
+    else listDir(d)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
@@ -72,21 +96,30 @@ object SnapshotTable {
   }
 
   // Hand-rolled single-line JSON, mirroring graft.Verify's discipline (the
-  // library keeps zero JSON deps). File-group names are UUIDs we mint, so
-  // no escaping is ever needed; the parser rejects anything else loudly.
+  // library keeps zero JSON deps). File-group names are paths we mint
+  // (uuid, or stage-uuid/_pt=<value> for partition-grouped data), so the
+  // character set is closed; the renderer rejects anything else loudly.
   // A group WITH key stats serializes as "name|min|max" inside the same
   // array — flat, order-stable, and groups without stats stay plain names
-  // (stats are an optimization, never required for correctness).
+  // (stats are an optimization, never required for correctness). `schema`
+  // is a Spark DDL string (backticked names — never a quote or
+  // backslash, which the renderer also rejects loudly).
   private def render(m: Manifest): String = {
-    require(m.files.forall(f => f.matches("[A-Za-z0-9/_.-]+")),
+    require(m.files.forall(f => f.matches("[A-Za-z0-9/_.=-]+")),
       s"unexpected characters in file-group name: ${m.files}")
+    m.schema.foreach(d => require(!d.exists(c => c == '"' || c == '\\'),
+      s"unsupported characters in schema DDL: $d"))
+    m.txn.foreach(t => require(t.matches("[A-Za-z0-9:_-]+"),
+      s"unexpected characters in txn tag: $t"))
     val fs = m.files.sorted.map { f =>
       m.stats.get(f) match {
         case Some((lo, hi)) => "\"" + f + "|" + lo + "|" + hi + "\""
         case None => "\"" + f + "\""
       }
     }.mkString("[", ",", "]")
-    s"""{"version":${m.version},"op":"${m.op}","files":$fs}"""
+    val schemaField = m.schema.fold("")(d => s""","schema":"$d"""")
+    val txnField = m.txn.fold("")(t => s""","txn":"$t"""")
+    s"""{"version":${m.version},"op":"${m.op}","files":$fs$schemaField$txnField}"""
   }
 
   private def parse(v: Int, s: String): Manifest = {
@@ -94,6 +127,8 @@ object SnapshotTable {
       .getOrElse(sys.error(s"malformed manifest v$v: $s")).group(1)
     val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .getOrElse(sys.error(s"malformed manifest v$v: $s")).group(1)
+    val schema = """"schema":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+    val txn = """"txn":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
     val entries =
       if (files.isEmpty) Seq.empty[String]
       else files.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
@@ -105,7 +140,7 @@ object SnapshotTable {
         case _ => sys.error(s"malformed file-group entry in v$v: $e")
       }
     }
-    Manifest(v, op, fs, st)
+    Manifest(v, op, fs, st, schema, txn)
   }
 
   def manifest(table: String, version: Int): Manifest = {
@@ -115,14 +150,57 @@ object SnapshotTable {
     parse(version, Files.readString(p))
   }
 
+  /** Reads a set of file-groups under the snapshot's recorded schema when
+    * one exists (missing columns in older parquet groups come back null —
+    * add-column evolution with O(1) plan cost, no footer merging), else
+    * by parquet inference (pre-schema manifests). */
+  private def readGroups(s: SparkSession, table: String, groups: Seq[String],
+      schemaDdl: Option[String]): DataFrame = {
+    val reader = schemaDdl.fold(s.read)(d => s.read.schema(StructType.fromDDL(d)))
+    reader.parquet(groups.map(f => s"$table/$f"): _*)
+  }
+
   /** Snapshot read. `asOf = Some(k)` is `VERSION AS OF k`; None reads the
     * latest committed version. Version 0 / an empty log is an error — the
-    * caller owns schema knowledge we don't have for an empty table. */
+    * caller owns schema knowledge we don't have for an empty table. Each
+    * version reads under ITS OWN manifest schema, so a later add-column
+    * commit never changes what an older version returns. */
   def read(s: SparkSession, table: String, asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(latestVersion(table))
     require(v > 0, s"table $table has no committed versions")
     val m = manifest(table, v)
-    s.read.parquet(m.files.map(f => s"$table/$f"): _*)
+    readGroups(s, table, m.files, m.schema)
+  }
+
+  private def ddlOf(df: DataFrame): String = {
+    val d = df.schema.toDDL
+    require(!d.exists(c => c == '"' || c == '\\'),
+      s"unsupported characters in schema DDL: $d")
+    d
+  }
+
+  /** Add-column-only schema evolution (the `q_schema_merge` mergeSchema
+    * semantics carried to the ACID surface): a common column keeping its
+    * exact type is fine, a type change fails LOUDLY (rewriting history is
+    * [[transact]]'s job, not append's), and new columns are admitted by
+    * appending them to the recorded schema — old groups then read as null
+    * for them. A batch may also omit existing columns (they read as null
+    * in its group), the Delta nullable-append contract. */
+  private def evolve(cur: Option[String], df: DataFrame): String = cur match {
+    case None => ddlOf(df)
+    case Some(ddl) =>
+      val curSt = StructType.fromDDL(ddl)
+      val curTypes = curSt.map(f => f.name -> f.dataType).toMap
+      df.schema.foreach { f =>
+        curTypes.get(f.name).foreach { t =>
+          if (t != f.dataType) sys.error(
+            s"incompatible schema change for column '${f.name}': $t -> " +
+              s"${f.dataType} (only add-column evolution is supported; use " +
+              "transact for a full rewrite)")
+        }
+      }
+      val extras = df.schema.filterNot(f => curTypes.contains(f.name))
+      if (extras.isEmpty) ddl else StructType(curSt ++ extras).toDDL
   }
 
   /** Stage a DataFrame as a new immutable file-group; returns its
@@ -144,72 +222,219 @@ object SnapshotTable {
     (name, st)
   }
 
-  /** The one atomic primitive: publish `m` as version `m.version` iff no
-    * other writer got there first — open(O_CREAT|O_EXCL) via CREATE_NEW,
-    * the POSIX analogue of an object store's put-if-absent on the manifest
-    * key. (NOT tmp-file + Files.move: Java's no-replace move is a
-    * check-then-rename — two racers can both pass the check and the POSIX
-    * rename silently replaces, losing a committed version.) The claim is
-    * atomic; the one-page content lands in the same call, and a reader
-    * only ever resolves a manifest version it saw in a directory listing
-    * or as latestVersion, after the claim. */
-  private def tryCommit(table: String, m: Manifest): Boolean = {
-    Files.createDirectories(commitsDir(table))
-    try {
-      Files.writeString(manifestPath(table, m.version), render(m),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      true
-    } catch { case _: FileAlreadyExistsException => false }
+  /** Stage a DataFrame as one file-group PER VALUE of `partCol` — a single
+    * distributed partitioned write (`partitionBy` on a duplicated string
+    * key, so the data files keep the original column), each leaf directory
+    * registered as its own group named `data/stage-<uuid>/_pt=<value>`.
+    * The partition tag rides in the group NAME, which is what lets
+    * [[merge]] plan touched-partitions-only rewrites from the manifest
+    * alone. Partition values must render to a filesystem-safe token;
+    * anything else fails loudly (hash your key into buckets first — at
+    * 100 TB a partition key is a curated low-cardinality column anyway). */
+  private def stagePartitioned(df: DataFrame, table: String,
+      partCol: String): Seq[String] = {
+    val stageName = s"data/stage-${java.util.UUID.randomUUID().toString}"
+    df.withColumn("_pt", col(partCol).cast("string"))
+      .write.partitionBy("_pt").parquet(s"$table/$stageName")
+    val dirs = listDir(Paths.get(table, stageName))
+      .filter(p => Files.isDirectory(p))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("_pt="))
+    require(dirs.nonEmpty, s"no partitions staged from column $partCol")
+    dirs.foreach(d => require(d.stripPrefix("_pt=").matches("[A-Za-z0-9_.-]+"),
+      s"partition value does not render to a filesystem-safe token: $d"))
+    dirs.sorted.map(d => s"$stageName/$d")
   }
 
-  /** Optimistic-concurrency commit loop: compute the next snapshot's
-    * file-group list FROM the current latest version, try to publish as
-    * latest+1, rebase and retry on conflict. `next` receives the current
-    * manifest (None on an empty table) and returns the complete new file
-    * list; it re-runs on every retry, so losers always rebase onto the
-    * winner's state. Returns the committed version. */
-  def commit(table: String, op: String, maxRetries: Int = 10)(
-      next: Option[Manifest] => (Seq[String], Map[String, (Long, Long)])): Int = {
+  /** The partition tag of a file-group, if it was staged partitioned. */
+  def partitionOf(group: String): Option[String] = {
+    val i = group.lastIndexOf("_pt=")
+    if (i < 0) None else Some(group.substring(i + 4))
+  }
+
+  /** The one atomic primitive: publish `m` as version `m.version` iff no
+    * other writer got there first. The manifest is written COMPLETE to a
+    * private temp file first, then claimed with `Files.createLink` — a
+    * hard link is atomic, fails with FileAlreadyExistsException when the
+    * target exists (the POSIX analogue of an object store's
+    * put-if-absent), and the published name only ever points at fully
+    * written bytes. (NOT CREATE_NEW+write on the final name: that makes
+    * the CLAIM atomic but not the CONTENT — a concurrent reader listing
+    * the log could open the claimed name before its bytes land, ADVICE
+    * r13. And NOT tmp-file + Files.move: Java's no-replace move is a
+    * check-then-rename — two racers can both pass the check and the POSIX
+    * rename silently replaces, losing a committed version.) */
+  private def tryCommit(table: String, m: Manifest): Boolean = {
+    Files.createDirectories(commitsDir(table))
+    val tmp = commitsDir(table)
+      .resolve(s".tmp-${java.util.UUID.randomUUID().toString}")
+    Files.writeString(tmp, render(m))
+    try {
+      Files.createLink(manifestPath(table, m.version), tmp)
+      true
+    } catch { case _: FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** Optimistic-concurrency commit loop: compute the next snapshot FROM
+    * the current latest version, try to publish as latest+1, rebase and
+    * retry on conflict. `next` receives the current manifest (None on an
+    * empty table) and returns the complete new file list, stats, and
+    * schema DDL; it re-runs on every retry, so losers always rebase onto
+    * the winner's state. When `txn` is set, a manifest already carrying
+    * the same tag anywhere in the log makes the commit a NO-OP (returns
+    * None) — checked against every version the loop has not yet scanned,
+    * including versions that land between retries, so an at-least-once
+    * replayer can never double-apply. Production keeps a per-appId
+    * high-water batchId in snapshot state instead of scanning (batchIds
+    * are monotone per query); the log scan here is the same contract at
+    * fixture scale. */
+  private def commitLoop(table: String, op: String, txn: Option[String],
+      maxRetries: Int)(
+      next: Option[Manifest] => (Seq[String], Map[String, (Long, Long)], Option[String])): Option[Int] = {
+    var scanned = 0
     var attempt = 0
     while (attempt <= maxRetries) {
       val base = latestVersion(table)
+      if (txn.isDefined) {
+        var v = scanned + 1
+        while (v <= base) {
+          if (manifest(table, v).txn == txn) return None
+          v += 1
+        }
+        scanned = base
+      }
       val cur = if (base == 0) None else Some(manifest(table, base))
-      val (files, stats) = next(cur)
-      val m = Manifest(base + 1, op, files, stats)
-      if (tryCommit(table, m)) return m.version
+      val (files, stats, schema) = next(cur)
+      val m = Manifest(base + 1, op, files, stats, schema, txn)
+      if (tryCommit(table, m)) return Some(m.version)
       attempt += 1
     }
     sys.error(s"commit of '$op' to $table lost $maxRetries OCC races; giving up")
   }
 
+  /** Public OCC commit (no txn tag): `next` returns the complete file
+    * list + stats; the current schema is carried forward unchanged.
+    * Returns the committed version. */
+  def commit(table: String, op: String, maxRetries: Int = 10)(
+      next: Option[Manifest] => (Seq[String], Map[String, (Long, Long)])): Int =
+    commitLoop(table, op, None, maxRetries) { cur =>
+      val (files, stats) = next(cur)
+      (files, stats, cur.flatMap(_.schema))
+    }.get
+
   /** Append: stage the new rows once, then commit prev ∪ new. The staged
     * group never depends on the base version, so OCC retries re-run only
     * the O(1) manifest step — the production fast path. Pass `statsCol`
     * to record the group's (min, max) of that int64 column in the
-    * manifest for [[readPruned]]. */
+    * manifest for [[readPruned]]. Add-column schema evolution is admitted
+    * per [[evolve]]; a type change fails loudly. */
   def append(s: SparkSession, table: String, df: DataFrame,
       statsCol: Option[String] = None): Int = {
     val (staged, st) = stage(df, table, statsCol)
-    commit(table, "append") { cur =>
+    commitLoop(table, "append", None, 10) { cur =>
       (cur.map(_.files).getOrElse(Nil) :+ staged,
-        cur.map(_.stats).getOrElse(Map.empty) ++ st.map(staged -> _))
-    }
+        cur.map(_.stats).getOrElse(Map.empty) ++ st.map(staged -> _),
+        Some(evolve(cur.flatMap(_.schema), df)))
+    }.get
   }
+
+  /** Exactly-once append for at-least-once replayers (the foreachBatch
+    * sink contract): `txn` is the batch's identity — conventionally
+    * `"<queryId>:<batchId>"` — and a replay of an already-committed batch
+    * is a NO-OP returning None (the staged duplicate group is deleted;
+    * it was never visible). This is what makes `stream → SnapshotTable`
+    * exactly once end-to-end: the streaming engine guarantees each batch
+    * is delivered AT LEAST once across restarts, and this commit
+    * guarantees each delivered batch lands AT MOST once. */
+  def appendOnce(s: SparkSession, table: String, df: DataFrame, txn: String,
+      statsCol: Option[String] = None): Option[Int] = {
+    // cheap pre-check: a committed tag skips the staging write entirely
+    val latest = latestVersion(table)
+    if ((1 to latest).exists(v => manifest(table, v).txn.contains(txn)))
+      return None
+    val (staged, st) = stage(df, table, statsCol)
+    val committed = commitLoop(table, "append-once", Some(txn), 10) { cur =>
+      (cur.map(_.files).getOrElse(Nil) :+ staged,
+        cur.map(_.stats).getOrElse(Map.empty) ++ st.map(staged -> _),
+        Some(evolve(cur.flatMap(_.schema), df)))
+    }
+    if (committed.isEmpty) { // lost the txn race after staging: orphan group
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) listDir(p).foreach(rm)
+        Files.deleteIfExists(p)
+        ()
+      }
+      rm(Paths.get(table, staged))
+    }
+    committed
+  }
+
+  /** Append as one file-group PER VALUE of `partCol` (see
+    * [[stagePartitioned]]): the layout that makes [[merge]] and a
+    * production compaction touch only the partitions a batch names.
+    * Staged once outside the OCC loop (groups are base-independent). */
+  def appendPartitioned(s: SparkSession, table: String, df: DataFrame,
+      partCol: String): Int = {
+    val groups = stagePartitioned(df, table, partCol)
+    commitLoop(table, "append-partitioned", None, 10) { cur =>
+      (cur.map(_.files).getOrElse(Nil) ++ groups,
+        cur.map(_.stats).getOrElse(Map.empty),
+        Some(evolve(cur.flatMap(_.schema), df)))
+    }.get
+  }
+
+  /** MERGE INTO on a partition-grouped table: upsert `updates` by
+    * `keyCol` — matched rows replaced, unmatched inserted — rewriting
+    * ONLY the file-groups whose partition tag appears in the batch.
+    * Untouched partitions' groups are re-listed BY NAME (their bytes are
+    * never opened, let alone rewritten — SnapshotTableSpec pins the
+    * byte-identity), so at 100 TB the merge cost is ∝ the touched
+    * partitions' data plus the batch, never the table. New partition
+    * values insert naturally (no current group carries their tag). Runs
+    * inside the OCC loop: a rebase re-reads the winner's touched groups
+    * and re-stages, the serializable contract. Requires every current
+    * group to be partition-tagged (mixing un-partitioned appends into a
+    * merged table would make "untouched" undecidable — fail loudly). */
+  def merge(s: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, partCol: String): Int =
+    commitLoop(table, "merge", None, 10) { curOpt =>
+      val m = curOpt.getOrElse(sys.error(s"cannot merge into empty table $table"))
+      require(m.files.forall(f => partitionOf(f).isDefined),
+        s"merge requires a fully partition-grouped table (use appendPartitioned); " +
+          s"untagged groups: ${m.files.filter(f => partitionOf(f).isEmpty)}")
+      val schema = evolve(m.schema, updates)
+      val touchedVals = updates.select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val (touched, untouched) =
+        m.files.partition(f => touchedVals(partitionOf(f).get))
+      val merged =
+        if (touched.isEmpty) updates
+        else updates.unionByName(
+          readGroups(s, table, touched, m.schema)
+            .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti"),
+          allowMissingColumns = true)
+      val newGroups = stagePartitioned(merged, table, partCol)
+      (untouched ++ newGroups,
+        m.stats.filter { case (g, _) => untouched.contains(g) },
+        Some(schema))
+    }.get
 
   /** Full-rewrite transaction (MERGE / DELETE / UPDATE at fixture scale):
     * the new snapshot is `f(current snapshot)`, staged as one new group.
     * Re-stages on OCC retry — the rebase a serializable rewrite needs.
-    * On an empty table `f` receives None. */
+    * On an empty table `f` receives None. A rewrite owns the schema
+    * outright (it replaces every row), so type changes are legal HERE. */
   def transact(s: SparkSession, table: String, op: String,
       statsCol: Option[String] = None)(
       f: Option[DataFrame] => DataFrame): Int =
-    commit(table, op) { cur =>
+    commitLoop(table, op, None, 10) { cur =>
       val in = cur.filter(_.files.nonEmpty)
-        .map(m => s.read.parquet(m.files.map(f => s"$table/$f"): _*))
-      val (staged, st) = stage(f(in), table, statsCol)
-      (Seq(staged), st.map(staged -> _).toMap)
-    }
+        .map(m => readGroups(s, table, m.files, m.schema))
+      val result = f(in)
+      val (staged, st) = stage(result, table, statsCol)
+      (Seq(staged), st.map(staged -> _).toMap, Some(ddlOf(result)))
+    }.get
 
   /** Compaction (OPTIMIZE): rewrite the current snapshot's file-groups
     * into ONE group and commit a manifest listing only it — content
@@ -225,18 +450,18 @@ object SnapshotTable {
     * size-tiered partition bins (q_compaction_plan is that planner),
     * not the whole table. */
   def compact(s: SparkSession, table: String): Int =
-    commit(table, "compact") { cur =>
-      val m = cur.filter(_.files.nonEmpty).getOrElse(
+    commitLoop(table, "compact", None, 10) { curOpt =>
+      val m = curOpt.filter(_.files.nonEmpty).getOrElse(
         sys.error(s"cannot compact empty table $table"))
-      val in = s.read.parquet(m.files.map(f => s"$table/$f"): _*)
+      val in = readGroups(s, table, m.files, m.schema)
       val (staged, _) = stage(in, table, None)
       val merged =
         if (m.files.forall(m.stats.contains))
           Map(staged -> (m.stats.values.map(_._1).min,
             m.stats.values.map(_._2).max))
         else Map.empty[String, (Long, Long)]
-      (Seq(staged), merged)
-    }
+      (Seq(staged), merged, m.schema)
+    }.get
 
   /** Manifest-level zone-map pruning: the file-groups of version `v`
     * whose recorded key range intersects [lo, hi] — groups without stats
@@ -261,19 +486,46 @@ object SnapshotTable {
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(latestVersion(table))
     require(v > 0, s"table $table has no committed versions")
+    val m = manifest(table, v)
     val keep = prunedFiles(table, v, lo, hi)
-    if (keep.isEmpty)
-      read(s, table, Some(v)).limit(0)
-    else s.read.parquet(keep.map(f => s"$table/$f"): _*)
+    if (keep.isEmpty) readGroups(s, table, m.files, m.schema).limit(0)
+    else readGroups(s, table, keep, m.schema)
   }
+
+  /** Every file-group directory currently on disk (committed or staged):
+    * plain groups are direct children of `data/`; partition-grouped
+    * stages are one level deeper (`data/stage-<uuid>/_pt=<v>`). */
+  private def groupsOnDisk(table: String): Seq[String] = {
+    val dataDir = Paths.get(table, "data")
+    if (!Files.isDirectory(dataDir)) Seq.empty
+    else listDir(dataDir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("stage-") && Files.isDirectory(p))
+        listDir(p).filter(Files.isDirectory(_))
+          .map(q => s"data/$n/${q.getFileName}")
+      else Seq(s"data/$n")
+    }
+  }
+
+  private def newestMtime(p: Path): Long =
+    if (Files.isDirectory(p))
+      (Files.getLastModifiedTime(p).toMillis +: listDir(p).map(newestMtime)).max
+    else Files.getLastModifiedTime(p).toMillis
 
   /** Vacuum: retire history. Keeps the newest `retainLast` versions;
     * deletes every manifest below the horizon and every file-group no
-    * retained manifest references. Never needed for correctness — purely
-    * a storage-reclaim policy, and the ONLY operation that makes a
-    * `VERSION AS OF` unreadable (it then fails the loud "does not exist"
-    * path, not a missing-file read). Returns the deleted group names. */
-  def vacuum(table: String, retainLast: Int): Seq[String] = {
+    * retained manifest references — EXCEPT groups whose newest mtime is
+    * within `graceMs` of now (ADVICE r13: an in-flight writer's
+    * staged-but-uncommitted group is unreferenced by construction; the
+    * Delta-style retention window keeps a concurrent vacuum from
+    * deleting it out from under the commit). Pass `graceMs = 0` only
+    * when external write exclusion is guaranteed (a sequential harness).
+    * Never needed for correctness — purely a storage-reclaim policy, and
+    * the ONLY operation that makes a `VERSION AS OF` unreadable (it then
+    * fails the loud "does not exist" path, not a missing-file read).
+    * Returns the deleted group names. */
+  def vacuum(table: String, retainLast: Int,
+      graceMs: Long = 15L * 60L * 1000L): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val latest = latestVersion(table)
     require(latest > 0, s"table $table has no committed versions")
@@ -282,22 +534,23 @@ object SnapshotTable {
     // drop pre-horizon manifests first: readers resolve manifests before
     // files, so a version either resolves fully or fails the loud check
     (1 until horizon).foreach(v => Files.deleteIfExists(manifestPath(table, v)))
-    val dataDir = Paths.get(table, "data")
-    val victims =
-      if (!Files.isDirectory(dataDir)) Seq.empty[String]
-      else Files.list(dataDir).iterator().asScala
-        .map(p => s"data/${p.getFileName}")
-        .filterNot(retained)
-        .toSeq
-    victims.foreach { g =>
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala.toSeq.foreach(rm)
-        Files.deleteIfExists(p)
-        ()
-      }
-      rm(Paths.get(table, g))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val victims = groupsOnDisk(table)
+      .filterNot(retained)
+      .filter(g => newestMtime(Paths.get(table, g)) <= cutoff)
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
+      Files.deleteIfExists(p)
+      ()
     }
+    victims.foreach(g => rm(Paths.get(table, g)))
+    // sweep stage dirs left empty once all their partition groups are gone
+    val dataDir = Paths.get(table, "data")
+    if (Files.isDirectory(dataDir))
+      listDir(dataDir)
+        .filter(p => p.getFileName.toString.startsWith("stage-") &&
+          Files.isDirectory(p) && listDir(p).isEmpty)
+        .foreach(p => Files.deleteIfExists(p))
     victims.sorted
   }
 }

@@ -147,7 +147,8 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.append(spark, t, df(1, 2))
     SnapshotTable.append(spark, t, df(3))
     SnapshotTable.compact(spark, t) // v3, one fresh group
-    val victims = SnapshotTable.vacuum(t, retainLast = 1)
+    // graceMs = 0: this spec IS the external write exclusion (sequential)
+    val victims = SnapshotTable.vacuum(t, retainLast = 1, graceMs = 0L)
     // the two original append groups are gone; the compacted group stays
     assert(victims.size === 2, s"victims: $victims")
     val latest = SnapshotTable.read(spark, t)
@@ -159,7 +160,7 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.read(spark, t, Some(1)))
     assert(e.getMessage.contains("does not exist"))
     // vacuum is idempotent once clean
-    assert(SnapshotTable.vacuum(t, retainLast = 1).isEmpty)
+    assert(SnapshotTable.vacuum(t, retainLast = 1, graceMs = 0L).isEmpty)
   }
 
   test("manifest key stats prune reads; statless groups are never pruned") {
@@ -199,6 +200,127 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.prunedFiles(t, 3, 60L, 99L).isEmpty)
     assert(SnapshotTable.prunedFiles(t, 3, 40L, 99L).size === 1)
     assert(SnapshotTable.readPruned(spark, t, 60L, 99L).count() === 0)
+  }
+
+  test("vacuum grace window protects young unreferenced groups") {
+    val t = freshTable("grace")
+    SnapshotTable.append(spark, t, df(1))
+    SnapshotTable.transact(spark, t, "rewrite")(c => c.get) // v1 group now unreferenced-by-latest... still referenced by v1
+    SnapshotTable.append(spark, t, df(2))
+    // retainLast = 1 unreferences v1's and v2's groups — but they were
+    // written seconds ago, so a graceful vacuum must NOT touch them (the
+    // in-flight-writer protection: staged-but-uncommitted groups look
+    // exactly like this)
+    assert(SnapshotTable.vacuum(t, retainLast = 1).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() === 2)
+    // drop the grace window → v1's original group (the only group no
+    // retained manifest references) is reclaimed
+    val aged = SnapshotTable.vacuum(t, retainLast = 1, graceMs = 0L)
+    assert(aged.size === 1, s"aged victims: $aged")
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("appendOnce: replaying a committed txn is a no-op, even racing") {
+    val t = freshTable("txn")
+    val v1 = SnapshotTable.appendOnce(spark, t, df(1, 2), txn = "q1:0")
+    assert(v1 === Some(1))
+    // the at-least-once replay: same batch id delivered again
+    assert(SnapshotTable.appendOnce(spark, t, df(1, 2), txn = "q1:0").isEmpty)
+    assert(SnapshotTable.appendOnce(spark, t, df(3), txn = "q1:1") === Some(2))
+    // a different query's batch 0 is a different transaction
+    assert(SnapshotTable.appendOnce(spark, t, df(9), txn = "q2:0") === Some(3))
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 9L))
+    // N racing replayers of ONE txn: exactly one commit lands
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    val fs = (1 to 4).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+        def call(): Option[Int] = {
+          start.await()
+          SnapshotTable.appendOnce(spark, t, df(50), txn = "q1:2")
+        }
+      })
+    }
+    start.countDown()
+    val results = fs.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.flatten.size === 1, s"exactly one winner: $results")
+    assert(SnapshotTable.read(spark, t).filter(col("id") === 50).count() === 1)
+    // no double-applied version: every committed txn tag appears once
+    val txns = (1 to SnapshotTable.latestVersion(t))
+      .flatMap(v => SnapshotTable.manifest(t, v).txn)
+    assert(txns.distinct === txns, s"duplicated txn in log: $txns")
+    // and the losers' staged orphan groups were cleaned up by appendOnce
+    assert(SnapshotTable.vacuum(t, retainLast = 99, graceMs = 0L).isEmpty)
+  }
+
+  test("merge rewrites only touched partitions; untouched groups kept by name") {
+    import spark.implicits._
+    val t = freshTable("merge")
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"),
+      (4L, 40L, "b"), (5L, 50L, "c")).toDF("k", "v", "pt")
+    SnapshotTable.appendPartitioned(spark, t, base, "pt")
+    val m1 = SnapshotTable.manifest(t, 1)
+    assert(m1.files.size === 3) // one group per partition value
+    assert(m1.files.flatMap(SnapshotTable.partitionOf).sorted === Seq("a", "b", "c"))
+    // merge touches partitions b (update k=3, insert k=6) and d (new)
+    val updates = Seq((3L, 333L, "b"), (6L, 60L, "b"), (7L, 70L, "d"))
+      .toDF("k", "v", "pt")
+    SnapshotTable.merge(spark, t, updates, keyCol = "k", partCol = "pt")
+    val m2 = SnapshotTable.manifest(t, 2)
+    // untouched partitions a and c: the SAME group names re-listed —
+    // their data was never opened, let alone rewritten
+    val untouched1 = m1.files.filter(f =>
+      Set("a", "c")(SnapshotTable.partitionOf(f).get)).toSet
+    val untouched2 = m2.files.filter(f =>
+      Set("a", "c")(SnapshotTable.partitionOf(f).get)).toSet
+    assert(untouched1 === untouched2)
+    // touched partition b: new group, old group NOT in the new manifest
+    assert(m1.files.filter(f => SnapshotTable.partitionOf(f).contains("b"))
+      .toSet.intersect(m2.files.toSet).isEmpty)
+    val got = SnapshotTable.read(spark, t)
+      .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L), (3L, 333L), (4L, 40L),
+      (5L, 50L), (6L, 60L), (7L, 70L)))
+    // v1 is untouched history
+    assert(SnapshotTable.read(spark, t, Some(1)).count() === 5)
+    // merging into a non-partition-grouped table fails loudly
+    val t2 = freshTable("mergeflat")
+    SnapshotTable.append(spark, t2, base)
+    intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark, t2, updates, "k", "pt"))
+  }
+
+  test("schema evolution: add-column appends; type changes fail loudly") {
+    import spark.implicits._
+    val t = freshTable("evolve")
+    SnapshotTable.append(spark, t, Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    // add-column append evolves the snapshot schema
+    SnapshotTable.append(spark, t,
+      Seq((3L, "z", 7L)).toDF("id", "s", "extra"))
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.columns.toSeq === Seq("id", "s", "extra"))
+    // old group's rows read null for the new column
+    val rows = latest.orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, -1L), (2L, -1L), (3L, 7L)))
+    // an older version reads under ITS schema: no `extra` column
+    assert(SnapshotTable.read(spark, t, Some(1)).columns.toSeq === Seq("id", "s"))
+    // a batch may omit an existing column (reads back null in its group)
+    SnapshotTable.append(spark, t, Seq(4L).toDF("id"))
+    val v3 = SnapshotTable.read(spark, t).filter(col("id") === 4).head()
+    assert(v3.isNullAt(1) && v3.isNullAt(2))
+    // an incompatible type change fails loudly
+    val e = intercept[RuntimeException](SnapshotTable.append(spark, t,
+      Seq((5L, 99L)).toDF("id", "s"))) // s: STRING -> BIGINT
+    assert(e.getMessage.contains("incompatible schema change"))
+    // ... but a full rewrite may change types (it owns every row)
+    SnapshotTable.transact(spark, t, "retype") { cur =>
+      cur.get.select(col("id"), col("s").cast("string").as("s"))
+    }
+    assert(SnapshotTable.read(spark, t).columns.toSeq === Seq("id", "s"))
   }
 
   test("manifests list complete snapshots; data files are immutable") {
