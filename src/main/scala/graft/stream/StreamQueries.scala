@@ -667,6 +667,76 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming ingestion into the ACID snapshot table, exactly once,
+    * under the hash oracle (r13 verdict task 1 — the two flagship
+    * surfaces finally meet: [[streamCdc]] owns its own ad-hoc version
+    * directories, while a real lake user's first workload is
+    * "stream → ACID table"). A 3-shard events replay
+    * (`maxFilesPerTrigger=1` ⇒ 3 micro-batches) drains through a
+    * `foreachBatch` sink whose ONLY action is
+    * [[graft.sources.SnapshotTable.appendOnce]] with the Delta txn-action
+    * identity `"<tag>:<batchId>"` — each micro-batch becomes one OCC
+    * commit, invisible until its manifest lands. The sink then calls
+    * appendOnce a SECOND time with the same txn, the at-least-once
+    * redelivery every crash-restart produces: the replay MUST be
+    * swallowed as a no-op, and the emitted `n_versions` column (pinned
+    * to 3 by the oracle) rides the hash — a double-applied batch breaks
+    * the gate with BOTH a version count of 4+ and doubled aggregates.
+    * The kill-mid-drain restart (same contract under a real failure,
+    * not a simulated redelivery) is SnapshotSinkSpec's half. */
+  def streamSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val table = runOnce(s, dir, "stream_snapshot") { p =>
+      val table = s"${p}_table"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      (0 to 2).foreach { k =>
+        ev.filter(col("event_id") % 3 === k)
+          .coalesce(1)
+          .write.mode(if (k == 0) "overwrite" else "append").parquet(replay)
+        stampStage(replay, k)
+      }
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val rows = batch.select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"))
+          graft.sources.SnapshotTable.appendOnce(
+            batch.sparkSession, table, rows, txn = s"qss:$bid")
+          // the at-least-once redelivery, exercised IN the gate: a
+          // second commit of the same txn must be a no-op
+          graft.sources.SnapshotTable.appendOnce(
+            batch.sparkSession, table, rows, txn = s"qss:$bid")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      table
+    }
+    graft.sources.SnapshotTable.read(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users"),
+        min(col("ts_us")).as("min_us"),
+        max(col("ts_us")).as("max_us"))
+      .withColumn("n_versions",
+        lit(graft.sources.SnapshotTable.latestVersion(table)))
+      .orderBy(col("event_type"))
+  }
+
   /** The custom DSv2 MicroBatchStream
     * ([[graft.sources.EventsSource]]) under the hash oracle — the last
     * spec-only streaming surface: a 20,000-id space drained through the
@@ -1125,6 +1195,7 @@ object StreamQueries {
     "q_stream_tws" -> (streamTypedState _),
     "q_stream_timer" -> (streamTimer _),
     "q_stream_cdc" -> (streamCdc _),
+    "q_stream_snapshot" -> (streamSnapshot _),
     "q_stream_v2src" -> (streamV2Source _),
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_resume" -> (streamResume _),
@@ -1137,6 +1208,18 @@ object StreamQueries {
   /** session_window's half-open interval: new session when gap >= 15 min
     * (the same boundary rule q_session_window's batch twin pins). */
   val oracleSql: Map[String, String] = Map(
+    "q_stream_snapshot" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |  min(epoch_us(ts)) AS min_us,
+        |  max(epoch_us(ts)) AS max_us,
+        |  CAST(3 AS INTEGER) AS n_versions
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q_stream_sessionize" ->
       """WITH hits AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
