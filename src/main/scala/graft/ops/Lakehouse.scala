@@ -192,11 +192,86 @@ object Lakehouse {
       .withColumn("n_groups_read", lit(kept.size))
   }
 
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** MERGE INTO on a partition-grouped table under the hash oracle (r13
+    * verdict task 4): v1 is `appendPartitioned` over pt = k mod 8 (one
+    * file-group per residue), v2 is [[SnapshotTable.merge]] with a batch
+    * that updates partition 2 (matched keys replaced) and inserts into
+    * partition 5 (shifted keys, unmatched) — so exactly 2 of the 8 groups
+    * are rewritten and the other 6 are re-listed BY NAME, their bytes
+    * never opened. The emitted `n_untouched_groups` column (v1 ∩ v2
+    * manifest names, oracle-pinned to 6) rides the hash: a merge that
+    * rewrites an untouched partition — or drops one — breaks the gate,
+    * not just a spec. The DuckDB oracle reconstructs the post-merge state
+    * relationally (updates ∪ anti-joined survivors), so the hash also
+    * proves the upsert semantics row-for-row via the (pt, src) rollup. */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    def baseRows = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), (col("o_orderkey") % 8).as("pt"),
+        cents("o_totalprice").as("cents"), lit("base").as("src"))
+    val table = mergeMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snapmerge_${safe(dir)}"
+      SnapshotTable.appendPartitioned(s, t, baseRows, "pt")
+      val updates = baseRows
+        .filter(col("k") % 8 === 2 && col("k") % 3 === 0)
+        .select(col("k"), col("pt"), (col("cents") + 5000).as("cents"),
+          lit("m1").as("src"))
+        .unionByName(baseRows
+          .filter(col("k") % 8 === 5 && col("k") % 3 === 0)
+          .select((col("k") + 80000000L).as("k"), col("pt"),
+            (col("cents") + 7000).as("cents"), lit("m2").as("src")))
+      SnapshotTable.merge(s, t, updates, keyCol = "k", partCol = "pt")
+      t
+    })
+    val m1 = SnapshotTable.manifest(table, 1).files.toSet
+    val m2 = SnapshotTable.manifest(table, 2).files.toSet
+    SnapshotTable.read(s, table)
+      .groupBy(col("pt"), col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_untouched_groups", lit(m1.intersect(m2).size))
+      .orderBy(col("pt"), col("src"))
+  }
+
+  private val evolveMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Add-column schema evolution on the ACID surface under the hash
+    * oracle (r13 verdict task 8 — the `q_schema_merge` mergeSchema
+    * semantics carried to the snapshot table): v1 appends
+    * (k, cust, cents, src), v2 appends the same shape PLUS a `chan`
+    * column. The manifest carries the evolved DDL, so the latest read
+    * returns v1's rows with `chan` null — while `VERSION AS OF 1` still
+    * reads under ITS schema with no `chan` at all (both reads feed the
+    * gate). The incompatible-type loud failure is SnapshotTableSpec's
+    * half. */
+  def snapshotEvolve(s: SparkSession, dir: String): DataFrame = {
+    val table = evolveMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snapevolve_${safe(dir)}"
+      SnapshotTable.append(s, t, baseRows(s, dir))
+      SnapshotTable.append(s, t, batch1(s, dir)
+        .withColumn("chan",
+          when(col("k") % 2 === 0, lit("even")).otherwise(lit("odd"))))
+      t
+    })
+    val v1 = SnapshotTable.read(s, table, asOf = Some(1))
+      .withColumn("version", lit(1))
+      .withColumn("chan", lit(null).cast("string"))
+    val v2 = SnapshotTable.read(s, table).withColumn("version", lit(2))
+    v1.unionByName(v2)
+      .groupBy(col("version"), col("src"), col("chan"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("version"), col("src"), col("chan"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravel _),
     "q_snapshot_cdf" -> (snapshotCdf _),
     "q_snapshot_compact" -> (snapshotCompact _),
-    "q_snapshot_prune" -> (snapshotPrune _))
+    "q_snapshot_prune" -> (snapshotPrune _),
+    "q_snapshot_merge" -> (snapshotMerge _),
+    "q_snapshot_evolve" -> (snapshotEvolve _))
 
   /** Shared oracle prefix: the pure-relational reconstruction of versions
     * v2 and v3 from `orders` — the declarative truth both lakehouse
@@ -256,6 +331,44 @@ object Lakehouse {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM v3 GROUP BY src
         |ORDER BY src""".stripMargin,
+
+    "q_snapshot_merge" ->
+      """WITH pbase AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS pt,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    'base' AS src
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, pt, cents + 5000 AS cents, 'm1' AS src FROM pbase
+        |  WHERE k % 8 = 2 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, pt, cents + 7000, 'm2' FROM pbase
+        |  WHERE k % 8 = 5 AND k % 3 = 0),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM pbase WHERE k NOT IN (SELECT k FROM upd))
+        |SELECT pt, src, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(6 AS INTEGER) AS n_untouched_groups
+        |FROM merged GROUP BY pt, src
+        |ORDER BY pt, src""".stripMargin,
+
+    "q_snapshot_evolve" ->
+      s"""$versionCtes,
+        |states AS (
+        |  SELECT 1 AS version, src, CAST(NULL AS VARCHAR) AS chan, cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 2, src, CAST(NULL AS VARCHAR), cents FROM base
+        |  UNION ALL
+        |  SELECT 2, src,
+        |    CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END, cents
+        |  FROM b1)
+        |SELECT CAST(version AS INTEGER) AS version, src, chan,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM states GROUP BY version, src, chan
+        |ORDER BY version, src, chan NULLS FIRST""".stripMargin,
 
     "q_snapshot_cdf" ->
       s"""$versionCtes
