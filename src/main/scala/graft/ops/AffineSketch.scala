@@ -1002,21 +1002,123 @@ object AffineSketch {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** SRP-ANN recall@5 under the hash oracle — the r13-verdict promotion
+    * of `q_ann_srp_recall` off rows-only, by the same recipe that
+    * promoted IVF in r13: every float/engine-hash step of
+    * [[VectorOps.annSrpRecall]] is replaced with its exact-integer
+    * affine twin. The signature is [[srpSig]] (quantized coords × affine
+    * ±1 planes — bit-identical across engines), banding is
+    * [[clConfig]]'s corpus-adaptive (band, bucket) split of the 32-bit
+    * signature (integer-exact width derivation), candidates are the
+    * query-side banded equi join (never all pairs on the ANN path), and
+    * BOTH rankings — the exact top-5 baseline and the ANN re-rank — use
+    * the int64-dot cosine, so recall@5 itself hash-matches DuckDB. The
+    * xxhash64-signature production variant stays spec-pinned
+    * (TextVectorSpec recall floor, PlanSpec no-BNLJ shape); plan shape
+    * here is identical — broadcast Q-row query side, banded candidate
+    * join, per-query windows. */
+  def annSrpRecall(s: SparkSession, dir: String): DataFrame = {
+    val sig = srpSig(s, dir).persist()
+    val (clBands, clBandBits) = clConfig(sig.count())
+    val bandStructs = (0 until clBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(sig div ${1L << (clBandBits * b)}) % ${1 << clBandBits}")
+          .as("bucket"))
+    }
+    val banded = sig
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val qb = banded.filter(col("vec_id") < 10)
+      .select(col("band"), col("bucket"), col("vec_id").as("query_id"))
+    val cands = banded.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id")).distinct()
+    val qv = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+        .as("q"))
+      .withColumn("dd", intDot(col("q"), col("q")))
+    val qr = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("dd").as("qdd"))
+    // exact baseline needs Q×N by definition; Q = 10 rides a broadcast
+    val scored = qv
+      .select(col("vec_id").as("cand_id"), col("q").as("cq"), col("dd").as("cdd"))
+      .join(broadcast(qr), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", intDot(col("qq"), col("cq"))
+        / (sqrt(col("qdd")) * sqrt(col("cdd"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    val exactTop = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    val annTop = scored.join(cands, Seq("query_id", "cand_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id").as("ann_id"))
+    exactTop
+      .join(annTop, exactTop("query_id") === annTop("query_id") &&
+        col("cand_id") === col("ann_id"), "left")
+      .groupBy(exactTop("query_id").as("query_id"))
+      .agg((count(col("ann_id")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Shared DuckDB params+banded CTE suffix over `sig2`: the
+    * corpus-adaptive (band, bucket) split both [[cosineLshAffine]] and
+    * [[annSrpRecall]] block on — integer-exact width derivation
+    * (ceil(log2(n/64)) ≥ k+1 ⟺ n > 64·2^k, ADVICE r13). */
+  private def bandedCte: String =
+    """params AS (
+      |  SELECT bb, 32 // bb AS nb FROM (
+      |    SELECT 4 + (CASE WHEN count(*) > 1024 THEN 1 ELSE 0 END)
+      |             + (CASE WHEN count(*) > 2048 THEN 1 ELSE 0 END)
+      |             + (CASE WHEN count(*) > 4096 THEN 1 ELSE 0 END)
+      |             + (CASE WHEN count(*) > 8192 THEN 1 ELSE 0 END) AS bb
+      |    FROM embeddings)
+      |), banded AS (
+      |  SELECT s.vec_id, CAST(b.band AS INTEGER) AS band,
+      |    (s.sig // CAST(pow(2, (SELECT bb FROM params) * b.band) AS BIGINT))
+      |      % CAST(pow(2, (SELECT bb FROM params)) AS BIGINT) AS bucket
+      |  FROM sig2 s, (SELECT UNNEST(range(8)) AS band) b
+      |  WHERE b.band < (SELECT nb FROM params)
+      |)""".stripMargin
+
+  private def annSrpOracle: String =
+    s"""$srpSigCtes, $bandedCte,
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM banded c JOIN banded q USING (band, bucket)
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), v AS (
+       |  SELECT vec_id, qq,
+       |    CAST(list_sum(list_transform(qq, x -> x*x)) AS BIGINT) AS dd
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qq
+       |        FROM embeddings)
+       |), scored AS (
+       |  SELECT qr.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> qr.qq[i]*c.qq[i])) AS BIGINT)
+       |      / (sqrt(qr.dd) * sqrt(c.dd)) AS cos
+       |  FROM v qr JOIN v c ON qr.vec_id < 10 AND c.vec_id <> qr.vec_id
+       |), exact_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+       |    FROM scored) WHERE rk <= 5
+       |), ann_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT s.query_id, s.cand_id,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.cos DESC, s.cand_id) AS rk
+       |    FROM scored s JOIN cand c USING (query_id, cand_id))
+       |  WHERE rk <= 5
+       |)
+       |SELECT e.query_id, count(a.cand_id) / 5.0 AS recall_at_5
+       |FROM exact_top e LEFT JOIN ann_top a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   private def cosineLshAffineOracle: String = {
-    s"""$srpSigCtes, params AS (
-       |  SELECT bb, 32 // bb AS nb FROM (
-       |    SELECT 4 + (CASE WHEN count(*) > 1024 THEN 1 ELSE 0 END)
-       |             + (CASE WHEN count(*) > 2048 THEN 1 ELSE 0 END)
-       |             + (CASE WHEN count(*) > 4096 THEN 1 ELSE 0 END)
-       |             + (CASE WHEN count(*) > 8192 THEN 1 ELSE 0 END) AS bb
-       |    FROM embeddings)
-       |), banded AS (
-       |  SELECT s.vec_id, CAST(b.band AS INTEGER) AS band,
-       |    (s.sig // CAST(pow(2, (SELECT bb FROM params) * b.band) AS BIGINT))
-       |      % CAST(pow(2, (SELECT bb FROM params)) AS BIGINT) AS bucket
-       |  FROM sig2 s, (SELECT UNNEST(range(8)) AS band) b
-       |  WHERE b.band < (SELECT nb FROM params)
-       |), cand AS (
+    s"""$srpSigCtes, $bandedCte, cand AS (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
        |  FROM banded a JOIN banded b USING (band, bucket)
        |  WHERE a.vec_id < b.vec_id
@@ -1322,6 +1424,7 @@ object AffineSketch {
     "q_dedup_pr" -> (dedupPr _),
     "q_simhash_affine" -> (simhashAffine _),
     "q_srp_affine" -> (srpAffine _),
+    "q_ann_srp_recall" -> (annSrpRecall _),
     "q_winnow_affine" -> (winnowAffine _),
     "q_winnow_pairs" -> (winnowPairs _),
     "q_kmv_affine" -> (kmvAffine _),
@@ -1337,6 +1440,7 @@ object AffineSketch {
     "q_dedup_pr" -> dedupPrOracle,
     "q_simhash_affine" -> simhashAffineOracle,
     "q_srp_affine" -> srpAffineOracle,
+    "q_ann_srp_recall" -> annSrpOracle,
     "q_winnow_affine" -> winnowAffineOracle,
     "q_winnow_pairs" -> winnowPairsOracle,
     "q_kmv_affine" -> kmvAffineOracle,

@@ -754,6 +754,207 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** PQ-ADC recall, fully hash-oracled (the registered `q_ann_pq_recall`
+    * — the r13-verdict promotion off rows-only, same recipe as IVF):
+    * every float step of [[annPqRecall]] replaced by its exact-integer
+    * twin so the recall itself hash-matches DuckDB end-to-end.
+    *
+    *   - subvectors are quantized on the unit sphere FIRST:
+    *     q_j = floor((x_j/norm)·2^20) int64, per (vec_id, subspace);
+    *   - each subspace's 64-centroid codebook is the unrolled integer
+    *     Lloyd's fit — ALL subspaces train in the same grouped iteration
+    *     (init = subvectors of vec_id 0..63, exact int64 distances, ties
+    *     to the smaller code, floor-divided means via the
+    *     div-agrees-with-// form) — 2 rounds, the [[intLloydFit]] chain
+    *     keyed by `m`;
+    *   - the ADC LUT d(q_m, centroid) is exact int64 per (query, m,
+    *     code); a candidate's estimated distance is the int64 sum of its
+    *     8 LUT entries (order-free), shortlist = top-50 by (adc, id);
+    *   - the shortlist is re-ranked — and the exact top-5 baseline
+    *     ranked — by the int64-dot cosine (one correctly-rounded IEEE
+    *     divide), identical doubles both engines.
+    *
+    * Plan shape is unchanged from the float variant: only the pqM×pqK
+    * codebook and the Q×pqM×pqK LUT are broadcast-sized; candidates ride
+    * the (m, c) equi join. The float MLlib-style variant stays
+    * spec-pinned (TextVectorSpec recall bound). */
+  def annPqRecallInt(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val sub = e.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${pqM - 1}),
+           |  m -> struct(CAST(m AS BIGINT) AS m,
+           |    transform(sequence(0, ${pqDsub - 1}),
+           |      j -> CAST(floor(CAST(embedding[m * $pqDsub + j] AS DOUBLE)
+           |                      / norm * $semScale) AS BIGINT)) AS q))"""
+          .stripMargin)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.q").as("q"))
+      .persist()
+    val init = sub.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").as("c"), col("q").as("mv"))
+    val cent = (1 to 2).foldLeft(init) { (c, _) =>
+      pqIntCentroids(pqIntAssign(sub, c))
+    }
+    val codes = pqIntAssign(sub, cent) // (vec_id, m, c)
+    // per-query LUT: Q×pqM×pqK int64 distances — broadcast-sized
+    val lut = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("q").as("qs"))
+      .join(cent, "m")
+      .withColumn("d", intSqDist(col("qs"), col("mv")))
+      .select(col("query_id"), col("m"), col("c"), col("d"))
+    val est = codes.join(broadcast(lut), Seq("m", "c"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("cand_id"))
+    val shortlisted = est.withColumn("rk", row_number().over(adcW))
+      .filter(col("rk") <= 50)
+      .select(col("query_id"), col("cand_id"))
+    // exact-integer cosine: baseline over Q×N, re-rank over the shortlist
+    val qv = e.select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / norm * $semScale) AS BIGINT))")
+        .as("q"))
+      .withColumn("dd",
+        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+    val qr = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("dd").as("qdd"))
+    val scored = qv
+      .select(col("vec_id").as("cand_id"), col("q").as("cq"), col("dd").as("cdd"))
+      .join(broadcast(qr), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y), lit(0L), _ + _)
+          / (sqrt(col("qdd")) * sqrt(col("cdd"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exactTop = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    val pqTop = scored.join(shortlisted, Seq("query_id", "cand_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id").as("pq_id"))
+    exactTop
+      .join(pqTop, exactTop("query_id") === pqTop("query_id") &&
+        col("cand_id") === col("pq_id"), "left")
+      .groupBy(exactTop("query_id").as("query_id"))
+      .agg((count(col("pq_id")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Grouped-by-subspace integer nearest-code assignment: every (vec,
+    * subspace) row against its subspace's codebook slice — one broadcast
+    * join + one map-side-combined min-struct agg, the [[intAssign]]
+    * shape keyed by `m`. */
+  private def pqIntAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), "m")
+      .withColumn("dist", intSqDist(col("q"), col("mv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("best"),
+        first(col("q")).as("q")) // q is constant per (vec_id, m)
+      .select(col("vec_id"), col("m"), col("best.c").as("c"), col("q"))
+
+  /** Grouped-by-subspace floor-divided integer centroid update — the
+    * [[intCentroids]] form keyed by `m`; empty codes drop (both engines
+    * alike). */
+  private def pqIntCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("c"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("c"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mx", expr("(s - ((s % n + n) % n)) div n"))
+      .groupBy(col("m"), col("c"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        x => x.getField("mx")).as("mv"))
+
+  /** DuckDB mirror of [[pqIntAssign]] over CTEs `$src(vec_id, m, q)` and
+    * `$cent(m, c, mv)`. */
+  private def pqAssignCte(src: String, cent: String, out: String): String = {
+    val distExpr =
+      s"list_sum(list_transform(range(1,${pqDsub + 1}), j -> (s.q[j]-i.mv[j])*(s.q[j]-i.mv[j])))"
+    s"""$out AS (
+       |  SELECT vec_id, m, q, c FROM (
+       |    SELECT s.vec_id, s.m, s.q, i.c,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $distExpr, i.c) AS rn
+       |    FROM $src s JOIN $cent i USING (m)) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[pqIntCentroids]]. */
+  private def pqCentCte(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT m, c, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS mv FROM (
+       |    SELECT m, c, pos, sum(v) AS s, count(*) AS n FROM (
+       |      SELECT m, c, unnest(q) AS v,
+       |        unnest(range(1,${pqDsub + 1})) AS pos FROM $src)
+       |    GROUP BY m, c, pos)
+       |  GROUP BY m, c
+       |)""".stripMargin
+
+  private def annPqIntOracle: String =
+    s"""WITH nq AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, m,
+       |    list_transform(range(1, ${pqDsub + 1}),
+       |      j -> CAST(floor(CAST(embedding[m * $pqDsub + j] AS DOUBLE)
+       |                      / norm * $semScale) AS BIGINT)) AS q
+       |  FROM nq, (SELECT unnest(range($pqM)) AS m)
+       |), init AS (
+       |  SELECT m, vec_id AS c, q AS mv FROM sub WHERE vec_id < $pqK
+       |), ${pqAssignCte("sub", "init", "a1")},
+       |${pqCentCte("a1", "c1")},
+       |${pqAssignCte("sub", "c1", "a2")},
+       |${pqCentCte("a2", "c2")},
+       |${pqAssignCte("sub", "c2", "a3")},
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.m, c2.c,
+       |    CAST(list_sum(list_transform(range(1,${pqDsub + 1}),
+       |      j -> (s.q[j]-c2.mv[j])*(s.q[j]-c2.mv[j]))) AS BIGINT) AS d
+       |  FROM sub s JOIN c2 USING (m) WHERE s.vec_id < 10
+       |), est AS (
+       |  SELECT l.query_id, a.vec_id AS cand_id, CAST(sum(l.d) AS BIGINT) AS adc
+       |  FROM a3 a JOIN lut l ON a.m = l.m AND a.c = l.c
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY l.query_id, a.vec_id
+       |), shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+       |    FROM est) WHERE rk <= 50
+       |), v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) / norm * $semScale) AS BIGINT)) AS q
+       |  FROM nq
+       |), vd AS (
+       |  SELECT vec_id, q,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS dd
+       |  FROM v
+       |), scored AS (
+       |  SELECT qr.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> qr.q[i]*c.q[i])) AS BIGINT)
+       |      / (sqrt(qr.dd) * sqrt(c.dd)) AS cos
+       |  FROM vd qr JOIN vd c ON qr.vec_id < 10 AND c.vec_id <> qr.vec_id
+       |), exact_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+       |    FROM scored) WHERE rk <= 5
+       |), pq_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT s.query_id, s.cand_id,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.cos DESC, s.cand_id) AS rk
+       |    FROM scored s JOIN shortlist sl USING (query_id, cand_id))
+       |  WHERE rk <= 5
+       |)
+       |SELECT e.query_id, count(p.cand_id) / 5.0 AS recall_at_5
+       |FROM exact_top e LEFT JOIN pq_top p
+       |  ON e.query_id = p.query_id AND e.cand_id = p.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** Int8 scalar quantization of the embedding column — the compression
     * step that makes billion-vector ANN serving affordable (4× smaller
     * than float32, SIMD-friendly distance kernels). Per-DIMENSION min/max
@@ -1600,10 +1801,12 @@ object VectorOps {
     "q_cosine_pairs" -> (cosinePairs _),
     "q_cosine_pairs_lsh" -> (cosinePairsLsh _),
     "q_label_centroids" -> (labelCentroids _),
-    "q_ann_srp_recall" -> (annSrpRecall _),
+    // q_ann_srp_recall is registered by AffineSketch (the oracled
+    // integer-affine promotion); the xxhash64 production variant here
+    // stays spec-pinned (TextVectorSpec floor, PlanSpec no-BNLJ)
     "q_ann_ivf_recall" -> ((s, d) => annIvfRecall(s, d)),
     "q_pq_quantize" -> (pqQuantize _),
-    "q_ann_pq_recall" -> (annPqRecall _),
+    "q_ann_pq_recall" -> (annPqRecallInt _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_semdedup" -> (semDedup _),
     "q_diversity_sample" -> (diversitySample _),
@@ -1677,6 +1880,7 @@ object VectorOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_ivf_recall" -> annIvfOracle,
+    "q_ann_pq_recall" -> annPqIntOracle,
 
     "q_map_eval" ->
       """WITH e AS (
