@@ -41,7 +41,7 @@ object Bench {
     // in. ~15 MB of parquet at sf0.1 → ~100 MB cached; re-pinned after
     // each query's cache hygiene, always OUTSIDE the timer.
     def pinTables(): Unit = Tables.names.foreach { t =>
-      try { val df = Tables(spark, sfDir, t); df.persist(); df.count() }
+      try { val df = Tables(spark, sfDir, t); df.persist(); df.count() } // q-cache
       catch { case _: Throwable => }
     }
     pinTables()

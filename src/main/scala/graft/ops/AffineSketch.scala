@@ -202,7 +202,7 @@ object AffineSketch {
     val mins = (0 until nHashes).map(i =>
       min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
     shingleHashes(s, dir)
-      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist() // released
   }
 
   /** Distinct banded candidate pairs from an 8×4 LSH banding of the
@@ -311,7 +311,7 @@ object AffineSketch {
     // Σ_block df_b² ≈ 3.5M. Sketch pairs are filtered to the same
     // universe so precision/recall compare like with like.
     val meta = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
-    val ex = shingleHashes(s, dir).distinct().join(meta, "doc_id").persist()
+    val ex = shingleHashes(s, dir).distinct().join(meta, "doc_id").persist() // q-cache
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val truth = ex.select(col("doc_id").as("id1"), col("h"), col("lang"),
         col("source"))
@@ -323,7 +323,7 @@ object AffineSketch {
       .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
       .filter(round(col("i").cast("double")
         / (col("n1") + col("n2") - col("i")), 6) >= 0.5)
-      .select(col("id1"), col("id2")).persist()
+      .select(col("id1"), col("id2")).persist() // q-cache
     val m1 = meta.select(col("doc_id").as("id1"), col("lang").as("l1"),
       col("source").as("s1"))
     val m2 = meta.select(col("doc_id").as("id2"), col("lang").as("l2"),
@@ -332,8 +332,8 @@ object AffineSketch {
       df.join(broadcast(m1), "id1").join(broadcast(m2), "id2")
         .filter(col("l1") === col("l2") && col("s1") === col("s2"))
         .select(col("id1"), col("id2"))
-    val cand = inBlock(candRaw).persist()
-    val pred = inBlock(predRaw).persist()
+    val cand = inBlock(candRaw).persist() // q-cache
+    val pred = inBlock(predRaw).persist() // q-cache
     cand.agg(count(lit(1)).as("n_cand"))
       .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
@@ -435,7 +435,7 @@ object AffineSketch {
       .select(col("doc_id"),
         (0 until nHashes).map(j => (col(s"s$j") > 0).cast("long") * (1L << j))
           .reduce(_ + _).as("sig"))
-      .persist()
+      .persist() // q-cache
     rotatedPrefixPairs(sig, "doc_id")
   }
 
@@ -481,7 +481,7 @@ object AffineSketch {
   }
 
   def srpAffine(s: SparkSession, dir: String): DataFrame =
-    rotatedPrefixPairs(srpSig(s, dir).persist(), "vec_id")
+    rotatedPrefixPairs(srpSig(s, dir).persist(), "vec_id") // q-cache
 
   /** Shared oracle prefix for the SRP twins: quantized coords → 32 affine
     * projections → 32-bit signature as `sig2(vec_id, sig)`. */
@@ -556,7 +556,7 @@ object AffineSketch {
     val fp = winnowSel(s, dir)
       .select(col("doc_id"), explode(array_distinct(transform(col("sel"),
         k => lit(268435456L) - shiftright(k, 24)))).as("h"))
-      .persist()
+      .persist() // q-cache
     val rareKeys = fp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") <= winnowDfCap).select(col("h"))
     val rare = fp.join(rareKeys, "h")
@@ -971,7 +971,7 @@ object AffineSketch {
     * engine-native xxhash64 SRP ([[VectorOps.cosinePairsLsh]], rows-only);
     * this twin hash-proves the same banding+verify pipeline shape. */
   def cosineLshAffine(s: SparkSession, dir: String): DataFrame = {
-    val sig = srpSig(s, dir).persist()
+    val sig = srpSig(s, dir).persist() // q-cache
     val (clBands, clBandBits) = clConfig(sig.count())
     val bandStructs = (0 until clBands).map { b =>
       struct(lit(b).as("band"),
@@ -1018,7 +1018,7 @@ object AffineSketch {
     * here is identical — broadcast Q-row query side, banded candidate
     * join, per-query windows. */
   def annSrpRecall(s: SparkSession, dir: String): DataFrame = {
-    val sig = srpSig(s, dir).persist()
+    val sig = srpSig(s, dir).persist() // q-cache
     val (clBands, clBandBits) = clConfig(sig.count())
     val bandStructs = (0 until clBands).map { b =>
       struct(lit(b).as("band"),
@@ -1160,7 +1160,7 @@ object AffineSketch {
         concat_ws(":", col("user_id"),
           date_trunc("day", col("ts")).cast("date").cast("string")).as("ud"))
       .withColumn("h", md5h(col("ud")))
-      .persist()
+      .persist() // q-cache
     val exact = hashed.groupBy(col("scope"))
       .agg(countDistinct(col("ud")).as("exact_n"))
     val dh = hashed.select(col("scope"), col("h")).distinct()
@@ -1297,7 +1297,7 @@ object AffineSketch {
     * then [[pqaIters]] exact-integer Lloyd rounds. Returns (sub, codebook,
     * codes). */
   private def pqaFit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val sub = pqaSub(s, dir).persist()
+    val sub = pqaSub(s, dir).persist() // q-cache
     val init = sub.filter(col("vec_id") < pqaK)
       .select(col("m"), col("vec_id").as("c"), col("sq").as("cv"))
     val fitted = (1 to pqaIters).foldLeft(init) { (cent, _) =>

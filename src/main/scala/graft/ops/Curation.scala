@@ -90,7 +90,7 @@ object Curation {
     // symmetric closure: label min must flow both directions of each edge
     val sym = edges.select(col("id1"), col("id2"))
       .union(edges.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist()
+      .persist() // released
     // localCheckpoint (eager) CUTS LOGICAL LINEAGE each round. persist()
     // alone is not enough for iterative algorithms: the logical plan keeps
     // nesting round over round, and AQE plan re-stringification alone goes
@@ -321,7 +321,7 @@ object Curation {
           col("u")).otherwise(col("v")).as("a"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("b"))
-      .persist()
+      .persist() // q-cache
     val wedges = oriented.select(col("a"), col("b"))
       .join(oriented.select(col("a"), col("b").as("c")), "a")
       .filter(col("b") =!= col("c"))
@@ -367,7 +367,7 @@ object Curation {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .persist()
+      .persist() // released
     val deg = und.select(col("u").as("node")).union(und.select(col("v")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val oriented = und
@@ -378,7 +378,7 @@ object Curation {
           col("u")).otherwise(col("v")).as("a"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("b"))
-      .persist()
+      .persist() // released
     val wedges = oriented.select(col("a"), col("b"))
       .join(oriented.select(col("a"), col("b").as("c")), "a")
       .filter(col("b") =!= col("c"))
@@ -432,7 +432,7 @@ object Curation {
         greatest(col("u"), col("v")).as("v"))
       .distinct()
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+      .persist() // q-cache
     var visited = d.sparkSession.range(1)
       .select(lit(0L).as("node"), lit(0).as("hops")).localCheckpoint()
     var frontier = visited
@@ -495,7 +495,7 @@ object Curation {
         greatest(col("u"), col("v")).as("v"))
       .distinct()
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+      .persist() // q-cache
     val lm = d.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("src"))
     // Fixed small horizon ⇒ re-expand-and-min-merge beats settled-set
@@ -554,7 +554,7 @@ object Curation {
         greatest(col("u"), col("v")).as("v"))
       .distinct()
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+      .persist() // released
     var frontier = d.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("landmark"), col("doc_id").as("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
@@ -604,7 +604,7 @@ object Curation {
         greatest(col("u"), col("v")).as("v"))
       .distinct()
     val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+      .persist() // q-cache
     val deg = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
     val ed = sym
@@ -659,7 +659,7 @@ object Curation {
       .distinct()
       .withColumn("w", lit(1) + (col("u") * 7 + col("v") * 13) % 5)
     val edges = und.union(und.select(col("v"), col("u"), col("w")))
-      .persist()
+      .persist() // q-cache
     var best = d.sparkSession.range(1)
       .select(lit(0L).as("node"), lit(0L).as("dist")).localCheckpoint()
     var frontier = best
@@ -720,7 +720,7 @@ object Curation {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .persist()
+      .persist() // q-cache
     val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
     // wedges through z: (x, z) ⋈ (z, y), x < y canonical; weight by z's
@@ -853,7 +853,7 @@ object Curation {
   private[graft] def labelPropOf(nodes: DataFrame, und: DataFrame,
                                  rounds: Int = 4): DataFrame = {
     val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+      .persist() // q-cache
     var labels = nodes.select(col("node"), col("node").as("lab"))
     for (_ <- 1 to rounds) {
       labels = sym
@@ -1011,7 +1011,7 @@ object Curation {
     * sink/source nodes (no in/out edges) in the relation. */
   private[graft] def hitsOf(nodes: DataFrame, edges: DataFrame,
                             rounds: Int = 3): DataFrame = {
-    val e = edges.persist()
+    val e = edges.persist() // q-cache
     var h = nodes.select(col("node"), lit(1L).as("h"))
     var a = nodes.select(col("node"), lit(0L).as("a"))
     for (_ <- 1 to rounds) {
@@ -1300,7 +1300,7 @@ object Curation {
     // is consumed as a graph, so the query-facing sort would be waste)
     val e = AffineSketch.minhashCandEst(s, dir)
       .filter(col("est_jaccard") >= 0.5)
-      .select(col("id1"), col("id2")).persist()
+      .select(col("id1"), col("id2")).persist() // q-cache
     // CC only over the MATCHED subgraph (the goldenRecord seeding trick):
     // every unmatched doc is its own singleton cluster by definition
     val matched = e.select(col("id1").as("id"))
@@ -1313,7 +1313,7 @@ object Curation {
       .select(col("doc_id"), col("cluster_id"),
         draw("graft-csplit:", col("cluster_id")).as("split"),
         draw("graft-csplit:", col("doc_id")).as("naive_split"))
-      .persist()
+      .persist() // q-cache
     // exact cross-split pair counts per text group: (n² − Σₛ n_s²) / 2
     def leak(splitCol: String): DataFrame =
       assigned.groupBy(col("cluster_id"), col(splitCol))
@@ -1456,7 +1456,7 @@ object Curation {
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val ex = TextOps.withShingles(docs(s, dir))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .persist() // feeds train side, eval side, and the per-doc counts once
+      .persist() // q-cache: feeds train side, eval side, per-doc counts
     val trainEx = ex.filter(col("doc_id") % 50 =!= 0)
     val evalEx = ex.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"), col("sh"))
@@ -1493,7 +1493,7 @@ object Curation {
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val ex = TextOps.withShingles(d)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .persist()
+      .persist() // q-cache
     val common = ex.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -1683,7 +1683,7 @@ object Curation {
            |ELSE transform(sequence(0, size(words)-$n),
            |              i -> concat_ws(' ', slice(words, i+1, $n))) END"""
           .stripMargin)).as("gram"))
-      .persist()
+      .persist() // q-cache
     val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
     grams.join(counts, "gram")
       .groupBy(col("doc_id"))

@@ -180,7 +180,7 @@ object MlPrep {
     val c = customer(s, dir)
     val edges = fsPairs(s, dir).where(col("score") >= 60)
       .select(col("id_a").as("id1"), col("id_b").as("id2"))
-      .persist()
+      .persist() // q-cache
     // CC only needs the MATCHED subgraph: every customer off the match
     // graph is a singleton entity by definition and the n_records >= 2
     // filter drops it anyway — seeding CC with all ids would multiply
@@ -262,7 +262,7 @@ object MlPrep {
       .unionAll(feat("quantity", "l_quantity"))
     val ranked = ScaledRank.withGroupedRowNumbers(long, Seq(col("feature")),
       Seq(col("value"), col("l_orderkey"), col("l_linenumber")))
-      .persist()
+      .persist() // q-cache
     val n = ranked.groupBy(col("feature")).agg(count(lit(1)).as("nf"))
     val pos = n.select(col("feature"), explode(sequence(lit(0), lit(10)))
         .as("decile"), col("nf"))
@@ -365,7 +365,7 @@ object MlPrep {
       .select(col("p_brand").as("brand"), col("l_extendedprice").as("y"),
         col("l_orderkey"), col("l_linenumber"),
         (col("l_orderkey") % 10).as("slot"))
-      .persist()
+      .persist() // q-cache
     val model = base.filter(col("slot") <= 5)
       .groupBy(col("brand")).agg(round(avg(col("y")), 6).as("yhat"))
     val scoredAll = base.join(broadcast(model), "brand")
@@ -724,7 +724,7 @@ object MlPrep {
         (col("j0") + 1).cast("int").as("j"),
         (col("vi") * col("vj")).as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
-      .persist()
+      .persist() // q-cache
     var v = s.range(1, 65)
       .select(col("id").cast("int").as("j"), lit(PowScale).as("x"))
     var lastM: DataFrame = null
@@ -769,7 +769,7 @@ object MlPrep {
         posexplode(col("embedding")).as(Seq("dim0", "xf")))
       .select(col("vec_id"), col("y"), (col("dim0") + 1).cast("int").as("dim"),
         col("xf").cast("double").as("x"))
-      .persist()
+      .persist() // q-cache
     val w1 = ex.groupBy(col("dim"))
       .agg(round(lit(LrEta) * sum(col("x") * (col("y") - 0.5))
         / count(lit(1)), 6).as("w1"))
@@ -777,7 +777,7 @@ object MlPrep {
       .groupBy(col("vec_id"), col("y"))
       .agg(sum(col("x") * col("w1")).as("m"))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
-      .persist()
+      .persist() // q-cache
     val loss1 = p.agg(round(-avg(col("y") * log(col("p"))
       + (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))), 6).as("loss1"))
     val w2 = ex.join(p.select(col("vec_id"), col("p")), "vec_id")
@@ -859,7 +859,7 @@ object MlPrep {
       .selectExpr(s"stack(${cols.length}, $stackVals) AS (col, v)")
       .where(col("v").isNotNull)
       .groupBy("col", "v").agg(count(lit(1)).as("cnt"))
-      .persist()
+      .persist() // q-cache
     val nd = grouped.groupBy("col").agg(count(lit(1)).as("n_distinct"))
     val top = grouped
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(

@@ -81,7 +81,7 @@ object ScaledRank {
       }
     }(Encoders.row(outSchema))
       .withColumn("_pid", spark_partition_id())
-      .persist() // two jobs below (stats + final); caller clearCache()s
+      .persist() // q-cache: two jobs below (stats + final)
 
     // O(#partitions) stats — the ONLY driver-side collection
     val stats = local.groupBy(col("_pid"))
@@ -153,7 +153,7 @@ object ScaledRank {
       }
     }(Encoders.row(outSchema))
       .withColumn("_pid", spark_partition_id())
-      .persist() // stats + final join below; caller clearCache()s
+      .persist() // q-cache: stats + final join below
     // per-partition total = the partition's FINAL local prefix value.
     // sum(_v), not max(_cs): for signed values (sweep-line ±1 deltas) the
     // running sum is non-monotonic and its max overstates the offset
@@ -213,7 +213,7 @@ object ScaledRank {
       }
     }(Encoders.row(outSchema))
       .withColumn("_pid", spark_partition_id())
-      .persist() // stats + final join below; caller clearCache()s
+      .persist() // q-cache: stats + final join below
     // O(#partitions) stats: each partition's INCLUSIVE max (= max(_mv))
     // feeds the exclusive prefix of every later partition
     val stats = local.groupBy(col("_pid"))
@@ -290,7 +290,7 @@ object ScaledRank {
       }
     }(Encoders.row(outSchema))
       .withColumn("_pid", spark_partition_id())
-      .persist() // stats + final join below; caller clearCache()s
+      .persist() // q-cache: stats + final join below
     val stats = local.groupBy(col("_pid"), col("_g"))
       .agg(max(col("_grn")).as("_n"))
     val wOff = Window.partitionBy(col("_g")).orderBy(col("_pid"))

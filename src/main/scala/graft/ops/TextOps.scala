@@ -120,7 +120,7 @@ object TextOps {
     val ranked = ScaledRank.withGlobalRanks(tf,
       Seq(col("n").desc, col("term").asc), Seq(col("n"), col("term")))
       .select(col("term"), col("n"), col("rn").as("rank"))
-      .persist() // scanned twice: whole-vocab slope + bounded top-k
+      .persist() // q-cache: scanned twice — whole-vocab slope + bounded top-k
     // OLS on 2^-10-quantized lnDet values (not regr_slope(ln, ln)): the
     // per-row int64s and their sums are exact on both engines — neither
     // libm's not-correctly-rounded ln nor float summation ORDER (a
@@ -194,7 +194,7 @@ object TextOps {
       .withColumn("n_tokens", sum(col("toks")).over(w))
       .withColumn("vocab", sum(col("new_terms")).over(w))
       .select(col("ck"), col("n_tokens"), col("vocab"))
-      .persist()
+      .persist() // q-cache
     // OLS on 2^-20-quantized lnDet values — the [[zipfFit]] discipline,
     // and on this FIXED 20-row curve the cross-products stay exact int64
     // end to end (ln ≤ 28 ⇒ q ≤ 3e7, m·Σxy ≤ 3.4e17): the slope is an
@@ -432,7 +432,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long")
           % dsirBuckets).as("f"))
-      .persist()
+      .persist() // q-cache
     val ct = feat.filter(col("lang") === "en")
       .groupBy(col("f")).agg(count(lit(1)).as("ct"))
     val cr = feat.groupBy(col("f")).agg(count(lit(1)).as("cr"))
@@ -493,7 +493,7 @@ object TextOps {
   def oovRate(s: SparkSession, dir: String): DataFrame = {
     val words = docs(s, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .persist()
+      .persist() // q-cache
     val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(oovVocabK)
       .select(col("w"), lit(1).as("in_vocab"))
@@ -552,7 +552,7 @@ object TextOps {
     val ex = withShingles(docs(s, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(col("shingles")).as("sh"))
-      .persist()
+      .persist() // q-cache
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id1"))
     val b = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id2"))
@@ -607,7 +607,7 @@ object TextOps {
       .withColumn("shingles",
         graft.functions.GraftFunctions.wordShingles(col("tokens"), 5))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .persist()
+      .persist() // q-cache
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val prefix = ex.join(dfreq, "sh")
@@ -652,7 +652,7 @@ object TextOps {
     val ex = withShingles(docs(s, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(col("shingles")).as("sh"))
-      .persist()
+      .persist() // q-cache
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id1"))
     val b = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id2"))
@@ -714,7 +714,7 @@ object TextOps {
     // verification joins are plain equi joins on id, NOT broadcast hints:
     // sig is O(N docs) and a corpus-sized broadcast kills the driver at
     // scale (AQE still broadcasts when genuinely small).
-    val sig = minhashSigs(s, dir).persist()
+    val sig = minhashSigs(s, dir).persist() // q-cache
     val pairs = minhashBandPairs(sig)
     pairs
       .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
@@ -747,7 +747,7 @@ object TextOps {
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(col("shingles")).as("sig"))
-      .persist()
+      .persist() // q-cache
     // (rotation, prefix) bucket keys; sig rides along so the self-join
     // yields both signatures without a join-back. Java shift semantics
     // (shift amounts mod 64) make r=0 degenerate to sig|sig = sig.
@@ -1027,7 +1027,7 @@ object TextOps {
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .persist()
+      .persist() // q-cache
     val ctx = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1plus"))
     val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
@@ -1216,7 +1216,7 @@ object TextOps {
       .filter(col("df") < col("n_docs")) // idf=0 terms: zero weight, prune
       .select(col("doc_id"), col("term"),
         (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))).as("w"))
-      .persist()
+      .persist() // q-cache
     val norms = wgt.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nm"))
     val q = wgt.filter(col("doc_id") < 10)
@@ -1304,11 +1304,11 @@ object TextOps {
         "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist()
+      .persist() // q-cache
     // lm is consumed twice (scoring join + ctx aggregation) — persist so
     // the vocab²-bounded (w1,w2) count runs once, not once per consumer
     val lm = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .persist()
+      .persist() // q-cache
     val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     big.join(lm.join(ctx, "w1"), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
@@ -1854,7 +1854,7 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
         .as("tok"))
       .filter(length(col("tok")) > 0)
-      .persist()
+      .persist() // q-cache
     val n = docs(s, dir).agg(count(lit(1)).cast("double").as("n"))
     val cnt = dtok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val pairs = dtok.select(col("doc_id"), col("tok").as("tok1"))
@@ -1915,7 +1915,7 @@ object TextOps {
     val tok = docs(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-      .persist()
+      .persist() // q-cache
     val tf = tok.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val fTerm = tok.groupBy(col("term")).agg(count(lit(1)).as("f"))

@@ -162,7 +162,7 @@ object VectorOps {
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
     val (nBits, bandBits) = lshConfig(s, dir)
     // persisted: feeds the banding explode AND both vector-lookup joins
-    val e = withSrpSig(s, dir, nBits).persist()
+    val e = withSrpSig(s, dir, nBits).persist() // q-cache
     val banded = srpBanded(e, nBits, bandBits)
     val l = banded.select(col("band"), col("bucket"), col("vec_id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("vec_id").as("id2"))
@@ -191,8 +191,8 @@ object VectorOps {
     * BASELINE.md growth tables via `tools.VectorProbe`. */
   def lshCandidateStats(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val (nBits, bandBits) = lshConfig(s, dir)
-    val e = withSrpSig(s, dir, nBits).persist()
-    val banded = srpBanded(e, nBits, bandBits).persist()
+    val e = withSrpSig(s, dir, nBits).persist() // q-cache
+    val banded = srpBanded(e, nBits, bandBits).persist() // q-cache
     val n = e.count()
     val l = banded.select(col("band"), col("bucket"), col("vec_id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("vec_id").as("id2"))
@@ -427,11 +427,12 @@ object VectorOps {
     // >= 0.8.)
     val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nProbe = math.max(6, math.ceil(nCells * 0.5).toInt)
-    val train =
+    val train = (
       if (n > fitSampleThreshold)
         withVec.sample(withReplacement = false,
-          fraction = fitSampleThreshold.toDouble / n, seed = 7L).cache()
-      else withVec.coalesce(1).cache()
+          fraction = fitSampleThreshold.toDouble / n, seed = 7L)
+      else withVec.coalesce(1)
+    ).cache() // released
     val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(10)
       .fit(train)
     train.unpersist()
@@ -522,7 +523,7 @@ object VectorOps {
       transform(col("embedding"),
         x => floor(x.cast("double") / col("norm") * lit(semScale)).cast("long"))
         .as("q"))
-      .persist()
+      .persist() // q-cache
     val n = qs.count()
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nProbe = math.max(6, math.ceil(k * 0.5).toInt)
@@ -536,7 +537,7 @@ object VectorOps {
     val vec = intAssign(qs, cent)
       .withColumn("dd",
         aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
-      .persist()
+      .persist() // q-cache
     val q = vec.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("dd").as("qdd"))
@@ -667,7 +668,7 @@ object VectorOps {
     * TextVectorSpec. */
   def pqQuantize(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir))
-    val sub = pqSubvectors(e).persist()
+    val sub = pqSubvectors(e).persist() // q-cache
     val codebook = pqFitCodebook(s, sub, iters = 3)
     val codes = pqCodes(sub, codebook)
     val out = codes.join(codebook, Seq("m", "c"))
@@ -700,7 +701,7 @@ object VectorOps {
   def annPqRecall(s: SparkSession, dir: String): DataFrame = {
     val shortlist = 50
     val e = withNorm(emb(s, dir))
-    val sub = pqSubvectors(e).persist()
+    val sub = pqSubvectors(e).persist() // q-cache
     val codebook = pqFitCodebook(s, sub, iters = 3)
     val codes = pqCodes(sub, codebook)
     val qsub = sub.join(e.filter(col("vec_id") < 10)
@@ -788,7 +789,7 @@ object VectorOps {
            |                      / norm * $semScale) AS BIGINT)) AS q))"""
           .stripMargin)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.q").as("q"))
-      .persist()
+      .persist() // q-cache
     val init = sub.filter(col("vec_id") < pqK)
       .select(col("m"), col("vec_id").as("c"), col("q").as("mv"))
     val cent = (1 to 2).foldLeft(init) { (c, _) =>
@@ -1013,7 +1014,7 @@ object VectorOps {
     val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       col("norm").as("cnorm"), col("tv").as("ctv"), col("tnorm").as("ctnorm"))
     val joined = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .persist() // feeds the truncated shortlist AND the exact baseline
+      .persist() // q-cache: feeds truncated shortlist AND exact baseline
     val fullCos =
       round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6)
     val wT = Window.partitionBy(col("query_id"))
@@ -1129,7 +1130,7 @@ object VectorOps {
   private[ops] def semClusters(s: SparkSession, dir: String): DataFrame = {
     val qs = emb(s, dir).select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
-      .as("q")).persist()
+      .as("q")).persist() // q-cache
     intAssign(qs, intLloydFit(qs, semK, semIters))
   }
 
@@ -1138,7 +1139,7 @@ object VectorOps {
 
     val vec = finalAssign.withColumn("dd",
       aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
-      .persist()
+      .persist() // q-cache
     val a = vec.select(col("c"), col("vec_id").as("id1"),
       col("q").as("q1"), col("dd").as("d1"))
     val b = vec.select(col("c"), col("vec_id").as("id2"),
@@ -1496,7 +1497,7 @@ object VectorOps {
   def silhouette(s: SparkSession, dir: String): DataFrame = {
     val q = emb(s, dir).select(col("vec_id"), col("label"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
-      .as("q")).persist()
+      .as("q")).persist() // q-cache
     val cent = q.select(col("label").as("clabel"),
         posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(col("clabel"), col("pos"))
@@ -1559,7 +1560,7 @@ object VectorOps {
       .withColumn("rk", row_number().over(wnn))
       .filter(col("rk") <= LofK)
       .select(col("label"), col("p"), col("o"), col("d"))
-      .persist()
+      .persist() // q-cache
     val kd = nn.groupBy(col("p")).agg(max(col("d")).as("kdist"))
     val reach = nn
       .join(kd.select(col("p").as("o"), col("kdist").as("kdist_o")), "o")
@@ -1615,7 +1616,7 @@ object VectorOps {
       .filter(col("prk") <= MmrPool)
       .select(col("query_id"), col("cand_id"), col("rel"), col("cv"),
         col("cnorm"))
-      .persist()
+      .persist() // q-cache
     val sims = pool.select(col("query_id"), col("cand_id").as("id1"),
         col("cv").as("v1"), col("cnorm").as("n1"))
       .join(pool.select(col("query_id"), col("cand_id").as("id2"),
@@ -1624,7 +1625,7 @@ object VectorOps {
       .withColumn("sim",
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .select(col("query_id"), col("id1"), col("id2"), col("sim"))
-      .persist()
+      .persist() // q-cache
     var selected = spark.range(0)
       .select(col("id").as("query_id"), col("id").as("cand_id"),
         lit(0).cast("int").as("rnk"), lit(0.0).as("score"))

@@ -81,7 +81,7 @@ object Profile {
       .withColumn("shingles", graft.functions.GraftFunctions.bigramShingles(col("tokens")))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("shingles")).as("sig"))
-      .persist()
+      .persist() // q-cache
     time("sigs.count") { println("sigs: " + sigs.count()) }
     val banded = sigs.select(col("doc_id"), col("sig"), expr(
         s"""explode(transform(sequence(0, ${nRot - 1}), r -> named_struct(

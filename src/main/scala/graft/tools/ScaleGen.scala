@@ -159,7 +159,16 @@ object ScaleGen {
     val ord = t("orders")
     val oOff = off(ord, "o_orderkey")
     write(shards(ord) { (df, k) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * oOff))
+      // hotkey: one bot CUSTOMER per shard owns 30% of orders (applied
+      // before the key offset, so shard k's bot is k·cOff) — the
+      // single-key quadratic basket the itemCf cap measurement needs,
+      // the orders-side analogue of the events bot user above
+      val skewed =
+        if (mode == "hotkey")
+          df.withColumn("o_custkey",
+            when(col("o_orderkey") % 10 < 3, lit(0L)).otherwise(col("o_custkey")))
+        else df
+      skewed.withColumn("o_orderkey", col("o_orderkey") + lit(k * oOff))
         .withColumn("o_custkey", col("o_custkey") + lit(k * cOff))
     }, "orders")
 

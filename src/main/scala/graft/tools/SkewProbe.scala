@@ -27,7 +27,7 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ev = graft.Tables(spark, fx, "events")
-    ev.persist(); ev.count()
+    ev.persist(); ev.count() // q-cache
     def naive(): Long = graft.ops.Sessionize.sessions(ev,
         col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .agg(sum(col("hit_count"))).head().getLong(0)

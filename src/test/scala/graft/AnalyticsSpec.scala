@@ -533,4 +533,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("cosine")) == 1.0)
     spark.catalog.clearCache()
   }
+
+  test("itemCf basket cap: inactive on the fixture, truncates a bot basket") {
+    import org.apache.spark.sql.functions._
+    // half of the cap ≡ plain proof (the other half is the unchanged
+    // q_item_cf/q_user_recs gate hashes): every fixture basket is
+    // strictly below the cap, so the guard provably drops nothing there
+    val maxBasket = graft.Tables(spark, sf001, "orders")
+      .join(graft.Tables(spark, sf001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBasket < Analytics.cfBasketCap,
+      s"fixture max basket $maxBasket must stay below the cap " +
+        s"${Analytics.cfBasketCap} for the cap ≡ plain gate proof")
+
+    // and on a synthetic bot: one customer owning cap+50 items is
+    // truncated to exactly cap items before the pair join — the
+    // single-key quadratic guard actually fires
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfcap").toString
+    val cap = Analytics.cfBasketCap
+    val ords = Seq((200L, 77L)).map { case (o, c) =>
+      (o, c, "F", 1.0, ts("2015-07-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val li = (1L to (cap + 50L)).zipWithIndex.map { case (p, i) =>
+      (200L, p, 1L, i.toLong, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        ts("2015-07-02 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    ords.write.parquet(s"$tmp/orders.parquet")
+    li.write.parquet(s"$tmp/lineitem.parquet")
+    // deterministic truncation: exactly `cap` items survive, and they
+    // are the cap LOWEST item ids (the documented rule)
+    val kept = Analytics.baskets(spark, tmp)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(kept.size === cap, s"bot basket must truncate to $cap")
+    assert(kept === (1L to cap.toLong))
+    spark.catalog.clearCache()
+  }
 }

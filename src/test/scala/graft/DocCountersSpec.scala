@@ -67,6 +67,38 @@ class DocCountersSpec extends AnyFunSuite {
     assert(g.group(5).toInt === nSuites, s"BASELINE suite count (code: $nSuites)")
   }
 
+  test("every persist/cache call site declares its release discipline") {
+    // r13 verdict task 7: persist-without-unpersist was hygiene-by-luck
+    // (the harness clearCache()s between queries). The convention is now
+    // mechanical: every `.persist()`/`.cache()` call site carries either
+    //   // q-cache  — feeds the RETURNED lazy plan; released by the
+    //                 harness's clearCache between queries (unpersisting
+    //                 inside the builder would defeat the share), or
+    //   // released — an unpersist() after the function's own final
+    //                 action releases it (the minhashCandEst pattern).
+    // A `// released` claim must be backed by an unpersist() in the same
+    // file, so the claim can't silently rot.
+    val files = Files.walk(Paths.get("src/main/scala/graft")).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    for (f <- files) {
+      val lines = read(f.toString).split("\n")
+      val sites = lines.zipWithIndex.filter { case (l, _) =>
+        val t = l.trim
+        (l.contains(".persist()") || l.contains(".cache()")) &&
+          !t.startsWith("*") && !t.startsWith("//")
+      }
+      val unmarked = sites.filterNot { case (l, _) =>
+        l.contains("// q-cache") || l.contains("// released") }
+      assert(unmarked.isEmpty,
+        s"$f: persist/cache sites without a q-cache/released marker at " +
+          s"lines ${unmarked.map(_._2 + 1).mkString(",")}")
+      val released = sites.count(_._1.contains("// released"))
+      val unpersists = lines.count(_.contains(".unpersist()"))
+      assert(released <= unpersists,
+        s"$f: $released '// released' claims but only $unpersists unpersist() calls")
+    }
+  }
+
   test("committed full bench artifact covers exactly the timed query set") {
     // r12 verdict item 3: the driver's BENCH_rN.json keeps only a stdout
     // tail; graft.Bench now persists the untruncated per-query map. This
