@@ -127,8 +127,8 @@ object ScaleGen {
         .withColumn("n_chars", length(txt).cast("long"))
     }, "documents")
 
-    // Per-shard CYCLIC COORDINATE ROTATION (not an additive delta): a
-    // rotation is a permutation, so every within-shard dot product,
+    // Per-shard SIGNED CYCLIC ROTATION (not an additive delta): a signed
+    // permutation is orthogonal, so every within-shard dot product,
     // norm, and neighbor structure is EXACTLY the original's, while
     // cross-shard cosines decorrelate to ~0 on these random vectors —
     // the embeddings analogue of documents' per-shard vocabulary. The
@@ -136,17 +136,25 @@ object ScaleGen {
     // MUTUAL NEAR-DUPS (cos(v, v+δ) ≈ 1), so every banded pair query's
     // 10× run measured the output-quadratic degenerate corpus (every
     // vector in a 10-copy dup group; q_cosine_lsh_affine 4.3 → 190.7 s),
-    // not the operator's plan. Rotation offsets 7k mod 64 are distinct
-    // for k < 64 (7 ⊥ 64); beyond 64 copies shards would re-collide.
+    // not the operator's plan. r13's plain rotation (offset 7k mod 64)
+    // was unique only for k < 64 — shard 64 would DUPLICATE shard 0
+    // exactly, re-degenerating the 100× fixture — so r14 adds a
+    // per-(shard, dim) sign flip from hash(k, i): sign patterns are
+    // unique for any copy count, and the flip preserves within-shard
+    // geometry exactly like the rotation does.
     val emb = t("embeddings")
     val eOff = off(emb, "vec_id")
     write(shards(emb) { (df, k) =>
       val r = (k * 7) % 64
-      val rotated =
-        if (r == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
+      val rotExpr =
+        if (r == 0) "embedding"
+        else s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"
+      val transformed =
+        if (k == 0) expr(rotExpr)
+        else expr(
+          s"transform($rotExpr, (x, i) -> IF(pmod(hash($k, i), 2) = 0, x, -x))")
       df.withColumn("vec_id", col("vec_id") + lit(k * eOff))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", transformed)
     }, "embeddings")
 
     val cust = t("customer")
