@@ -170,8 +170,10 @@ object Lakehouse {
     * misses the right one — breaks the gate, not just a spec. At 100 TB
     * this is the read path a selective MERGE/CDF/point-lookup takes:
     * manifest consulted, matching groups scanned, nothing else. */
-  def snapshotPrune(s: SparkSession, dir: String): DataFrame = {
-    val (table, mx) = pruneMemo.computeIfAbsent((s, dir), _ => {
+  /** The three-appends-of-disjoint-thirds table shared by
+    * [[snapshotPrune]] and [[snapshotIncremental]]. */
+  private def prunedTableOnce(s: SparkSession, dir: String): (String, Long) =
+    pruneMemo.computeIfAbsent((s, dir), _ => {
       val t = s"$base/snapprune_${safe(dir)}"
       val rows = Tables(s, dir, "orders")
         .select(col("o_orderkey").as("k"), cents("o_totalprice").as("cents"))
@@ -183,6 +185,9 @@ object Lakehouse {
       SnapshotTable.append(s, t, rows.filter(col("k") > b2), Some("k"))
       (t, m)
     })
+
+  def snapshotPrune(s: SparkSession, dir: String): DataFrame = {
+    val (table, mx) = prunedTableOnce(s, dir)
     val (lo, hi) = (4 * mx / 10, mx / 2)
     val kept = SnapshotTable.prunedFiles(
       table, SnapshotTable.latestVersion(table), lo, hi)
@@ -265,8 +270,69 @@ object Lakehouse {
       .orderBy(col("version"), col("src"), col("chan"))
   }
 
+  /** Incremental consumption of the commit log under the hash oracle —
+    * the table-as-a-streaming-source contract ([[SnapshotTable.readAdded]]:
+    * offsets are versions, each increment reads EXACTLY the groups its
+    * version staged, cost ∝ the increment). Replays the three-append
+    * history version by version; per-version aggregates hash-match
+    * DuckDB's reconstruction of the same thirds, which simultaneously
+    * proves Σ increments ≡ the full snapshot (no row lost or
+    * re-delivered across versions on an append-only history). The
+    * rewrite-commit semantics (a merge's restaged groups re-deliver,
+    * Delta ignoreChanges-style) are spec-pinned in SnapshotTableSpec. */
+  def snapshotIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = prunedTableOnce(s, dir)
+    (1 to SnapshotTable.latestVersion(table)).map { v =>
+      SnapshotTable.readAdded(s, table, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("n_rows"), col("sum_cents"))
+      .orderBy(col("version"))
+  }
+
+  private val optMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Partition-preserving compaction under the hash oracle
+    * ([[SnapshotTable.compactPartitions]] — plain [[compact]] would
+    * collapse a partition-grouped table to one UNTAGGED group, silently
+    * breaking future merges): v1 appends 8 partition groups, v2 appends
+    * a second group into partitions 1 and 3 only, v3 compacts — the two
+    * fragmented partitions rewrite to one group each while the six
+    * single-group partitions are re-listed by name, bytes untouched.
+    * `n_groups` (8) and `n_kept` (6, the v2 ∩ v3 name intersection) ride
+    * the hash, so a compaction that touches a clean partition — or
+    * leaves a fragmented one — breaks the GATE; the (pt, src) rollup
+    * hash-proves content identity against DuckDB's reconstruction. */
+  def snapshotOptimize(s: SparkSession, dir: String): DataFrame = {
+    def pbase = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), (col("o_orderkey") % 8).as("pt"),
+        cents("o_totalprice").as("cents"), lit("base").as("src"))
+    val table = optMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snapopt_${safe(dir)}"
+      SnapshotTable.appendPartitioned(s, t, pbase, "pt")
+      val extra = pbase.filter(col("pt").isin(1L, 3L))
+        .select((col("k") + 80000000L).as("k"), col("pt"),
+          (col("cents") + 9000).as("cents"), lit("x1").as("src"))
+      SnapshotTable.appendPartitioned(s, t, extra, "pt")
+      SnapshotTable.compactPartitions(s, t, "pt")
+      t
+    })
+    val v2 = SnapshotTable.manifest(table, 2).files.toSet
+    val v3 = SnapshotTable.manifest(table, 3).files.toSet
+    SnapshotTable.read(s, table)
+      .groupBy(col("pt"), col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_groups", lit(v3.size))
+      .withColumn("n_kept", lit(v2.intersect(v3).size))
+      .orderBy(col("pt"), col("src"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravel _),
+    "q_snapshot_incremental" -> (snapshotIncremental _),
+    "q_snapshot_optimize" -> (snapshotOptimize _),
     "q_snapshot_cdf" -> (snapshotCdf _),
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_prune" -> (snapshotPrune _),
@@ -331,6 +397,35 @@ object Lakehouse {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM v3 GROUP BY src
         |ORDER BY src""".stripMargin,
+
+    "q_snapshot_incremental" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |tagged AS (
+        |  SELECT CASE WHEN o_orderkey <= m // 3 THEN 1
+        |              WHEN o_orderkey <= (2 * m) // 3 THEN 2
+        |              ELSE 3 END AS version,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders, mx)
+        |SELECT CAST(version AS INTEGER) AS version, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM tagged GROUP BY version
+        |ORDER BY version""".stripMargin,
+
+    "q_snapshot_optimize" ->
+      """WITH pbase AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS pt,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    'base' AS src
+        |  FROM orders),
+        |extra AS (
+        |  SELECT k + 80000000 AS k, pt, cents + 9000 AS cents, 'x1' AS src
+        |  FROM pbase WHERE pt IN (1, 3)),
+        |allrows AS (SELECT * FROM pbase UNION ALL SELECT * FROM extra)
+        |SELECT pt, src, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(8 AS INTEGER) AS n_groups, CAST(6 AS INTEGER) AS n_kept
+        |FROM allrows GROUP BY pt, src
+        |ORDER BY pt, src""".stripMargin,
 
     "q_snapshot_merge" ->
       """WITH pbase AS (

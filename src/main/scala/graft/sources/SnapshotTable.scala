@@ -463,6 +463,54 @@ object SnapshotTable {
       (Seq(staged), merged, m.schema)
     }.get
 
+  /** Partition-preserving compaction (the production OPTIMIZE for a
+    * partition-grouped table — [[compact]] would collapse everything to
+    * ONE untagged group, silently making the table un-[[merge]]-able):
+    * partitions holding MORE than one file-group are rewritten into one
+    * group each — all fragmented partitions in a single distributed
+    * partitioned write — while single-group partitions are re-listed by
+    * name, bytes untouched. Cost ∝ fragmented partitions' data, never
+    * the table: exactly the bin-packing cost model `q_compaction_plan`
+    * plans with, carried to the ACID surface. Runs through the OCC loop
+    * like any writer. */
+  def compactPartitions(s: SparkSession, table: String, partCol: String): Int =
+    commitLoop(table, "compact-partitions", None, 10) { curOpt =>
+      val m = curOpt.filter(_.files.nonEmpty).getOrElse(
+        sys.error(s"cannot compact empty table $table"))
+      require(m.files.forall(f => partitionOf(f).isDefined),
+        s"compactPartitions requires a fully partition-grouped table; " +
+          s"untagged groups: ${m.files.filter(f => partitionOf(f).isEmpty)}")
+      val byPart = m.files.groupBy(f => partitionOf(f).get)
+      val (frag, fine) = byPart.partition(_._2.size > 1)
+      val newGroups =
+        if (frag.isEmpty) Seq.empty
+        else stagePartitioned(
+          readGroups(s, table, frag.values.flatten.toSeq, m.schema),
+          table, partCol)
+      val kept = fine.values.flatten.toSeq
+      (kept ++ newGroups,
+        m.stats.filter { case (g, _) => kept.contains(g) },
+        m.schema)
+    }.get
+
+  /** The file-groups version `v` ADDED over version `v−1` — the
+    * incremental-consumption contract (a streaming source over the
+    * table: offsets are versions, each micro-batch reads exactly the
+    * groups its version staged, cost ∝ the increment, never the table).
+    * For append commits this is precisely the appended data; a rewrite
+    * commit (transact / merge / compact) surfaces its restaged groups —
+    * the Delta `ignoreChanges` semantics, where a rewritten partition's
+    * rows re-deliver and the consumer dedups by key downstream.
+    * Returns an empty relation with v's schema when nothing was added. */
+  def readAdded(s: SparkSession, table: String, v: Int): DataFrame = {
+    require(v > 0, "version numbers start at 1")
+    val m = manifest(table, v)
+    val prev = if (v == 1) Set.empty[String] else manifest(table, v - 1).files.toSet
+    val added = m.files.filterNot(prev)
+    if (added.isEmpty) readGroups(s, table, m.files, m.schema).limit(0)
+    else readGroups(s, table, added, m.schema)
+  }
+
   /** Manifest-level zone-map pruning: the file-groups of version `v`
     * whose recorded key range intersects [lo, hi] — groups without stats
     * are always kept (stats are an optimization, never a correctness

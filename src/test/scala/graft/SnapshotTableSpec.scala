@@ -293,6 +293,66 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.merge(spark, t2, updates, "k", "pt"))
   }
 
+  test("compactPartitions rewrites only fragmented partitions; merge survives") {
+    import spark.implicits._
+    val t = freshTable("optpart")
+    val b1 = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "pt")
+    val b2 = Seq((4L, 40L, "a"), (5L, 50L, "b")).toDF("k", "v", "pt")
+    SnapshotTable.appendPartitioned(spark, t, b1, "pt")
+    SnapshotTable.appendPartitioned(spark, t, b2, "pt")
+    val m2 = SnapshotTable.manifest(t, 2)
+    assert(m2.files.size === 5) // a:2, b:2, c:1
+    SnapshotTable.compactPartitions(spark, t, "pt")
+    val m3 = SnapshotTable.manifest(t, 3)
+    // one group per partition; partition c's single group kept BY NAME
+    assert(m3.files.size === 3)
+    assert(m3.files.flatMap(SnapshotTable.partitionOf).sorted === Seq("a", "b", "c"))
+    val cGroup = m2.files.filter(f => SnapshotTable.partitionOf(f).contains("c"))
+    assert(cGroup.toSet.subsetOf(m3.files.toSet), "clean partition untouched")
+    // fragmented partitions got NEW groups
+    assert(m2.files.filter(f => SnapshotTable.partitionOf(f).exists(Set("a", "b")))
+      .toSet.intersect(m3.files.toSet).isEmpty)
+    // content identical
+    val got = SnapshotTable.read(spark, t)
+      .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    // and — the point vs plain compact — the table is still merge-able
+    SnapshotTable.merge(spark, t,
+      Seq((1L, 111L, "a")).toDF("k", "v", "pt"), "k", "pt")
+    assert(SnapshotTable.read(spark, t).filter(col("v") === 111).count() === 1)
+    // plain compact on a mixed/untagged table is still available, but
+    // compactPartitions on an untagged table fails loudly
+    val t2 = freshTable("optflat")
+    SnapshotTable.append(spark, t2, df(1))
+    intercept[IllegalArgumentException](
+      SnapshotTable.compactPartitions(spark, t2, "id"))
+  }
+
+  test("readAdded: per-version increments; rewrites re-deliver their groups") {
+    import spark.implicits._
+    val t = freshTable("incr")
+    SnapshotTable.append(spark, t, df(1, 2))
+    SnapshotTable.append(spark, t, df(3))
+    // append increments are exactly the appended rows
+    assert(SnapshotTable.readAdded(spark, t, 1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(SnapshotTable.readAdded(spark, t, 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // a rewrite commit surfaces its restaged groups (ignoreChanges
+    // semantics): the whole post-rewrite state re-delivers
+    SnapshotTable.transact(spark, t, "rewrite")(c => c.get.filter(col("id") =!= 2))
+    assert(SnapshotTable.readAdded(spark, t, 3)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // Σ increments over an append-only prefix ≡ the v2 snapshot
+    val incr = SnapshotTable.readAdded(spark, t, 1)
+      .unionByName(SnapshotTable.readAdded(spark, t, 2))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val full = SnapshotTable.read(spark, t, Some(2))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(incr === full)
+  }
+
   test("schema evolution: add-column appends; type changes fail loudly") {
     import spark.implicits._
     val t = freshTable("evolve")
