@@ -38,7 +38,6 @@ object SparkEntry {
     "q_winnow_fingerprints" -> "q_winnow_affine",
     "q_cosine_pairs_lsh" -> "q_cosine_lsh_affine",
     "q_kmv_users" -> "q_kmv_users_affine",
-    "q_pq_quantize" -> "q_pq_affine",
     "q_approx_distinct" -> "q_hll_affine",
     "q_approx_percentile" -> "q_sample_percentile")
 

@@ -779,7 +779,11 @@ object VectorOps {
     * codebook and the Q×pqM×pqK LUT are broadcast-sized; candidates ride
     * the (m, c) equi join. The float MLlib-style variant stays
     * spec-pinned (TextVectorSpec recall bound). */
-  def annPqRecallInt(s: SparkSession, dir: String): DataFrame = {
+  /** The shared integer-PQ model: unit-sphere-quantized subvectors, the
+    * 2-round grouped integer-Lloyd codebook, and the code assignments —
+    * one implementation behind [[annPqRecallInt]] and [[pqQuantizeInt]]
+    * (the same sharing as the float pqSubvectors/pqFitCodebook pair). */
+  private def pqIntModel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = withNorm(emb(s, dir))
     val sub = e.select(col("vec_id"), explode(expr(
         s"""transform(sequence(0, ${pqM - 1}),
@@ -795,7 +799,12 @@ object VectorOps {
     val cent = (1 to 2).foldLeft(init) { (c, _) =>
       pqIntCentroids(pqIntAssign(sub, c))
     }
-    val codes = pqIntAssign(sub, cent) // (vec_id, m, c)
+    (sub, cent, pqIntAssign(sub, cent))
+  }
+
+  def annPqRecallInt(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val (sub, cent, codes) = pqIntModel(s, dir)
     // per-query LUT: Q×pqM×pqK int64 distances — broadcast-sized
     val lut = sub.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("q").as("qs"))
@@ -891,7 +900,51 @@ object VectorOps {
        |  GROUP BY m, c
        |)""".stripMargin
 
-  private def annPqIntOracle: String =
+  /** PQ compression report under the hash oracle (the registered
+    * `q_pq_quantize` — promoted off rows-only with the same integer-PQ
+    * model as [[annPqRecallInt]]; the float-codebook variant
+    * [[pqQuantize]] stays spec-pinned): per-vector reconstruction RMSE
+    * of the unit-normalized vector from its 8 codes, computed EXACTLY —
+    * the squared error Σ_m Σ_j (sub_j − cent_j)² is int64 on the 2^20
+    * lattice (order-free), and RMSE = sqrt(sse/64)/2^20 is two
+    * correctly-rounded IEEE steps on identical integers (÷64 and ÷2^20
+    * are exact power-of-two scalings), so the doubles hash-match. Also
+    * reports the distinct-code count per vector. */
+  def pqQuantizeInt(s: SparkSession, dir: String): DataFrame = {
+    val (_, cent, codes) = pqIntModel(s, dir)
+    codes.join(broadcast(cent), Seq("m", "c"))
+      .withColumn("se", intSqDist(col("q"), col("mv")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("se")).as("sse"),
+        countDistinct(col("c")).as("distinct_codes"))
+      .join(emb(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"),
+        (sqrt(col("sse") / lit(pqM * pqDsub).cast("double"))
+          / lit(semScale.toDouble)).as("recon_rmse"),
+        col("distinct_codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def pqQuantizeIntOracle: String =
+    s"""$pqIntChainCtes,
+       |sse AS (
+       |  SELECT a.vec_id,
+       |    CAST(sum(list_sum(list_transform(range(1,${pqDsub + 1}),
+       |      j -> (a.q[j]-c2.mv[j])*(a.q[j]-c2.mv[j])))) AS BIGINT) AS sse,
+       |    CAST(count(DISTINCT a.c) AS BIGINT) AS distinct_codes
+       |  FROM a3 a JOIN c2 ON a.m = c2.m AND a.c = c2.c
+       |  GROUP BY a.vec_id
+       |)
+       |SELECT s.vec_id, e.label,
+       |  sqrt(s.sse / ${pqM * pqDsub}.0) / $semScale.0 AS recon_rmse,
+       |  s.distinct_codes
+       |FROM sse s JOIN embeddings e USING (vec_id)
+       |ORDER BY s.vec_id""".stripMargin
+
+  /** The DuckDB mirror of [[pqIntModel]]: quantized subvectors, the
+    * 2-round grouped Lloyd chain, final codes in `a3`, codebook in
+    * `c2` — shared by the PQ recall and quantize oracles. */
+  private def pqIntChainCtes: String =
     s"""WITH nq AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -909,7 +962,10 @@ object VectorOps {
        |${pqCentCte("a1", "c1")},
        |${pqAssignCte("sub", "c1", "a2")},
        |${pqCentCte("a2", "c2")},
-       |${pqAssignCte("sub", "c2", "a3")},
+       |${pqAssignCte("sub", "c2", "a3")}""".stripMargin
+
+  private def annPqIntOracle: String =
+    s"""$pqIntChainCtes,
        |lut AS (
        |  SELECT s.vec_id AS query_id, s.m, c2.c,
        |    CAST(list_sum(list_transform(range(1,${pqDsub + 1}),
@@ -1806,7 +1862,7 @@ object VectorOps {
     // integer-affine promotion); the xxhash64 production variant here
     // stays spec-pinned (TextVectorSpec floor, PlanSpec no-BNLJ)
     "q_ann_ivf_recall" -> ((s, d) => annIvfRecall(s, d)),
-    "q_pq_quantize" -> (pqQuantize _),
+    "q_pq_quantize" -> (pqQuantizeInt _),
     "q_ann_pq_recall" -> (annPqRecallInt _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_semdedup" -> (semDedup _),
@@ -1882,6 +1938,7 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "q_ann_ivf_recall" -> annIvfOracle,
     "q_ann_pq_recall" -> annPqIntOracle,
+    "q_pq_quantize" -> pqQuantizeIntOracle,
 
     "q_map_eval" ->
       """WITH e AS (
