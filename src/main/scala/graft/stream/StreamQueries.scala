@@ -604,16 +604,22 @@ object StreamQueries {
     * micro-batches in NON-time order (`event_id mod 3` split), merged by
     * `foreachBatch` into a versioned key-state table with last-write-wins
     * on (ts, event_id) — the MERGE INTO shape every lakehouse sink runs.
-    * Each batch writes a NEW version directory from prior-version ∪ batch
-    * (never in-place: readers of version N are isolated from the N+1
-    * write, and a failed batch retries against the intact prior version —
-    * the idempotence `foreachBatch`'s at-least-once contract requires).
+    * Since r14 the versioned state lives in a
+    * [[graft.sources.SnapshotTable]] (the r13 verdict's integration gap:
+    * this query kept its own ad-hoc version directories next to the ACID
+    * table that owns the commit path): each batch is one OCC `transact`
+    * that rewrites the merged key-state — readers of version N stay
+    * isolated from the N+1 commit, every intermediate state remains
+    * time-travelable, and a retried batch re-merges IDEMPOTENTLY
+    * (last-write-wins on (ts, event_id) makes re-applying the same
+    * changes a no-op, so at-least-once delivery needs no txn tag here —
+    * contrast [[streamSnapshot]], whose blind appends DO need one).
     * Because the merge compares (ts, event_id) rather than trusting
     * arrival order, the final state is independent of batch slicing; the
     * DuckDB oracle re-derives it as the relational argmax per user. */
   def streamCdc(s: SparkSession, dir: String): DataFrame = {
-    val out = runOnce(s, dir, "stream_cdc") { p =>
-      val out = p
+    val table = runOnce(s, dir, "stream_cdc") { p =>
+      val table = s"${p}_table"
       val replay = s"${p}_replay"
       val chk = s"${p}_chk"
       val ev = graft.Tables(s, dir, "events")
@@ -641,27 +647,25 @@ object StreamQueries {
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          val ss = batch.sparkSession
           val changes = batch
             .select(col("user_id"), unix_micros(col("ts")).as("last_us"),
               col("event_id").as("last_event_id"), col("event_type"))
-          val merged =
-            if (bid == 0) changes
-            else ss.read.parquet(s"$out/v${bid - 1}").union(changes)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id"))
             .orderBy(col("last_us").desc, col("last_event_id").desc)
-          merged.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-            .write.mode("overwrite").parquet(s"$out/v$bid")
+          graft.sources.SnapshotTable.transact(
+            batch.sparkSession, table, s"cdc-merge-b$bid") { cur =>
+            cur.map(_.unionByName(changes)).getOrElse(changes)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+          }
+          ()
         }
         .start()
       q.awaitTermination()
-      out
+      table
     }
-    val last = new java.io.File(out).list()
-      .filter(_.startsWith("v")).map(_.drop(1).toInt).max
-    s.read.parquet(s"$out/v$last")
+    graft.sources.SnapshotTable.read(s, table)
       .select(col("user_id"), col("last_us"), col("last_event_id"),
         col("event_type"))
       .orderBy(col("user_id"))
