@@ -1454,10 +1454,14 @@ object Analytics {
     * broadcast back onto the surviving pairs; the final top-N rides
     * TakeOrderedAndProject, not a global sort. */
   /** Per-customer distinct (cust, item) purchase sets, capped at
-    * [[cfBasketCap]] items. The cap window partitions by cust — the same
-    * key the pair self-join shuffles on, so the capped relation's
-    * exchange is REUSED by the join and the guard costs one in-partition
-    * sort, not an extra shuffle. */
+    * [[cfBasketCap]] items. Cap cost (plan-audited r14): Spark rewrites
+    * the rank filter into WindowGroupLimit — a PARTIAL per-group limit
+    * runs map-side BEFORE the window's cust shuffle, so no partition
+    * ever materializes an uncapped bot basket; the guard adds one hash
+    * repartition + in-partition sort of the already-deduped (cust, item)
+    * relation (the join re-shuffles after the cache boundary either
+    * way). Measured: `q_item_cf` median unchanged vs its quiet baseline,
+    * gate hashes unchanged. */
   private[graft] def baskets(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("cust")).orderBy(col("item"))
     Tables(s, dir, "orders")

@@ -383,6 +383,57 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).columns.toSeq === Seq("id", "s"))
   }
 
+  test("chaos: racing appends and compactions serialize; history replays exactly") {
+    import spark.implicits._
+    val t = freshTable("chaos")
+    SnapshotTable.appendPartitioned(spark, t,
+      Seq((0L, "p0")).toDF("id", "pt"), "pt")
+    val nWriters = 4
+    val perWriter = 3
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nWriters + 1)
+    val appenders = (1 to nWriters).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          start.await()
+          (0 until perWriter).foreach { j =>
+            SnapshotTable.appendPartitioned(spark, t,
+              Seq((w * 1000L + j, s"p$w")).toDF("id", "pt"), "pt")
+          }
+        }
+      })
+    }
+    val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        start.await()
+        SnapshotTable.compactPartitions(spark, t, "pt")
+        SnapshotTable.compactPartitions(spark, t, "pt")
+      }
+    })
+    start.countDown()
+    (appenders :+ compactor).foreach(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    val latest = SnapshotTable.latestVersion(t)
+    // every committed op won exactly one version — the log is dense
+    assert(latest === 1 + nWriters * perWriter + 2)
+    // serializable history: each version's row count is its op's exact
+    // effect applied to its predecessor (appends +1 row, compactions +0)
+    val counts = (1 to latest).map(v =>
+      SnapshotTable.read(spark, t, Some(v)).count())
+    val ops = (1 to latest).map(v => SnapshotTable.manifest(t, v).op)
+    (1 until latest).foreach { i =>
+      val expected = counts(i - 1) + (if (ops(i).startsWith("append")) 1 else 0)
+      assert(counts(i) === expected,
+        s"v${i + 1} (${ops(i)}) count ${counts(i)} != $expected: $ops")
+    }
+    // final content: every appended id exactly once, nothing lost
+    val ids = SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0L +: (for (w <- 1 to nWriters; j <- 0 until perWriter)
+      yield w * 1000L + j)).sorted
+    assert(ids === want)
+  }
+
   test("manifests list complete snapshots; data files are immutable") {
     val t = freshTable("manifest")
     SnapshotTable.append(spark, t, df(1))
