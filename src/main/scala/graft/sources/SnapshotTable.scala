@@ -231,8 +231,8 @@ object SnapshotTable {
     * alone. Partition values must render to a filesystem-safe token;
     * anything else fails loudly (hash your key into buckets first — at
     * 100 TB a partition key is a curated low-cardinality column anyway). */
-  private def stagePartitioned(df: DataFrame, table: String,
-      partCol: String): Seq[String] = {
+  private def stagePartitioned(df: DataFrame, table: String, partCol: String,
+      statsCol: Option[String] = None): (Seq[String], Map[String, (Long, Long)]) = {
     val stageName = s"data/stage-${java.util.UUID.randomUUID().toString}"
     df.withColumn("_pt", col(partCol).cast("string"))
       .write.partitionBy("_pt").parquet(s"$table/$stageName")
@@ -243,7 +243,20 @@ object SnapshotTable {
     require(dirs.nonEmpty, s"no partitions staged from column $partCol")
     dirs.foreach(d => require(d.stripPrefix("_pt=").matches("[A-Za-z0-9_.-]+"),
       s"partition value does not render to a filesystem-safe token: $d"))
-    dirs.sorted.map(d => s"$stageName/$d")
+    val groups = dirs.sorted.map(d => s"$stageName/$d")
+    // per-group (min, max) of the designated key in ONE grouped scan of
+    // the staged data (partition discovery on the stage root recovers
+    // _pt), so a partitioned write keeps the same prunability an
+    // [[append]] gets from `statsCol`
+    val stats = statsCol.fold(Map.empty[String, (Long, Long)]) { c =>
+      val byPt = df.sparkSession.read.parquet(s"$table/$stageName")
+        .groupBy(col("_pt").cast("string").as("_pt"))
+        .agg(org.apache.spark.sql.functions.min(col(c)).cast("long").as("lo"),
+          org.apache.spark.sql.functions.max(col(c)).cast("long").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      groups.flatMap(g => partitionOf(g).flatMap(byPt.get).map(g -> _)).toMap
+    }
+    (groups, stats)
   }
 
   /** The partition tag of a file-group, if it was staged partitioned. */
@@ -375,11 +388,11 @@ object SnapshotTable {
     * production compaction touch only the partitions a batch names.
     * Staged once outside the OCC loop (groups are base-independent). */
   def appendPartitioned(s: SparkSession, table: String, df: DataFrame,
-      partCol: String): Int = {
-    val groups = stagePartitioned(df, table, partCol)
+      partCol: String, statsCol: Option[String] = None): Int = {
+    val (groups, st) = stagePartitioned(df, table, partCol, statsCol)
     commitLoop(table, "append-partitioned", None, 10) { cur =>
       (cur.map(_.files).getOrElse(Nil) ++ groups,
-        cur.map(_.stats).getOrElse(Map.empty),
+        cur.map(_.stats).getOrElse(Map.empty) ++ st,
         Some(evolve(cur.flatMap(_.schema), df)))
     }.get
   }
@@ -397,7 +410,7 @@ object SnapshotTable {
     * group to be partition-tagged (mixing un-partitioned appends into a
     * merged table would make "untouched" undecidable — fail loudly). */
   def merge(s: SparkSession, table: String, updates: DataFrame,
-      keyCol: String, partCol: String): Int =
+      keyCol: String, partCol: String, statsCol: Option[String] = None): Int =
     commitLoop(table, "merge", None, 10) { curOpt =>
       val m = curOpt.getOrElse(sys.error(s"cannot merge into empty table $table"))
       require(m.files.forall(f => partitionOf(f).isDefined),
@@ -414,9 +427,9 @@ object SnapshotTable {
           readGroups(s, table, touched, m.schema)
             .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti"),
           allowMissingColumns = true)
-      val newGroups = stagePartitioned(merged, table, partCol)
+      val (newGroups, st) = stagePartitioned(merged, table, partCol, statsCol)
       (untouched ++ newGroups,
-        m.stats.filter { case (g, _) => untouched.contains(g) },
+        m.stats.filter { case (g, _) => untouched.contains(g) } ++ st,
         Some(schema))
     }.get
 
@@ -482,14 +495,26 @@ object SnapshotTable {
           s"untagged groups: ${m.files.filter(f => partitionOf(f).isEmpty)}")
       val byPart = m.files.groupBy(f => partitionOf(f).get)
       val (frag, fine) = byPart.partition(_._2.size > 1)
-      val newGroups =
-        if (frag.isEmpty) Seq.empty
+      val (newGroups, _) =
+        if (frag.isEmpty) (Seq.empty[String], Map.empty[String, (Long, Long)])
         else stagePartitioned(
           readGroups(s, table, frag.values.flatten.toSeq, m.schema),
           table, partCol)
       val kept = fine.values.flatten.toSeq
+      // a rewritten partition's merged key bounds need NO data scan when
+      // every input group carried stats: min-of-mins / max-of-maxes per
+      // partition, straight from the previous manifest (the [[compact]]
+      // derivation, per partition)
+      val mergedStats = newGroups.flatMap { g =>
+        val p = partitionOf(g).get
+        val olds = frag.getOrElse(p, Seq.empty)
+        if (olds.nonEmpty && olds.forall(m.stats.contains)) {
+          val ss = olds.map(m.stats)
+          Some(g -> (ss.map(_._1).min, ss.map(_._2).max))
+        } else None
+      }.toMap
       (kept ++ newGroups,
-        m.stats.filter { case (g, _) => kept.contains(g) },
+        m.stats.filter { case (g, _) => kept.contains(g) } ++ mergedStats,
         m.schema)
     }.get
 

@@ -329,6 +329,37 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.compactPartitions(spark, t2, "id"))
   }
 
+  test("zone-map stats survive the partitioned lifecycle: append, merge, compact") {
+    import spark.implicits._
+    val t = freshTable("ptstats")
+    val b1 = Seq((1L, "a"), (2L, "a"), (10L, "b")).toDF("k", "pt")
+    val b2 = Seq((3L, "a"), (20L, "b")).toDF("k", "pt")
+    SnapshotTable.appendPartitioned(spark, t, b1, "pt", statsCol = Some("k"))
+    SnapshotTable.appendPartitioned(spark, t, b2, "pt", statsCol = Some("k"))
+    val m2 = SnapshotTable.manifest(t, 2)
+    // every partitioned group carries its own key bounds
+    assert(m2.files.size === 4 && m2.files.forall(m2.stats.contains))
+    assert(m2.stats.values.toSet ===
+      Set((1L, 2L), (10L, 10L), (3L, 3L), (20L, 20L)))
+    // merge keeps untouched stats and records the rewritten partition's
+    SnapshotTable.merge(spark, t, Seq((11L, "b")).toDF("k", "pt"),
+      "k", "pt", statsCol = Some("k"))
+    val m3 = SnapshotTable.manifest(t, 3)
+    assert(m3.files.forall(m3.stats.contains))
+    val bStats = m3.files.filter(f => SnapshotTable.partitionOf(f).contains("b"))
+      .map(m3.stats)
+    assert(bStats === Seq((10L, 20L))) // merged b: rows 10, 11, 20
+    // compactPartitions derives merged bounds from the manifest (no scan)
+    SnapshotTable.compactPartitions(spark, t, "pt")
+    val m4 = SnapshotTable.manifest(t, 4)
+    assert(m4.files.size === 2 && m4.files.forall(m4.stats.contains))
+    assert(m4.stats.values.toSet === Set((1L, 3L), (10L, 20L)))
+    // ...and the pruned read plans from them: [15, 25] opens only b
+    assert(SnapshotTable.prunedFiles(t, 4, 15L, 25L).size === 1)
+    assert(SnapshotTable.readPruned(spark, t, 15L, 25L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 11L, 20L))
+  }
+
   test("readAdded: per-version increments; rewrites re-deliver their groups") {
     import spark.implicits._
     val t = freshTable("incr")
