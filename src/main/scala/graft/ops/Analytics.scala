@@ -611,6 +611,20 @@ object Analytics {
     * Exact `median` sorts within each group, fine for bounded type
     * cardinality; an unbounded group-key version would ride
     * approx_percentile(0.5) instead (same plan shape, no per-group sort). */
+  /** Half-up-toward-+∞ rounding via floor(x·10^k + 0.5)/10^k — the SAME
+    * float ops on the same doubles in both engines. `round()` itself is
+    * NOT engine-portable at exact tie boundaries: Spark expands the
+    * double to decimal and HALF_UPs, DuckDB multiplies and std::rounds,
+    * and the two can land on opposite sides of an ....5 ulp — the r14
+    * sf0.1 sweep caught q_bot_flags (33374.0610425) and q_mad_outliers
+    * flipping their last digit. Only queries whose pre-round doubles are
+    * bit-identical across engines need this; everything integer-exact is
+    * immune by construction. */
+  private def rhu(c: Column, k: Int): Column = {
+    val s = math.pow(10, k)
+    floor(c * s + 0.5) / s
+  }
+
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val med = e.groupBy(col("event_type")).agg(median(col("value")).as("med"))
@@ -619,10 +633,10 @@ object Analytics {
       .agg(median(abs(col("value") - col("med"))).as("mad"))
     e.join(broadcast(mad), "event_type")
       .withColumn("robust_z",
-        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+        rhu(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
       .filter(abs(col("robust_z")) > 3.5)
       .select(col("event_id"), col("event_type"),
-        round(col("value"), 6).as("value"), col("robust_z"))
+        rhu(col("value"), 6).as("value"), col("robust_z"))
       .orderBy(col("event_id"))
   }
 
@@ -1677,13 +1691,17 @@ object Analytics {
         (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double"))
     gaps.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("gap")) / 1e6, 6).as("mean_gap_s"),
-        round(stddev_pop(col("gap")) / 1e6, 6).as("sd_gap_s"),
-        ((max(col("ts_us")) - min(col("ts_us"))) / 1000000L).as("span_s"))
+        rhu(avg(col("gap")) / 1e6, 6).as("mean_gap_s"),
+        rhu(stddev_pop(col("gap")) / 1e6, 6).as("sd_gap_s"),
+        // integer-floor seconds, matching the oracle's `//` exactly — the
+        // double-division span differed below the comparator's 9-digit
+        // rounding for years and only surfaced through rate_per_min's
+        // 6-dp boundary at sf0.1 (r14 sweep)
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("span_s"))
       .filter(col("n_events") >= 20)
-      .withColumn("cv", round(col("sd_gap_s") / col("mean_gap_s"), 6))
+      .withColumn("cv", rhu(col("sd_gap_s") / col("mean_gap_s"), 6))
       .withColumn("rate_per_min",
-        round(col("n_events") * 60.0 / col("span_s"), 6))
+        rhu(col("n_events") * 60.0 / col("span_s"), 6))
       .withColumn("flag_regular", col("cv") < 0.3)
       .withColumn("flag_rate", col("rate_per_min") > 5.0)
       .select(col("user_id"), col("n_events"), col("mean_gap_s"),
@@ -2893,15 +2911,15 @@ object Analytics {
         |  FROM events),
         |agg AS (
         |  SELECT user_id, count(*) AS n_events,
-        |    round(avg(gap) / 1e6, 6) AS mean_gap_s,
-        |    round(stddev_pop(gap) / 1e6, 6) AS sd_gap_s,
+        |    floor(avg(gap) / 1e6 * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+        |    floor(stddev_pop(gap) / 1e6 * 1e6 + 0.5) / 1e6 AS sd_gap_s,
         |    (max(ts_us) - min(ts_us)) // 1000000 AS span_s
         |  FROM g GROUP BY user_id HAVING count(*) >= 20)
         |SELECT user_id, n_events, mean_gap_s, sd_gap_s,
-        |  round(sd_gap_s / mean_gap_s, 6) AS cv,
-        |  round(n_events * 60.0 / span_s, 6) AS rate_per_min,
-        |  round(sd_gap_s / mean_gap_s, 6) < 0.3 AS flag_regular,
-        |  round(n_events * 60.0 / span_s, 6) > 5.0 AS flag_rate
+        |  floor(sd_gap_s / mean_gap_s * 1e6 + 0.5) / 1e6 AS cv,
+        |  floor(n_events * 60.0 / span_s * 1e6 + 0.5) / 1e6 AS rate_per_min,
+        |  floor(sd_gap_s / mean_gap_s * 1e6 + 0.5) / 1e6 < 0.3 AS flag_regular,
+        |  floor(n_events * 60.0 / span_s * 1e6 + 0.5) / 1e6 > 5.0 AS flag_rate
         |FROM agg ORDER BY user_id""".stripMargin,
 
     "q_user_recs" ->
@@ -3617,10 +3635,11 @@ object Analytics {
         |  SELECT e.event_type, med, median(abs(value - med)) AS mad
         |  FROM events e JOIN med ON e.event_type = med.event_type
         |  GROUP BY e.event_type, med)
-        |SELECT event_id, e.event_type, round(value, 6) AS value,
-        |  round(0.6745 * (value - med) / mad, 4) AS robust_z
+        |SELECT event_id, e.event_type,
+        |  floor(value * 1e6 + 0.5) / 1e6 AS value,
+        |  floor(0.6745 * (value - med) / mad * 1e4 + 0.5) / 1e4 AS robust_z
         |FROM events e JOIN mad ON e.event_type = mad.event_type
-        |WHERE abs(round(0.6745 * (value - med) / mad, 4)) > 3.5
+        |WHERE abs(floor(0.6745 * (value - med) / mad * 1e4 + 0.5) / 1e4) > 3.5
         |ORDER BY event_id""".stripMargin,
 
     "q_ab_test" ->
