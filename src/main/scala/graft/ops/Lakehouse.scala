@@ -329,7 +329,89 @@ object Lakehouse {
       .orderBy(col("pt"), col("src"))
   }
 
+  private val deleteMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Row-level DELETE via delete vectors under the hash oracle
+    * ([[SnapshotTable.deleteWhere]] — merge-on-read): v1 appends the full
+    * `orders` projection, v2 tombstones every cust%10=0 key (NO data
+    * group opened — the manifest gains one `del-k-…` group), v3 APPENDS a
+    * batch that re-inserts a third of the deleted keys (src='r1'), v4
+    * tombstones k%7=0. The read proves the SEQUENCE semantics: the v2
+    * tombstone must not touch the v3 re-inserts (they postdate it), while
+    * the v4 tombstone hits everything — and `VERSION AS OF 1` still
+    * returns the full pre-delete state (a tombstone is just another group
+    * a NEWER manifest lists). `n_data_groups` (2) and `n_delete_groups`
+    * (2) ride the hash, so a delete that rewrites data — or a read that
+    * mis-scopes a tombstone — breaks the GATE. Purge-on-compact and
+    * delete-commit readAdded silence are SnapshotTableSpec's half. */
+  def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    def dbase = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        cents("o_totalprice").as("cents"), lit("base").as("src"))
+    def reins = dbase.filter(col("cust") % 10 === 0 && col("k") % 3 === 0)
+      .select(col("k"), col("cust"), (col("cents") + 3000).as("cents"),
+        lit("r1").as("src"))
+    val table = deleteMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snapdelete_${safe(dir)}"
+      SnapshotTable.append(s, t, dbase)
+      SnapshotTable.deleteWhere(s, t,
+        dbase.filter(col("cust") % 10 === 0).select(col("k")), "k")
+      SnapshotTable.append(s, t, reins)
+      SnapshotTable.deleteWhere(s, t,
+        dbase.filter(col("k") % 7 === 0).select(col("k")), "k")
+      t
+    })
+    val m = SnapshotTable.manifest(table, SnapshotTable.latestVersion(table))
+    val (dels, datas) = m.files.partition(SnapshotTable.isDeleteGroup)
+    val v1 = SnapshotTable.read(s, table, asOf = Some(1))
+      .withColumn("version", lit(1))
+    val v4 = SnapshotTable.read(s, table).withColumn("version", lit(4))
+    v1.unionByName(v4)
+      .groupBy(col("version"), col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_data_groups", lit(datas.size))
+      .withColumn("n_delete_groups", lit(dels.size))
+      .orderBy(col("version"), col("src"))
+  }
+
+  private val restoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** RESTORE under the hash oracle ([[SnapshotTable.restore]] — the
+    * roll-back-a-bad-deploy read): v1 CREATE base, v2 MERGE batch1 (the
+    * "bad" commit), v3 = restore to v1. The latest read must equal v1's
+    * state exactly, `VERSION AS OF 2` must STILL return the rolled-back
+    * state (history preserved for the post-mortem), and `n_new_groups`
+    * (v3 manifest names minus v1 ∪ v2 names, oracle-pinned 0) rides the
+    * hash — a restore that stages any data is metadata-only no more and
+    * breaks the GATE. */
+  def snapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    val table = restoreMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snaprestore_${safe(dir)}"
+      SnapshotTable.transact(s, t, "create") { _ => baseRows(s, dir) }
+      SnapshotTable.transact(s, t, "merge-b1") { cur =>
+        upsert(cur.get, batch1(s, dir))
+      }
+      SnapshotTable.restore(t, 1)
+      t
+    })
+    val before = SnapshotTable.manifest(table, 1).files.toSet ++
+      SnapshotTable.manifest(table, 2).files
+    val after = SnapshotTable.manifest(table, 3).files.toSet
+    val v2 = SnapshotTable.read(s, table, asOf = Some(2))
+      .withColumn("version", lit(2))
+    val v3 = SnapshotTable.read(s, table).withColumn("version", lit(3))
+    v2.unionByName(v3)
+      .groupBy(col("version"), col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_new_groups", lit(after.diff(before).size))
+      .orderBy(col("version"), col("src"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_delete" -> (snapshotDelete _),
+    "q_snapshot_restore" -> (snapshotRestore _),
     "q_time_travel" -> (timeTravel _),
     "q_snapshot_incremental" -> (snapshotIncremental _),
     "q_snapshot_optimize" -> (snapshotOptimize _),
@@ -369,6 +451,42 @@ object Lakehouse {
       |  WHERE cust % 10 <> 0 AND k NOT IN (SELECT k FROM b2))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_snapshot_delete" ->
+      """WITH dbase AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    'base' AS src
+        |  FROM orders),
+        |r1 AS (
+        |  SELECT k, cust, cents + 3000 AS cents, 'r1' AS src
+        |  FROM dbase WHERE cust % 10 = 0 AND k % 3 = 0),
+        |v4 AS (
+        |  SELECT * FROM dbase WHERE cust % 10 <> 0 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT * FROM r1 WHERE k % 7 <> 0),
+        |states AS (
+        |  SELECT 1 AS version, src, cents FROM dbase
+        |  UNION ALL
+        |  SELECT 4 AS version, src, cents FROM v4)
+        |SELECT CAST(version AS INTEGER) AS version, src,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(2 AS INTEGER) AS n_data_groups,
+        |  CAST(2 AS INTEGER) AS n_delete_groups
+        |FROM states GROUP BY version, src
+        |ORDER BY version, src""".stripMargin,
+
+    "q_snapshot_restore" ->
+      s"""$versionCtes,
+        |states AS (
+        |  SELECT 2 AS version, src, cents FROM v2
+        |  UNION ALL
+        |  SELECT 3 AS version, src, cents FROM base)
+        |SELECT CAST(version AS INTEGER) AS version, src,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS INTEGER) AS n_new_groups
+        |FROM states GROUP BY version, src
+        |ORDER BY version, src""".stripMargin,
+
     "q_time_travel" ->
       s"""$versionCtes,
         |states AS (

@@ -168,8 +168,90 @@ object SnapshotTable {
   def read(s: SparkSession, table: String, asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(latestVersion(table))
     require(v > 0, s"table $table has no committed versions")
-    val m = manifest(table, v)
-    readGroups(s, table, m.files, m.schema)
+    snapshotDf(s, table, manifest(table, v))
+  }
+
+  /** Delete-vector groups are recognized by NAME (`data/del-<keyCol>-…`,
+    * minted by [[deleteWhere]]) — the manifest format is unchanged and a
+    * table that never deletes never pays a thing. */
+  def isDeleteGroup(group: String): Boolean =
+    group.startsWith("data/del-")
+
+  /** The key column a delete-vector group tombstones on (encoded in its
+    * name by [[deleteWhere]]). */
+  def deleteKeyOf(group: String): Option[String] =
+    if (!isDeleteGroup(group)) None
+    else Some(group.stripPrefix("data/del-").takeWhile(_ != '-'))
+
+  /** First version each file-group of version `v`'s manifest appeared in —
+    * the commit SEQUENCE that scopes delete vectors (an Iceberg data
+    * sequence number, re-derived from the log). A delete group tombstones
+    * only data groups added STRICTLY BEFORE it, so a later append may
+    * re-insert a deleted key and win. O(versions) manifest reads, metadata
+    * only; production carries the sequence in the manifest itself. */
+  private def firstAppearance(table: String, v: Int): Map[String, Int] =
+    (1 to v).foldLeft(Map.empty[String, Int]) { (acc, i) =>
+      manifest(table, i).files.foldLeft(acc)(
+        (a, f) => if (a.contains(f)) a else a + (f -> i))
+    }
+
+  /** The snapshot relation of manifest `m`, with delete vectors applied
+    * under sequence scoping (merge-on-read): data groups are grouped into
+    * cohorts by WHICH deletes postdate them, each cohort anti-joins the
+    * union of its applicable tombstone keys, cohorts union back. A table
+    * with no delete groups takes the plain multi-group scan — the
+    * unchanged fast path every existing gate query reads through.
+    * `keep` filters DATA groups only (the [[readPruned]] hook); delete
+    * groups always apply. At 100 TB each anti-join is one shuffle on the
+    * key (broadcast when the tombstone set is small — AQE decides), and
+    * the cohort count is bounded by the number of delete COMMITS, not
+    * data size. */
+  private def snapshotDf(s: SparkSession, table: String, m: Manifest,
+      keep: String => Boolean = _ => true): DataFrame = {
+    val (dels, datas0) = m.files.partition(isDeleteGroup)
+    val datas = datas0.filter(keep)
+    if (datas.isEmpty)
+      readGroups(s, table, datas0, m.schema).limit(0)
+    else if (dels.isEmpty)
+      readGroups(s, table, datas, m.schema)
+    else {
+      val fa = firstAppearance(table, m.version)
+      val cohorts = datas.groupBy(g => dels.filter(d => fa(d) > fa(g)).sorted)
+        .toSeq.sortBy { case (_, gs) => gs.map(fa).min }
+      cohorts.map { case (applicable, gs) =>
+        val df = readGroups(s, table, gs, m.schema)
+        applicable.groupBy(d => deleteKeyOf(d).get).foldLeft(df) {
+          case (acc, (keyCol, groups)) =>
+            // tombstones read by parquet inference: a delete group is the
+            // key column alone, never under the table schema
+            acc.join(readGroups(s, table, groups, None).distinct(),
+              Seq(keyCol), "left_anti")
+        }
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Row-level DELETE as a delete vector (Iceberg equality-delete /
+    * Delta deletion-vector shape, merge-on-read): stages the DISTINCT
+    * keys as a tombstone group and commits prev ∪ tombstone — NO data
+    * group is opened, let alone rewritten, so delete cost is O(keys),
+    * independent of table size. Readers apply tombstones under sequence
+    * scoping ([[snapshotDf]]): the delete hits every row committed
+    * before it, and a LATER append may re-insert a deleted key. Every
+    * pre-delete version still reads its full state (time travel is
+    * unaffected — the tombstone is just another group a newer manifest
+    * lists). [[compact]] purges: it materializes the delete-applied
+    * snapshot and drops the tombstones. */
+  def deleteWhere(s: SparkSession, table: String, keys: DataFrame,
+      keyCol: String): Int = {
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"delete key column must be a plain identifier: $keyCol")
+    val (staged, _) =
+      stage(keys.select(col(keyCol)).distinct(), table, None, s"del-$keyCol-")
+    commitLoop(table, "delete", None, 10) { cur =>
+      val m = cur.getOrElse(sys.error(s"cannot delete from empty table $table"))
+      (m.files :+ staged, m.stats, m.schema)
+    }.get
   }
 
   private def ddlOf(df: DataFrame): String = {
@@ -208,10 +290,12 @@ object SnapshotTable {
     * designated (computed on the staged data — one cheap agg — and
     * carried in the manifest so readers can prune without opening the
     * group). Staged groups are invisible to every reader until a
-    * manifest lists them. */
+    * manifest lists them. `prefix` lets [[deleteWhere]] mint
+    * delete-vector groups (`del-<keyCol>-<uuid>`) that readers recognize
+    * by NAME — the manifest format is unchanged. */
   private def stage(df: DataFrame, table: String,
-      statsCol: Option[String]): (String, Option[(Long, Long)]) = {
-    val name = s"data/${java.util.UUID.randomUUID().toString}"
+      statsCol: Option[String], prefix: String = ""): (String, Option[(Long, Long)]) = {
+    val name = s"data/$prefix${java.util.UUID.randomUUID().toString}"
     df.write.parquet(s"$table/$name")
     val st = statsCol.map { c =>
       val r = df.sparkSession.read.parquet(s"$table/$name")
@@ -433,6 +517,22 @@ object SnapshotTable {
         Some(schema))
     }.get
 
+  /** RESTORE: make version `v`'s state the latest again by committing a
+    * manifest that RE-LISTS v's file-groups, stats, and schema — metadata
+    * only, zero data written or read (the Delta RESTORE shape). The
+    * rolled-back versions stay in the log and remain readable (`VERSION
+    * AS OF` over the bad deploy still works for the post-mortem); vacuum
+    * retention decides when their groups are reclaimed — and the restored
+    * groups are referenced by the NEW latest manifest, so a vacuum after
+    * the restore keeps them by construction. Runs through the OCC loop
+    * like any writer. */
+  def restore(table: String, v: Int): Int = {
+    val old = manifest(table, v)
+    commitLoop(table, s"restore-v$v", None, 10) { _ =>
+      (old.files, old.stats, old.schema)
+    }.get
+  }
+
   /** Full-rewrite transaction (MERGE / DELETE / UPDATE at fixture scale):
     * the new snapshot is `f(current snapshot)`, staged as one new group.
     * Re-stages on OCC retry — the rebase a serializable rewrite needs.
@@ -443,7 +543,7 @@ object SnapshotTable {
       f: Option[DataFrame] => DataFrame): Int =
     commitLoop(table, op, None, 10) { cur =>
       val in = cur.filter(_.files.nonEmpty)
-        .map(m => readGroups(s, table, m.files, m.schema))
+        .map(m => snapshotDf(s, table, m))
       val result = f(in)
       val (staged, st) = stage(result, table, statsCol)
       (Seq(staged), st.map(staged -> _).toMap, Some(ddlOf(result)))
@@ -466,10 +566,13 @@ object SnapshotTable {
     commitLoop(table, "compact", None, 10) { curOpt =>
       val m = curOpt.filter(_.files.nonEmpty).getOrElse(
         sys.error(s"cannot compact empty table $table"))
-      val in = readGroups(s, table, m.files, m.schema)
+      val in = snapshotDf(s, table, m)
       val (staged, _) = stage(in, table, None)
+      // manifest-only bounds derivation holds only when no tombstones
+      // narrowed the data (post-delete bounds could be loose; loose is
+      // SAFE for pruning but we stay conservative and drop them)
       val merged =
-        if (m.files.forall(m.stats.contains))
+        if (m.files.forall(m.stats.contains) && !m.files.exists(isDeleteGroup))
           Map(staged -> (m.stats.values.map(_._1).min,
             m.stats.values.map(_._2).max))
         else Map.empty[String, (Long, Long)]
@@ -531,8 +634,12 @@ object SnapshotTable {
     require(v > 0, "version numbers start at 1")
     val m = manifest(table, v)
     val prev = if (v == 1) Set.empty[String] else manifest(table, v - 1).files.toSet
-    val added = m.files.filterNot(prev)
-    if (added.isEmpty) readGroups(s, table, m.files, m.schema).limit(0)
+    // a delete commit adds only tombstone groups: it DELIVERS NOTHING
+    // (the Delta ignoreDeletes contract — an incremental consumer that
+    // must observe deletes diffs snapshots via the CDF read instead)
+    val added = m.files.filterNot(prev).filterNot(isDeleteGroup)
+    if (added.isEmpty)
+      readGroups(s, table, m.files.filterNot(isDeleteGroup), m.schema).limit(0)
     else readGroups(s, table, added, m.schema)
   }
 
@@ -542,7 +649,7 @@ object SnapshotTable {
     * gate). Planning-only: touches no data. */
   def prunedFiles(table: String, v: Int, lo: Long, hi: Long): Seq[String] = {
     val m = manifest(table, v)
-    m.files.filter(f => m.stats.get(f).forall {
+    m.files.filterNot(isDeleteGroup).filter(f => m.stats.get(f).forall {
       case (mn, mx) => mx >= lo && mn <= hi
     })
   }
@@ -559,10 +666,8 @@ object SnapshotTable {
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(latestVersion(table))
     require(v > 0, s"table $table has no committed versions")
-    val m = manifest(table, v)
-    val keep = prunedFiles(table, v, lo, hi)
-    if (keep.isEmpty) readGroups(s, table, m.files, m.schema).limit(0)
-    else readGroups(s, table, keep, m.schema)
+    val keep = prunedFiles(table, v, lo, hi).toSet
+    snapshotDf(s, table, manifest(table, v), keep)
   }
 
   /** Every file-group directory currently on disk (committed or staged):

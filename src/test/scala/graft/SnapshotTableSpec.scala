@@ -480,4 +480,78 @@ class SnapshotTableSpec extends SparkSpec {
     assert(m3.files.size === 1 && m3.files.toSet.intersect(m2.files.toSet).isEmpty)
     assert(SnapshotTable.read(spark, t, Some(2)).count() === 2)
   }
+
+  test("deleteWhere: merge-on-read tombstones with sequence scoping") {
+    val t = freshTable("delete")
+    SnapshotTable.append(spark, t, df(1, 2, 3, 4, 5))
+    val m1Files = SnapshotTable.manifest(t, 1).files.toSet
+    SnapshotTable.deleteWhere(spark, t, df(2, 3, 7), "id") // 7: no such key, harmless
+    // delete opened NO data group: v2 = v1's groups plus one tombstone
+    val m2 = SnapshotTable.manifest(t, 2)
+    assert(m1Files.subsetOf(m2.files.toSet))
+    val dels = m2.files.filter(SnapshotTable.isDeleteGroup)
+    assert(dels.size === 1 && SnapshotTable.deleteKeyOf(dels.head) === Some("id"))
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L, 5L))
+    // v1 still reads the FULL pre-delete state
+    assert(SnapshotTable.read(spark, t, Some(1)).count() === 5)
+    // sequence scoping: a LATER append re-inserts a deleted key and wins
+    SnapshotTable.append(spark, t, df(3, 9))
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L, 5L, 9L))
+    // a second delete postdates the re-insert and hits it
+    SnapshotTable.deleteWhere(spark, t, df(3), "id")
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L, 5L, 9L))
+  }
+
+  test("compact purges tombstones; readAdded of a delete commit is silent") {
+    val t = freshTable("purge")
+    SnapshotTable.append(spark, t, df(1, 2, 3, 4))
+    SnapshotTable.deleteWhere(spark, t, df(2, 4), "id")
+    // ignoreDeletes: the delete commit delivers NOTHING incrementally
+    assert(SnapshotTable.readAdded(spark, t, 2).count() === 0)
+    val before = SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    SnapshotTable.compact(spark, t)
+    val m3 = SnapshotTable.manifest(t, 3)
+    assert(m3.files.size === 1 && !m3.files.exists(SnapshotTable.isDeleteGroup))
+    val after = SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before && after === Seq(1L, 3L))
+  }
+
+  test("readPruned applies tombstones on the kept groups") {
+    val t = freshTable("delprune")
+    SnapshotTable.append(spark, t, df(1, 2, 3), Some("id"))
+    SnapshotTable.append(spark, t, df(10, 11, 12), Some("id"))
+    SnapshotTable.deleteWhere(spark, t, df(2, 11), "id")
+    // range hits only the second group; its tombstoned key must not leak
+    assert(SnapshotTable.readPruned(spark, t, 10, 12)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 12L))
+    // tombstone groups are never pruning candidates
+    val keep = SnapshotTable.prunedFiles(t, 3, 10, 12)
+    assert(keep.size === 1 && !keep.exists(SnapshotTable.isDeleteGroup))
+  }
+
+  test("restore re-lists an old version: metadata only, history preserved") {
+    val t = freshTable("restore")
+    SnapshotTable.append(spark, t, df(1, 2))
+    SnapshotTable.append(spark, t, df(3))
+    SnapshotTable.restore(t, 1)
+    val (m1, m2, m3) = (SnapshotTable.manifest(t, 1),
+      SnapshotTable.manifest(t, 2), SnapshotTable.manifest(t, 3))
+    // the restore staged NOTHING: v3's names are exactly v1's
+    assert(m3.files.toSet === m1.files.toSet)
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // the rolled-back version stays readable for the post-mortem
+    assert(SnapshotTable.read(spark, t, Some(2)).count() === 3)
+    // a vacuum AFTER the restore keeps the restored groups (referenced by
+    // the latest manifest) while reclaiming the rolled-back commit's group
+    val victims = SnapshotTable.vacuum(t, retainLast = 1, graceMs = 0)
+    assert(victims.toSet === m2.files.toSet.diff(m1.files.toSet))
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
 }
