@@ -549,6 +549,25 @@ object SnapshotTable {
       (Seq(staged), st.map(staged -> _).toMap, Some(ddlOf(result)))
     }.get
 
+  /** Exactly-once full-rewrite transaction — [[transact]] with a txn tag
+    * (the incremental-materialized-view maintenance contract: each source
+    * version's delta is applied as ONE tagged rewrite of the derived
+    * table, so an at-least-once replayer — a restarted maintenance job
+    * re-walking the source log — can never double-apply an increment).
+    * Returns None when the tag is already in the log. A retry that loses
+    * the txn race after staging leaves an orphan group, reclaimed by
+    * vacuum's grace path like any uncommitted stage. */
+  def transactOnce(s: SparkSession, table: String, op: String, txn: String,
+      statsCol: Option[String] = None)(
+      f: Option[DataFrame] => DataFrame): Option[Int] =
+    commitLoop(table, op, Some(txn), 10) { cur =>
+      val in = cur.filter(_.files.nonEmpty)
+        .map(m => snapshotDf(s, table, m))
+      val result = f(in)
+      val (staged, st) = stage(result, table, statsCol)
+      (Seq(staged), st.map(staged -> _).toMap, Some(ddlOf(result)))
+    }
+
   /** Compaction (OPTIMIZE): rewrite the current snapshot's file-groups
     * into ONE group and commit a manifest listing only it — content
     * identical (`q_snapshot_compact` hash-proves it against the same

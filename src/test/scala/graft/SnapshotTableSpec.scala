@@ -534,6 +534,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(keep.size === 1 && !keep.exists(SnapshotTable.isDeleteGroup))
   }
 
+  test("transactOnce: a replayed tagged rewrite is a no-op") {
+    val t = freshTable("txnrw")
+    def bump(tag: String) =
+      SnapshotTable.transactOnce(spark, t, "bump", tag) { cur =>
+        cur.fold(df(1))(d => d.withColumn("id", col("id") + 1))
+      }
+    assert(bump("b:0") === Some(1))
+    assert(bump("b:1") === Some(2))
+    // the redelivery every restarted maintenance job produces
+    assert(bump("b:1") === None)
+    assert(bump("b:0") === None)
+    assert(SnapshotTable.latestVersion(t) === 2)
+    assert(SnapshotTable.read(spark, t)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("restore re-lists an old version: metadata only, history preserved") {
     val t = freshTable("restore")
     SnapshotTable.append(spark, t, df(1, 2))
