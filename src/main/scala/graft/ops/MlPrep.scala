@@ -983,7 +983,45 @@ object MlPrep {
 
   // ------------------------------------------------------------ registry
 
+  /** GROUP k-fold assignment (the sklearn GroupKFold contract, the CV
+    * sibling of [[embargoSplit]]): every order lands in the fold of its
+    * CUSTOMER — fold = md5-draw(cust) mod 5 — so no customer's rows ever
+    * straddle a fold boundary and per-entity signal cannot leak from
+    * train folds into the held-out fold. Like `q_cluster_split`, the
+    * query QUANTIFIES what grouping buys instead of asserting it: under
+    * the naive PER-ROW draw (md5 of the order key, same family) the
+    * number of customers whose orders scatter across ≥ 2 folds is
+    * computed exactly and rides the hash next to the group assignment's
+    * structurally-zero count — both derived from the data, not pinned.
+    * Per fold: distinct groups, rows, exact cents. Plan: two scans of
+    * orders with keyed aggs; the draw is scan-column arithmetic, no
+    * shuffle beyond the group-by. */
+  def groupKfold(s: SparkSession, dir: String): DataFrame = {
+    def draw(c: Column, tag: String): Column =
+      (conv(substring(md5(concat(lit(tag), c.cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 5).cast("int")
+    val assigned = orders(s, dir).select(
+      col("o_custkey").as("cust"),
+      draw(col("o_custkey"), "graft-gkf:").as("fold"),
+      draw(col("o_orderkey"), "graft-gkf-naive:").as("fold_naive"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    def leaky(foldCol: String): DataFrame =
+      assigned.groupBy(col("cust"))
+        .agg(countDistinct(col(foldCol)).as("nf"))
+        .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("n"))
+    val leakGroup = leaky("fold").withColumnRenamed("n", "n_leaky_group")
+    val leakNaive = leaky("fold_naive").withColumnRenamed("n", "n_leaky_naive")
+    assigned
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("cust")).as("n_groups"),
+        count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .crossJoin(broadcast(leakGroup))
+      .crossJoin(broadcast(leakNaive))
+      .orderBy(col("fold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_kfold" -> (groupKfold _),
     "q_mlm_mask" -> (mlmMask _),
     "q_span_corrupt" -> (spanCorrupt _),
     "q_substring_dedup" -> (substringDedup _),
@@ -1011,6 +1049,26 @@ object MlPrep {
     "q_gram_matrix" -> (gramMatrix _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_group_kfold" ->
+      """WITH assigned AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(('0x' || substr(md5('graft-gkf:' || CAST(o_custkey AS VARCHAR)), 1, 7))::BIGINT % 5 AS INTEGER) AS fold,
+        |    CAST(('0x' || substr(md5('graft-gkf-naive:' || CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT % 5 AS INTEGER) AS fold_naive,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |lk AS (
+        |  SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_group
+        |  FROM (SELECT cust, count(DISTINCT fold) AS nf FROM assigned GROUP BY cust)),
+        |ln AS (
+        |  SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_naive
+        |  FROM (SELECT cust, count(DISTINCT fold_naive) AS nf FROM assigned GROUP BY cust))
+        |SELECT fold, count(DISTINCT cust) AS n_groups, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT n_leaky_group FROM lk) AS n_leaky_group,
+        |  (SELECT n_leaky_naive FROM ln) AS n_leaky_naive
+        |FROM assigned GROUP BY fold
+        |ORDER BY fold""".stripMargin,
+
     // the same seeded span plan: 5% span starts, 3-token spans merged via
     // gaps-and-islands, sentinels numbered left-to-right, both strings
     "q_span_corrupt" ->

@@ -112,11 +112,55 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash near-duplicate pairs over the opaque payloads — the
+    * media-dedup stage of a LAION-style multimodal pipeline, on the stub
+    * "thumbnail": a 60-bit difference hash (dHash, Krawetz '13 — bit i set
+    * iff sample i < sample i+1) over 61 stride-sampled payload bytes, then
+    * Hamming-≤3 pairs found via BANDED blocking (4 × 15-bit bands; by
+    * pigeonhole any pair within distance 3 collides on ≥ 1 band) and
+    * verified exactly with one codegen'd `bit_count(xor)` — never an
+    * all-pairs join, the same (band, bucket) equi-join scale shape as the
+    * text MinHash/SimHash family. Swapping the byte sampler for a real
+    * thumbnail decoder changes no plan shape. `n_candidates` (the banded
+    * candidate-pair volume both engines re-derive) rides the hash, so a
+    * banding bug that inflates OR starves the candidate set breaks the
+    * GATE, not just recall. */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    val hashed = mediaTable(s, dir)
+      .filter(expr("octet_length(payload) >= 65"))
+      .withColumn("stride", expr("greatest(1, (octet_length(payload) - 1) div 60)"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, i) -> acc +
+          |  IF(ascii(cast(substring(payload, i * stride + 1, 1) as string)) <
+          |     ascii(cast(substring(payload, (i + 1) * stride + 1, 1) as string)),
+          |     shiftleft(1L, 59 - i), 0L))""".stripMargin).as("h"))
+      .persist() // q-cache
+    val banded = hashed
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("b", expr("shiftright(h, 15 * j) & 32767"))
+    val cand = banded.as("a")
+      .join(banded.as("c"),
+        col("a.j") === col("c.j") && col("a.b") === col("c.b") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        col("a.h").as("ha"), col("c.h").as("hb"))
+      .distinct()
+      .persist() // q-cache
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    cand
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= 3)
+      .crossJoin(broadcast(nCand))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_candidates"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_decode" -> (mediaFeatures _),
     "q_media_checksums" -> (mediaChecksums _),
     "q_media_frame_sample" -> (frameSample _),
     "q_media_resize" -> (resize _),
+    "q_media_phash" -> (mediaPhash _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -142,6 +186,34 @@ object Multimodal {
         |    AS resized_len,
         |  CAST(greatest(1, CAST(floor(strlen(text) / 64) AS INTEGER)) AS INTEGER) AS stride
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_phash" ->
+      """WITH med AS (
+        |  SELECT doc_id, text AS payload,
+        |    octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 65),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    (SELECT sum(CASE WHEN
+        |        ascii(substring(payload, CAST(i * s + 1 AS INTEGER), 1)) <
+        |        ascii(substring(payload, CAST((i + 1) * s + 1 AS INTEGER), 1))
+        |      THEN (1::BIGINT << CAST(59 - i AS INTEGER)) ELSE 0 END)
+        |     FROM (SELECT unnest(range(60)) AS i),
+        |          (SELECT greatest(1, (n - 1) // 60) AS s)) AS h
+        |  FROM med),
+        |bands AS (SELECT doc_id, h, unnest(range(4)) AS j FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, h, j, (h >> CAST(15 * j AS INTEGER)) & 32767 AS b
+        |  FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    a.h AS ha, c.h AS hb
+        |  FROM banded a JOIN banded c
+        |    ON a.j = c.j AND a.b = c.b AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+        |  (SELECT count(*) FROM cand) AS n_candidates
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_media_frame_sample" ->
       """SELECT doc_id,

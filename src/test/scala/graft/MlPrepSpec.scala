@@ -571,4 +571,32 @@ class MlPrepSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("max_bal")) == 1640.00)
     assert(r.getString(r.fieldIndex("first_name")) == "Customer#000000011")
   }
+
+  test("group k-fold: grouped draw never leaks, naive draw provably does") {
+    val out = graft.ops.MlPrep.groupKfold(spark, sf001).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    val r = out.head
+    // structural zero, computed from the data rather than pinned
+    assert(r.getLong(r.fieldIndex("n_leaky_group")) === 0L)
+    // the counterfactual per-row draw scatters multi-order customers
+    assert(r.getLong(r.fieldIndex("n_leaky_naive")) > 0L)
+    // every order lands in exactly one fold: fold sizes sum to the table
+    val total = out.map(x => x.getLong(x.fieldIndex("n_rows"))).sum
+    assert(total === graft.Tables(spark, sf001, "orders").count())
+  }
+
+  test("media phash banding: any pair within Hamming 3 collides on a band") {
+    // pigeonhole over the 4 x 15-bit bands, exercised on adversarial
+    // hashes: distance-3 pairs whose flipped bits are packed to straddle
+    // band boundaries, plus a distance-4 pair that CAN evade all bands
+    def bands(h: Long): Seq[Long] = (0 to 3).map(j => (h >> (15 * j)) & 32767L)
+    val base = 0x0123456789ABCL & ((1L << 60) - 1)
+    for (bits <- Seq(Seq(0), Seq(14, 15), Seq(29, 30, 44), Seq(0, 1, 59))) {
+      val other = bits.foldLeft(base)((a, b) => a ^ (1L << b))
+      assert(bands(base).zip(bands(other)).exists { case (x, y) => x == y },
+        s"distance-${bits.size} pair must share a band: $bits")
+    }
+    val evader = Seq(0, 15, 30, 45).foldLeft(base)((a, b) => a ^ (1L << b))
+    assert(!bands(base).zip(bands(evader)).exists { case (x, y) => x == y })
+  }
 }
