@@ -653,7 +653,75 @@ object EventOps {
       .orderBy(col("user_id"), col("sid"), col("window_id"))
   }
 
+  /** Dynamic-time-warping distance (Sakoe–Chiba '78, full window) between
+    * every pair of event types' load curves — the sequence-alignment
+    * operator behind curve clustering / anomaly matching, under the exact
+    * hash oracle. Each type's per-bucket count series (32 equal-width
+    * buckets over the global span — integer arithmetic, so the series is
+    * exact on both engines) is aligned with |a−b| step cost.
+    *
+    * The DP is evaluated WITHOUT an unrolled per-row loop: the classic
+    * recurrence dp[i][j] = c_ij + min(dp[i−1][j], dp[i−1][j−1],
+    * dp[i][j−1]) has the min-plus prefix-scan form
+    *   row_i[j] = P[j] + min_{k≤j}( min(prev[k−1], prev[k]) − P[k−1] )
+    * (P = prefix sums of row i's costs; proof by induction on j, the
+    * running-min absorbs the row-internal dependency). That makes each
+    * row a pure per-element lambda, so the WHOLE DP is one fixed-size
+    * `aggregate` fold over i — no 32-step plan unrolling whose collapsed
+    * projection would blow up exponentially, and the same shape mirrors
+    * to DuckDB as a recursive CTE (one recursion level per i). Work is
+    * O(T³) per pair with T = 32 — constant per pair, rows = pair count.
+    * The no-warp L1 distance rides along; DTW ≤ L1 everywhere is the
+    * semantic sanity the spec pins. */
+  def dtwLoad(s: SparkSession, dir: String): DataFrame = {
+    val T = 32
+    val inf = "cast(1000000000000000 as bigint)"
+    val ev = events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val bnds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val cnts = ev.crossJoin(broadcast(bnds))
+      .select(col("event_type"),
+        expr(s"((us - mn) * $T) div (mx - mn + 1)").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(T - 1L))).as("bucket"))
+    val series = grid.join(cnts, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(bucket, cnt))), x -> x.cnt)")
+        .as("v"))
+    val pairs = series.as("a")
+      .join(series.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+    // cost prefix-sum P(x) recomputed inline (expressions have no lets;
+    // recomputation keeps the tree fixed-size, runtime stays O(T³)/pair)
+    def pv(upTo: String, m: String, acc: String, x: String) =
+      s"""aggregate(slice(transform(sequence(1, $T),
+         |  $m -> abs(element_at(va, i) - element_at(vb, $m))), 1, $upTo),
+         |  cast(0 as bigint), ($acc, $x) -> $acc + $x)""".stripMargin
+    val dtw =
+      s"""aggregate(sequence(1, $T),
+         |  concat(array(cast(0 as bigint)), transform(sequence(1, $T), z -> $inf)),
+         |  (prev, i) -> concat(array($inf),
+         |    transform(sequence(1, $T), j ->
+         |      ${pv("j", "m", "a", "x")}
+         |      + array_min(transform(sequence(1, j), k ->
+         |          least(element_at(prev, k), element_at(prev, k + 1)) -
+         |          IF(k = 1, cast(0 as bigint), ${pv("k - 1", "m2", "a2", "x2")}))))),
+         |  fin -> element_at(fin, ${T + 1}))""".stripMargin
+    pairs
+      .select(col("et_a"), col("et_b"), expr(dtw).as("dtw"),
+        expr(s"""aggregate(transform(sequence(1, $T),
+           | j -> abs(element_at(va, j) - element_at(vb, j))),
+           | cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("l1"))
+      .orderBy(col("et_a"), col("et_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dtw_load" -> (dtwLoad _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_interval_overlap" -> (intervalOverlap _),
     "q_try_funcs" -> (tryFuncs _),
@@ -685,6 +753,52 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // recursive CTE = the same min-plus prefix-scan DP, one recursion
+    // level per series index i (DuckDB identifiers are case-insensitive:
+    // cv/pv/gv must stay distinct names, not cv/Cv)
+    "q_dtw_load" ->
+      """WITH RECURSIVE
+        |bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+        |bucketed AS (
+        |  SELECT event_type, ((epoch_us(ts) - mn) * 32) // (mx - mn + 1) AS bucket
+        |  FROM events, bnds),
+        |cnts AS (SELECT event_type, bucket, count(*) AS cnt FROM bucketed GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(range(32)) AS bucket) g),
+        |dense AS (
+        |  SELECT grid.event_type, grid.bucket, coalesce(cnts.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN cnts
+        |    ON grid.event_type = cnts.event_type AND grid.bucket = cnts.bucket),
+        |series AS (SELECT event_type, list(cnt ORDER BY bucket) AS v FROM dense GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS et_a, b.event_type AS et_b, a.v AS va, b.v AS vb
+        |  FROM series a JOIN series b ON a.event_type < b.event_type),
+        |dp AS (
+        |  SELECT et_a, et_b, va, vb, 0 AS i,
+        |    list_prepend(0::BIGINT, list_transform(range(32), x -> 1000000000000000::BIGINT)) AS row
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT et_a, et_b, va, vb, i + 1,
+        |    list_prepend(1000000000000000::BIGINT,
+        |      list_transform(range(1, 33), j -> pv[j] + list_min(gv[1:j]))) AS row
+        |  FROM (
+        |    SELECT *, list_transform(range(1, 33),
+        |        k -> least(row[k], row[k + 1]) -
+        |             CASE WHEN k = 1 THEN 0 ELSE pv[k - 1] END) AS gv
+        |    FROM (
+        |      SELECT *, list_transform(range(1, 33),
+        |          j -> CAST(list_sum(cv[1:j]) AS BIGINT)) AS pv
+        |      FROM (
+        |        SELECT *, list_transform(range(1, 33),
+        |            j -> abs(va[i + 1] - vb[j])) AS cv
+        |        FROM dp WHERE i < 32) q1) q2) q3)
+        |SELECT et_a, et_b, CAST(row[33] AS BIGINT) AS dtw,
+        |  CAST(list_sum(list_transform(range(1, 33), j -> abs(va[j] - vb[j]))) AS BIGINT) AS l1
+        |FROM dp WHERE i = 32
+        |ORDER BY et_a, et_b""".stripMargin,
+
     "q_incremental_agg" ->
       """WITH state AS (
         |  SELECT event_type, count(*) AS s_cnt, sum(value) AS s_sum,

@@ -141,4 +141,35 @@ class EventOpsSpec extends SparkSpec {
     assert(out(4L) == ((s1, 120000000L)))
     assert(out(3L) == ((s0, 300000000L)), "tie breaks to the earlier signup")
   }
+
+  test("dtw: warping never exceeds L1; identical curves align at zero") {
+    val out = EventOps.dtwLoad(spark, sf001).collect()
+    assert(out.length === 10) // C(5,2) event-type pairs
+    out.foreach { r =>
+      val (dtw, l1) = (r.getLong(r.fieldIndex("dtw")), r.getLong(r.fieldIndex("l1")))
+      assert(dtw >= 0L && dtw <= l1,
+        s"${r.getString(0)}/${r.getString(1)}: dtw=$dtw l1=$l1")
+    }
+    // the min-plus prefix-scan DP is the classic recurrence: a shifted
+    // copy of a spiky curve aligns to (near) zero under warping while L1
+    // stays large — checked through the same production expression by
+    // feeding a constructed two-type event table
+    val tmp = s"target/oracle_inputs/p${ProcessHandle.current().pid()}/dtwspec"
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, minute: Long, et: String) =
+      (id, new java.sql.Timestamp(base + minute * 60000L), 1L, et, 1.0, "{}")
+    // type A: bursts at minutes 0..9 and 32..41; type B: same bursts
+    // shifted by 2 minutes inside a 64-minute span (one bucket at T=32)
+    val rows = ((0L to 9L) ++ (32L to 41L)).flatMap(m =>
+      Seq(ev(m, m, "a"), ev(100 + m, m + 2, "b"))) :+
+      ev(999, 63, "a") :+ ev(998, 63, "b") // pin the span
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = EventOps.dtwLoad(spark, tmp).collect()
+    assert(r.length === 1)
+    val (dtw, l1) = (r(0).getLong(r(0).fieldIndex("dtw")),
+      r(0).getLong(r(0).fieldIndex("l1")))
+    assert(dtw < l1 / 2, s"warping must absorb the shift: dtw=$dtw l1=$l1")
+  }
 }
