@@ -1020,7 +1020,63 @@ object MlPrep {
       .orderBy(col("fold"))
   }
 
+  /** Isotonic-regression calibration (the PAVA fit of Ayer et al. '55 —
+    * the non-parametric calibrator next to [[calibrationBins]]'s Platt-ish
+    * reliability table): per-bin positive rates are replaced by the best
+    * monotone fit. Computed through the MINIMAX closed form
+    * fit(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k) — identical to
+    * pool-adjacent-violators (spec cross-checks an in-memory PAVA), but
+    * free of PAVA's sequential merge loop: the (i, j, k) enumeration over
+    * the ≤ 24 NON-EMPTY score bins is three broadcast joins on a 24-row
+    * relation (K³ ≈ 14k rows), each mean an exact int64 rational from
+    * windowed cumulative (w, y) — engine-deterministic because the only
+    * float is the final correctly-rounded division both engines perform
+    * on identical integers. Bins come from integer-quantized scores, so
+    * bin membership is pure int arithmetic. At 100 TB the corpus pass is
+    * the one binned aggregate; everything after is bin-count-sized. */
+  def isotonicFit(s: SparkSession, dir: String): DataFrame = {
+    val nb = 24
+    val scored = embeddings(s, dir).select(
+      floor(element_at(col("embedding"), 1).cast("double") * 1048576)
+        .cast("long").as("q"),
+      when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+    val bq = scored.agg(min(col("q")).as("qmn"), max(col("q")).as("qmx"))
+    val stats = scored.crossJoin(broadcast(bq))
+      .select(expr(s"((q - qmn) * $nb) div (qmx - qmn + 1)").as("bin"),
+        col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("w"), sum(col("pos")).as("y"))
+    // single-partition window over ≤ 24 bin rows — bounded by design
+    val win = Window.orderBy(col("bin"))
+    val p = stats.select(col("bin"), col("w"), col("y"),
+      row_number().over(win).cast("long").as("r"),
+      sum(col("w")).over(win).as("cw"), sum(col("y")).over(win).as("cy"))
+    val ti = p.select(col("bin"), col("w"), col("y"), col("r").as("ri"))
+    val tj = p.select(col("r").as("rj"))
+    val tk = p.select(col("r").as("rk"), col("cw").as("kcw"), col("cy").as("kcy"))
+    val jm = p.select((col("r") + 1).as("rj"), col("cw").as("jmcw"),
+      col("cy").as("jmcy"))
+    val triple = ti.join(broadcast(tj), col("rj") <= col("ri"))
+      .join(broadcast(tk), col("rk") >= col("ri"))
+      .join(broadcast(jm), Seq("rj"), "left")
+      .select(col("ri"), col("bin"), col("w"), col("y"), col("rj"),
+        (col("kcy") - coalesce(col("jmcy"), lit(0L))).as("num"),
+        (col("kcw") - coalesce(col("jmcw"), lit(0L))).as("den"))
+    val ratio = col("num").cast("double") / col("den")
+    val wmin = Window.partitionBy(col("ri"), col("rj"))
+      .orderBy(ratio, col("num"), col("den"))
+    val wmax = Window.partitionBy(col("ri"))
+      .orderBy(ratio.desc, col("num").desc, col("den").desc)
+    triple.withColumn("rn", row_number().over(wmin)).filter(col("rn") === 1)
+      .withColumn("rx", row_number().over(wmax)).filter(col("rx") === 1)
+      .select(col("bin").cast("int").as("bin"), col("w").as("n"),
+        round(col("y").cast("double") / col("w"), 6).as("raw_rate"),
+        round(col("num").cast("double") / col("den"), 6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_isotonic_fit" -> (isotonicFit _),
     "q_group_kfold" -> (groupKfold _),
     "q_mlm_mask" -> (mlmMask _),
     "q_span_corrupt" -> (spanCorrupt _),
@@ -1049,6 +1105,44 @@ object MlPrep {
     "q_gram_matrix" -> (gramMatrix _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_isotonic_fit" ->
+      """WITH scored AS (
+        |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT) AS q,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |bq AS (SELECT min(q) AS qmn, max(q) AS qmx FROM scored),
+        |binned AS (
+        |  SELECT ((q - qmn) * 24) // (qmx - qmn + 1) AS bin, pos FROM scored, bq),
+        |stats AS (SELECT bin, count(*) AS w, sum(pos) AS y FROM binned GROUP BY bin),
+        |p AS (
+        |  SELECT bin, w, y,
+        |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS r,
+        |    CAST(sum(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+        |    CAST(sum(y) OVER (ORDER BY bin) AS BIGINT) AS cy
+        |  FROM stats),
+        |triple AS (
+        |  SELECT i.r AS ri, i.bin, i.w, i.y, j.r AS rj,
+        |    k.cy - coalesce(jm.cy, 0) AS num, k.cw - coalesce(jm.cw, 0) AS den
+        |  FROM p i
+        |  JOIN p j ON j.r <= i.r
+        |  JOIN p k ON k.r >= i.r
+        |  LEFT JOIN p jm ON jm.r = j.r - 1),
+        |innermin AS (
+        |  SELECT ri, bin, w, y, rj, num, den,
+        |    row_number() OVER (PARTITION BY ri, rj
+        |      ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn
+        |  FROM triple),
+        |outermax AS (
+        |  SELECT ri, bin, w, y, num, den,
+        |    row_number() OVER (PARTITION BY ri
+        |      ORDER BY CAST(num AS DOUBLE) / den DESC, num DESC, den DESC) AS rx
+        |  FROM innermin WHERE rn = 1)
+        |SELECT CAST(bin AS INTEGER) AS bin, w AS n,
+        |  round(CAST(y AS DOUBLE) / w, 6) AS raw_rate,
+        |  round(CAST(num AS DOUBLE) / den, 6) AS iso_rate
+        |FROM outermax WHERE rx = 1
+        |ORDER BY bin""".stripMargin,
+
     "q_group_kfold" ->
       """WITH assigned AS (
         |  SELECT o_custkey AS cust,

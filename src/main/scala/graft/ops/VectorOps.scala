@@ -573,6 +573,94 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** GRAPH-based ANN (the NSW/HNSW paradigm — Malkov & Yashunin '16 —
+    * completing the taxonomy next to the LSH, IVF, and PQ families):
+    * greedy BEAM SEARCH over a proximity graph, fully hash-oracled.
+    *
+    *   - graph: each node's top-8 neighbors by integer cosine among its
+    *     IVF-CELL peers (the shared [[intLloydFit]] spherical quantizer —
+    *     cell blocking keeps the build at Σ cell² ≈ n·√n, never n²; a
+    *     production build refines exactly this graph with NN-descent
+    *     rounds, which change no plan shape), plus a self-loop per node
+    *     so one join step expresses "keep the beam ∪ expand it";
+    *   - walk: from a fixed entry node, 6 hops of
+    *     beam_{t+1} = top-3 by query-cosine of (beam_t ∪ neighbors) —
+    *     deterministic (exact-int dots, correctly-rounded float division,
+    *     ties to the smaller id), so DuckDB replays the SAME walk as six
+    *     generated CTE steps and the hash gates every hop;
+    *   - recall@3 vs the exact top-3 under the same quantized metric.
+    *
+    * At 100 TB the per-hop cost is beam × degree lookups per query — the
+    * point of graph ANN — and the one corpus-wide pass is the blocked
+    * graph build. */
+  def annGraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val qs = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") / col("norm") * lit(semScale)).cast("long"))
+        .as("q"))
+      .persist() // q-cache
+    val n = qs.count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cent = intLloydFit(qs, k, ivfIters)
+    val vec = intAssign(qs, cent)
+      .withColumn("dd",
+        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+      .persist() // q-cache
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val aSide = vec.select(col("c"), col("vec_id").as("node"),
+      col("q").as("nq"), col("dd").as("ndd"))
+    val bSide = vec.select(col("c"), col("vec_id").as("nbr"),
+      col("q").as("bq"), col("dd").as("bdd"))
+    val wk = Window.partitionBy(col("node")).orderBy(col("ncos").desc, col("nbr"))
+    val knn = aSide.join(bSide, Seq("c")).filter(col("node") =!= col("nbr"))
+      .withColumn("ncos",
+        dot(col("nq"), col("bq")) / (sqrt(col("ndd")) * sqrt(col("bdd"))))
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= 8)
+      .select(col("node"), col("nbr"))
+    val knnAug = knn
+      .unionByName(vec.select(col("vec_id").as("node"), col("vec_id").as("nbr")))
+      .persist() // q-cache
+    val qr = vec.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("dd").as("qdd"))
+    val cvec = vec.select(col("vec_id").as("cand"), col("q").as("cq"),
+      col("dd").as("cdd"))
+    var beam = qr.select(col("query_id"),
+      when(col("query_id") === 0, lit(1L)).otherwise(lit(0L)).as("cand"))
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("gcos").desc, col("cand"))
+    for (_ <- 1 to 6) {
+      beam = beam.join(knnAug, col("cand") === col("node"))
+        .select(col("query_id"), col("nbr").as("cand")).distinct()
+        .filter(col("cand") =!= col("query_id"))
+        .join(cvec, "cand")
+        .join(broadcast(qr), "query_id")
+        .withColumn("gcos",
+          dot(col("qq"), col("cq")) / (sqrt(col("qdd")) * sqrt(col("cdd"))))
+        .withColumn("grk", row_number().over(wt)).filter(col("grk") <= 3)
+        .select(col("query_id"), col("cand"))
+    }
+    val scored = vec
+      .select(col("vec_id").as("cand_id"), col("q").as("cq"), col("dd").as("cdd"))
+      .join(broadcast(qr), col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        dot(col("qq"), col("cq")) / (sqrt(col("qdd")) * sqrt(col("cdd"))))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exactTop = scored.withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("cand_id"))
+    val gTop = beam.select(col("query_id").as("g_qid"), col("cand").as("g_id"))
+    exactTop
+      .join(gTop,
+        col("query_id") === col("g_qid") && col("cand_id") === col("g_id"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("g_id")) / lit(3.0)).as("recall_at_3"))
+      .orderBy(col("query_id"))
+  }
+
   /** Product-quantization building blocks (8 subspaces × 8 dims, 64
     * centroids per subspace → one 6-bit code per subspace, 48 bits per
     * vector vs 2048 for float32 — ~42× compression; vectors L2-NORMALIZED
@@ -1319,6 +1407,88 @@ object VectorOps {
        |  ON e.query_id = i.query_id AND e.cand_id = i.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** DuckDB twin of [[annGraphRecall]]: the shared normalized-lattice +
+    * Lloyd prefix, the cell-blocked top-8 graph, and the greedy beam walk
+    * REPLAYED as six generated CTE steps (fixed hop count, so no
+    * window-inside-recursive-CTE portability risk) — every hop of the
+    * walk is therefore inside the hash gate. */
+  private def annGraphOracle: String = {
+    def step(t: Int): String =
+      s"""s$t AS (
+         |  SELECT query_id, cand FROM (
+         |    SELECT query_id, cand, gcos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY gcos DESC, cand) AS grk
+         |    FROM (
+         |      SELECT x.query_id, x.cand,
+         |        CAST(list_sum(list_transform(range(1,65), i -> q2.qq[i]*v.q[i])) AS BIGINT)
+         |          / (sqrt(q2.qdd) * sqrt(v.dd)) AS gcos
+         |      FROM (SELECT DISTINCT p.query_id, k2.nbr AS cand
+         |            FROM s${t - 1} p JOIN knn_aug k2 ON p.cand = k2.node
+         |            WHERE k2.nbr <> p.query_id) x
+         |      JOIN vec v ON v.vec_id = x.cand
+         |      JOIN qr q2 ON q2.query_id = x.query_id) y) z
+         |  WHERE grk <= 3
+         |)""".stripMargin
+    s"""WITH nq AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) / norm * $semScale) AS BIGINT)) AS q
+       |  FROM nq
+       |), kk AS (
+       |  SELECT CAST(greatest(16, ceil(sqrt(count(*)))) AS BIGINT) AS k FROM qs
+       |), init AS (
+       |  SELECT vec_id AS c, q AS m FROM qs WHERE vec_id < (SELECT k FROM kk)
+       |), $lloydChainCtes,
+       |vec AS (
+       |  SELECT vec_id, c, q,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS dd
+       |  FROM a3
+       |), qr AS (
+       |  SELECT vec_id AS query_id, q AS qq, dd AS qdd FROM vec
+       |  WHERE vec_id < 10
+       |), knn AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY ncos DESC, nbr) AS rk
+       |    FROM (
+       |      SELECT a.vec_id AS node, b.vec_id AS nbr,
+       |        CAST(list_sum(list_transform(range(1,65), i -> a.q[i]*b.q[i])) AS BIGINT)
+       |          / (sqrt(a.dd) * sqrt(b.dd)) AS ncos
+       |      FROM vec a JOIN vec b ON a.c = b.c AND a.vec_id <> b.vec_id) p1) p2
+       |  WHERE rk <= 8
+       |), knn_aug AS (
+       |  SELECT node, nbr FROM knn
+       |  UNION ALL
+       |  SELECT vec_id, vec_id FROM vec
+       |), s0 AS (
+       |  SELECT query_id, CASE WHEN query_id = 0 THEN 1 ELSE 0 END AS cand
+       |  FROM qr
+       |), ${(1 to 6).map(step).mkString(",\n")},
+       |scored AS (
+       |  SELECT qr.query_id, v.vec_id AS cand_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> qr.qq[i]*v.q[i])) AS BIGINT)
+       |      / (sqrt(qr.qdd) * sqrt(v.dd)) AS cos
+       |  FROM qr JOIN vec v ON v.vec_id <> qr.query_id
+       |), exact_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, cand_id) AS rk
+       |    FROM scored) WHERE rk <= 3
+       |)
+       |SELECT e.query_id, count(g.cand) / 3.0 AS recall_at_3
+       |FROM exact_top e LEFT JOIN s6 g
+       |  ON e.query_id = g.query_id AND e.cand_id = g.cand
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   private def semDedupOracle: String =
     s"""$semClustersCtes,
        |vec AS (
@@ -1862,6 +2032,7 @@ object VectorOps {
     // integer-affine promotion); the xxhash64 production variant here
     // stays spec-pinned (TextVectorSpec floor, PlanSpec no-BNLJ)
     "q_ann_ivf_recall" -> ((s, d) => annIvfRecall(s, d)),
+    "q_ann_graph_recall" -> (annGraphRecall _),
     "q_pq_quantize" -> (pqQuantizeInt _),
     "q_ann_pq_recall" -> (annPqRecallInt _),
     "q_hybrid_rrf" -> (hybridRrf _),
@@ -1937,6 +2108,7 @@ object VectorOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_ivf_recall" -> annIvfOracle,
+    "q_ann_graph_recall" -> annGraphOracle,
     "q_ann_pq_recall" -> annPqIntOracle,
     "q_pq_quantize" -> pqQuantizeIntOracle,
 

@@ -585,6 +585,36 @@ class MlPrepSpec extends SparkSpec {
     assert(total === graft.Tables(spark, sf001, "orders").count())
   }
 
+  test("isotonic fit = pool-adjacent-violators; monotone non-decreasing") {
+    val out = graft.ops.MlPrep.isotonicFit(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val iso = out.map(r => r.getDouble(r.fieldIndex("iso_rate")))
+    iso.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1) + 1e-12, "must be monotone")
+    }
+    // in-memory PAVA over the same bins (y recovered exactly from the
+    // 6-dp rate: |round6(y/w)·w − y| < 0.5 for the fixture's bin sizes)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    for (r <- out) {
+      val w = r.getLong(r.fieldIndex("n"))
+      val y = math.round(r.getDouble(r.fieldIndex("raw_rate")) * w)
+      blocks += ((w, y, 1))
+      while (blocks.length > 1 &&
+        blocks(blocks.length - 2)._2 * blocks.last._1 >=
+          blocks.last._2 * blocks(blocks.length - 2)._1) {
+        val b = blocks.remove(blocks.length - 1)
+        val a = blocks.remove(blocks.length - 1)
+        blocks += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+    val want = blocks.toSeq.flatMap { case (w, y, span) =>
+      Seq.fill(span)(y.toDouble / w) }
+    assert(want.length === iso.length)
+    iso.zip(want).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-6 + 1e-12, s"$got vs PAVA $exp")
+    }
+  }
+
   test("media phash banding: any pair within Hamming 3 collides on a band") {
     // pigeonhole over the 4 x 15-bit bands, exercised on adversarial
     // hashes: distance-3 pairs whose flipped bits are packed to straddle
