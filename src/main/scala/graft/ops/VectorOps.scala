@@ -573,9 +573,10 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
-  /** GRAPH-based ANN (the NSW/HNSW paradigm — Malkov & Yashunin '16 —
+  /** GRAPH-based ANN (the navigable-graph paradigm of NSW/HNSW — Malkov
+    * & Yashunin '16 — and the routed-partition shape of SPANN/DiskANN,
     * completing the taxonomy next to the LSH, IVF, and PQ families):
-    * greedy BEAM SEARCH over a proximity graph, fully hash-oracled.
+    * two-layer search, fully hash-oracled.
     *
     *   - graph: each node's top-8 neighbors by integer cosine among its
     *     IVF-CELL peers (the shared [[intLloydFit]] spherical quantizer —
@@ -583,15 +584,23 @@ object VectorOps {
     *     production build refines exactly this graph with NN-descent
     *     rounds, which change no plan shape), plus a self-loop per node
     *     so one join step expresses "keep the beam ∪ expand it";
-    *   - walk: from a fixed entry node, 6 hops of
-    *     beam_{t+1} = top-3 by query-cosine of (beam_t ∪ neighbors) —
-    *     deterministic (exact-int dots, correctly-rounded float division,
-    *     ties to the smaller id), so DuckDB replays the SAME walk as six
-    *     generated CTE steps and the hash gates every hop;
-    *   - recall@3 vs the exact top-3 under the same quantized metric.
+    *   - coarse layer (HNSW's upper layers ≈ the quantizer's centroid
+    *     set): each query routes to its top-2 cells by exact integer
+    *     centroid distance and seeds the beam with those cells' min-id
+    *     nodes — a fixed single global entry CANNOT work here, because
+    *     the cell-blocked graph is deliberately disconnected across
+    *     cells (measured: recall 0.0 from a global entry);
+    *   - fine layer: 6 hops of beam_{t+1} = top-3 by query-cosine of
+    *     (beam_t ∪ neighbors) — deterministic (exact-int dots,
+    *     correctly-rounded float division, ties to the smaller id), so
+    *     DuckDB replays the SAME walk as six generated CTE steps and the
+    *     hash gates every hop;
+    *   - recall@3 vs the exact top-3 under the same quantized metric
+    *     over the FULL corpus.
     *
-    * At 100 TB the per-hop cost is beam × degree lookups per query — the
-    * point of graph ANN — and the one corpus-wide pass is the blocked
+    * At 100 TB the per-hop cost is beam × degree lookups per query and
+    * the routing cost is one broadcast centroid scan — the point of
+    * routed graph ANN — while the one corpus-wide pass is the blocked
     * graph build. */
   def annGraphRecall(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir))
@@ -626,8 +635,21 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("dd").as("qdd"))
     val cvec = vec.select(col("vec_id").as("cand"), col("q").as("cq"),
       col("dd").as("cdd"))
-    var beam = qr.select(col("query_id"),
-      when(col("query_id") === 0, lit(1L)).otherwise(lit(0L)).as("cand"))
+    // coarse routing layer: top-2 cells per query by exact integer
+    // centroid distance; entries = those cells' min-id nodes (≠ query)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("c"))
+    val routed = qr.crossJoin(broadcast(cent))
+      .withColumn("cdist", intSqDist(col("qq"), col("m")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= 2)
+      .select(col("query_id"), col("c"))
+    var beam = routed
+      .join(vec.select(col("vec_id"), col("c")), Seq("c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("c"))
+      .agg(min(col("vec_id")).as("cand"))
+      .select(col("query_id"), col("cand")).distinct()
     val wt = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("cand"))
     for (_ <- 1 to 6) {
@@ -1467,9 +1489,19 @@ object VectorOps {
        |  SELECT node, nbr FROM knn
        |  UNION ALL
        |  SELECT vec_id, vec_id FROM vec
+       |), probed AS (
+       |  SELECT query_id, c FROM (
+       |    SELECT qr.query_id, c2.c,
+       |      row_number() OVER (PARTITION BY qr.query_id ORDER BY
+       |        list_sum(list_transform(range(1,65),
+       |          i -> (qr.qq[i]-c2.m[i])*(qr.qq[i]-c2.m[i]))), c2.c) AS prk
+       |    FROM qr, c2)
+       |  WHERE prk <= 2
        |), s0 AS (
-       |  SELECT query_id, CASE WHEN query_id = 0 THEN 1 ELSE 0 END AS cand
-       |  FROM qr
+       |  SELECT DISTINCT query_id, cand FROM (
+       |    SELECT p.query_id, min(v.vec_id) AS cand
+       |    FROM probed p JOIN vec v ON v.c = p.c AND v.vec_id <> p.query_id
+       |    GROUP BY p.query_id, p.c) e0
        |), ${(1 to 6).map(step).mkString(",\n")},
        |scored AS (
        |  SELECT qr.query_id, v.vec_id AS cand_id,

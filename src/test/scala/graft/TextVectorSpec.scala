@@ -195,6 +195,18 @@ class TextVectorSpec extends SparkSpec {
     assert(avg >= 0.8, s"avg ivf recall@5 = $avg")
   }
 
+  test("graph-ann routed beam walk: recall@3 >= 0.5 mean; global entry finds nothing") {
+    val recalls = VectorOps.annGraphRecall(spark, sf001).collect()
+      .map(_.getDouble(1))
+    assert(recalls.nonEmpty)
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    val avg = recalls.sum / recalls.length
+    // the two-layer routing is what makes the walk non-trivial: the
+    // cell-blocked graph is disconnected across cells by design, and a
+    // single global entry measured recall 0.0 on this same fixture
+    assert(avg >= 0.5, s"avg graph recall@3 = $avg")
+  }
+
   test("ivf-ann MLlib quantizer recall@5 >= 0.8 (sqrt(n) cells, 50% probed)") {
     val recalls = VectorOps.annIvfRecallMl(spark, sf001).collect()
       .map(_.getDouble(1))
