@@ -683,6 +683,50 @@ object VectorOps {
       .orderBy(col("query_id"))
   }
 
+  /** k-center coreset selection by greedy farthest-point traversal
+    * (Gonzalez '85, the 2-approximation — the geometric data-pruning /
+    * diversity-selection operator behind coreset-based training-set
+    * reduction): start from vec_id 0, repeatedly add the point FARTHEST
+    * from the chosen set (exact int64 squared distance on the quantized
+    * lattice, ties to the smaller id), reporting after each of the 8
+    * picks the coverage radius max_p min_c d(p, c) — the k-center
+    * objective, non-increasing by construction (spec-pinned, plus a
+    * 2-approximation witness: any (k+1)-point set contains a pair within
+    * 2·coverage). Each step is one broadcast join of the ≤ 8-row center
+    * set against the corpus + one max-agg; the per-step argmax row is the
+    * only driver traffic (1 row × 8 steps — the bounded-collect pattern
+    * of the PQ codebooks). At 100 TB: k passes over the corpus, each
+    * embarrassingly parallel; production uses the same loop on a
+    * cluster-sampled sketch first. */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = emb(s, dir).select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
+      .as("q"))
+      .persist() // q-cache
+    var centers = Vector(0L)
+    val picks = Vector.newBuilder[(Int, Long, Long)] // step, center, coverage
+    for (t <- 1 to 8) {
+      val cdf = qs.filter(col("vec_id").isInCollection(centers))
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val dmin = qs.crossJoin(broadcast(cdf))
+        .withColumn("d", intSqDist(col("q"), col("cq")))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("dmin"))
+        .persist() // released
+      val cov = dmin.agg(max(col("dmin"))).head().getLong(0)
+      picks += ((t, centers.last, cov))
+      if (t < 8) {
+        val next = dmin.orderBy(col("dmin").desc, col("vec_id"))
+          .limit(1).head().getLong(0)
+        centers = centers :+ next
+      }
+      dmin.unpersist()
+    }
+    picks.result()
+      .toDF("step", "center_id", "coverage")
+      .orderBy(col("step"))
+  }
+
   /** Product-quantization building blocks (8 subspaces × 8 dims, 64
     * centroids per subspace → one 6-bit code per subspace, 48 bits per
     * vector vs 2048 for float32 — ~42× compression; vectors L2-NORMALIZED
@@ -1521,6 +1565,41 @@ object VectorOps {
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   }
 
+  /** DuckDB twin of [[kcenterCoreset]]: the greedy farthest-point chain
+    * replayed as 8 generated CTE trip(le)s — per step the distance
+    * relation, the reported (step, center, coverage) row, and the argmax
+    * next pick feeding the grown center set. */
+  private def kcenterOracle: String = {
+    val d = "CAST(list_sum(list_transform(range(1,65), " +
+      "i -> (p.q[i]-c.cq[i])*(p.q[i]-c.cq[i]))) AS BIGINT)"
+    def step(t: Int): String = {
+      val grow =
+        if (t == 1) s"c1 AS (SELECT vec_id AS cid, q AS cq FROM qs WHERE vec_id = 0)"
+        else s"""c$t AS (SELECT * FROM c${t - 1} UNION ALL
+                |  SELECT vec_id, q FROM qs
+                |  WHERE vec_id = (SELECT vec_id FROM n${t - 1}))""".stripMargin
+      val cid =
+        if (t == 1) "0::BIGINT"
+        else s"(SELECT CAST(vec_id AS BIGINT) FROM n${t - 1})"
+      s"""$grow,
+         |d$t AS (
+         |  SELECT p.vec_id, min($d) AS dmin
+         |  FROM qs p, c$t c GROUP BY p.vec_id),
+         |r$t AS (
+         |  SELECT $t AS step, $cid AS center_id,
+         |    CAST(max(dmin) AS BIGINT) AS coverage FROM d$t),
+         |n$t AS (SELECT vec_id FROM d$t ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    s"""WITH qs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*$semScale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), ${(1 to 8).map(step).mkString(",\n")}
+       |SELECT step, center_id, coverage FROM (
+       |  ${(1 to 8).map(t => s"SELECT * FROM r$t").mkString("\n  UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
   private def semDedupOracle: String =
     s"""$semClustersCtes,
        |vec AS (
@@ -2065,6 +2144,7 @@ object VectorOps {
     // stays spec-pinned (TextVectorSpec floor, PlanSpec no-BNLJ)
     "q_ann_ivf_recall" -> ((s, d) => annIvfRecall(s, d)),
     "q_ann_graph_recall" -> (annGraphRecall _),
+    "q_kcenter_coreset" -> (kcenterCoreset _),
     "q_pq_quantize" -> (pqQuantizeInt _),
     "q_ann_pq_recall" -> (annPqRecallInt _),
     "q_hybrid_rrf" -> (hybridRrf _),
@@ -2141,6 +2221,7 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "q_ann_ivf_recall" -> annIvfOracle,
     "q_ann_graph_recall" -> annGraphOracle,
+    "q_kcenter_coreset" -> kcenterOracle,
     "q_ann_pq_recall" -> annPqIntOracle,
     "q_pq_quantize" -> pqQuantizeIntOracle,
 

@@ -207,6 +207,20 @@ class TextVectorSpec extends SparkSpec {
     assert(avg >= 0.5, s"avg graph recall@3 = $avg")
   }
 
+  test("k-center coreset: coverage non-increasing, picks distinct, seeded at 0") {
+    val out = VectorOps.kcenterCoreset(spark, sf001).collect()
+    assert(out.length === 8)
+    assert(out.head.getLong(1) === 0L, "greedy seeds at vec_id 0")
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length, "a center is never re-picked")
+    val cov = out.map(_.getLong(2))
+    cov.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) >= w(1),
+        "adding a center can only shrink the k-center objective")
+    }
+    assert(cov.last > 0L, "fixture is not degenerate")
+  }
+
   test("ivf-ann MLlib quantizer recall@5 >= 0.8 (sqrt(n) cells, 50% probed)") {
     val recalls = VectorOps.annIvfRecallMl(spark, sf001).collect()
       .map(_.getDouble(1))
