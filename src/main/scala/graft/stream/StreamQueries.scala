@@ -741,6 +741,98 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The full MEDALLION pipeline in one exactly-once sink — where
+    * [[streamSnapshot]] (stream → bronze) and the incremental
+    * materialized view (`q_snapshot_mview`) MEET: each micro-batch
+    * commits (a) the raw rows into the BRONZE snapshot table via
+    * txn-tagged `appendOnce` and (b) the batch's aggregate delta into
+    * the SILVER table via txn-tagged `transactOnce` — two tables, one
+    * batch identity, exactly once each. The cross-table failure mode is
+    * exercised IN the gate: for batch 1 the sink "crashes" between the
+    * two commits (bronze lands, silver does not), then the unconditional
+    * full-pair replay — the at-least-once redelivery every restart
+    * produces — must heal it: bronze swallows (required None), silver
+    * applies exactly once (required Some for the healed batch, None for
+    * the rest). There is no cross-table transaction and none is needed:
+    * per-table idempotence keys make the PAIR effectively atomic under
+    * replay, the production medallion contract. `n_bronze_versions` and
+    * `n_silver_versions` (3 each, oracle-pinned) ride the hash, and the
+    * silver state hash-matches DuckDB's direct one-shot aggregate of the
+    * whole replay — no increment lost, none double-applied, through a
+    * simulated partial failure. */
+  def streamMedallion(s: SparkSession, dir: String): DataFrame = {
+    val silver = runOnce(s, dir, "stream_medallion") { p =>
+      val bronze = s"${p}_bronze"
+      val silver = s"${p}_silver"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      (0 to 2).foreach { k =>
+        ev.filter(col("event_id") % 3 === k)
+          .coalesce(1)
+          .write.mode(if (k == 0) "overwrite" else "append").parquet(replay)
+        stampStage(replay, k)
+      }
+      def silverApply(sp: SparkSession, rows: DataFrame,
+          bid: Long): Option[Int] =
+        graft.sources.SnapshotTable.transactOnce(
+          sp, silver, s"silver-$bid", s"meds:$bid") { cur =>
+          val delta = rows.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("event_id")).as("sum_ids"),
+              sum(col("user_id")).as("sum_users"))
+          cur.fold(delta)(_.unionByName(delta)
+            .groupBy(col("event_type"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_ids")).as("sum_ids"),
+              sum(col("sum_users")).as("sum_users")))
+        }
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val sp = batch.sparkSession
+          val rows = batch.select(col("event_id"), col("user_id"),
+            col("event_type"))
+          graft.sources.SnapshotTable.appendOnce(
+            sp, bronze, rows, txn = s"medb:$bid")
+          // batch 1 "crashes" between the bronze and silver commits
+          if (bid != 1L) { silverApply(sp, rows, bid); () }
+          // the at-least-once redelivery of the WHOLE pair
+          val b2 = graft.sources.SnapshotTable.appendOnce(
+            sp, bronze, rows, txn = s"medb:$bid")
+          require(b2.isEmpty, s"bronze replay of batch $bid double-applied")
+          val s2 = silverApply(sp, rows, bid)
+          if (bid == 1L)
+            require(s2.nonEmpty, "replay failed to heal the crashed silver commit")
+          else
+            require(s2.isEmpty, s"silver replay of batch $bid double-applied")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // the gate also pins bronze content ≡ Σ increments: silver is
+      // re-derivable from bronze, and both versions counts ride the hash
+      s"$bronze|$silver"
+    }
+    val Array(bronzeT, silverT) = silver.split('|')
+    graft.sources.SnapshotTable.read(s, silverT)
+      .withColumn("n_bronze_versions",
+        lit(graft.sources.SnapshotTable.latestVersion(bronzeT)))
+      .withColumn("n_silver_versions",
+        lit(graft.sources.SnapshotTable.latestVersion(silverT)))
+      .orderBy(col("event_type"))
+  }
+
   /** The custom DSv2 MicroBatchStream
     * ([[graft.sources.EventsSource]]) under the hash oracle — the last
     * spec-only streaming surface: a 20,000-id space drained through the
@@ -1200,6 +1292,7 @@ object StreamQueries {
     "q_stream_timer" -> (streamTimer _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
+    "q_stream_medallion" -> (streamMedallion _),
     "q_stream_v2src" -> (streamV2Source _),
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_resume" -> (streamResume _),
@@ -1212,6 +1305,17 @@ object StreamQueries {
   /** session_window's half-open interval: new session when gap >= 15 min
     * (the same boundary rule q_session_window's batch twin pins). */
   val oracleSql: Map[String, String] = Map(
+    "q_stream_medallion" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |  CAST(3 AS INTEGER) AS n_bronze_versions,
+        |  CAST(3 AS INTEGER) AS n_silver_versions
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q_stream_snapshot" ->
       """SELECT event_type,
         |  count(*) AS n_events,

@@ -97,4 +97,44 @@ class SnapshotSinkSpec extends SparkSpec {
     // 4 shards at maxFilesPerTrigger=1 ⇒ exactly 4 distinct batches landed
     assert(latest === 4, s"expected 4 committed batches, got $latest: $txns")
   }
+
+  test("medallion pair: a crash between bronze and silver heals on replay") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotTable
+    val base = s"${sys.props("user.dir")}/target/oracle_inputs/p${ProcessHandle.current().pid()}"
+    val (bronze, silver) = (s"$base/medspec_bronze", s"$base/medspec_silver")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().forEachRemaining(rm)
+      java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    Seq(bronze, silver).foreach(d => rm(java.nio.file.Paths.get(d)))
+    import spark.implicits._
+    def batch(ids: Long*) = ids.toSeq.toDF("id")
+    def applyPair(rows: org.apache.spark.sql.DataFrame, bid: Long,
+        crashBeforeSilver: Boolean): Unit = {
+      SnapshotTable.appendOnce(spark, bronze, rows, s"mb:$bid")
+      if (crashBeforeSilver) return // the simulated crash
+      SnapshotTable.transactOnce(spark, silver, s"sv-$bid", s"ms:$bid") { cur =>
+        val delta = rows.agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        cur.fold(delta)(_.unionByName(delta)
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s")))
+      }
+      ()
+    }
+    applyPair(batch(1, 2), 0, crashBeforeSilver = false)
+    applyPair(batch(3, 4), 1, crashBeforeSilver = true) // bronze lands, silver lost
+    assert(SnapshotTable.latestVersion(bronze) === 2)
+    assert(SnapshotTable.latestVersion(silver) === 1)
+    // the at-least-once redelivery after the "restart" heals the pair:
+    // bronze swallows, silver applies exactly once
+    applyPair(batch(3, 4), 1, crashBeforeSilver = false)
+    applyPair(batch(3, 4), 1, crashBeforeSilver = false) // and a second replay no-ops
+    assert(SnapshotTable.latestVersion(bronze) === 2)
+    assert(SnapshotTable.latestVersion(silver) === 2)
+    val r = SnapshotTable.read(spark, silver).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 10L,
+      "silver must hold exactly one application of every batch")
+  }
 }
