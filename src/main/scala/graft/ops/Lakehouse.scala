@@ -452,7 +452,33 @@ object Lakehouse {
       .orderBy(col("version"), col("src"))
   }
 
+  /** DESCRIBE HISTORY — the commit-log audit table (the Delta
+    * `DESCRIBE HISTORY` / Iceberg `snapshots` metadata relation): one row
+    * per committed version of the shared three-transact table with the
+    * operation tag, file-group count, how many groups the version ADDED
+    * over its predecessor, and whether it carried a txn idempotence tag.
+    * Pure manifest metadata — no data file opened — which is exactly what
+    * makes the audit O(versions) at any table size. The oracle pins the
+    * literal history (3 rewrites: every version lists exactly its own new
+    * group), so a commit-path change that altered op tags, file counts,
+    * or added-group accounting breaks the GATE. */
+  def snapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = buildOnce(s, dir)
+    val latest = SnapshotTable.latestVersion(table)
+    val rows = (1 to latest).map { v =>
+      val m = SnapshotTable.manifest(table, v)
+      val prev = if (v == 1) Set.empty[String]
+        else SnapshotTable.manifest(table, v - 1).files.toSet
+      (v, m.op, m.files.size, m.files.count(f => !prev(f)),
+        m.txn.isDefined, m.schema.isDefined)
+    }
+    rows.toDF("version", "op", "n_files", "n_added", "has_txn", "has_schema")
+      .orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_history" -> (snapshotHistory _),
     "q_snapshot_delete" -> (snapshotDelete _),
     "q_snapshot_restore" -> (snapshotRestore _),
     "q_snapshot_mview" -> (snapshotMview _),
@@ -495,6 +521,17 @@ object Lakehouse {
       |  WHERE cust % 10 <> 0 AND k NOT IN (SELECT k FROM b2))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_snapshot_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INTEGER), 'create', CAST(1 AS INTEGER),
+        |   CAST(1 AS INTEGER), false, true),
+        |  (CAST(2 AS INTEGER), 'merge-b1', CAST(1 AS INTEGER),
+        |   CAST(1 AS INTEGER), false, true),
+        |  (CAST(3 AS INTEGER), 'delete+merge-b2', CAST(1 AS INTEGER),
+        |   CAST(1 AS INTEGER), false, true))
+        |  AS t(version, op, n_files, n_added, has_txn, has_schema)
+        |ORDER BY version""".stripMargin,
+
     "q_snapshot_mview" ->
       """SELECT o_orderkey % 8 AS bucket, count(*) AS n_rows,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
