@@ -512,4 +512,32 @@ class PlanSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx <= 2, s"expected <=2 hash exchanges (distinct, zone), got $hashEx:\n${p.take(3000)}")
   }
+
+  test("media phash candidates ride a banded equi join (no pair-space BNLJ)") {
+    val p = plan("q_media_phash")
+    // exactly ONE nested-loop relation: the 1-row candidate-count attach
+    // (the semdedup scalar pattern); the candidate PAIR join itself must
+    // be keyed on (band index, bucket), never all-pairs
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length === 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the 60-bit dHash is pure codegen'd expressions — no UDF anywhere
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+  }
+
+  test("group k-fold: the md5 fold draw is scan-column arithmetic, no UDF") {
+    val p = plan("q_group_kfold")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    // the only nested-loop relations are the TWO 1-row leak counters
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length === 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("graph-ann: kNN build joins on the cell key; centroids broadcast") {
+    val p = plan("q_ann_graph_recall")
+    // the only nested-loop relations are the k-row centroid set and the
+    // 10-row query set (the semdedup contract); the n-row graph build
+    // and every walk hop must be keyed joins
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
