@@ -550,6 +550,67 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("model check: random op sequences match an in-memory reference at every version") {
+    // seeded randomized sequences over the FULL op set — append,
+    // deleteWhere (tombstones + sequence scoping), restore, compact
+    // (purge), transact (rewrite) — verified against a trivial multiset
+    // model: after the run, EVERY committed version must read as exactly
+    // the model state it froze. This is the cross-feature interaction
+    // net (e.g. restore INTO a tombstoned state, delete after compact,
+    // re-insert after restore) that single-feature tests cannot weave.
+    val rnd = new scala.util.Random(42)
+    var states = Vector.empty[Map[Long, Int]] // version v -> state (1-based)
+    def cur: Map[Long, Int] = states.lastOption.getOrElse(Map.empty)
+    def draw(n: Int): Seq[Long] = Seq.fill(n)(rnd.nextInt(20).toLong)
+    def record(m: Map[Long, Int]): Unit = { states :+= m; () }
+    val t2 = freshTable("model")
+    record {
+      val ids = draw(6)
+      SnapshotTable.append(spark, t2, df(ids: _*))
+      ids.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    for (_ <- 1 to 24) {
+      rnd.nextInt(5) match {
+        case 0 => // append (may re-insert tombstoned ids — must win)
+          val ids = draw(1 + rnd.nextInt(5))
+          SnapshotTable.append(spark, t2, df(ids: _*))
+          record(ids.foldLeft(cur)((m, i) => m + (i -> (m.getOrElse(i, 0) + 1))))
+        case 1 => // deleteWhere: removes ALL rows with those keys, now
+          val keys = draw(1 + rnd.nextInt(4)).distinct
+          SnapshotTable.deleteWhere(spark, t2, df(keys: _*), "id")
+          record(cur -- keys)
+        case 2 => // restore to a uniformly drawn past version
+          val v = 1 + rnd.nextInt(states.size)
+          SnapshotTable.restore(t2, v)
+          record(states(v - 1))
+        case 3 => // compact: content identical, tombstones purged
+          SnapshotTable.compact(spark, t2)
+          record(cur)
+        case 4 => // transact rewrite: drop odd ids
+          SnapshotTable.transact(spark, t2, "drop-odd") { c =>
+            c.get.filter(col("id") % 2 === 0)
+          }
+          record(cur.filter { case (k, _) => k % 2 == 0 })
+      }
+    }
+    assert(SnapshotTable.latestVersion(t2) === states.size)
+    for (v <- 1 to states.size) {
+      val got = SnapshotTable.read(spark, t2, Some(v))
+        .groupBy(col("id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === states(v - 1), s"version $v diverged from the model")
+    }
+    // vacuum to the last 3 versions: latest still reads the model state,
+    // pre-horizon versions fail the loud missing-manifest path
+    SnapshotTable.vacuum(t2, retainLast = 3, graceMs = 0)
+    val latest = SnapshotTable.read(spark, t2)
+      .groupBy(col("id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(latest === states.last)
+    intercept[IllegalArgumentException](
+      SnapshotTable.read(spark, t2, Some(1)))
+  }
+
   test("restore re-lists an old version: metadata only, history preserved") {
     val t = freshTable("restore")
     SnapshotTable.append(spark, t, df(1, 2))
