@@ -235,6 +235,44 @@ object AffineSketch {
       .withColumn("est_jaccard", round(agree / 32.0, 6))
   }
 
+  /** The 8×4 affine LSH banding as a plain (doc_id, band, bkey) bucket
+    * relation — the input `q_stream_neardup` replays through stateful
+    * streaming dedup. Recomputed per call (no persist: the one consumer
+    * materializes it straight to its replay parquet), same constants and
+    * shapes as [[minhashSig]]/[[bandedCand]], so the streaming query's
+    * oracle shares [[bandedKeysOracleCtes]] with the batch twins. */
+  private[graft] def bandedKeys(s: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until nHashes).map(i =>
+      min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+    val sig = shingleHashes(s, dir)
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(j => col(s"m${rowsPerBand * b + j}")): _*)
+          .as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").cast("int").as("band"),
+        col("bb.bkey").as("bkey"))
+  }
+
+  /** DuckDB mirror of [[bandedKeys]]: shingle hashes → signature →
+    * banded buckets, ending at a `banded(doc_id, band, bkey)` CTE. */
+  private[graft] def bandedKeysOracleCtes: String = {
+    val mins = (0 until nHashes)
+      .map(i => s"min((h*${A(i)}+${B(i)})%$P) AS m$i").mkString(",\n    ")
+    val banded = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map(j => s"m${rowsPerBand * b + j}").mkString("||','||")
+      s"  SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""$shingleHashCte, sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM hh GROUP BY doc_id
+       |), banded AS (
+       |$banded
+       |)""".stripMargin
+  }
+
   /** Shared oracle midsection: signature, banding, candidate, and
     * estimate CTEs (everything after [[shingleHashCte]]) — used by the
     * MinHash twin and the dedup-PR evaluation. */

@@ -418,6 +418,45 @@ object Lakehouse {
       .orderBy(col("version"), col("src"))
   }
 
+  private val updateMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Row-level UPDATE under the hash oracle ([[SnapshotTable.updateWhere]]
+    * — the DML triad's third leg next to DELETE and MERGE): v1 CREATE
+    * base, v2 APPEND batch1 (so every k%3=0, k%7≠0 key carries TWO rows
+    * in different file-groups), v3 UPDATE cents += 5000 WHERE cust%7=0
+    * AND src='base' — a predicate matching only ONE row of a duplicated
+    * key, which exercises the touched-key re-write exactly: the key's
+    * 'b1' twin must re-stage value-equal while its 'base' row mutates.
+    * The pre-update snapshot (VERSION AS OF 2) reads next to the latest,
+    * so the hash also proves an update cannot leak backward in time, and
+    * the final manifest's data/tombstone group counts ride the hash
+    * (3 data + 1 delete — an update that rewrote an existing group, or
+    * forgot its tombstone, shifts the counts or the sums). The oracle
+    * re-derives both states purely relationally. */
+  def snapshotUpdate(s: SparkSession, dir: String): DataFrame = {
+    val table = updateMemo.computeIfAbsent((s, dir), _ => {
+      val t = s"$base/snapupdate_${safe(dir)}"
+      SnapshotTable.append(s, t, baseRows(s, dir))
+      SnapshotTable.append(s, t, batch1(s, dir))
+      SnapshotTable.updateWhere(s, t, "k",
+        col("cust") % 7 === 0 && col("src") === "base",
+        Map("cents" -> (col("cents") + 5000)))
+      t
+    })
+    val m = SnapshotTable.manifest(table, SnapshotTable.latestVersion(table))
+    val (dels, datas) = m.files.partition(SnapshotTable.isDeleteGroup)
+    val v2 = SnapshotTable.read(s, table, asOf = Some(2))
+      .withColumn("version", lit(2))
+    val v3 = SnapshotTable.read(s, table).withColumn("version", lit(3))
+    v2.unionByName(v3)
+      .groupBy(col("version"), col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_data_groups", lit(datas.size))
+      .withColumn("n_delete_groups", lit(dels.size))
+      .orderBy(col("version"), col("src"))
+  }
+
   private val restoreMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
@@ -480,6 +519,7 @@ object Lakehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_history" -> (snapshotHistory _),
     "q_snapshot_delete" -> (snapshotDelete _),
+    "q_snapshot_update" -> (snapshotUpdate _),
     "q_snapshot_restore" -> (snapshotRestore _),
     "q_snapshot_mview" -> (snapshotMview _),
     "q_time_travel" -> (timeTravel _),
@@ -561,6 +601,34 @@ object Lakehouse {
         |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(2 AS INTEGER) AS n_data_groups,
         |  CAST(2 AS INTEGER) AS n_delete_groups
+        |FROM states GROUP BY version, src
+        |ORDER BY version, src""".stripMargin,
+
+    "q_snapshot_update" ->
+      """WITH ubase AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    'base' AS src
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |ub1 AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + 1000 AS cents,
+        |    'b1' AS src
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |uv2 AS (SELECT * FROM ubase UNION ALL SELECT * FROM ub1),
+        |uv3 AS (
+        |  SELECT k, cust,
+        |    CASE WHEN cust % 7 = 0 AND src = 'base'
+        |      THEN cents + 5000 ELSE cents END AS cents, src
+        |  FROM uv2),
+        |states AS (
+        |  SELECT 2 AS version, src, cents FROM uv2
+        |  UNION ALL
+        |  SELECT 3 AS version, src, cents FROM uv3)
+        |SELECT CAST(version AS INTEGER) AS version, src,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(3 AS INTEGER) AS n_data_groups,
+        |  CAST(1 AS INTEGER) AS n_delete_groups
         |FROM states GROUP BY version, src
         |ORDER BY version, src""".stripMargin,
 

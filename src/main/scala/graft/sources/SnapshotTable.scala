@@ -4,8 +4,8 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.types.StructType
 
 /** Minimal versioned-snapshot table — the lakehouse ACID surface (r12
@@ -251,6 +251,51 @@ object SnapshotTable {
     commitLoop(table, "delete", None, 10) { cur =>
       val m = cur.getOrElse(sys.error(s"cannot delete from empty table $table"))
       (m.files :+ staged, m.stats, m.schema)
+    }.get
+  }
+
+  /** Row-level UPDATE as ONE commit (merge-on-read — the third leg of
+    * the DML triad next to [[deleteWhere]] and [[merge]]): tombstone the
+    * touched keys AND stage their re-written rows, publishing both
+    * groups in the SAME manifest version. Sequence scoping makes the
+    * pair atomic-by-construction: both groups first appear at the new
+    * version, and a tombstone applies only to groups STRICTLY older
+    * ([[snapshotDf]]), so the re-written rows survive their own
+    * tombstone while every pre-update copy of the touched keys
+    * disappears. Cost ∝ rows of the touched KEYS (a key whose rows span
+    * several groups is re-written whole, which is what keeps the
+    * semantics row-level even when `pred` matches only one of the key's
+    * rows), never the table — no existing group is opened beyond the
+    * snapshot read that finds the matches, and none is rewritten.
+    *
+    * `set` columns must already exist (UPDATE mutates, it never widens —
+    * widening is [[append]]-evolution's job); unmatched rows of a
+    * touched key are re-staged byte-equal. Runs inside the OCC loop:
+    * a rebase re-reads the winner's snapshot and re-stages (the
+    * serializable contract); a lost attempt's staged groups are
+    * orphans, reclaimed by [[vacuum]]'s grace path like any
+    * uncommitted stage. Returns the committed version. */
+  def updateWhere(s: SparkSession, table: String, keyCol: String,
+      pred: Column, set: Map[String, Column]): Int = {
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"update key column must be a plain identifier: $keyCol")
+    require(set.nonEmpty, "UPDATE with an empty SET list is a no-op by definition")
+    commitLoop(table, "update", None, 10) { curOpt =>
+      val m = curOpt.getOrElse(sys.error(s"cannot update empty table $table"))
+      val schemaCols = m.schema.map(d => StructType.fromDDL(d).fieldNames.toSet)
+        .getOrElse(Set.empty[String])
+      set.keys.foreach(c => require(schemaCols.isEmpty || schemaCols(c),
+        s"UPDATE SET references unknown column '$c' (schema: $schemaCols)"))
+      val cur = snapshotDf(s, table, m)
+      val touchedKeys = cur.filter(pred).select(col(keyCol)).distinct()
+      val touched = cur.join(touchedKeys, Seq(keyCol), "left_semi")
+      val rewritten = set.foldLeft(touched) { case (df, (c, e)) =>
+        df.withColumn(c, when(pred, e).otherwise(col(c)))
+      }
+      val (delG, _) =
+        stage(touchedKeys, table, None, s"del-$keyCol-")
+      val (updG, _) = stage(rewritten, table, None)
+      (m.files :+ delG :+ updG, m.stats, m.schema)
     }.get
   }
 

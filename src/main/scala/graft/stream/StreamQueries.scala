@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
+/** Typed rows for [[StreamQueries.streamNearDup]]'s LSH-bucket state. */
+case class BandRow(doc_id: Long, band: Int, bkey: String)
+case class DupHit(doc_id: Long, band: Int, dup_of: Long)
+
 /** Typed rows for [[StreamQueries.streamState]]'s mapGroupsWithState. */
 case class StreamEv(user_id: Long, event_id: Long, ts_us: Long)
 case class UserRunState(n: Long, sumId: Long, minUs: Long, maxUs: Long)
@@ -741,6 +745,201 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING near-dup dedup — the LLM-pipeline dedup family carried to
+    * the arrival-time surface (batch MinHash+LSH dedup scans the corpus;
+    * a production ingest wants each document checked against everything
+    * that ALREADY arrived, online). The corpus's 8×4 affine LSH bucket
+    * relation ([[graft.ops.AffineSketch.bandedKeys]] — same committed
+    * constants as the hash-oracled batch twins) replays in doc_id order
+    * over three micro-batches; `flatMapGroupsWithState` keyed by
+    * (band, bkey) holds ONE Long per bucket — the smallest doc_id ever
+    * seen there — and emits a hit whenever a document lands in a bucket
+    * with an earlier occupant. Within a batch the group iterator is
+    * sorted by doc_id, so "earlier" is exactly "smaller id" regardless
+    * of micro-batch slicing, and the whole emission is deterministic:
+    * per (doc, band) the hit's `dup_of` is the minimum earlier sharer,
+    * which DuckDB re-derives with a plain banded self-join — the
+    * streaming execution mode proven ≡ the declarative definition.
+    *
+    * 100 TB shape: state is one int64 per DISTINCT bucket (bounded by
+    * corpus size / band selectivity, never pair count), lookups are
+    * keyed state-store reads — no join, no shuffle beyond the bucket
+    * hash partitioning. An unbounded ingest bounds state with a bucket
+    * TTL (`GroupStateTimeout.ProcessingTimeTimeout`) — dedup then only
+    * sees a rolling horizon, the standard trade; the finite replay here
+    * keeps NoTimeout so the oracle can express the full semantics. */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_neardup") { p =>
+      val out = s"$p.parquet"
+      val replay = s"${p}_replay"
+      val chk = s"${p}_chk"
+      val banded = graft.ops.AffineSketch.bandedKeys(s, dir)
+      val mx = banded.agg(max(col("doc_id"))).head().getLong(0)
+      // id-ordered arrival: three stages by doc_id range (stamped so
+      // FileStreamSource's mtime order can never tie), maxFilesPerTrigger=1
+      Seq(col("doc_id") <= mx / 3,
+        col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3,
+        col("doc_id") > 2 * mx / 3).zipWithIndex.foreach { case (pred, k) =>
+        banded.filter(pred).coalesce(1)
+          .write.mode(if (k == 0) "overwrite" else "append").parquet(replay)
+        stampStage(replay, k)
+      }
+      import s.implicits._
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("band", org.apache.spark.sql.types.IntegerType),
+          StructField("bkey", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .as[BandRow]
+      val hits = src.groupByKey(r => (r.band, r.bkey))
+        .flatMapGroupsWithState[Long, DupHit](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+          var minSoFar = state.getOption.getOrElse(Long.MaxValue)
+          val emitted = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
+            val hit = if (minSoFar < r.doc_id)
+              Some(DupHit(r.doc_id, r.band, minSoFar)) else None
+            if (r.doc_id < minSoFar) minSoFar = r.doc_id
+            hit
+          }
+          state.update(minSoFar)
+          emitted.iterator
+        }
+      val q = hits.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      out
+    }
+    s.read.parquet(out)
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_of")).as("dup_of"),
+        count(lit(1)).cast("int").as("n_dup_bands"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The snapshot table as a streaming SOURCE under the hash oracle
+    * ([[graft.sources.SnapshotStreamProvider]] — the Delta-source shape
+    * closing the lake loop: [[streamSnapshot]] streams INTO the table,
+    * this streams OUT of it; commit versions are the offsets and each
+    * micro-batch reads exactly the file-groups its version range added,
+    * cost ∝ the increment). Three deterministic appends build the
+    * table; a complete-mode streaming aggregate drains them under
+    * Trigger.AvailableNow; then a FOURTH append lands and the SAME
+    * stream restarts on its checkpoint. The resumed run must deliver
+    * version 4 ALONE: the complete-mode state already holds v1–v3's
+    * rows, so reprocessing any of them doubles sums and breaks the
+    * hash, while a missed v4 shrinks them — the checkpointed version
+    * offset is exactly-once across the restart, proven by arithmetic
+    * rather than assertion. `n_versions` (oracle-pinned 4) rides the
+    * hash. Delete/rewrite commit POLICY (fail loudly by default;
+    * ignoreDeletes/ignoreChanges opt-outs) is SnapshotStreamSpec's
+    * half — policy errors are not oracle-expressible. */
+  def streamTableRead(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_tableread") { p =>
+      val table = s"${p}_table"
+      val chk = s"${p}_chk"
+      val out = s"$p.parquet"
+      def orders = graft.Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      def runStream(): Unit = {
+        val src = s.readStream
+          .format(classOf[graft.sources.SnapshotStreamProvider].getName)
+          .option("path", table)
+          .load()
+        val agg = src.groupBy((col("k") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.coalesce(1).write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      (0 to 2).foreach { r =>
+        graft.sources.SnapshotTable.append(s, table,
+          orders.filter(col("k") % 3 === r))
+        ()
+      }
+      runStream()
+      graft.sources.SnapshotTable.append(s, table,
+        orders.filter(col("k") % 5 === 0)
+          .select(col("k"), (col("cents") + 7000).as("cents")))
+      runStream()
+      out
+    }
+    val table = s"${out.stripSuffix(".parquet")}_table"
+    s.read.parquet(out)
+      .withColumn("n_versions",
+        lit(graft.sources.SnapshotTable.latestVersion(table)))
+      .orderBy(col("bucket"))
+  }
+
+  /** STREAMING change-data-feed read under the hash oracle — the
+    * snapshot source's `readChangeFeed` mode renders the commit log as
+    * row-level change events: appends become `insert` rows, a tombstone
+    * commit becomes `delete` rows carrying the full BEFORE-image
+    * (tombstone keys semi-joined against the predecessor snapshot), and
+    * an [[graft.sources.SnapshotTable.updateWhere]] commit renders as
+    * its delete + insert pair — the standard CDF reduction of an
+    * update. The fixture walks the full DML lifecycle (CREATE, DELETE,
+    * re-insert APPEND, row-level UPDATE); the drained feed aggregates
+    * per (_commit_version, _change_type, src), so the oracle's
+    * relational replay of all four commits pins every change row's
+    * version tag, polarity, and payload — a CDF that missed a
+    * before-image, mis-versioned a change, or leaked a rewrite breaks
+    * the hash. */
+  def streamCdfRead(s: SparkSession, dir: String): DataFrame = {
+    val out = runOnce(s, dir, "stream_cdfread") { p =>
+      val table = s"${p}_table"
+      val chk = s"${p}_chk"
+      val out = s"$p.parquet"
+      def dbase = graft.Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          lit("base").as("src"))
+      def reins = dbase.filter(col("cust") % 10 === 0 && col("k") % 3 === 0)
+        .select(col("k"), col("cust"), (col("cents") + 3000).as("cents"),
+          lit("r1").as("src"))
+      graft.sources.SnapshotTable.append(s, table, dbase)
+      graft.sources.SnapshotTable.deleteWhere(s, table,
+        dbase.filter(col("cust") % 10 === 0).select(col("k")), "k")
+      graft.sources.SnapshotTable.append(s, table, reins)
+      graft.sources.SnapshotTable.updateWhere(s, table, "k",
+        col("cust") % 7 === 0, Map("cents" -> (col("cents") + 5000)))
+      val src = s.readStream
+        .format(classOf[graft.sources.SnapshotStreamProvider].getName)
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      out
+    }
+    s.read.parquet(out)
+      .groupBy(col("_commit_version"), col("_change_type"), col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("_commit_version"), col("_change_type"), col("src"))
+  }
+
   /** The full MEDALLION pipeline in one exactly-once sink — where
     * [[streamSnapshot]] (stream → bronze) and the incremental
     * materialized view (`q_snapshot_mview`) MEET: each micro-batch
@@ -1292,6 +1491,9 @@ object StreamQueries {
     "q_stream_timer" -> (streamTimer _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
+    "q_stream_table_read" -> (streamTableRead _),
+    "q_stream_neardup" -> (streamNearDup _),
+    "q_stream_cdf_read" -> (streamCdfRead _),
     "q_stream_medallion" -> (streamMedallion _),
     "q_stream_v2src" -> (streamV2Source _),
     "q_stream_sliding" -> (streamSliding _),
@@ -1305,6 +1507,60 @@ object StreamQueries {
   /** session_window's half-open interval: new session when gap >= 15 min
     * (the same boundary rule q_session_window's batch twin pins). */
   val oracleSql: Map[String, String] = Map(
+    "q_stream_cdf_read" ->
+      """WITH cbase AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    'base' AS src
+        |  FROM orders),
+        |r1 AS (
+        |  SELECT k, cust, cents + 3000 AS cents, 'r1' AS src
+        |  FROM cbase WHERE cust % 10 = 0 AND k % 3 = 0),
+        |v3 AS (
+        |  SELECT * FROM cbase WHERE cust % 10 <> 0
+        |  UNION ALL SELECT * FROM r1),
+        |changes AS (
+        |  SELECT 1 AS ver, 'insert' AS ct, src, cents FROM cbase
+        |  UNION ALL
+        |  SELECT 2, 'delete', src, cents FROM cbase WHERE cust % 10 = 0
+        |  UNION ALL
+        |  SELECT 3, 'insert', src, cents FROM r1
+        |  UNION ALL
+        |  SELECT 4, 'delete', src, cents FROM v3 WHERE cust % 7 = 0
+        |  UNION ALL
+        |  SELECT 4, 'insert', src, cents + 5000 FROM v3 WHERE cust % 7 = 0)
+        |SELECT CAST(ver AS INTEGER) AS _commit_version, ct AS _change_type,
+        |  src, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM changes GROUP BY ver, ct, src
+        |ORDER BY ver, ct, src""".stripMargin,
+
+    "q_stream_neardup" ->
+      s"""${graft.ops.AffineSketch.bandedKeysOracleCtes},
+        |hits AS (
+        |  SELECT a.doc_id, a.band, min(b.doc_id) AS dup_of
+        |  FROM banded a JOIN banded b USING (band, bkey)
+        |  WHERE b.doc_id < a.doc_id
+        |  GROUP BY a.doc_id, a.band)
+        |SELECT doc_id, min(dup_of) AS dup_of,
+        |  CAST(count(*) AS INTEGER) AS n_dup_bands
+        |FROM hits GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stream_table_read" ->
+      """WITH trows AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + 7000 AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT k % 8 AS bucket, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(4 AS INTEGER) AS n_versions
+        |FROM trows GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
     "q_stream_medallion" ->
       """SELECT event_type,
         |  count(*) AS n_events,

@@ -534,6 +534,62 @@ class SnapshotTableSpec extends SparkSpec {
     assert(keep.size === 1 && !keep.exists(SnapshotTable.isDeleteGroup))
   }
 
+  test("updateWhere: one-commit tombstone + rewrite, row-level, no group rewritten") {
+    val t = freshTable("update")
+    import spark.implicits._
+    SnapshotTable.append(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a")).toDF("id", "v", "tag"))
+    SnapshotTable.append(spark, t,
+      Seq((2L, 21L, "b"), (4L, 40L, "b")).toDF("id", "v", "tag"))
+    val preFiles = SnapshotTable.manifest(t, 2).files.toSet
+    // pred matches only the 'a' copy of the duplicated key 2: its 'b'
+    // twin must re-stage value-equal (the touched-KEY rewrite)
+    val v3 = SnapshotTable.updateWhere(spark, t, "id",
+      col("id") === 2 && col("tag") === "a", Map("v" -> (col("v") + 100)))
+    assert(v3 === 3)
+    val m3 = SnapshotTable.manifest(t, 3)
+    // merge-on-read: every pre-existing group re-listed by name, plus
+    // exactly one tombstone and one rewrite group
+    assert(preFiles.subsetOf(m3.files.toSet))
+    assert(m3.files.count(SnapshotTable.isDeleteGroup) === 1)
+    assert(m3.files.size === preFiles.size + 2)
+    def state(asOf: Option[Int]) =
+      SnapshotTable.read(spark, t, asOf).orderBy("id", "tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(state(None) === Seq((1L, 10L, "a"), (2L, 120L, "a"),
+      (2L, 21L, "b"), (3L, 30L, "a"), (4L, 40L, "b")))
+    // the pre-update snapshot is untouched (an update cannot leak back)
+    assert(state(Some(2)) === Seq((1L, 10L, "a"), (2L, 20L, "a"),
+      (2L, 21L, "b"), (3L, 30L, "a"), (4L, 40L, "b")))
+    // a LATER delete postdates the rewrite group and hits it; compact
+    // then purges every tombstone with the state preserved
+    SnapshotTable.deleteWhere(spark, t, Seq(2L).toDF("id"), "id")
+    assert(SnapshotTable.read(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+    SnapshotTable.compact(spark, t)
+    val mC = SnapshotTable.manifest(t, SnapshotTable.latestVersion(t))
+    assert(!mC.files.exists(SnapshotTable.isDeleteGroup))
+    assert(SnapshotTable.read(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("updateWhere: empty table and unknown SET column fail loudly") {
+    val t = freshTable("updfail")
+    import spark.implicits._
+    intercept[RuntimeException] {
+      SnapshotTable.updateWhere(spark, t, "id", col("id") > 0,
+        Map("v" -> lit(1L)))
+    }
+    SnapshotTable.append(spark, t, Seq((1L, 10L)).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, t, "id", col("id") > 0,
+        Map("nope" -> lit(1L)))
+    }
+    assert(e.getMessage.contains("unknown column"))
+    // the failed attempts committed nothing
+    assert(SnapshotTable.latestVersion(t) === 1)
+  }
+
   test("transactOnce: a replayed tagged rewrite is a no-op") {
     val t = freshTable("txnrw")
     def bump(tag: String) =
