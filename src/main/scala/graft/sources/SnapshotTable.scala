@@ -288,14 +288,21 @@ object SnapshotTable {
         s"UPDATE SET references unknown column '$c' (schema: $schemaCols)"))
       val cur = snapshotDf(s, table, m)
       val touchedKeys = cur.filter(pred).select(col(keyCol)).distinct()
-      val touched = cur.join(touchedKeys, Seq(keyCol), "left_semi")
-      val rewritten = set.foldLeft(touched) { case (df, (c, e)) =>
-        df.withColumn(c, when(pred, e).otherwise(col(c)))
+      if (touchedKeys.isEmpty)
+        // nothing matched: a no-op version re-listing the current files
+        // (an EMPTY tombstone group would break the schema-inference
+        // read every later snapshot takes, so it must never be staged)
+        (m.files, m.stats, m.schema)
+      else {
+        val touched = cur.join(touchedKeys, Seq(keyCol), "left_semi")
+        val rewritten = set.foldLeft(touched) { case (df, (c, e)) =>
+          df.withColumn(c, when(pred, e).otherwise(col(c)))
+        }
+        val (delG, _) =
+          stage(touchedKeys, table, None, s"del-$keyCol-")
+        val (updG, _) = stage(rewritten, table, None)
+        (m.files :+ delG :+ updG, m.stats, m.schema)
       }
-      val (delG, _) =
-        stage(touchedKeys, table, None, s"del-$keyCol-")
-      val (updG, _) = stage(rewritten, table, None)
-      (m.files :+ delG :+ updG, m.stats, m.schema)
     }.get
   }
 

@@ -609,7 +609,9 @@ class SnapshotTableSpec extends SparkSpec {
   test("model check: random op sequences match an in-memory reference at every version") {
     // seeded randomized sequences over the FULL op set — append,
     // deleteWhere (tombstones + sequence scoping), restore, compact
-    // (purge), transact (rewrite) — verified against a trivial multiset
+    // (purge), transact (rewrite), updateWhere (one-commit
+    // tombstone+rewrite, incl. KEY-mutating updates and no-match
+    // no-op versions) — verified against a trivial multiset
     // model: after the run, EVERY committed version must read as exactly
     // the model state it froze. This is the cross-feature interaction
     // net (e.g. restore INTO a tombstoned state, delete after compact,
@@ -626,7 +628,7 @@ class SnapshotTableSpec extends SparkSpec {
       ids.groupBy(identity).view.mapValues(_.size).toMap
     }
     for (_ <- 1 to 24) {
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // append (may re-insert tombstoned ids — must win)
           val ids = draw(1 + rnd.nextInt(5))
           SnapshotTable.append(spark, t2, df(ids: _*))
@@ -647,6 +649,17 @@ class SnapshotTableSpec extends SparkSpec {
             c.get.filter(col("id") % 2 === 0)
           }
           record(cur.filter { case (k, _) => k % 2 == 0 })
+        case 5 => // updateWhere: KEY-mutating rewrite of one residue
+          // class (id → id + 100 where id % 3 = r); when nothing
+          // matches, the commit is a no-op version re-listing the
+          // current files — the model state is unchanged either way
+          val r = rnd.nextInt(3)
+          SnapshotTable.updateWhere(spark, t2, "id",
+            col("id") % 3 === r, Map("id" -> (col("id") + 100)))
+          record(cur.foldLeft(Map.empty[Long, Int]) { case (m, (k, n)) =>
+            val nk = if (k % 3 == r) k + 100 else k
+            m + (nk -> (m.getOrElse(nk, 0) + n))
+          })
       }
     }
     assert(SnapshotTable.latestVersion(t2) === states.size)
