@@ -87,4 +87,21 @@ object Tables {
     case _ =>
       spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Scale-adaptive parallelism floor (optimization guide §2.6/§6) for
+    * relations feeding EXPENSIVE per-row/per-pair compute (DP verification,
+    * per-position hashing, unrolled k-means): round-robin repartition up to
+    * the cluster's default parallelism, but ONLY when the relation is
+    * narrower than that. The sub-MB fixture parquet is a single row group,
+    * so every scan starts at 1 partition regardless of
+    * `spark.sql.files.*` settings (splits cannot cross a row-group
+    * boundary) and any heavy compute downstream of it runs serial on one
+    * core. At production scale the scan is already at or above cluster
+    * width, so this is a NO-OP there — no shuffle is added where the data
+    * is big; where it fires, it moves only the narrow pre-explosion
+    * relation (never pair-level payloads, guide §8). */
+  def widen(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
 }

@@ -180,7 +180,11 @@ object ElbQueries {
     * full rows+schema+hash correctness gate; the synthetic-input queries
     * above stay rows-only and are pinned by ElbSpec instead. */
   def elbRoundtripSessions(s: SparkSession, dir: String): DataFrame = {
-    val lines = eventsAsElbLines(graft.Tables(s, dir, "events"))
+    // widen (guide §2.6): format_string + the quote-aware parse are the
+    // whole cost and run on the scan partitioning — serial off the
+    // single-row-group fixture file.
+    val lines = eventsAsElbLines(
+      graft.Tables.widen(graft.Tables(s, dir, "events")))
     Sessionize.sessions(LogParser.requests(lines),
         col("client_ip"), col("ts"), col("client_port"), col("url"))
       .select(col("user_id").as("client_ip"), col("session_id"),
@@ -196,7 +200,9 @@ object ElbQueries {
     * re-derives from `events` directly. The most-engaged tie-break is
     * (duration, ip) lexicographic on both engines. */
   def elbGoalsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val lines = eventsAsElbLines(graft.Tables(s, dir, "events"))
+    val lines = eventsAsElbLines(
+      graft.Tables.widen(graft.Tables(s, dir, "events"))) // guide §2.6
+
     Sessionize.sessions(LogParser.requests(lines),
         col("client_ip"), col("ts"), col("client_port"), col("url"))
       .agg(
@@ -244,7 +250,8 @@ object ElbQueries {
     * sentinel handling, status parsing, or byte-count typing breaks the
     * hash. */
   def elbOpsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val lines = eventsAsElbLinesVaried(graft.Tables(s, dir, "events"))
+    val lines = eventsAsElbLinesVaried(
+      graft.Tables.widen(graft.Tables(s, dir, "events"))) // guide §2.6
     LogParser.requests(lines)
       // exact integer µs (the writer printed 6 decimals) so the per-minute
       // average is an order-free int64 sum + single IEEE divisions — never

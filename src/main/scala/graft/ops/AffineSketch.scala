@@ -505,7 +505,7 @@ object AffineSketch {
     * [[srpAffine]]'s rotation banding and [[cosineLshAffine]]'s
     * band/bucket blocking. */
   private def srpSig(s: SparkSession, dir: String): DataFrame = {
-    val emb = graft.Tables(s, dir, "embeddings")
+    val emb = graft.Tables.widen(graft.Tables(s, dir, "embeddings")) // guide §2.6
     val q = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).as("d"),
@@ -567,7 +567,9 @@ object AffineSketch {
   /** (doc_id, sel: distinct selected combined keys) — the winnowing
     * selection shared by [[winnowAffine]] and [[winnowPairs]]. */
   private def winnowSel(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).filter(length(col("text")) >= winK + winW - 1)
+    // widened (guide §2.6): the per-position md5 transform below is the
+    // whole cost and ran serial on the 1-partition fixture scan
+    graft.Tables.widen(docs(s, dir).filter(length(col("text")) >= winK + winW - 1))
       .withColumn("kks", transform(
         sequence(lit(1), length(col("text")) - (winK - 1)),
         p => (lit(268435456L) - md5h(substr(col("text"), p, lit(winK)))) *
@@ -1335,7 +1337,7 @@ object AffineSketch {
     * then [[pqaIters]] exact-integer Lloyd rounds. Returns (sub, codebook,
     * codes). */
   private def pqaFit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val sub = pqaSub(s, dir).persist() // q-cache
+    val sub = graft.Tables.widen(pqaSub(s, dir)).persist() // q-cache (guide §2.6)
     val init = sub.filter(col("vec_id") < pqaK)
       .select(col("m"), col("vec_id").as("c"), col("sq").as("cv"))
     val fitted = (1 to pqaIters).foldLeft(init) { (cent, _) =>

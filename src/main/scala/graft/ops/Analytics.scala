@@ -1347,7 +1347,11 @@ object Analytics {
         ((h("lon-") % 100).cast("double") / 10.0 - 5.0).as("lon"))
       .withColumn("cx", floor(col("lat")).cast("int"))
       .withColumn("cy", floor(col("lon")).cast("int"))
-    val probes = cells
+    // widen the probe side only (guide §2.6): the 9-cell fanout and the
+    // haversine verification run on the probe partitioning, serial off a
+    // single-row-group fixture scan; the cell-owner side rides the
+    // broadcast and stays narrow.
+    val probes = Tables.widen(cells)
       .select(col("id"), col("lat"), col("lon"), col("cx"), col("cy"),
         explode(expr("array(-1, 0, 1)")).as("dx"))
       .select(col("id"), col("lat"), col("lon"),

@@ -111,6 +111,12 @@ object Curation {
       // pointer jump (short-cutting): lab <- lab(lab). Halves the remaining
       // diameter per round, so convergence is O(log d) not O(d) — one extra
       // equi join per round, the standard trade for long-chain components.
+      // EAGER localCheckpoint, measured choice (r14-opt): the lazy
+      // (localCheckpoint(false) + count-as-materializer) variant saved
+      // ~2 jobs/round on paper but measured ~70% HIGHER summed task time
+      // on the CC-bound queries (lazy checkpointing under AQE re-executes
+      // the non-final stages at definition and pins un-coalesced
+      // partitioning on the cached blocks) — reverted to the eager form.
       val next = stepped.join(
           stepped.select(col("id").as("lab1"), col("lab1").as("lab2")), "lab1")
         .select(col("id"), col("old"),
@@ -439,6 +445,11 @@ object Curation {
     var rounds = 0
     var frontierSize = 1L
     while (frontierSize > 0 && rounds < maxRounds) {
+      // `visited` stays a plain union of the checkpointed frontiers — a
+      // ≤diameter-deep plan over cached RDD scans, so re-checkpointing the
+      // whole visited set each round (a full-copy job per round in the
+      // r13 form) is dropped (r14-opt; the eager per-frontier checkpoint
+      // stays — see connectedComponents for why lazy measured worse)
       val next = frontier
         .join(edges, col("node") === col("u"))
         .select(col("v").as("node"), (col("hops") + 1).as("hops"))
@@ -446,7 +457,7 @@ object Curation {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint()
       frontierSize = next.count()
-      visited = visited.union(next).localCheckpoint()
+      visited = visited.union(next)
       frontier = next
       rounds += 1
     }

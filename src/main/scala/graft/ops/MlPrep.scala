@@ -136,7 +136,11 @@ object MlPrep {
       .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal", "c_name")
     def w(p: (Int, Int), agree: org.apache.spark.sql.Column) =
       when(agree, lit(p._1)).otherwise(lit(p._2))
-    c.alias("a").join(c.alias("b"),
+    // widen the probe side only (guide §2.6): blocked-pair generation +
+    // scoring inherits the probe's partitioning, and the single-row-group
+    // fixture scan ran it serial (measured: task-time ≈ wall). The other
+    // side stays narrow — it rides the broadcast.
+    graft.Tables.widen(c).alias("a").join(c.alias("b"),
         col("a.c_nationkey") === col("b.c_nationkey") &&
           col("a.c_custkey") < col("b.c_custkey"))
       .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),

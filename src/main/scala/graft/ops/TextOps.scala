@@ -918,8 +918,13 @@ object TextOps {
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars"))
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("id1"),
-      col("text").as("t1"), col("n_chars").as("len1"))
+    // widen the PROBE side only (guide §2.6): the banded DP below is the
+    // whole cost of this query and it inherits the probe side's
+    // partitioning — a single-row-group fixture scan would run it serial
+    // (measured: 3 tasks, task-time ≈ wall). The build side stays narrow
+    // (it is broadcast; widening it would shuffle before the collect).
+    val a = Tables.widen(d).select(col("lang"), col("source"),
+      col("doc_id").as("id1"), col("text").as("t1"), col("n_chars").as("len1"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("id2"),
       col("text").as("t2"), col("n_chars").as("len2"))
     a.join(b, Seq("lang", "source"))
@@ -1476,19 +1481,31 @@ object TextOps {
   }
 
   def unigramSegment(s: SparkSession, dir: String): DataFrame = {
-    val maxLen = ugMaxLen
     val (wrds, _, edges) = unigramGraph(s, dir)
-    var dp = wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb"))
+    // r14-opt (guide §1.2): (a) the DP depth is the MEASURED max word
+    // length (one tiny agg job), not the committed ugMaxLen cap — levels
+    // past the longest word are provably empty, and the oracle's fixed
+    // unroll no-ops there identically; (b) levels are kept as separate
+    // checkpointed frames and each round's parent view unions only the
+    // last ugMaxPiece levels (an edge spans ≤ ugMaxPiece chars, so deeper
+    // levels cannot connect) — the cumulative-union form re-copied the
+    // whole DP table through every round's checkpoint.
+    val maxLen = math.min(ugMaxLen,
+      wrds.agg(max(length(col("w")))).head().getInt(0))
+    var levels = Vector(
+      wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb")))
     for (pos <- 1 to maxLen) {
-      val parent = dp.select(col("w").as("dw"), col("i").as("di"),
-        col("comb").as("pc"))
+      val parent = levels.takeRight(ugMaxPiece).reduce(_.union(_))
+        .select(col("w").as("dw"), col("i").as("di"), col("comb").as("pc"))
       val step = edges.filter(col("i") === pos)
         .join(parent, col("w") === col("dw") && col("j") === col("di"))
         .groupBy(col("w"))
         .agg(max(col("pc") + lit(16L) * col("q") - 1).as("comb"))
         .select(col("w"), lit(pos).as("i"), col("comb"))
-      dp = dp.union(step).localCheckpoint()
+        .localCheckpoint()
+      levels = levels :+ step
     }
+    val dp = levels.reduce(_.union(_))
     wrds.join(dp, Seq("w")).filter(col("i") === length(col("w")))
       .withColumn("score_q", floor(col("comb") / lit(16.0)).cast("long"))
       .select(col("w").as("word"), col("wn"), col("score_q"),
@@ -1515,13 +1532,17 @@ object TextOps {
     * is over that, never corpus rows). The oracle re-derives the full
     * arg-tracked DP + backwalk via unrolled MATERIALIZED CTEs. */
   def unigramPrune(s: SparkSession, dir: String): DataFrame = {
-    val maxLen = ugMaxLen
     val (wrds, vq, edges) = unigramGraph(s, dir)
-    var dp = wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb"),
-      lit(null).cast("int").as("bj"), lit(null).cast("string").as("bpiece"))
+    // r14-opt: same adaptive-depth + per-level DP restructuring as
+    // [[unigramSegment]] — see the comment there.
+    val maxLen = math.min(ugMaxLen,
+      wrds.agg(max(length(col("w")))).head().getInt(0))
+    var levels = Vector(
+      wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb"),
+        lit(null).cast("int").as("bj"), lit(null).cast("string").as("bpiece")))
     for (pos <- 1 to maxLen) {
-      val parent = dp.select(col("w").as("dw"), col("i").as("di"),
-        col("comb").as("pc"))
+      val parent = levels.takeRight(ugMaxPiece).reduce(_.union(_))
+        .select(col("w").as("dw"), col("i").as("di"), col("comb").as("pc"))
       val step = edges.filter(col("i") === pos)
         .join(parent, col("w") === col("dw") && col("j") === col("di"))
         .select(col("w"), lit(pos).as("i"),
@@ -1530,8 +1551,10 @@ object TextOps {
         .withColumn("rn", row_number().over(Window.partitionBy(col("w"))
           .orderBy(col("comb").desc, col("bj"), col("bpiece"))))
         .filter(col("rn") === 1).drop("rn")
-      dp = dp.union(step).localCheckpoint()
+        .localCheckpoint()
+      levels = levels :+ step
     }
+    val dp = levels.reduce(_.union(_))
     // hard-EM backwalk: from each word's final DAG node, follow the argmax
     // edges to node 0, crediting wn to every piece on the path. Each hop
     // consumes >= 1 character, so maxLen rounds drain every word.

@@ -161,8 +161,10 @@ object VectorOps {
 
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
     val (nBits, bandBits) = lshConfig(s, dir)
-    // persisted: feeds the banding explode AND both vector-lookup joins
-    val e = withSrpSig(s, dir, nBits).persist() // q-cache
+    // persisted: feeds the banding explode AND both vector-lookup joins;
+    // widened (guide §2.6) so the banded join + exact verify run at
+    // cluster parallelism instead of the 1-partition fixture scan
+    val e = Tables.widen(withSrpSig(s, dir, nBits)).persist() // q-cache
     val banded = srpBanded(e, nBits, bandBits)
     val l = banded.select(col("band"), col("bucket"), col("vec_id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("vec_id").as("id2"))
@@ -519,10 +521,13 @@ object VectorOps {
     * cells only. */
   def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir))
-    val qs = e.select(col("vec_id"),
+    // widen (guide §2.6): the unrolled Lloyd fit + assignment inherit this
+    // relation's partitioning — off the single-row-group fixture scan every
+    // k×n distance pass ran serial (measured: 1-task jobs, task-time≈wall)
+    val qs = Tables.widen(e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") / col("norm") * lit(semScale)).cast("long"))
-        .as("q"))
+        .as("q")))
       .persist() // q-cache
     val n = qs.count()
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -604,10 +609,10 @@ object VectorOps {
     * graph build. */
   def annGraphRecall(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir))
-    val qs = e.select(col("vec_id"),
+    val qs = Tables.widen(e.select(col("vec_id"), // guide §2.6, as in IVF
       transform(col("embedding"),
         x => floor(x.cast("double") / col("norm") * lit(semScale)).cast("long"))
-        .as("q"))
+        .as("q")))
       .persist() // q-cache
     val n = qs.count()
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -700,9 +705,9 @@ object VectorOps {
     * cluster-sampled sketch first. */
   def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qs = emb(s, dir).select(col("vec_id"), expr(
+    val qs = Tables.widen(emb(s, dir).select(col("vec_id"), expr( // guide §2.6
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
-      .as("q"))
+      .as("q")))
       .persist() // q-cache
     var centers = Vector(0L)
     val picks = Vector.newBuilder[(Int, Long, Long)] // step, center, coverage
@@ -712,15 +717,15 @@ object VectorOps {
       val dmin = qs.crossJoin(broadcast(cdf))
         .withColumn("d", intSqDist(col("q"), col("cq")))
         .groupBy(col("vec_id")).agg(min(col("d")).as("dmin"))
-        .persist() // released
-      val cov = dmin.agg(max(col("dmin"))).head().getLong(0)
-      picks += ((t, centers.last, cov))
-      if (t < 8) {
-        val next = dmin.orderBy(col("dmin").desc, col("vec_id"))
-          .limit(1).head().getLong(0)
-        centers = centers :+ next
-      }
-      dmin.unpersist()
+      // ONE action per step: the (dmin desc, vec_id) top-1 row IS both the
+      // coverage radius (its dmin = max over all points) and the farthest
+      // point (the tie-to-smaller-id argmax) — the separate max() agg +
+      // persist/unpersist pair the split form paid are gone (guide §1.2:
+      // these steps are job-count-bound, the data term is one broadcast
+      // pass either way)
+      val top = dmin.orderBy(col("dmin").desc, col("vec_id")).limit(1).head()
+      picks += ((t, centers.last, top.getAs[Long]("dmin")))
+      if (t < 8) centers = centers :+ top.getAs[Long]("vec_id")
     }
     picks.result()
       .toDF("step", "center_id", "coverage")
@@ -822,7 +827,7 @@ object VectorOps {
     * TextVectorSpec. */
   def pqQuantize(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir))
-    val sub = pqSubvectors(e).persist() // q-cache
+    val sub = Tables.widen(pqSubvectors(e)).persist() // q-cache (guide §2.6)
     val codebook = pqFitCodebook(s, sub, iters = 3)
     val codes = pqCodes(sub, codebook)
     val out = codes.join(codebook, Seq("m", "c"))
@@ -855,7 +860,7 @@ object VectorOps {
   def annPqRecall(s: SparkSession, dir: String): DataFrame = {
     val shortlist = 50
     val e = withNorm(emb(s, dir))
-    val sub = pqSubvectors(e).persist() // q-cache
+    val sub = Tables.widen(pqSubvectors(e)).persist() // q-cache (guide §2.6)
     val codebook = pqFitCodebook(s, sub, iters = 3)
     val codes = pqCodes(sub, codebook)
     val qsub = sub.join(e.filter(col("vec_id") < 10)
@@ -939,14 +944,14 @@ object VectorOps {
     * (the same sharing as the float pqSubvectors/pqFitCodebook pair). */
   private def pqIntModel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = withNorm(emb(s, dir))
-    val sub = e.select(col("vec_id"), explode(expr(
+    val sub = Tables.widen(e.select(col("vec_id"), explode(expr( // guide §2.6
         s"""transform(sequence(0, ${pqM - 1}),
            |  m -> struct(CAST(m AS BIGINT) AS m,
            |    transform(sequence(0, ${pqDsub - 1}),
            |      j -> CAST(floor(CAST(embedding[m * $pqDsub + j] AS DOUBLE)
            |                      / norm * $semScale) AS BIGINT)) AS q))"""
           .stripMargin)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.q").as("q"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.q").as("q")))
       .persist() // q-cache
     val init = sub.filter(col("vec_id") < pqK)
       .select(col("m"), col("vec_id").as("c"), col("q").as("mv"))
@@ -1338,9 +1343,9 @@ object VectorOps {
     * adds the within-cluster dup detection) and [[diversitySample]] (which
     * quota-samples per cluster). */
   private[ops] def semClusters(s: SparkSession, dir: String): DataFrame = {
-    val qs = emb(s, dir).select(col("vec_id"), expr(
+    val qs = Tables.widen(emb(s, dir).select(col("vec_id"), expr( // guide §2.6
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
-      .as("q")).persist() // q-cache
+      .as("q"))).persist() // q-cache
     intAssign(qs, intLloydFit(qs, semK, semIters))
   }
 
