@@ -104,4 +104,18 @@ object Tables {
     val dp = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }
+
+  /** persist + EAGER materialization for a relation referenced from
+    * several sibling stages of one action. AQE materializes independent
+    * query stages CONCURRENTLY, so consumers of a merely-lazy cache race
+    * into the same uncomputed InMemoryRelation and serialize on its block
+    * locks — measured at r14-opt as up to ~2× summed task time on the
+    * multi-consumer queries (userRecs 279→199 task-s from this one fix).
+    * One bounded count up front computes the cache exactly once. Callers
+    * that release the cache later keep the returned handle. */
+  def pinned(df: DataFrame): DataFrame = {
+    df.persist() // q-cache (or released by the caller)
+    df.count()
+    df
+  }
 }

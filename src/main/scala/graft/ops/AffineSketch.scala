@@ -597,6 +597,7 @@ object AffineSketch {
       .select(col("doc_id"), explode(array_distinct(transform(col("sel"),
         k => lit(268435456L) - shiftright(k, 24)))).as("h"))
       .persist() // q-cache
+    fp.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val rareKeys = fp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") <= winnowDfCap).select(col("h"))
     val rare = fp.join(rareKeys, "h")

@@ -1482,7 +1482,7 @@ object Analytics {
     * gate hashes unchanged. */
   private[graft] def baskets(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("cust")).orderBy(col("item"))
-    Tables(s, dir, "orders")
+    val bk = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
@@ -1491,6 +1491,13 @@ object Analytics {
       .filter(col("_bn") <= cfBasketCap)
       .drop("_bn")
       .persist() // q-cache
+    // eager materialization: every consumer references this relation from
+    // 2-4 sibling stages of one action, which AQE materializes
+    // CONCURRENTLY — racing into an uncomputed InMemoryRelation serializes
+    // on its block locks (see the userRecs model cache for the measured
+    // effect); one bounded count up front removes the race
+    bk.count()
+    bk
   }
 
   /** All co-purchase pairs at min support with their set cosine —
@@ -1530,10 +1537,16 @@ object Analytics {
     * window top-3. */
   def userRecs(s: SparkSession, dir: String): DataFrame = {
     val bk = baskets(s, dir)
-    // persisted: the symmetrization below consumes the model twice, and
-    // without the cache the O(Σ basket²) pair join ran once per
-    // orientation (17.0 s → ~9 s at sf0.1)
+    // persisted AND eagerly materialized: the symmetrization below consumes
+    // the model twice, and without the cache the O(Σ basket²) pair join ran
+    // once per orientation (17.0 s → ~9 s at sf0.1). The count() matters
+    // too (r14-opt): AQE materializes independent query stages
+    // CONCURRENTLY, so both orientations of a merely-lazy cache race into
+    // the same uncomputed InMemoryRelation and serialize on its block
+    // locks (measured 279 task-seconds vs item_cf's 157 for the same
+    // model). One bounded action up front removes the race.
     val model = coCosine(bk).persist() // q-cache
+    model.count()
     val sym = model.select(col("i1").as("owned"), col("i2").as("cand"),
         col("cosine"))
       .unionAll(model.select(col("i2").as("owned"), col("i1").as("cand"),

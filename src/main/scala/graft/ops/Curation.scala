@@ -87,7 +87,13 @@ object Curation {
     */
   def connectedComponents(ids: DataFrame, edges: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
-    // symmetric closure: label min must flow both directions of each edge
+    // symmetric closure: label min must flow both directions of each edge.
+    // (r14-opt: pre-partitioning this cache by the round join key — the
+    // guide §2.4 shared-exchange move — was tried and measured SLOWER at
+    // fixture scale: the loop is AQE-replanning/job-launch-bound, not
+    // exchange-bound, and the up-front repartition+materialize cost
+    // exceeded the per-round exchange it saved. Revisit on a real cluster
+    // where the edge relation is large enough for the exchange to matter.)
     val sym = edges.select(col("id1"), col("id2"))
       .union(edges.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist() // released
@@ -328,6 +334,7 @@ object Curation {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("b"))
       .persist() // q-cache
+    oriented.count() // eager: 4 sibling-stage consumers (see Tables.pinned)
     val wedges = oriented.select(col("a"), col("b"))
       .join(oriented.select(col("a"), col("b").as("c")), "a")
       .filter(col("b") =!= col("c"))
@@ -385,6 +392,7 @@ object Curation {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("b"))
       .persist() // released
+    oriented.count() // eager: 4 sibling-stage consumers (see Tables.pinned)
     val wedges = oriented.select(col("a"), col("b"))
       .join(oriented.select(col("a"), col("b").as("c")), "a")
       .filter(col("b") =!= col("c"))
@@ -732,6 +740,7 @@ object Curation {
         greatest(col("u"), col("v")).as("v"))
       .distinct()
       .persist() // q-cache
+    und.count() // eager: 4 sibling-stage consumers (see Tables.pinned)
     val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
     // wedges through z: (x, z) ⋈ (z, y), x < y canonical; weight by z's

@@ -264,6 +264,9 @@ object MlPrep {
     val long = feat("discount", "l_discount")
       .unionAll(feat("price", "l_extendedprice"))
       .unionAll(feat("quantity", "l_quantity"))
+    // (widening `long` was tried at r14-opt and measured SLOWER — the rank
+    // below starts with its own range exchange, so the extra round-robin
+    // shuffle only added bytes; reverted)
     val ranked = ScaledRank.withGroupedRowNumbers(long, Seq(col("feature")),
       Seq(col("value"), col("l_orderkey"), col("l_linenumber")))
       .persist() // q-cache
@@ -729,6 +732,10 @@ object MlPrep {
         (col("vi") * col("vj")).as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
       .persist() // q-cache
+    // eager (see Tables.pinned): referenced once per iteration — PowIters
+    // sibling stages of the one final action race into the uncomputed
+    // cache otherwise
+    g.count()
     var v = s.range(1, 65)
       .select(col("id").cast("int").as("j"), lit(PowScale).as("x"))
     var lastM: DataFrame = null
@@ -832,7 +839,10 @@ object MlPrep {
     * are canonicalized through decimal(18,2) before stringifying so both
     * engines render identical text. */
   def dataProfile(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
+    // widen (guide §2.6): both profile passes (the flat min/max/null agg and
+    // the 6-way stacked values pass) do their heavy partial aggregation on
+    // the scan partitioning — serial off the single-row-group fixture file
+    val li = graft.Tables.widen(lineitem(s, dir))
     val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
       "l_extendedprice", "l_shipdate", "l_orderkey")
     // canonical text form: 2-dp decimal for the money/quantity doubles so
@@ -864,6 +874,7 @@ object MlPrep {
       .where(col("v").isNotNull)
       .groupBy("col", "v").agg(count(lit(1)).as("cnt"))
       .persist() // q-cache
+    grouped.count() // eager: 2 sibling-stage consumers (see Tables.pinned)
     val nd = grouped.groupBy("col").agg(count(lit(1)).as("n_distinct"))
     val top = grouped
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(

@@ -165,6 +165,7 @@ object VectorOps {
     // widened (guide §2.6) so the banded join + exact verify run at
     // cluster parallelism instead of the 1-partition fixture scan
     val e = Tables.widen(withSrpSig(s, dir, nBits)).persist() // q-cache
+    e.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val banded = srpBanded(e, nBits, bandBits)
     val l = banded.select(col("band"), col("bucket"), col("vec_id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("vec_id").as("id2"))
@@ -543,6 +544,7 @@ object VectorOps {
       .withColumn("dd",
         aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
       .persist() // q-cache
+    vec.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val q = vec.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("dd").as("qdd"))
@@ -621,6 +623,7 @@ object VectorOps {
       .withColumn("dd",
         aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
       .persist() // q-cache
+    vec.count() // eager: many sibling-stage consumers (see Tables.pinned)
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
     val aSide = vec.select(col("c"), col("vec_id").as("node"),
@@ -636,6 +639,7 @@ object VectorOps {
     val knnAug = knn
       .unionByName(vec.select(col("vec_id").as("node"), col("vec_id").as("nbr")))
       .persist() // q-cache
+    knnAug.count() // eager: consumed by all 6 beam hops (see Tables.pinned)
     val qr = vec.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("dd").as("qdd"))
     val cvec = vec.select(col("vec_id").as("cand"), col("q").as("cq"),
@@ -1355,6 +1359,7 @@ object VectorOps {
     val vec = finalAssign.withColumn("dd",
       aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
       .persist() // q-cache
+    vec.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val a = vec.select(col("c"), col("vec_id").as("id1"),
       col("q").as("q1"), col("dd").as("d1"))
     val b = vec.select(col("c"), col("vec_id").as("id2"),
