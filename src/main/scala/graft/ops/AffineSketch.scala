@@ -505,7 +505,10 @@ object AffineSketch {
     * [[srpAffine]]'s rotation banding and [[cosineLshAffine]]'s
     * band/bucket blocking. */
   private def srpSig(s: SparkSession, dir: String): DataFrame = {
-    val emb = graft.Tables.widen(graft.Tables(s, dir, "embeddings")) // guide §2.6
+    // (r14-opt: widening the scan was tried and measured net-negative
+    // across the three srpSig consumers — the 32-sum partial agg is small
+    // at 2k vectors and the extra exchange outweighed it; reverted)
+    val emb = graft.Tables(s, dir, "embeddings")
     val q = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).as("d"),
@@ -1338,7 +1341,7 @@ object AffineSketch {
     * then [[pqaIters]] exact-integer Lloyd rounds. Returns (sub, codebook,
     * codes). */
   private def pqaFit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val sub = graft.Tables.widen(pqaSub(s, dir)).persist() // q-cache (guide §2.6)
+    val sub = pqaSub(s, dir).persist() // q-cache (r14-opt: widen tried, measured net-negative — 16k tiny rows)
     val init = sub.filter(col("vec_id") < pqaK)
       .select(col("m"), col("vec_id").as("c"), col("sq").as("cv"))
     val fitted = (1 to pqaIters).foldLeft(init) { (cent, _) =>

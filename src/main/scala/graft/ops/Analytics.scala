@@ -1030,6 +1030,7 @@ object Analytics {
     val wk = events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
       .distinct().persist() // q-cache
+    wk.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val churned = wk.join(
         wk.select(col("user_id"),
           (col("week") - expr("INTERVAL 7 DAYS")).as("week")),
@@ -1491,12 +1492,9 @@ object Analytics {
       .filter(col("_bn") <= cfBasketCap)
       .drop("_bn")
       .persist() // q-cache
-    // eager materialization: every consumer references this relation from
-    // 2-4 sibling stages of one action, which AQE materializes
-    // CONCURRENTLY — racing into an uncomputed InMemoryRelation serializes
-    // on its block locks (see the userRecs model cache for the measured
-    // effect); one bounded count up front removes the race
-    bk.count()
+    // NOT eagerly materialized (r14-opt, measured): same cached-stats
+    // re-planning effect as the userRecs model cache — q_item_cf's
+    // quiet-window wall rose 3.6 → 4.8 s with an up-front count.
     bk
   }
 
@@ -1537,16 +1535,16 @@ object Analytics {
     * window top-3. */
   def userRecs(s: SparkSession, dir: String): DataFrame = {
     val bk = baskets(s, dir)
-    // persisted AND eagerly materialized: the symmetrization below consumes
-    // the model twice, and without the cache the O(Σ basket²) pair join ran
-    // once per orientation (17.0 s → ~9 s at sf0.1). The count() matters
-    // too (r14-opt): AQE materializes independent query stages
-    // CONCURRENTLY, so both orientations of a merely-lazy cache race into
-    // the same uncomputed InMemoryRelation and serialize on its block
-    // locks (measured 279 task-seconds vs item_cf's 157 for the same
-    // model). One bounded action up front removes the race.
+    // persisted: the symmetrization below consumes the model twice, and
+    // without the cache the O(Σ basket²) pair join ran once per
+    // orientation (17.0 s → ~9 s at sf0.1). NOT eagerly materialized
+    // (r14-opt, measured): counting the cache first feeds the final plan
+    // accurate tiny-cache statistics, and the planner re-plans every join
+    // as a broadcast (60 BHJ / 160 exchanges vs 24 / 66) — quiet-window
+    // wall DOUBLED (6.9 → 13.0 s). The lazy cache's single-action overlap
+    // wins here; contrast with triangleCount's oriented edges, where the
+    // eager count IS the win.
     val model = coCosine(bk).persist() // q-cache
-    model.count()
     val sym = model.select(col("i1").as("owned"), col("i2").as("cand"),
         col("cosine"))
       .unionAll(model.select(col("i2").as("owned"), col("i1").as("cand"),

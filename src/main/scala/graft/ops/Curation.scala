@@ -453,11 +453,11 @@ object Curation {
     var rounds = 0
     var frontierSize = 1L
     while (frontierSize > 0 && rounds < maxRounds) {
-      // `visited` stays a plain union of the checkpointed frontiers — a
-      // ≤diameter-deep plan over cached RDD scans, so re-checkpointing the
-      // whole visited set each round (a full-copy job per round in the
-      // r13 form) is dropped (r14-opt; the eager per-frontier checkpoint
-      // stays — see connectedComponents for why lazy measured worse)
+      // (r14-opt: keeping `visited` as a growing union of checkpointed
+      // frontiers instead of re-checkpointing it was tried — the per-round
+      // anti-join plan then grows with the round count and the added
+      // planning cost measured LARGER than the checkpoint job it saved;
+      // reverted to the full-copy checkpoint.)
       val next = frontier
         .join(edges, col("node") === col("u"))
         .select(col("v").as("node"), (col("hops") + 1).as("hops"))
@@ -465,7 +465,7 @@ object Curation {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint()
       frontierSize = next.count()
-      visited = visited.union(next)
+      visited = visited.union(next).localCheckpoint()
       frontier = next
       rounds += 1
     }

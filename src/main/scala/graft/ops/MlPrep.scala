@@ -185,6 +185,7 @@ object MlPrep {
     val edges = fsPairs(s, dir).where(col("score") >= 60)
       .select(col("id_a").as("id1"), col("id_b").as("id2"))
       .persist() // q-cache
+    edges.count() // eager: consumed by matched (2 branches) + the CC loop
     // CC only needs the MATCHED subgraph: every customer off the match
     // graph is a singleton entity by definition and the n_records >= 2
     // filter drops it anyway — seeding CC with all ids would multiply

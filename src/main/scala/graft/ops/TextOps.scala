@@ -553,6 +553,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(col("shingles")).as("sh"))
       .persist() // q-cache
+    ex.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id1"))
     val b = ex.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id2"))
@@ -608,6 +609,7 @@ object TextOps {
         graft.functions.GraftFunctions.wordShingles(col("tokens"), 5))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .persist() // q-cache
+    ex.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val prefix = ex.join(dfreq, "sh")
@@ -649,6 +651,9 @@ object TextOps {
     * broadcasts of corpus-sized relations); only the final scoring
     * differs, so the scale posture is inherited. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    // r14-opt: widen + eager-count were tried here and BOTH measured worse
+    // (the relation is cheap to compute and its consumers chain mostly
+    // sequentially, so the extra materialization pass had nothing to save)
     val ex = withShingles(docs(s, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(col("shingles")).as("sh"))
@@ -715,6 +720,7 @@ object TextOps {
     // sig is O(N docs) and a corpus-sized broadcast kills the driver at
     // scale (AQE still broadcasts when genuinely small).
     val sig = minhashSigs(s, dir).persist() // q-cache
+    sig.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val pairs = minhashBandPairs(sig)
     pairs
       .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
@@ -1033,6 +1039,7 @@ object TextOps {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .persist() // q-cache
+    c12.count() // eager: 4 sibling-stage consumers (see Tables.pinned)
     val ctx = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1plus"))
     val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))

@@ -1347,9 +1347,12 @@ object VectorOps {
     * adds the within-cluster dup detection) and [[diversitySample]] (which
     * quota-samples per cluster). */
   private[ops] def semClusters(s: SparkSession, dir: String): DataFrame = {
-    val qs = Tables.widen(emb(s, dir).select(col("vec_id"), expr( // guide §2.6
+    // (r14-opt: widen tried, measured net-negative for the semK-cell fit —
+    // q_diversity_sample +0.6 s; the IVF/graph-ANN fits keep theirs, where
+    // the √n-cell Lloyd work is an order of magnitude larger)
+    val qs = emb(s, dir).select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $semScale) AS BIGINT))")
-      .as("q"))).persist() // q-cache
+      .as("q")).persist() // q-cache
     intAssign(qs, intLloydFit(qs, semK, semIters))
   }
 

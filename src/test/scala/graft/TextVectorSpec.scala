@@ -531,6 +531,24 @@ class TextVectorSpec extends SparkSpec {
     assert(byWord("window") == ("window", 976L, -11439889342L, 2))
   }
 
+  test("unigramSegment level-DP reaches the full committed depth (12-char word)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ugdeep").toString
+    // r14-opt pin for the level-indexed DP restructure: a word at the
+    // committed ugMaxLen (12 chars) forces the loop to its full depth and
+    // every parent lookup through the last-ugMaxPiece-levels view. The
+    // unique 3-piece tiling 'abab'+'abab'+'abab' must win (fewer negative
+    // log-prob terms than any 4+-piece split; 12 = 3 × max piece length).
+    Seq((0L, "abababababab abababababab c", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.unigramSegment(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(rows.contains(("abababababab", 2L, 3)),
+      s"12-char word missing or mis-segmented: ${rows.mkString(", ")}")
+    assert(rows.contains(("c", 1L, 1)))
+  }
+
   test("unigramSegment Viterbi prefers a frequent multi-char piece over characters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("unigram").toString
