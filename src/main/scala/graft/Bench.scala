@@ -19,9 +19,24 @@ object Bench {
   /** Where the FULL per-query map is persisted (r12 verdict item 3: the
     * driver's BENCH_rN.json keeps only a 2,000-char stdout tail, ~82 of 372
     * queries — regression tracking needs the whole map committed). Relative
-    * to the working directory, i.e. the repo root under sbt. */
-  val fullOutPath: String =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench/BENCH_FULL_latest.json")
+    * to the working directory, i.e. the repo root under sbt.
+    *
+    * Per-CPUS filenames (r14 verdict item 2): the driver runs the bench
+    * twice (main core count, then a lower one for the scaling block); a
+    * single shared filename let the 8-CPU run clobber the 32-core map and
+    * left PERF_r14 with an empty per_query. Each core count now writes its
+    * own artifact, and the shared `BENCH_FULL_latest.json` is only updated
+    * by a run at >= the core count already recorded there. */
+  def fullOutPathFor(cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", s"bench/BENCH_FULL_c$cpus.json")
+
+  /** Quiet-host medians of two cheap, stable queries (recorded across the
+    * r14/r15 solo runs). A bench run whose anchors land far above these is
+    * flagged `"contended": true` in the artifact — the r14 medians artifact
+    * would have self-flagged (two of its three runs were contended and the
+    * committed medians read as a 16% regression). */
+  val anchorQuiet: Map[String, Double] =
+    Map("q_sessionize" -> 0.30, "q_pricing_summary" -> 0.33)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,7 +55,13 @@ object Bench {
     // the steady-state a production cluster's repeated-scan workload sits
     // in. ~15 MB of parquet at sf0.1 → ~100 MB cached; re-pinned after
     // each query's cache hygiene, always OUTSIDE the timer.
-    def pinTables(): Unit = Tables.names.foreach { t =>
+    // SPARK_GRAFT_BENCH_COLD=1 (r14 verdict item 6) skips the pin entirely
+    // so every timed query reads parquet cold — the mode that exercises §6
+    // I/O work (pruning/pushdown/layout). BASELINE.md records both totals;
+    // the driver's invocation (env unset) keeps the warm mode for
+    // round-over-round comparability.
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").exists(_ == "1")
+    def pinTables(): Unit = if (!cold) Tables.names.foreach { t =>
       try { val df = Tables(spark, sfDir, t); df.persist(); df.count() } // q-cache
       catch { case _: Throwable => }
     }
@@ -91,13 +112,37 @@ object Bench {
     // tracking never depends on the driver's bounded stdout tail. Solo
     // SPARK_GRAFT_BENCH_ONLY profiling runs must NOT clobber it.
     if (only.isEmpty) {
-      try {
-        val p = java.nio.file.Paths.get(fullOutPath)
+      // noise protocol (r14 verdict item 8): stamp the run contended when
+      // either anchor lands >2x its recorded quiet median — a contended
+      // artifact is directional only, never a regression verdict.
+      val anchors = anchorQuiet.keys.toSeq.sorted
+        .flatMap(k => results.find(_._1 == k)).map { case (k, v) =>
+          "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val contended = anchorQuiet.exists { case (k, quiet) =>
+        results.find(_._1 == k).exists(_._2 > 2 * quiet) }
+      val body =
+        s"""{"metric":"queries","cpus":$cpus,"cold":$cold,"contended":$contended,"anchors":$anchors,"total_sec":${r3(total)},"n_timed":${results.size},"sf":"$sfDir","queries":$qs}""" + "\n"
+      def write(path: String): Unit = try {
+        val p = java.nio.file.Paths.get(path)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.writeString(p,
-          s"""{"metric":"queries","total_sec":${r3(total)},"n_timed":${results.size},"sf":"$sfDir","queries":$qs}""" + "\n")
+        java.nio.file.Files.writeString(p, body)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
+        System.err.println(s"[bench] full-artifact write failed ($path): ${e.getMessage}")
+      }
+      write(fullOutPathFor(cpus))
+      // keep the shared "latest" pointer for whoever reads a fixed name,
+      // but NEVER let a lower-core scaling run clobber a higher-core map
+      // (the r14 failure mode). Self-describing via the embedded cpus
+      // field of the existing file.
+      if (sys.env.get("SPARK_GRAFT_BENCH_FULL").isEmpty) {
+        val latest = java.nio.file.Paths.get("bench/BENCH_FULL_latest.json")
+        val prevCpus = try {
+          if (java.nio.file.Files.exists(latest))
+            """"cpus":(\d+)""".r.findFirstMatchIn(
+              java.nio.file.Files.readString(latest)).map(_.group(1).toInt)
+          else None
+        } catch { case _: Throwable => None }
+        if (prevCpus.forall(_ <= cpus.toInt)) write(latest.toString)
       }
     }
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")

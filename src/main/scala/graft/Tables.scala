@@ -101,21 +101,29 @@ object Tables {
     * is big; where it fires, it moves only the narrow pre-explosion
     * relation (never pair-level payloads, guide §8). */
   def widen(df: DataFrame): DataFrame = {
-    val dp = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+    val sess = df.sparkSession
+    val dp = sess.sparkContext.defaultParallelism
+    // Width is estimated from the OPTIMIZED LOGICAL plan's size statistic
+    // against the scan split size — never from df.rdd (r14 ADVICE: .rdd
+    // forces the final physical plan, and under AQE that materializes any
+    // upstream shuffle stages at plan-construction time; the real action
+    // then re-executes them). sizeInBytes over-estimates after selective
+    // filters/joins, which only errs toward the production no-op.
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      sess.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(maxSplit) * dp) df.repartition(dp) else df
   }
 
-  /** persist + EAGER materialization for a relation referenced from
-    * several sibling stages of one action. AQE materializes independent
-    * query stages CONCURRENTLY, so consumers of a merely-lazy cache race
-    * into the same uncomputed InMemoryRelation and serialize on its block
-    * locks — measured at r14-opt as up to ~2× summed task time on the
-    * multi-consumer queries (userRecs 279→199 task-s from this one fix).
-    * One bounded count up front computes the cache exactly once. Callers
-    * that release the cache later keep the returned handle. */
-  def pinned(df: DataFrame): DataFrame = {
-    df.persist() // q-cache (or released by the caller)
-    df.count()
-    df
-  }
+  /* "Tables.pinned" — persist + EAGER materialization (rationale kept as
+   * the canonical reference for the inline `persist(); count() // eager`
+   * sites; the helper itself was dead code, r14 ADVICE). AQE materializes
+   * independent query stages CONCURRENTLY, so consumers of a merely-lazy
+   * cache race into the same uncomputed InMemoryRelation and serialize on
+   * its block locks — measured at r14-opt as up to ~2× summed task time on
+   * the multi-consumer queries. One bounded count right after persist()
+   * computes the cache exactly once. NOT universally a win: feeding the
+   * planner accurate tiny-cache statistics can re-plan downstream joins
+   * into broadcast cascades (see Analytics.userRecs) — apply only where a
+   * bench median confirms it. */
 }

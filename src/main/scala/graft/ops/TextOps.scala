@@ -1497,8 +1497,10 @@ object TextOps {
     // last ugMaxPiece levels (an edge spans ≤ ugMaxPiece chars, so deeper
     // levels cannot connect) — the cumulative-union form re-copied the
     // whole DP table through every round's checkpoint.
+    // coalesce to 0 on an empty word table (r14 ADVICE: max() is NULL
+    // there and getInt NPEs) — depth 0 skips the loop entirely.
     val maxLen = math.min(ugMaxLen,
-      wrds.agg(max(length(col("w")))).head().getInt(0))
+      wrds.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
     var levels = Vector(
       wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb")))
     for (pos <- 1 to maxLen) {
@@ -1542,8 +1544,8 @@ object TextOps {
     val (wrds, vq, edges) = unigramGraph(s, dir)
     // r14-opt: same adaptive-depth + per-level DP restructuring as
     // [[unigramSegment]] — see the comment there.
-    val maxLen = math.min(ugMaxLen,
-      wrds.agg(max(length(col("w")))).head().getInt(0))
+    val maxLen = math.min(ugMaxLen, // null-safe on empty input, as above
+      wrds.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
     var levels = Vector(
       wrds.select(col("w"), lit(0).as("i"), lit(15L).as("comb"),
         lit(null).cast("int").as("bj"), lit(null).cast("string").as("bpiece")))

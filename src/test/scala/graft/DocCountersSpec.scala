@@ -104,9 +104,10 @@ class DocCountersSpec extends AnyFunSuite {
     // tail; graft.Bench now persists the untruncated per-query map. This
     // pins that the committed artifact is regenerated whenever the query
     // registry changes, so per-query regression tracking never gaps.
-    val p = Paths.get(Bench.fullOutPath)
+    val full = "bench/BENCH_FULL_latest.json"
+    val p = Paths.get(full)
     assert(Files.exists(p),
-      s"${Bench.fullOutPath} missing — run `sbt \"runMain graft.Bench\"` to regenerate")
+      s"$full missing — run `sbt \"runMain graft.Bench\"` to regenerate")
     val artifact = raw""""(q_\w+)":""".r
       .findAllMatchIn(read(p.toString)).map(_.group(1)).toSet
     val expected = SparkEntry.queries.keySet -- Bench.benchSkip
