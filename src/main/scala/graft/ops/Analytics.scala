@@ -1492,9 +1492,16 @@ object Analytics {
       .filter(col("_bn") <= cfBasketCap)
       .drop("_bn")
       .persist() // q-cache
-    // NOT eagerly materialized (r14-opt, measured): same cached-stats
-    // re-planning effect as the userRecs model cache — q_item_cf's
-    // quiet-window wall rose 3.6 → 4.8 s with an up-front count.
+    // r15-opt: eagerly materialized after all. The r14 revert traded the
+    // multi-consumer block-lock race (itemCnt + both pair-join sides race
+    // into the uncomputed cache and serialize, inflating task time ~10x)
+    // for plan stability, because accurate tiny-cache stats flipped the
+    // pair self-join to a broadcast cascade. The join strategies are now
+    // PINNED by explicit hints in [[coCosine]]/[[userRecs]], so accurate
+    // stats can no longer re-plan anything — the eager count is pure win
+    // (measured r15: q_user_recs task time 133-180 s -> see
+    // OPTIMIZATION_r15.md; plans byte-identical across runs).
+    bk.count() // eager: up to 5 sibling-stage consumers (see Tables.pinned note)
     bk
   }
 
@@ -1504,7 +1511,13 @@ object Analytics {
     val itemCnt = bk.groupBy(col("item")).agg(count(lit(1)).as("n"))
     val a = bk.select(col("cust"), col("item").as("i1"))
     val b = bk.select(col("cust"), col("item").as("i2"))
-    val co = a.join(b, Seq("cust"))
+    // SHUFFLE_HASH pinned (guide §3.1): the per-cust basket self-join must
+    // never ride a broadcast — at scale neither side fits, and at fixture
+    // scale the eagerly-cached bk's accurate tiny stats would flip it to a
+    // BHJ cascade run-to-run (the r14 q_user_recs 7->13-17 s bimodality).
+    // Hash beats sort-merge here: per-partition build sides are basket
+    // fragments, far under memory, and the sort adds nothing.
+    val co = a.join(b.hint("shuffle_hash"), Seq("cust"))
       .filter(col("i1") < col("i2"))
       .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("co"))
       .filter(col("co") >= CfMinCo)
@@ -1535,27 +1548,31 @@ object Analytics {
     * window top-3. */
   def userRecs(s: SparkSession, dir: String): DataFrame = {
     val bk = baskets(s, dir)
-    // persisted: the symmetrization below consumes the model twice, and
-    // without the cache the O(Σ basket²) pair join ran once per
-    // orientation (17.0 s → ~9 s at sf0.1). NOT eagerly materialized
-    // (r14-opt, measured): counting the cache first feeds the final plan
-    // accurate tiny-cache statistics, and the planner re-plans every join
-    // as a broadcast (60 BHJ / 160 exchanges vs 24 / 66) — quiet-window
-    // wall DOUBLED (6.9 → 13.0 s). The lazy cache's single-action overlap
-    // wins here; contrast with triangleCount's oriented edges, where the
-    // eager count IS the win.
-    val model = coCosine(bk).persist() // q-cache
+    // r15-opt: localCheckpoint, not persist. It materializes EAGERLY (the
+    // symmetrization's two branches then read computed blocks instead of
+    // racing into a lazy InMemoryRelation and serializing on its block
+    // locks), it cuts the O(Σ basket²) lineage so the pair join provably
+    // runs once, and — unlike an eagerly-counted cache — a checkpointed
+    // LogicalRDD reports no tiny size statistic, so the planner cannot
+    // re-plan the downstream joins into the 60-BHJ cascade that doubled
+    // wall run-to-run at r14 (7 -> 13-17 s bimodal). Join strategies below
+    // are additionally pinned by explicit hints, belt and braces.
+    val model = coCosine(bk).localCheckpoint()
     val sym = model.select(col("i1").as("owned"), col("i2").as("cand"),
         col("cosine"))
       .unionAll(model.select(col("i2").as("owned"), col("i1").as("cand"),
         col("cosine")))
     val audience = bk.filter(col("cust") < 500)
-    val scores = audience.withColumnRenamed("item", "owned")
+    // the audience is the bounded side by construction (custkey < 500) —
+    // broadcast it DELIBERATELY (guide §3.1); sym is model-sized and must
+    // shuffle at scale, so the anti-join below is pinned shuffle-hash
+    // rather than left to size estimates.
+    val scores = broadcast(audience.withColumnRenamed("item", "owned"))
       .join(sym, "owned")
       .groupBy(col("cust"), col("cand"))
       .agg(round(sum(col("cosine")), 6).as("score"),
         count(lit(1)).as("n_vouchers"))
-      .join(bk.select(col("cust"), col("item").as("cand")),
+      .join(bk.select(col("cust"), col("item").as("cand")).hint("shuffle_hash"),
         Seq("cust", "cand"), "left_anti")
     val w = Window.partitionBy(col("cust"))
       .orderBy(col("score").desc, col("cand"))
