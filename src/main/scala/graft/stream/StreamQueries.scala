@@ -64,15 +64,22 @@ object StreamQueries {
     * eighth of the IO (r12 ran 8; the r12 verdict's machinery-diet task
     * re-measured the knob — state-store instance setup/commit dominates
     * these replays, not state volume — and every oracle hash is
-    * unchanged; BASELINE.md records the before/after subtotals). Results are partitioning-independent (exact
-    * aggregates/joins), which the unchanged oracle hashes prove; at
-    * production volume the knob goes the other way (more partitions per
-    * state size), which is exactly the point: it is a per-stream sizing
-    * decision, not a session constant. */
+    * unchanged; BASELINE.md records the before/after subtotals). r15
+    * re-measured 4 vs 2 across the whole 21-query family: summed task
+    * time halves again (stream-stream joins keep FOUR state stores per
+    * partition per side, so each partition removed saves 8+ instance
+    * setups/commits per micro-batch; q_stream_join 27 -> 2.3 task-s) and
+    * family wall fell ~20%, with every oracle hash unchanged. 2 is the
+    * floor that still exercises genuine multi-partition semantics
+    * (cross-partition shuffles, parallel state commits). Results are
+    * partitioning-independent (exact aggregates/joins), which the
+    * unchanged oracle hashes prove; at production volume the knob goes
+    * the other way (more partitions per state size), which is exactly the
+    * point: it is a per-stream sizing decision, not a session constant. */
   private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)
-    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2"))
     try body finally prev match {
       case Some(p) => s.conf.set(key, p)
       case None => s.conf.unset(key)
