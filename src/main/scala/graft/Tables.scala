@@ -115,6 +115,18 @@ object Tables {
     if (estBytes < BigInt(maxSplit) * dp) df.repartition(dp) else df
   }
 
+  /** Scopes session-conf overrides around a body (an iterative loop,
+    * typically), restoring the prior values afterwards — the same
+    * discipline as StreamQueries.withStreamPartitions. */
+  def withConf[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /* "Tables.pinned" — persist + EAGER materialization (rationale kept as
    * the canonical reference for the inline `persist(); count() // eager`
    * sites; the helper itself was dead code, r14 ADVICE). AQE materializes

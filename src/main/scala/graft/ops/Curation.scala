@@ -85,6 +85,23 @@ object Curation {
     *              throws rather than quietly returning wrong components.
     * @return (`id`, `lab`) with `lab` = min node id of the component
     */
+  /** Eager localCheckpoint that simultaneously observes one aggregate
+    * metric over the rows being materialized (guide §1.2: the
+    * convergence check rides the checkpoint job instead of paying its own
+    * action — and its AQE stage-jobs — every round; verified r15 that
+    * Observation metrics fire on an eager localCheckpoint in Spark 4.1).
+    * Returns the lineage-cut frame and the metric value (0 on empty). */
+  private def checkpointWithMetric(df: DataFrame,
+      metric: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, metric.as("m")).localCheckpoint()
+    val v = obs.get("m") match {
+      case null => 0L
+      case x: Number => x.longValue()
+    }
+    (out, v)
+  }
+
   def connectedComponents(ids: DataFrame, edges: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
     // symmetric closure: label min must flow both directions of each edge.
@@ -123,12 +140,15 @@ object Curation {
       // on the CC-bound queries (lazy checkpointing under AQE re-executes
       // the non-final stages at definition and pins un-coalesced
       // partitioning on the cached blocks) — reverted to the eager form.
-      val next = stepped.join(
+      // convergence metric observed ON the checkpoint job (one action per
+      // round, not two — see checkpointWithMetric)
+      val (next, ch) = checkpointWithMetric(
+        stepped.join(
           stepped.select(col("id").as("lab1"), col("lab1").as("lab2")), "lab1")
         .select(col("id"), col("old"),
-          least(col("lab1"), col("lab2")).as("lab"))
-        .localCheckpoint()
-      changed = next.filter(col("lab") =!= col("old")).count()
+          least(col("lab1"), col("lab2")).as("lab")),
+        count(when(col("lab") =!= col("old"), 1)))
+      changed = ch
       labels = next.select(col("id"), col("lab"))
       rounds += 1
     }
@@ -458,14 +478,19 @@ object Curation {
       // anti-join plan then grows with the round count and the added
       // planning cost measured LARGER than the checkpoint job it saved;
       // reverted to the full-copy checkpoint.)
-      val next = frontier
-        .join(edges, col("node") === col("u"))
-        .select(col("v").as("node"), (col("hops") + 1).as("hops"))
-        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
-      frontierSize = next.count()
-      visited = visited.union(next).localCheckpoint()
+      val (next, fs) = checkpointWithMetric(
+        frontier
+          .join(edges, col("node") === col("u"))
+          .select(col("v").as("node"), (col("hops") + 1).as("hops"))
+          .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+          .join(visited.select(col("node")), Seq("node"), "left_anti"),
+        count(lit(1)))
+      frontierSize = fs
+      // skip the final visited copy once the frontier drained: an empty
+      // `next` adds nothing and the union's only consumer is the next
+      // round's anti-join (guide §1.2)
+      if (frontierSize > 0)
+        visited = visited.union(next).localCheckpoint()
       frontier = next
       rounds += 1
     }
@@ -690,10 +715,10 @@ object Curation {
       val merged = best.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      val improved = merged
-        .join(best, Seq("node", "dist"), "left_anti")
-        .localCheckpoint()
-      active = improved.count()
+      val (improved, act) = checkpointWithMetric(
+        merged.join(best, Seq("node", "dist"), "left_anti"),
+        count(lit(1)))
+      active = act
       best = merged
       frontier = improved
       rounds += 1
@@ -782,12 +807,12 @@ object Curation {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
-      val next = cur
-        .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
-      val m = next.count()
+      val (next, m) = checkpointWithMetric(
+        cur
+          .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")),
+        count(lit(1)))
       rounds += 1
       if (m == n) {
         val symF = next.union(next.select(col("v").as("u"), col("u").as("v")))

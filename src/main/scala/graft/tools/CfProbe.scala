@@ -37,6 +37,21 @@ object CfProbe {
       try { val df = graft.Tables(spark, sfDir, t); df.persist(); df.count() } // q-cache
       catch { case _: Throwable => }
     }
+    if (args.headOption.contains("obs-test")) {
+      // does an eager localCheckpoint surface observe() metrics?
+      val obs = org.apache.spark.sql.Observation("chk")
+      val df = spark.range(100).toDF("id")
+        .observe(obs, sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).as("evens"))
+        .localCheckpoint()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val got = try Await.result(Future(obs.get), 5.seconds)
+      catch { case e: Throwable => println(s"[obs] threw: $e"); Map.empty[String, Any] }
+      println(s"[obs] metrics after localCheckpoint: $got (df rows=${df.count()})")
+      spark.stop()
+      return
+    }
     val name = if (args.nonEmpty) args(0) else "q_user_recs"
     val t0 = System.nanoTime()
     graft.SparkEntry.queries(name)(spark, sfDir).count()
