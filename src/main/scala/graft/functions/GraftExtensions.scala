@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_dot_long"), info("graft_dot_long"),
+      (exprs: Seq[Expression]) => DotLong(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_sqdist_long"), info("graft_sqdist_long"),
+      (exprs: Seq[Expression]) => SqDistLong(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
       (exprs: Seq[Expression]) =>
         MinHashSig(exprs(0), exprs(1).eval(null).asInstanceOf[Int])))

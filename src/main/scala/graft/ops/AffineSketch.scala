@@ -1002,7 +1002,7 @@ object AffineSketch {
   /** Exact-integer sum zip-dot — every term |x·y| < 2^42, 64 terms sum
     * inside one row in fixed order ⇒ exact int64 on both engines. */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    graft.functions.GraftFunctions.dotLong(a, b) // codegen'd exact int64
 
   /** The fully-oracled twin of [[VectorOps.cosinePairsLsh]]: SRP-banded
     * candidate generation (8 bands × 4-bit buckets of the 32-bit affine
@@ -1310,7 +1310,7 @@ object AffineSketch {
 
   /** Exact int64 squared L2 over one row's 8-dim integer subvectors. */
   private def pqaSqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    graft.functions.GraftFunctions.sqDistLong(a, b) // codegen'd exact int64
 
   /** Nearest-centroid assignment per (vec, subspace): one broadcast join
     * against the ≤ pqaM·pqaK-row codebook + a map-side-combined min-struct

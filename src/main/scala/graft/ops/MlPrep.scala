@@ -580,6 +580,7 @@ object MlPrep {
     * pass) then broadcast-centroid argmin assignment. Feeds both
     * [[evalMetrics]] and [[evalSummary]]. */
   private def centroidPred(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // for sqDistLong below
     val qs = embeddings(s, dir).select(col("vec_id"), col("label"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $EvalScale) AS BIGINT))")
       .as("q"))
@@ -592,8 +593,7 @@ object MlPrep {
         x => x.getField("m")).as("m"))
     qs.crossJoin(broadcast(cent))
       .withColumn("dist",
-        aggregate(zip_with(col("q"), col("m"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _))
+        graft.functions.GraftFunctions.sqDistLong(col("q"), col("m")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cl"))).as("best"),
         first(col("label")).as("label"))

@@ -542,7 +542,7 @@ object VectorOps {
     val cent = intLloydFit(qs, k, ivfIters)
     val vec = intAssign(qs, cent)
       .withColumn("dd",
-        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+        GraftFunctions.dotLong(col("q"), col("q")))
       .persist() // q-cache
     vec.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val q = vec.filter(col("vec_id") < 10)
@@ -561,7 +561,7 @@ object VectorOps {
         col("dd").as("cdd"), col("c"))
       .join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cos",
-        aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y), lit(0L), _ + _)
+        GraftFunctions.dotLong(col("qq"), col("cq"))
           / (sqrt(col("qdd")) * sqrt(col("cdd"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -621,11 +621,11 @@ object VectorOps {
     val cent = intLloydFit(qs, k, ivfIters)
     val vec = intAssign(qs, cent)
       .withColumn("dd",
-        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+        GraftFunctions.dotLong(col("q"), col("q")))
       .persist() // q-cache
     vec.count() // eager: many sibling-stage consumers (see Tables.pinned)
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+      GraftFunctions.dotLong(a, b) // codegen'd exact int64
     val aSide = vec.select(col("c"), col("vec_id").as("node"),
       col("q").as("nq"), col("dd").as("ndd"))
     val bSide = vec.select(col("c"), col("vec_id").as("nbr"),
@@ -988,14 +988,14 @@ object VectorOps {
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / norm * $semScale) AS BIGINT))")
         .as("q"))
       .withColumn("dd",
-        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+        GraftFunctions.dotLong(col("q"), col("q")))
     val qr = qv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("dd").as("qdd"))
     val scored = qv
       .select(col("vec_id").as("cand_id"), col("q").as("cq"), col("dd").as("cdd"))
       .join(broadcast(qr), col("query_id") =!= col("cand_id"))
       .withColumn("cos",
-        aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y), lit(0L), _ + _)
+        GraftFunctions.dotLong(col("qq"), col("cq"))
           / (sqrt(col("qdd")) * sqrt(col("cdd"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -1303,7 +1303,7 @@ object VectorOps {
     * arrays — the order-fixed, engine-portable metric the whole integer
     * Lloyd's family runs on. */
   private def intSqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    GraftFunctions.sqDistLong(a, b) // codegen'd exact int64 (was interpreted zip_with)
 
   /** Nearest-centroid assignment of a quantized relation `qs(vec_id, q)`
     * against `cent(c, m)`: argmin over exact integer distances, ties to
@@ -1360,7 +1360,7 @@ object VectorOps {
     val finalAssign = semClusters(s, dir)
 
     val vec = finalAssign.withColumn("dd",
-      aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), _ + _))
+      GraftFunctions.dotLong(col("q"), col("q")))
       .persist() // q-cache
     vec.count() // eager: 3 sibling-stage consumers (see Tables.pinned)
     val a = vec.select(col("c"), col("vec_id").as("id1"),
@@ -1370,7 +1370,7 @@ object VectorOps {
     val dupCounts = a.join(b, "c")
       .filter(col("id1") < col("id2"))
       .withColumn("cos",
-        aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y), lit(0L), _ + _)
+        GraftFunctions.dotLong(col("q1"), col("q2"))
           / (sqrt(col("d1")) * sqrt(col("d2"))))
       .filter(col("cos") >= semTau)
       .groupBy(col("id2")).agg(count(lit(1)).as("n_dups_below"))
@@ -1856,8 +1856,7 @@ object VectorOps {
       .groupBy(col("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("m"))
-    val d2 = aggregate(zip_with(col("q"), col("m"),
-      (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val d2 = GraftFunctions.sqDistLong(col("q"), col("m"))
     val scored = q.crossJoin(broadcast(cent))
       .withColumn("d2", d2)
       .groupBy(col("vec_id"), col("label"))
